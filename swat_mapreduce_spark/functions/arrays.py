@@ -1,0 +1,57 @@
+"""Array/vector functions — JVM-side higher-order expressions.
+
+Softmax / argmax reproduce the reference's in-Python tensor math
+(``python/predict_batch_threaded_local.py:111-117``) as pure Catalyst
+expressions; the vector ops (dot/cosine) back the similarity-search
+operators. All stay inside whole-stage codegen — no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def asum(arr: Column) -> Column:
+    """Sum of an array<double> via F.aggregate (left fold, matches
+    DuckDB list ordering)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def softmax(arr: Column) -> Column:
+    """Element-wise softmax over array<double>
+    (mirror of ``F.softmax(dim=1)``, predict_batch_threaded_local.py:113)."""
+    total = asum(F.transform(arr, lambda x: F.exp(x)))
+    return F.transform(arr, lambda x: F.exp(x) / total)
+
+
+def argmax(arr: Column) -> Column:
+    """0-based index of the first maximal element — matches
+    ``torch.max(probs, 1)`` first-index tie-breaking
+    (predict_batch_threaded_local.py:115-117)."""
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def top1_prob(arr: Column) -> Column:
+    """max(softmax(arr)) computed without materializing the full
+    softmax: exp(max)/sum(exp)."""
+    return F.exp(F.array_max(arr)) / asum(F.transform(arr, lambda x: F.exp(x)))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> via zip_with + aggregate."""
+    return asum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(asum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double_array(col: Column) -> Column:
+    """Cast array<float> → array<double> so Spark math matches the
+    DuckDB oracle's double math (embeddings parquet stores float32)."""
+    return F.transform(col, lambda x: x.cast("double"))

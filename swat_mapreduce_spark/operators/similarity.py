@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the correctness baseline: broadcast the
+  query vector, JVM-side ``zip_with``/``aggregate`` dot products, then
+  ``orderBy(...).limit(k)`` which Spark plans as TakeOrderedAndProject
+  (per-partition heaps + driver merge — no global sort).
+* pairwise near-dup — equi-join on a blocking key (label) so the
+  candidate set is block-local, never a full cross join.
+* LSH bucketing — deterministic random-hyperplane signs; hyperplane
+  components are md5-hash-derived (functions/hashing.py) so results
+  are reproducible and oracle-checkable. At scale this is the
+  bucketed-ANN path: bucket once (narrow map), then search only the
+  query's bucket.
+
+Scale note: at 100 TB the brute-force path stays linear per query
+(one pass, no shuffle except the top-k merge); the pairwise path's
+cost is sum of squared bucket sizes — pick the blocking key (label,
+LSH bucket) to keep buckets bounded, exactly how the LSH variant here
+does it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+
+from swat_mapreduce_spark.functions import arrays as A
+from swat_mapreduce_spark.functions import hashing as H
+
+LSH_PLANES = 8
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, exclude_id=None
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = A.as_double_array(F.col("embedding"))
+    df = emb
+    if exclude_id is not None:
+        df = df.filter(F.col("vec_id") != exclude_id)
+    return (
+        df.select(
+            "vec_id", "label", R.r(A.cosine(vec, q), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame, threshold: float, block_col: str = "label"
+) -> DataFrame:
+    """All (a < b) pairs within the same block with cosine ≥ threshold.
+
+    The block join is an equi-join → shuffle by block key; no cross
+    join. Cosine math in double precision to match the oracle.
+    """
+    sel = emb.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        A.as_double_array(F.col("embedding")).alias("v"),
+    )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    cos = A.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            R.r(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-0.5, 0.5):
+    component i = hash_unit('p:<plane>:<i>') - 0.5. Pure function of
+    (plane, i) — both engines recompute it identically."""
+    # Mirrors duck_plane_component() below; python version used by tests.
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"p:{plane}:{i}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / float(16**8) - 0.5)
+    return out
+
+
+def lsh_buckets(emb: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
+    """(vec_id, bucket) — bucket = integer of sign bits of the dot
+    product with each deterministic hyperplane. Narrow map, no shuffle."""
+    dim = 64
+    vec = A.as_double_array(F.col("embedding"))
+    bucket = None
+    for p in range(planes):
+        plane = lsh_hyperplane(p, dim)
+        dotp = A.dot(vec, F.array(*[F.lit(c) for c in plane]))
+        bit = F.when(dotp > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.alias("bucket"))
+
+
+def duck_plane_component(plane_expr: str, i_expr: str) -> str:
+    """DuckDB SQL for one hyperplane component (matches lsh_hyperplane).
+    ``i_expr`` must be the 0-based dimension index."""
+    h = H.duck_hash_uint(f"'p:' || ({plane_expr}) || ':' || ({i_expr})", 8)
+    return f"{h} / {float(16 ** 8)} - 0.5"

@@ -1,0 +1,51 @@
+"""Query registry: every engine operator exposed as a named query with
+(optionally) a DuckDB oracle SQL equivalent.
+
+The correctness driver (``__spark_entry__.py``) runs each registered
+Spark query at sf=0.01 and compares row-count + schema + order-
+insensitive value hash against the oracle SQL executed by DuckDB over
+the same parquet tables. Queries without an oracle (genuinely
+non-SQL-expressible: streaming state, LSH internals) get a rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryEntry:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL or None for rows-only check
+
+
+REGISTRY: dict[str, QueryEntry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryEntry(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QueryEntry]:
+    """Import every query module (side effect: registration)."""
+    from swat_mapreduce_spark.queries import (  # noqa: F401
+        dedup,
+        llm_text,
+        multimodal,
+        reference_pipeline,
+        relational,
+        similarity,
+        streaming_queries,
+        temporal,
+    )
+
+    return REGISTRY

@@ -1,0 +1,149 @@
+"""Dedup queries + DuckDB oracles (north-star LLM-pipeline ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.operators import dedup as D
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# Shared DuckDB CTE: distinct 3-word shingles per doc (matches
+# functions/text.py word_shingles + array_distinct).
+_SH_DUCK = r"""
+toks AS (
+    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+tok_idx AS (
+    SELECT doc_id, lang, t,
+           unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, lang,
+           array_to_string(t[i : i + 2], ' ') AS shingle
+    FROM tok_idx
+)
+"""
+
+
+# --- exact dedup -----------------------------------------------------------
+_EXACT_ORACLE = """
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies", F.md5("text").alias("text_md5"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SH_DUCK},
+sigs AS (
+    SELECT doc_id, {sig_cols}
+    FROM sh GROUP BY doc_id
+),
+bands AS ({bands_sql}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS c
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+# --- SimHash ---------------------------------------------------------------
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, g.j,
+           sum(CASE WHEN strpos('89abcdef', substr(md5(tok), g.j, 1)) > 0
+                    THEN 1 ELSE -1 END) AS s
+    FROM toks, generate_series(1, 32) AS g(j)
+    GROUP BY doc_id, g.j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+# --- exact n-gram Jaccard within language ----------------------------------
+_NGRAM_ORACLE = f"""
+WITH {_SH_DUCK},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) >= 0.3
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.3)

@@ -1,0 +1,206 @@
+"""Text-analysis queries for LLM data pipelines + DuckDB oracles:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure JVM expressions (no Python UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+
+from swat_mapreduce_spark.functions.text import char_shingles, ws_tokens
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# language marker tokens for the n-gram-ish language-ID heuristic;
+# fixed priority order breaks ties (first wins).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "is", "and"]),
+    ("es", ["el", "la", "de", "que"]),
+    ("de", ["der", "die", "und", "das"]),
+    ("fr", ["le", "la", "et", "les"]),
+    ("zh", ["的", "是", "了", "在"]),
+]
+
+
+# --- quality scoring -------------------------------------------------------
+# quality = 0.4*len_score + 0.3*uniq_ratio + 0.3*(1 - punct_ratio)
+# len_score = least(1, n_tokens/50)
+_QUALITY_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, text, length(text) AS n_chars_calc,
+           string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars_calc,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+           len(list_filter(toks, x -> list_contains({SW}, x))) AS n_stop
+    FROM t
+)
+SELECT doc_id, n_chars_calc, n_tokens, n_uniq, n_punct, n_stop,
+       round(n_uniq::DOUBLE / n_tokens, 4) AS uniq_ratio,
+       round(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
+       round(0.4 * least(1.0, n_tokens / 50.0)
+             + 0.3 * (n_uniq::DOUBLE / n_tokens)
+             + 0.3 * (1.0 - n_punct::DOUBLE / n_chars_calc), 4) AS quality
+FROM m
+""".replace("{SW}", "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]")
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.length(
+        F.regexp_replace("text", r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("long")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / 50.0)
+        + 0.3 * (n_uniq.cast("double") / n_tokens)
+        + 0.3 * (1.0 - n_punct.cast("double") / n_chars)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        R.r(n_uniq.cast("double") / n_tokens, 4).alias("uniq_ratio"),
+        R.r(n_stop.cast("double") / n_tokens, 4).alias("stop_ratio"),
+        R.r(quality, 4).alias("quality"),
+    )
+
+
+# --- language-ID heuristic -------------------------------------------------
+def _langid_oracle() -> str:
+    cnt_cols = []
+    for lang, markers in LANG_MARKERS:
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        cnt_cols.append(
+            f"len(list_filter(toks, x -> list_contains({arr}, x))) AS c_{lang}"
+        )
+    cases = " ".join(
+        f"WHEN c_{lang} = m THEN '{lang}'" for lang, _ in LANG_MARKERS
+    )
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, {", ".join(cnt_cols)}
+    FROM t
+),
+g AS (
+    SELECT doc_id, lang,
+           greatest({", ".join("c_" + lang for lang, _ in LANG_MARKERS)}) AS m,
+           {", ".join("c_" + lang for lang, _ in LANG_MARKERS)}
+    FROM c
+)
+SELECT doc_id, lang,
+       CASE {cases} END AS lang_guess,
+       (CASE {cases} END = lang) AS is_match
+FROM g
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    counts = {}
+
+    def _contains_counter(arr):
+        # NB: must return a ONE-arg lambda — F.filter treats a 2-arg
+        # callable as (element, index).
+        return lambda x: F.array_contains(arr, x)
+
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(toks, _contains_counter(arr))).cast(
+            "long"
+        )
+    m = F.greatest(*counts.values())
+    guess = None
+    for lang, _ in reversed(LANG_MARKERS):
+        if guess is None:
+            guess = F.when(counts[lang] == m, F.lit(lang))
+        else:
+            guess = F.when(counts[lang] == m, F.lit(lang)).otherwise(guess)
+    return docs.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("is_match"),
+    )
+
+
+# --- token counting --------------------------------------------------------
+_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+       ceil(length(text) / 4.0)::BIGINT AS est_tokens
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKENS_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
+    )
+
+
+# --- document fingerprint (rolling-hash / winnowing-lite) ------------------
+_FP_ORACLE = """
+WITH fp_idx AS (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, length(text) - 4)) AS i
+    FROM documents
+),
+shing AS (
+    SELECT doc_id, substr(t, i, 5) AS sh FROM fp_idx
+)
+SELECT doc_id,
+       min(md5(sh)) AS fingerprint,
+       ('0x' || substr(min(md5(sh)), 1, 8))::BIGINT AS fp64
+FROM shing
+GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    hashes = F.transform(char_shingles(F.col("text"), 5), F.md5)
+    fp = F.array_min(hashes)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fp64"),
+    )

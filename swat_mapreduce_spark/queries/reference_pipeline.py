@@ -1,0 +1,250 @@
+"""Queries pinning the reference pipeline's exact semantics
+(SURVEY.md §2A; FIXTURES.md §B). Each has a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+
+from swat_mapreduce_spark.functions import arrays as A
+from swat_mapreduce_spark.functions import hashing as H
+from swat_mapreduce_spark.functions.text import sanitize_filename
+from swat_mapreduce_spark.labels import CLASS_NAMES, NUM_CLASSES, labels_values_sql
+from swat_mapreduce_spark.operators import classify
+from swat_mapreduce_spark.queries import register
+
+
+# --- flagship: the whole reference dataflow --------------------------------
+@register("flagship_classify", oracle=classify.classify_oracle_sql(""))
+def flagship_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify.classify_pipeline(spark, sf_dir)
+
+
+# --- manifest cleaning (SURVEY §2A #1,2,3) ---------------------------------
+_MANIFEST_CLEAN_ORACLE = f"""
+WITH manifest(line) AS ({classify.manifest_sql_duck("")})
+SELECT trim(line) AS image_path FROM manifest
+WHERE length(trim(line)) > 0 AND substr(trim(line), 1, 1) <> '#'
+"""
+
+
+@register("manifest_clean", oracle=_MANIFEST_CLEAN_ORACLE)
+def manifest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify.clean_manifest(classify.synth_manifest(spark, sf_dir))
+
+
+# --- basename sanitization (SURVEY §2A #4) ---------------------------------
+_SANITIZE_ORACLE = f"""
+WITH manifest(line) AS ({classify.manifest_sql_duck("")}),
+cleaned AS ({classify.CLEAN_SQL_DUCK})
+SELECT image_path,
+       regexp_replace(
+           CASE WHEN strpos(image_path, '/') > 0
+                THEN list_extract(string_split(image_path, '/'), -1)
+                ELSE image_path END,
+           '[^A-Za-z0-9._-]', '_', 'g') AS safe_name
+FROM cleaned
+"""
+
+
+@register("sanitize_filenames", oracle=_SANITIZE_ORACLE)
+def sanitize_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = classify.clean_manifest(classify.synth_manifest(spark, sf_dir))
+    return df.select(
+        "image_path", sanitize_filename(F.col("image_path")).alias("safe_name")
+    )
+
+
+# --- subprocess stdout CSV parse, drop-malformed (SURVEY §2A #3,16) --------
+# Reference: skip empty + '#' lines, split on ',', keep ONLY 3-field rows
+# (java/PredictBatchMapperCluster.java:114-116).
+_CSV_LINES_SPARK = None  # built inline below
+
+
+def _csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in for subprocess stdout: mostly valid
+    ``path,class,prob`` rows with injected malformed/comment/blank
+    lines keyed off doc_id."""
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = F.concat(F.lit("/img/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".jpg"))
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in CLASS_NAMES]),
+        (F.col("doc_id") % NUM_CLASSES + 1).cast("int"),
+    )
+    prob = F.format_string("%.4f", H.hash_unit(F.col("doc_id"), "p", 4))
+    line = (
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit("badline_"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 13 == 0, F.concat(path, F.lit(","), cls, F.lit(","), prob, F.lit(",extra")))
+        .when(F.col("doc_id") % 17 == 0, F.lit("# progress comment"))
+        .when(F.col("doc_id") % 19 == 0, F.lit(""))
+        .otherwise(F.concat(path, F.lit(","), cls, F.lit(","), prob))
+    )
+    return docs.select(line.alias("line"))
+
+
+_CSV_LINES_DUCK = f"""
+    SELECT CASE
+        WHEN doc_id % 11 = 0 THEN 'badline_' || doc_id::VARCHAR
+        WHEN doc_id % 13 = 0 THEN '/img/' || source || '/' || doc_id::VARCHAR || '.jpg,'
+             || cls || ',' || prob || ',extra'
+        WHEN doc_id % 17 = 0 THEN '# progress comment'
+        WHEN doc_id % 19 = 0 THEN ''
+        ELSE '/img/' || source || '/' || doc_id::VARCHAR || '.jpg,' || cls || ',' || prob
+    END AS line
+    FROM (
+        SELECT doc_id, source,
+               list_extract({CLASS_NAMES!r}, (doc_id % {NUM_CLASSES} + 1)::INT) AS cls,
+               printf('%.4f', {H.duck_hash_uint(H.sql_salted('doc_id', "'p'"), 4)} / {float(16**4)}) AS prob
+        FROM documents
+    )
+"""
+
+_CSV_PARSE_ORACLE = f"""
+WITH lines(line) AS ({_CSV_LINES_DUCK}),
+kept AS (
+    SELECT line FROM lines
+    WHERE length(trim(line)) > 0 AND substr(trim(line), 1, 1) <> '#'
+)
+SELECT list_extract(string_split(line, ','), 1) AS image_path,
+       list_extract(string_split(line, ','), 2) AS class,
+       list_extract(string_split(line, ','), 3)::DOUBLE AS prob
+FROM kept
+WHERE len(string_split(line, ',')) = 3
+"""
+
+
+@register("csv_parse_dropmalformed", oracle=_CSV_PARSE_ORACLE)
+def csv_parse_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _csv_lines(spark, sf_dir)
+    kept = lines.filter(
+        (F.length(F.trim("line")) > 0) & (~F.trim(F.col("line")).startswith("#"))
+    )
+    parts = F.split(F.col("line"), ",")
+    return (
+        kept.withColumn("p", parts)
+        .filter(F.size("p") == 3)
+        .select(
+            F.element_at("p", 1).alias("image_path"),
+            F.element_at("p", 2).alias("class"),
+            F.element_at("p", 3).cast("double").alias("prob"),
+        )
+    )
+
+
+# --- label lookup with out-of-range guard (SURVEY §2A #14) -----------------
+_LABEL_GUARD_ORACLE = f"""
+SELECT g.i AS idx,
+       coalesce(labels.class_name, '{CLASS_NAMES[0]}') AS class
+FROM generate_series(0, 35) AS g(i)
+LEFT JOIN {labels_values_sql()} ON g.i = labels.label_idx
+"""
+
+
+@register("label_lookup_guard", oracle=_LABEL_GUARD_ORACLE)
+def label_lookup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.labels import labels_df
+
+    idx = spark.range(0, 36).select(F.col("id").alias("idx"))
+    labels = F.broadcast(labels_df(spark))
+    return (
+        idx.join(labels, idx.idx == labels.label_idx, "left")
+        .select(
+            "idx",
+            F.coalesce("class_name", F.lit(CLASS_NAMES[0])).alias("class"),
+        )
+    )
+
+
+# --- softmax / argmax in isolation (SURVEY §2A #11,12) ---------------------
+_SOFTMAX_ORACLE = f"""
+WITH manifest(line) AS ({classify.manifest_sql_duck("")}),
+cleaned AS ({classify.CLEAN_SQL_DUCK}),
+paths AS (SELECT DISTINCT image_path FROM cleaned),
+li AS (
+    SELECT p.image_path, g.i, {H.duck_logit('p.image_path', 'g.i')} AS logit
+    FROM paths p, generate_series(0, {NUM_CLASSES - 1}) AS g(i)
+),
+sc AS (
+    SELECT image_path, max(logit) AS mx, sum(exp(logit)) AS denom
+    FROM li GROUP BY image_path
+),
+am AS (
+    SELECT li.image_path, min(li.i)::INT AS pred_idx
+    FROM li JOIN sc ON li.image_path = sc.image_path AND li.logit = sc.mx
+    GROUP BY li.image_path
+)
+SELECT sc.image_path, am.pred_idx,
+       round(exp(sc.mx) / sc.denom, 4) AS top1_prob,
+       round(sc.denom / sc.denom, 4) AS prob_sum
+FROM sc JOIN am ON sc.image_path = am.image_path
+"""
+
+
+@register("softmax_top1", oracle=_SOFTMAX_ORACLE)
+def softmax_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = classify.clean_manifest(
+        classify.synth_manifest(spark, sf_dir)
+    ).distinct()
+    scored = paths.withColumn(
+        "logits", H.logits_array(F.col("image_path"), NUM_CLASSES)
+    )
+    probs = A.softmax(F.col("logits"))
+    return scored.select(
+        "image_path",
+        A.argmax(F.col("logits")).alias("pred_idx"),
+        R.r(A.top1_prob(F.col("logits")), 4).alias("top1_prob"),
+        R.r(A.asum(probs), 4).alias("prob_sum"),
+    )
+
+
+# --- the Arrow/mapInPandas inference path, validated by the SAME SQL
+# oracle as the JVM expression path (the scorer is bit-identical) ----------
+def _infer_oracle() -> str:
+    from swat_mapreduce_spark.labels import labels_values_sql
+
+    logit = H.duck_logit("p.image_path", "g.i")
+    ok = H.duck_decode_ok("c.image_path")
+    return f"""
+WITH manifest(line) AS ({classify.manifest_sql_duck("")}),
+cleaned AS ({classify.CLEAN_SQL_DUCK}),
+paths AS (SELECT DISTINCT image_path FROM cleaned),
+li AS (
+    SELECT p.image_path, g.i, {logit} AS logit
+    FROM paths p, generate_series(0, {NUM_CLASSES - 1}) AS g(i)
+),
+sc AS (
+    SELECT image_path, max(logit) AS mx, sum(exp(logit)) AS denom
+    FROM li GROUP BY image_path
+),
+am AS (
+    SELECT li.image_path, min(li.i) AS pred_raw,
+           any_value(sc.mx) AS mx, any_value(sc.denom) AS denom
+    FROM li JOIN sc ON li.image_path = sc.image_path AND li.logit = sc.mx
+    GROUP BY li.image_path
+),
+pred AS (
+    SELECT c.image_path,
+           CASE WHEN {ok} THEN am.pred_raw ELSE 0 END AS pred_idx,
+           CASE WHEN {ok} THEN exp(am.mx) / am.denom ELSE 0.0 END AS prob
+    FROM cleaned c JOIN am ON c.image_path = am.image_path
+)
+SELECT pred.image_path,
+       coalesce(labels.class_name, '{CLASS_NAMES[0]}') AS class,
+       round(prob, 4) AS prob
+FROM pred LEFT JOIN {labels_values_sql()} ON pred.pred_idx = labels.label_idx
+"""
+
+
+@register("infer_mapinpandas", oracle=_infer_oracle())
+def infer_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.operators.inference import predict_batch
+
+    paths = classify.clean_manifest(classify.synth_manifest(spark, sf_dir))
+    preds = predict_batch(paths)
+    return preds.select(
+        "image_path", "class", R.r("prob", 4).alias("prob")
+    )

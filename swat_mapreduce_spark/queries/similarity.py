@@ -1,0 +1,108 @@
+"""Similarity-search queries + DuckDB oracles.
+
+Cosine math is done explicitly over unnested dimensions in the oracle
+(double precision, same formula) rather than DuckDB's built-in
+``list_cosine_similarity`` so both engines share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.operators import similarity as S
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+QUERY_VEC_ID = 0
+DIM = 64
+
+# dims CTE: (vec_id, i, x) — one row per vector component, double.
+_DIMS_DUCK = f"""
+dims AS (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, generate_series(1, {DIM}) AS g(i)
+)
+"""
+
+_ANN_ORACLE = f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT i, x AS qx FROM dims WHERE vec_id = {QUERY_VEC_ID}),
+scores AS (
+    SELECT d.vec_id,
+           sum(d.x * q.qx) / (sqrt(sum(d.x * d.x)) * sqrt(sum(q.qx * q.qx)))
+               AS cos_raw
+    FROM dims d JOIN q ON d.i = q.i
+    WHERE d.vec_id <> {QUERY_VEC_ID}
+    GROUP BY d.vec_id
+)
+SELECT s.vec_id, e.label, round(s.cos_raw, 4) AS cosine
+FROM scores s JOIN embeddings e ON e.vec_id = s.vec_id
+ORDER BY round(s.cos_raw, 4) DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_topk_bruteforce", oracle=_ANN_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    )
+    return S.cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=QUERY_VEC_ID)
+
+
+_PAIRS_ORACLE = f"""
+WITH {_DIMS_DUCK},
+norms AS (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT p.vec_a, p.vec_b, sum(da.x * db.x) AS dp
+    FROM pairs p
+    JOIN dims da ON da.vec_id = p.vec_a
+    JOIN dims db ON db.vec_id = p.vec_b AND db.i = da.i
+    GROUP BY p.vec_a, p.vec_b
+)
+SELECT d.vec_a, d.vec_b,
+       round(d.dp / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dp / (na.nrm * nb.nrm), 4) >= 0.8
+"""
+
+
+@register("neardup_cosine_pairs", oracle=_PAIRS_ORACLE)
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_blocked(emb, threshold=0.8, block_col="label")
+
+
+def _lsh_oracle() -> str:
+    comp = S.duck_plane_component("g.p", "d.i - 1")  # 0-based dim index
+    return f"""
+WITH {_DIMS_DUCK},
+dots AS (
+    SELECT d.vec_id, g.p, sum(d.x * ({comp})) AS dp
+    FROM dims d, generate_series(0, {S.LSH_PLANES - 1}) AS g(p)
+    GROUP BY d.vec_id, g.p
+)
+SELECT vec_id,
+       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+FROM dots
+GROUP BY vec_id
+"""
+
+
+@register("ann_lsh_buckets", oracle=_lsh_oracle())
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_buckets(emb)

@@ -1,0 +1,80 @@
+"""Streaming queries run with availableNow → memory sink, compared
+against batch DuckDB oracles (tumbling/sliding windows are
+SQL-expressible; session windows are checked against the lag+cumsum
+sessionization formulation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.streaming import jobs
+
+# Tumbling 1h windows are epoch-aligned → date_trunc('hour') oracle.
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("stream_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.tumbling_counts(stream, "1 hour"), "tumbling"
+    )
+
+
+# Sliding (size 1h, slide 30m): each event falls in exactly 2 windows,
+# starts at floor(epoch/1800)*1800 and that minus 1800 (micros math).
+_SLIDING_ORACLE = """
+SELECT make_timestamp(((epoch_us(ts) // 1800000000) - o.k) * 1800000000)
+           AS window_start,
+       count(*) AS n
+FROM events, (SELECT unnest([0, 1]) AS k) AS o
+GROUP BY window_start
+"""
+
+
+@register("stream_sliding_agg", oracle=_SLIDING_ORACLE)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.sliding_counts(stream, "1 hour", "30 minutes"), "sliding"
+    )
+
+
+# Session windows (gap 30m): oracle = lag+cumsum sessionization with
+# end-exclusive gap semantics (diff >= gap starts a new session).
+_SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR datediff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS session_num
+    FROM e
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s
+GROUP BY user_id, session_num
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.session_counts(stream, "30 minutes"), "session"
+    )

@@ -1,0 +1,128 @@
+"""Temporal operators: as-of join, range join, sessionization.
+DuckDB has native ASOF JOIN — a perfect independent oracle for our
+union+window Spark formulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+
+from swat_mapreduce_spark.operators.asof import asof_join, sessionize
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+
+# --- as-of join: latest prior click for each purchase ----------------------
+_ASOF_ORACLE = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       c.ts AS asof_ts,
+       datediff('microsecond', c.ts, p.ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_join_click_purchase", oracle=_ASOF_ORACLE)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, on="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "asof_ts",
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+# --- range join: orders into price bands (broadcast nested-loop) -----------
+_RANGE_ORACLE = """
+WITH bands AS (
+    SELECT g.b AS band_id,
+           g.b * 100000.0 AS lo,
+           (g.b + 1) * 100000.0 AS hi
+    FROM generate_series(0, 5) AS g(b)
+)
+SELECT b.band_id, count(o_orderkey) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM bands b
+LEFT JOIN orders ON o_totalprice >= b.lo AND o_totalprice < b.hi
+GROUP BY b.band_id
+"""
+
+
+@register("range_join_price_bands", oracle=_RANGE_ORACLE)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 100000.0).alias("lo"),
+        ((F.col("id") + 1) * 100000.0).alias("hi"),
+    )
+    # tiny band dim broadcast → BroadcastNestedLoopJoin, single pass
+    # over the fact side; at 100 TB this is the only sane range-join plan.
+    return (
+        F.broadcast(bands)
+        .join(
+            orders,
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+            "left",
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            R.r(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# --- gap sessionization (batch stand-in for session windows) ---------------
+_SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR datediff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_num
+    FROM e
+)
+SELECT user_id, session_num, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s
+GROUP BY user_id, session_num
+"""
+
+
+@register("sessionize_events", oracle=_SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    sess = sessionize(
+        events, key="user_id", ts="ts", gap_seconds=1800,
+        order_cols=["ts", "event_id"],
+    )
+    return sess.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference's hand-wired Hadoop ``Job`` configuration
+(``java/PredictDriverCluster.java:14-56``): one declarative session,
+AQE on, Arrow enabled for the pandas-UDF inference path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for local[$SPARK_GRAFT_CPUS] testing; on a real cluster the same
+# settings hold except shuffle partitions, which should track cluster
+# cores (AQE coalesces the excess at runtime anyway).
+_DEFAULTS = {
+    # Runtime re-planning: partition coalescing, skew-join splitting,
+    # broadcast-join demotion/promotion. Essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs (the inference path). The reference
+    # micro-batches 32 images (java/PredictBatchMapperCluster.java:19);
+    # we use a larger Arrow batch because our model singleton is loaded
+    # once per worker, not once per batch (SURVEY.md §4 fix (a)).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # events.parquet uses TIMESTAMP(NANOS) which Spark 4 rejects by
+    # default; read as long nanos and convert (sources/readers.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics across Spark and the DuckDB
+    # oracle: everything in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Sized for local[32] test runs; AQE coalesces below this at
+    # runtime, so it's also safe under an externally-created session
+    # (the correctness driver's default would otherwise be 200).
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "swat_mapreduce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the correctness driver hands us its own SparkSession)."""
+    for k, v in _DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-runtime-settable conf: keep going
+            pass
+    return spark

@@ -1,0 +1,85 @@
+"""Sources: testdata tables, manifest text scans, binary objects.
+
+Replaces the reference's two sources — the manifest ``TextInputFormat``
+scan (``java/PredictDriverCluster.java:38,42``) and the per-record
+HDFS ``copyToLocalFile`` image fetch
+(``java/PredictBatchMapperCluster.java:51-61``) — with declarative
+Spark readers: file-split parallelism, predicate/column pushdown and
+partition pruning all come from Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing types.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 can only
+    read as long nanos (``spark.sql.legacy.parquet.nanosAsLong``); we
+    convert to TimestampType by truncating to micros — exactly what the
+    DuckDB oracle does natively.
+    """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001
+            pass
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":
+            # integer DIV, not `/`: nano values exceed double's exact
+            # integer range, so float division would drift by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for ``spark.sql`` use."""
+    for n in TABLES:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest text scan → ``DataFrame[line: string]``.
+
+    Mirror of the reference's TextInputFormat source (SURVEY.md §2A #1):
+    one row per line; split-level parallelism is automatic. Note the
+    reference does NOT strip UTF-8 BOMs (imagelist1.txt ships one) —
+    neither do we at scan time; cleaning is a separate operator
+    (operators/classify.py:clean_manifest).
+    """
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def read_binary_objects(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Binary object source — replaces the reference's per-record
+    ``FileSystem.copyToLocalFile`` loop (java/PredictBatchMapperCluster
+    .java:51-61) with the splittable ``binaryFile`` format:
+    ``(path, modificationTime, length, content binary)``."""
+    return spark.read.format("binaryFile").load(path_glob)

@@ -1,0 +1,107 @@
+"""Structured Streaming veneer (SURVEY.md §7 step 5).
+
+The reference is pure batch; the engine adds streaming versions of the
+scan→aggregate→sink dataflow: watermarked tumbling/sliding/session
+windows over the ``events`` schema. Tests and the correctness driver
+run with the ``availableNow`` trigger (process-everything-then-stop),
+which makes results deterministic and lets the same code serve as a
+batch backfill — the recommended pattern for validating streaming
+logic.
+
+Because the driver's events.parquet uses TIMESTAMP(NANOS) (unreadable
+by Spark's streaming parquet source without the nanos workaround), the
+stream helpers stage a normalized copy (micros timestamps) in a temp
+dir first; a production deployment would read the original stream
+source (Kafka/files) directly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+
+
+def stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Write a timestamp-normalized copy of events to a temp dir and
+    return (path, schema) ready for ``readStream``."""
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"swat_stream_{uuid.uuid4().hex[:8]}"
+    )
+    events.write.mode("overwrite").parquet(stage_dir)
+    return stage_dir, events.schema
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, schema = stage_events_stream(spark, sf_dir)
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+    """Run a streaming DataFrame to completion with availableNow into a
+    memory sink; return the result table."""
+    spark = stream_df.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def tumbling_counts(stream: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R.r(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event in size/slide
+    windows)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based merge, Structured
+    Streaming's native stateful session operator)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
