@@ -1,0 +1,95 @@
+"""Dedup / similarity / text-analysis operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.operators import dedup as D
+from swat_mapreduce_spark.operators import similarity as S
+from swat_mapreduce_spark.sources.readers import read_table
+
+
+def test_minhash_pairs_valid(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_minhash_finds_near_duplicates(spark, sf_dir):
+    """The testdata contains near-duplicate documents (FIXTURES.md §A);
+    LSH with 4x4 bands at j>=0.5 must surface some."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).count()
+    assert pairs > 0
+
+
+def test_simhash_deterministic_and_close_for_neardups(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert a == b
+    assert all(0 <= v < 2**32 for v in a.values())
+    # near-dup pair (from minhash) should have small hamming distance
+    pair = D.minhash_lsh_pairs(docs, threshold=0.6).first()
+    if pair is not None:
+        ham = bin(a[pair.doc_a] ^ a[pair.doc_b]).count("1")
+        assert ham <= 10, f"near-dups should have close simhashes, got {ham}"
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
+    n_docs = docs.count()
+    n_kept = kept.count()
+    assert n_kept <= n_docs
+    # dedup is idempotent
+    assert kept.select("keeper_id").distinct().count() == n_kept
+
+
+def test_ann_topk_ordering(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    top = S.cosine_topk(emb, qvec, k=10, exclude_id=0).collect()
+    assert len(top) == 10
+    assert 0 not in [r.vec_id for r in top]
+    cosines = [r.cosine for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    b1 = {r.vec_id: r.bucket for r in S.lsh_buckets(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in S.lsh_buckets(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 2**S.LSH_PLANES for v in b1.values())
+
+
+def test_lsh_bucket_recall_vs_bruteforce(spark, sf_dir):
+    """Sanity: vectors in the query's LSH bucket should skew similar —
+    the bucketed search must at least find the query's own bucket."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = {r.vec_id: r.bucket for r in S.lsh_buckets(emb).collect()}
+    assert buckets[0] in set(buckets.values())
+
+
+def test_text_quality_bounds(spark, sf_dir):
+    from swat_mapreduce_spark.queries.llm_text import text_quality
+
+    rows = text_quality(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.uniq_ratio <= 1.0
+        assert r.n_tokens > 0
+
+
+def test_fingerprint_shape(spark, sf_dir):
+    from swat_mapreduce_spark.queries.llm_text import doc_fingerprint
+
+    rows = doc_fingerprint(spark, sf_dir).collect()
+    for r in rows[:20]:
+        assert len(r.fingerprint) == 32
+        int(r.fingerprint, 16)
+        assert r.fp64 >= 0

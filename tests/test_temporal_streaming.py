@@ -1,0 +1,73 @@
+"""As-of join, sessionization, streaming window semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.operators.asof import asof_join, sessionize
+from swat_mapreduce_spark.sources.readers import read_table
+
+
+def test_asof_semantics(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="user_id").collect()
+    assert len(joined) == purchases.count(), "left rows preserved (left asof)"
+    for r in joined:
+        if r.asof_ts is not None:
+            assert r.asof_ts <= r.ts, "asof match must not be in the future"
+
+
+def test_asof_picks_latest(spark):
+    df_l = spark.createDataFrame(
+        [(1, 100), (1, 250)], "k int, t int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), F.col("t").alias("id"))
+    df_r = spark.createDataFrame(
+        [(1, 50), (1, 99), (1, 100), (1, 200)], "k int, t int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    out = {r.id: r.asof_ts for r in asof_join(df_l, df_r, on="k").collect()}
+    assert out[100].second == 40  # ts=100s → matches right row at t=100 (tie inclusive)
+    assert out[250].minute == 3 and out[250].second == 20  # t=200
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, t) for t in [0, 100, 2000, 2100, 5000]]
+    df = spark.createDataFrame(rows, "user_id int, t int").select(
+        "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    out = sessionize(df, key="user_id", ts="ts", gap_seconds=1800).collect()
+    nums = [r.session_num for r in sorted(out, key=lambda r: r.ts)]
+    assert nums == [1, 1, 2, 2, 3]
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    from swat_mapreduce_spark.streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    streamed = jobs.run_available_now(
+        jobs.tumbling_counts(stream, "1 hour"), "t_batcheq"
+    )
+    events = read_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = {(r.window_start, r.event_type): r.n for r in streamed.collect()}
+    b = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert s == b, "availableNow streaming agg must equal the batch agg"
+
+
+def test_streaming_session_positive(spark, sf_dir):
+    from swat_mapreduce_spark.streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    sessions = jobs.run_available_now(
+        jobs.session_counts(stream, "30 minutes"), "s_pos"
+    ).collect()
+    assert sessions
+    assert all(r.n_events >= 1 for r in sessions)
