@@ -64,3 +64,23 @@ def labels_values_sql() -> str:
     """DuckDB VALUES clause for the same dictionary (oracle side)."""
     rows = ", ".join(f"({i}, '{c}')" for i, c in enumerate(CLASS_NAMES))
     return f"(VALUES {rows}) AS labels(label_idx, class_name)"
+
+
+def derive_class_names(path: str) -> list[str]:
+    """Label-dict derivation, reference rules
+    (python/predict_batch_threaded_local.py:41-52):
+    file → stripped non-empty lines (order preserved);
+    directory → sorted subdirectory names;
+    else → sorted stems of the files inside.
+    Driver-side (tiny), result broadcast via labels_df-style dim.
+    """
+    import os
+
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    entries = sorted(os.listdir(path))
+    subdirs = [e for e in entries if os.path.isdir(os.path.join(path, e))]
+    if subdirs:
+        return sorted(subdirs)
+    return sorted(os.path.splitext(e)[0] for e in entries)

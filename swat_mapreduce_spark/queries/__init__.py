@@ -39,10 +39,12 @@ def load_all() -> dict[str, QueryEntry]:
     """Import every query module (side effect: registration)."""
     from swat_mapreduce_spark.queries import (  # noqa: F401
         dedup,
+        formats,
         llm_text,
         multimodal,
         reference_pipeline,
         relational,
+        relational2,
         similarity,
         streaming_queries,
         temporal,

@@ -1,0 +1,285 @@
+"""Relational parity, batch 2: scalar math/regexp packs, pivot,
+exact percentiles, correlated subqueries, explode/posexplode, range
+window frames, HAVING, cross join, deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import hashing as H
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- math function pack ----------------------------------------------------
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS abs_diff,
+       ceil(l_extendedprice)::BIGINT AS ceil_price,
+       floor(l_extendedprice)::BIGINT AS floor_price,
+       round(sqrt(l_quantity), 4) AS sqrt_qty,
+       round(ln(l_extendedprice), 4) AS ln_price,
+       round(pow(1.0 + l_discount, 2), 4) AS pow_disc,
+       l_orderkey % 7 AS mod7,
+       sign(l_extendedprice - 50000.0)::BIGINT AS sign_diff,
+       round(greatest(l_discount, l_tax), 4) AS max_rate,
+       round(least(l_discount, l_tax), 4) AS min_rate
+FROM lineitem
+WHERE l_orderkey % 25 = 0
+"""
+
+
+@register("math_funcs", oracle=_MATH_ORACLE)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.filter(F.col("l_orderkey") % 25 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 50000.0).alias("abs_diff"),
+        F.ceil(price).cast("long").alias("ceil_price"),
+        F.floor(price).cast("long").alias("floor_price"),
+        R.r(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        R.r(F.log(price), 4).alias("ln_price"),
+        R.r(F.pow(F.col("l_discount") + 1.0, 2), 4).alias("pow_disc"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.signum(price - 50000.0).cast("long").alias("sign_diff"),
+        R.r(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+        R.r(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
+    )
+
+
+# --- regexp pack -----------------------------------------------------------
+_REGEXP_ORACLE = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '[a-z]+') AS first_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS no_vowels,
+       regexp_matches(p_type, '^(STANDARD|PROMO)') AS is_std_promo,
+       (p_brand LIKE 'Brand#1%') AS like_b1
+FROM part
+WHERE regexp_matches(p_name, '^[a-m]')
+"""
+
+
+@register("regexp_funcs", oracle=_REGEXP_ORACLE)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").rlike("^[a-m]")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("no_vowels"),
+        F.col("p_type").rlike("^(STANDARD|PROMO)").alias("is_std_promo"),
+        F.col("p_brand").like("Brand#1%").alias("like_b1"),
+    )
+
+
+# --- pivot (wide conditional aggregation) ----------------------------------
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+""".format(
+    cols=",\n       ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
+@register("pivot_event_counts", oracle=_PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    pv = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combos NULL; the CASE-count oracle yields 0
+    return pv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# --- exact interpolated percentiles ----------------------------------------
+_PCT_ORACLE = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_percentiles", oracle=_PCT_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        R.r(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        R.r(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("p50"),
+        R.r(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+# --- correlated scalar subquery --------------------------------------------
+_CORR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+    SELECT 2 * avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("correlated_subquery", oracle=_CORR_SQL)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SQL)
+
+
+# --- explode / posexplode --------------------------------------------------
+_EXPLODE_ORACLE = """
+WITH u AS (
+    SELECT vec_id,
+           unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+    WHERE vec_id < 20
+)
+SELECT vec_id, pos::BIGINT AS pos, round(val::DOUBLE, 4) AS val
+FROM u WHERE pos % 8 = 0
+"""
+
+
+@register("explode_embeddings", oracle=_EXPLODE_ORACLE)
+def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") % 8 == 0)
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            R.r(F.col("val").cast("double"), 4).alias("val"),
+        )
+    )
+
+
+# --- sorted collect (deterministic list agg) -------------------------------
+_COLLECT_ORACLE = """
+SELECT c_nationkey,
+       string_agg(seg, ',' ORDER BY seg) AS segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_collect_sorted", oracle=_COLLECT_ORACLE)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_nationkey", F.col("c_mktsegment").alias("seg"))
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("seg")), ",").alias(
+                "segments"
+            )
+        )
+    )
+
+
+# --- range window frame (value-range, not row-count) -----------------------
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey, d,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY d
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+FROM (
+    SELECT o_orderkey, o_custkey,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d
+    FROM orders
+)
+"""
+
+
+@register("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    return base.select(
+        "o_orderkey", "o_custkey", "d", F.count(F.lit(1)).over(w).alias("n_last_30d")
+    )
+
+
+# --- HAVING ----------------------------------------------------------------
+_HAVING_ORACLE = """
+SELECT c_nationkey, count(*) AS n
+FROM customer
+GROUP BY c_nationkey
+HAVING count(*) > 50
+"""
+
+
+@register("having_filter", oracle=_HAVING_ORACLE)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+    )
+
+
+# --- cross join (explicit cartesian of two tiny dims) ----------------------
+_CROSS_ORACLE = """
+SELECT r.r_name, s.seg
+FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+"""
+
+
+@register("cross_join_dims", oracle=_CROSS_ORACLE)
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    cust = read_table(spark, sf_dir, "customer")
+    segs = cust.select(F.col("c_mktsegment").alias("seg")).distinct()
+    return region.select("r_name").crossJoin(segs)
+
+
+# --- deterministic sampling (portable hash, not Bernoulli RNG) -------------
+_SAMPLE_ORACLE = f"""
+SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE {H.duck_hash_uint(H.sql_salted('o_orderkey', "'samp'"), 8)} / {float(16**8)} < 0.1
+"""
+
+
+@register("deterministic_sample", oracle=_SAMPLE_ORACLE)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample via md5 — the scale-path alternative to
+    ``df.sample()`` when lineage-stable sampling matters (same rows
+    selected on every run/cluster)."""
+    orders = read_table(spark, sf_dir, "orders")
+    keep = H.hash_unit(F.col("o_orderkey"), "samp", 8) < 0.1
+    return orders.filter(keep).agg(
+        F.count(F.lit(1)).alias("n"),
+        R.r(F.sum("o_totalprice"), 2).alias("total"),
+    )
