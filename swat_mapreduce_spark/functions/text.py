@@ -41,20 +41,35 @@ def token_count(text: Column) -> Column:
     return F.size(ws_tokens(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-gram word shingles (space-joined) from whitespace tokens —
-    the MinHash/Jaccard input unit."""
-    toks = ws_tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-gram word shingles (space-joined) from an ALREADY MATERIALIZED
+    token-array column.
+
+    PERF: ``toks`` must be a plain column reference (materialized by a
+    prior projection), not a composite expression — expressions inside
+    ``transform`` lambdas are re-evaluated per element, turning an
+    inline ``split()`` into O(tokens²) work.
+    """
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles straight from a text column. Convenience
+    form for one-shot use; hot paths should materialize tokens first
+    and call shingles_from_tokens (see PERF note there)."""
+    return shingles_from_tokens(ws_tokens(text), n)
+
+
+def char_shingles_from(t: Column, n: int = 5) -> Column:
+    """Character n-grams from a MATERIALIZED (lowercased) text column —
+    same per-element re-evaluation caveat as shingles_from_tokens."""
+    k = F.length(t) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Character n-grams of the lowercased text (fingerprinting unit)."""
-    t = F.lower(text)
-    k = F.length(t) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
+    return char_shingles_from(F.lower(text), n)

@@ -24,20 +24,34 @@ from pyspark.sql import functions as F
 
 from swat_mapreduce_spark.functions import rounding as R
 
-from swat_mapreduce_spark.functions.text import word_shingles
+from swat_mapreduce_spark.functions.text import shingles_from_tokens, ws_tokens
 
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
+def doc_shingle_arrays(
+    docs: DataFrame, n: int = 3, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, sh_arr) — distinct word n-gram shingles per document as
+    an array column. Tokens are materialized in an intermediate
+    projection so shingle construction is O(tokens), not O(tokens²)
+    (see functions/text.py PERF note)."""
+    toked = docs.select(
+        "doc_id", *extra_cols, ws_tokens(F.col("text")).alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        *extra_cols,
+        F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sh_arr"),
+    )
+
+
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-gram shingles per document."""
-    return docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias(
-            "shingle"
-        ),
+    return doc_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -101,34 +115,29 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, threshold: float
+def jaccard_verify_arrays(
+    pairs: DataFrame, docsh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via the shingle inverted index."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    """Exact Jaccard for candidate pairs via per-doc shingle ARRAYS:
+    two equi-joins that ship one array row per pair side, then
+    ``array_intersect`` JVM-side — instead of re-shuffling the whole
+    exploded shingle table twice. Candidate count ≪ shingle count, so
+    this is the cheap side of the join at any scale."""
+    a = docsh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a")
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    b = docsh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b")
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.size("arr_a") + F.size("arr_b") - inter
     return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            R.r(
-                F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c")), 4
-            ).alias("jaccard"),
+            R.r(inter.cast("double") / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -136,23 +145,30 @@ def jaccard_verify(
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard)."""
-    sh = shingle_table(docs)
+    docsh = doc_shingle_arrays(docs, 3)
+    sh = docsh.select("doc_id", F.explode("sh_arr").alias("shingle"))
     pairs = candidate_pairs(lsh_bands(minhash_signatures(sh)))
-    return jaccard_verify(pairs, sh, threshold)
+    return jaccard_verify_arrays(pairs, docsh, threshold)
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash per doc from per-token md5 nibbles.
 
     bit_j set iff sum over distinct tokens of ±1 (high bit of the j-th
-    hex nibble of md5(token)) is positive. Zero-shuffle per-row compute.
+    hex nibble of md5(token)) is positive. Zero-shuffle per-row compute;
+    the token md5s are materialized ONCE per row in an intermediate
+    projection, then the 32 bit-sums fold over that array.
     """
-    from swat_mapreduce_spark.functions.text import ws_tokens
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(ws_tokens(F.col("text"))), F.md5
+        ).alias("hexes"),
+    )
 
-    hexes = F.transform(F.array_distinct(ws_tokens(F.col("text"))), F.md5)
     def bit_sum(j: int):
         return F.aggregate(
-            hexes,
+            F.col("hexes"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(
@@ -162,11 +178,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
     value = None
     for j in range(1, bits + 1):
-        term = F.when(bit_sum(j) > 0, F.shiftleft(F.lit(1).cast("long"), j - 1)).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            bit_sum(j) > 0, F.shiftleft(F.lit(1).cast("long"), j - 1)
+        ).otherwise(F.lit(0).cast("long"))
         value = term if value is None else value + term
-    return docs.select("doc_id", value.alias("simhash"))
+    return hashed.select("doc_id", value.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -175,12 +191,8 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs within the same language partition —
     candidates come from the shingle inverted index (equi-join on
     (lang, shingle)), so work scales with shared-shingle pairs only."""
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias(
-            "shingle"
-        ),
+    sh = doc_shingle_arrays(docs, n, extra_cols=("lang",)).select(
+        "doc_id", "lang", F.explode("sh_arr").alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
