@@ -45,6 +45,7 @@ def load_all() -> dict[str, QueryEntry]:
         reference_pipeline,
         relational,
         relational2,
+        relational3,
         similarity,
         streaming_queries,
         temporal,
