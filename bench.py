@@ -48,8 +48,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
 
-    # JVM/codegen warmup on an unrelated trivial job
+    # Warm up the execution machinery on unrelated trivial jobs so
+    # per-query timings reflect steady state, not one-time init:
+    # codegen/JIT, the broadcast-join path, Py4J createDataFrame, and
+    # the Arrow + Python-worker pool (pandas UDF path).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    tiny = spark.createDataFrame([(i, f"w{i}") for i in range(8)], "k int, v string")
+    from pyspark.sql import functions as F
+
+    spark.range(1000).join(
+        F.broadcast(tiny), F.col("id") % 8 == F.col("k")
+    ).count()
+
+    def _pd_identity(it):
+        yield from it
+
+    spark.range(10_000).mapInPandas(_pd_identity, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

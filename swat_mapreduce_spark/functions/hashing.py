@@ -60,11 +60,17 @@ def duck_hash_uint(expr: str, nibbles: int = 8) -> str:
 
 
 # --- deterministic logits (FIXTURES.md §B3 stand-in for the model) ---------
-# logit_i(path) = hash_uint(path||':'||i, 4 nibbles)/4096 - 8  ∈ [-8, 8)
+# Block-derived: one md5 digest yields EIGHT 4-nibble logits, so a
+# 30-class score vector costs ceil(30/8)=4 md5 calls per row instead of
+# 30 — this is the hot path of the flagship pipeline, and hash CPU is
+# the whole cost of the stand-in model at scale.
+#   block b = md5(path || ':' || (i div 8)); logit_i = int(hex nibbles
+#   [4*(i%8), 4*(i%8)+4) of block, 16)/4096 - 8  ∈ [-8, 8)
 # decode_ok(path): first byte of md5(path||':decode') >= 13 (~5% failures,
 # FIXTURES.md §B3's decode_ok=false fraction).
 
 LOGIT_NIBBLES = 4
+LOGIT_PER_BLOCK = 32 // LOGIT_NIBBLES  # 8 logits per md5 digest
 LOGIT_SCALE = 4096.0
 LOGIT_SHIFT = 8.0
 DECODE_SALT = "decode"
@@ -73,14 +79,46 @@ DECODE_FAIL_BELOW = 13  # P(fail) = 13/256 ≈ 5%
 
 def logit(col: Column, i) -> Column:
     """Deterministic pseudo-logit for class ``i`` of ``col`` (a path)."""
-    return hash_uint(col, i, LOGIT_NIBBLES) / LOGIT_SCALE - LOGIT_SHIFT
+    block, off = divmod(int(i), LOGIT_PER_BLOCK)
+    nib = F.substring(
+        F.md5(salted(col, block)), off * LOGIT_NIBBLES + 1, LOGIT_NIBBLES
+    )
+    return (
+        F.conv(nib, 16, 10).cast("bigint") / LOGIT_SCALE - LOGIT_SHIFT
+    )
 
 
 def logits_array(col: Column, n: int = 30) -> Column:
     """Length-``n`` array<double> of deterministic logits — pure JVM
     expressions, mirrors the model score vector shape
-    (``python/predict_batch_threaded_local.py:113-115``)."""
-    return F.array(*[logit(col, i) for i in range(n)])
+    (``python/predict_batch_threaded_local.py:113-115``).
+
+    Built with nested higher-order lambdas instead of ``F.array(30
+    exprs)``: the digest array evaluates each block's md5 ONCE, and the
+    whole thing codegens to ~15 expression nodes instead of ~120 —
+    whole-stage codegen compile time and generated-code size stay flat
+    no matter how many classes."""
+    n_blocks = (n + LOGIT_PER_BLOCK - 1) // LOGIT_PER_BLOCK
+    digests = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda b: F.md5(F.concat(col.cast("string"), F.lit(":"), b.cast("string"))),
+    )
+    nibbles = F.flatten(
+        F.transform(
+            digests,
+            lambda d: F.transform(
+                F.sequence(F.lit(0), F.lit(LOGIT_PER_BLOCK - 1)),
+                lambda j: F.conv(
+                    F.substr(d, j * LOGIT_NIBBLES + 1, F.lit(LOGIT_NIBBLES)),
+                    16,
+                    10,
+                ).cast("bigint")
+                / LOGIT_SCALE
+                - LOGIT_SHIFT,
+            ),
+        )
+    )
+    return F.slice(nibbles, 1, n)
 
 
 def decode_ok(col: Column) -> Column:
@@ -90,8 +128,10 @@ def decode_ok(col: Column) -> Column:
 
 
 def duck_logit(path_expr: str, i_expr: str) -> str:
-    h = duck_hash_uint(sql_salted(path_expr, i_expr), LOGIT_NIBBLES)
-    return f"{h}/{LOGIT_SCALE} - {LOGIT_SHIFT}"
+    block = f"(({i_expr}) // {LOGIT_PER_BLOCK})"
+    off = f"((({i_expr}) % {LOGIT_PER_BLOCK}) * {LOGIT_NIBBLES} + 1)"
+    nib = f"substr(md5({sql_salted(path_expr, block)}), {off}, {LOGIT_NIBBLES})"
+    return f"('0x' || {nib})::BIGINT/{LOGIT_SCALE} - {LOGIT_SHIFT}"
 
 
 def duck_decode_ok(path_expr: str) -> str:

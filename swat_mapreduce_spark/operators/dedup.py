@@ -71,6 +71,25 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_from_arrays(docsh: DataFrame) -> DataFrame:
+    """Same signatures as :func:`minhash_signatures`, but computed
+    per-row from the shingle ARRAY with ``array_min(transform(...))`` —
+    zero shuffle (the explode + groupBy round-trip disappears), stays
+    inside whole-stage codegen, and scales embarrassingly parallel:
+    each of the N hash functions folds over the row's own shingles.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("sh_arr"),
+                lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s)),
+            )
+        ).alias(f"h{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return docsh.select("doc_id", *sigs)
+
+
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): bucket = md5 of the band's concatenated
     signature rows. Docs sharing any (band, bucket) are candidates."""
@@ -96,21 +115,37 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket — an
-    equi-join on (band, bucket), NOT a cross join."""
-    a = bands.alias("a")
-    b = bands.alias("b")
+def candidate_pairs(bands: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket.
+
+    Shape: ONE shuffle (groupBy band+bucket), then in-bucket pair
+    generation with nested ``transform`` — no self-join, so the
+    signature pipeline upstream is evaluated once, not once per join
+    side. Buckets larger than ``max_bucket`` are dropped (standard LSH
+    practice: a mega-bucket is a degenerate hash, and its quadratic
+    pair list would dominate the stage at 100 TB; near-dups that big
+    are caught by exact dedup first).
+    """
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
+                ),
+                lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bands.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -144,10 +179,13 @@ def jaccard_verify_arrays(
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard)."""
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard).
+
+    Shuffle census: the ONLY shuffles are the (band, bucket) candidate
+    equi-join and the two verify joins — signature computation is
+    narrow (array fold per row, no explode/groupBy)."""
     docsh = doc_shingle_arrays(docs, 3)
-    sh = docsh.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    pairs = candidate_pairs(lsh_bands(minhash_signatures_from_arrays(docsh)))
     return jaccard_verify_arrays(pairs, docsh, threshold)
 
 

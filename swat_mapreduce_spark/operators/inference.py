@@ -42,12 +42,17 @@ _SCORER_STATE: dict = {}
 
 def hash_logits_np(paths: pd.Series, num_classes: int = NUM_CLASSES) -> np.ndarray:
     """Vectorized md5 logits, bit-identical to functions/hashing.logit:
-    logit_i(p) = int(md5(f"{p}:{i}")[:4], 16) / 4096 - 8."""
+    one md5 digest per block of 8 classes; logit_i = int(hex nibbles
+    [4*(i%8), 4*(i%8)+4) of md5(f"{p}:{i//8}"), 16) / 4096 - 8."""
+    n_blocks = (num_classes + 7) // 8
     out = np.empty((len(paths), num_classes), dtype=np.float64)
     for r, p in enumerate(paths):
-        for i in range(num_classes):
-            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:4]
-            out[r, i] = int(h, 16) / 4096.0 - 8.0
+        for b in range(n_blocks):
+            h = hashlib.md5(f"{p}:{b}".encode()).hexdigest()
+            for j in range(min(8, num_classes - b * 8)):
+                out[r, b * 8 + j] = (
+                    int(h[j * 4 : j * 4 + 4], 16) / 4096.0 - 8.0
+                )
     return out
 
 

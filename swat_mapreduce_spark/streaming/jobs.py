@@ -27,17 +27,27 @@ from pyspark.sql import functions as F
 from swat_mapreduce_spark.functions import rounding as R
 
 
+_STAGE_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
+
+
 def stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     """Write a timestamp-normalized copy of events to a temp dir and
-    return (path, schema) ready for ``readStream``."""
+    return (path, schema) ready for ``readStream``. Memoized per
+    (session, sf_dir): the staged copy is immutable input, so the
+    tumbling/sliding/session queries share one staging write."""
     from swat_mapreduce_spark.sources.readers import read_table
 
+    key = (id(spark), sf_dir)
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
     events = read_table(spark, sf_dir, "events")
     stage_dir = os.path.join(
         tempfile.gettempdir(), f"swat_stream_{uuid.uuid4().hex[:8]}"
     )
     events.write.mode("overwrite").parquet(stage_dir)
-    return stage_dir, events.schema
+    _STAGE_CACHE[key] = (stage_dir, events.schema)
+    return _STAGE_CACHE[key]
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
