@@ -91,3 +91,42 @@ def decode_image_real(binary_df: DataFrame) -> DataFrame:
             "fake_decode_features for the plumbing-equivalent path"
         ) from e
     raise NotImplementedError("real decode wiring pending PIL availability")
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, brightness double"
+FRAME_SIZE = 64  # "pixels" (chars) per frame
+FRAME_STRIDE = 3  # sample every 3rd frame
+
+
+def sample_frames(docs: DataFrame) -> DataFrame:
+    """Video-style strided frame sampling over an opaque payload.
+
+    Treats the document text as a frame sequence (FRAME_SIZE chars per
+    frame), keeps every FRAME_STRIDE-th frame, and emits per-frame
+    features (md5, mean code point as "brightness") from an
+    Arrow-batched ``mapInPandas`` — a 1→N UDTF-shaped stage, the same
+    plumbing a real video decoder (pyav/ffmpeg, stubbed here per the
+    container constraints) would run in. Narrow map: frames never
+    shuffle; downstream aggs see (doc_id, frame_idx) keyed rows.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = len(text) // FRAME_SIZE  # full frames only
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    frame = text[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    rows.append(
+                        (
+                            doc_id,
+                            fi,
+                            hashlib.md5(frame.encode()).hexdigest(),
+                            sum(ord(c) for c in frame) / FRAME_SIZE,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "brightness"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(extract, schema=FRAME_SCHEMA)

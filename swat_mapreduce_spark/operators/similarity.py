@@ -116,3 +116,65 @@ def duck_plane_component(plane_expr: str, i_expr: str) -> str:
     ``i_expr`` must be the 0-based dimension index."""
     h = H.duck_hash_uint(f"'p:' || ({plane_expr}) || ':' || ({i_expr})", 8)
     return f"{h} / {float(16 ** 8)} - 0.5"
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """(cell, centroid array<double>) — per-label mean vector.
+
+    A deterministic stand-in for a trained coarse quantizer (k-means
+    would converge to per-class means on labeled clusters anyway, but
+    is seed-dependent): the IVF "cells" are the label groups and the
+    centroid is the element-wise mean. One groupBy shuffle; at 100 TB
+    the centroid table is |cells| rows — broadcastable by construction.
+    """
+    exploded = emb.select(
+        F.col("label").alias("cell"),
+        F.posexplode(A.as_double_array(F.col("embedding"))).alias("i", "x"),
+    )
+    return (
+        exploded.groupBy("cell", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select(
+            "cell", F.transform(F.col("im"), lambda s: s.getField("m")).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id=None,
+) -> DataFrame:
+    """IVF approximate top-k: score the query against every cell
+    centroid, keep the ``nprobe`` closest cells, brute-force-search
+    ONLY vectors in those cells.
+
+    At scale: centroids are a tiny broadcast; the probe filter is a
+    broadcast semi-join that prunes (1 - nprobe/|cells|) of the data
+    before any distance math — the canonical IVF trade of recall for a
+    ~|cells|/nprobe scan reduction.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = ivf_centroids(emb)
+    probed = (
+        cents.select("cell", A.cosine(F.col("centroid"), q).alias("cq"))
+        .orderBy(F.desc("cq"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    df = emb
+    if exclude_id is not None:
+        df = df.filter(F.col("vec_id") != exclude_id)
+    vec = A.as_double_array(F.col("embedding"))
+    return (
+        df.join(
+            F.broadcast(probed), df.label == F.col("cell"), "left_semi"
+        )
+        .select("vec_id", "label", R.r(A.cosine(vec, q), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

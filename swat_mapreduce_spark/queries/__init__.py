@@ -46,6 +46,7 @@ def load_all() -> dict[str, QueryEntry]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         streaming_queries,
         temporal,

@@ -32,3 +32,32 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return M.fake_decode_features(M.with_binary_payload(docs))
+
+
+# Frame sampling IS SQL-expressible over the char-sequence stand-in
+# (substr slicing), so the mapInPandas 1→N stage gets a full value
+# oracle: same frames, same md5, same mean-code-point brightness.
+_FRAMES_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, len(text) // {M.FRAME_SIZE}, {M.FRAME_STRIDE}))
+               AS frame_idx
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, frame_idx,
+           substr(text, frame_idx * {M.FRAME_SIZE} + 1, {M.FRAME_SIZE})
+               AS frame
+    FROM f
+)
+SELECT doc_id, frame_idx::INT AS frame_idx, md5(frame) AS frame_md5,
+       (SELECT sum(unicode(c)) FROM unnest(string_split_regex(frame, ''))
+            AS u(c)) / {M.FRAME_SIZE}.0 AS brightness
+FROM frames
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return M.sample_frames(docs)

@@ -1,0 +1,313 @@
+"""Scalar/window/collection function coverage, part 3 (SURVEY.md §2B
+"scalar function library" + "window functions" rows).
+
+Each query exposes a pack of built-ins the reference lacks entirely,
+shaped so the output is plain comparable columns (maps and arrays are
+reduced back to scalars where cross-engine value hashing would be
+format-sensitive). All pure narrow transforms except the explicit
+groupBy/window queries — nothing here shuffles more than its oracle
+semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+
+# --- window analytics: ntile / percent_rank / cume_dist / nth_value ------
+# Deterministic ordering: (o_totalprice, o_orderkey) is unique.
+_WANALYTICS_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cdist,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_cheapest,
+       first_value(o_orderkey) OVER w AS cheapest,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS priciest
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_analytics_pack", oracle=_WANALYTICS_ORACLE)
+def window_analytics_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            R.r(F.percent_rank().over(w), 4).alias("pct_rank"),
+            R.r(F.cume_dist().over(w), 4).alias("cdist"),
+            F.nth_value("o_orderkey", 2).over(wfull).alias("second_cheapest"),
+            F.first("o_orderkey").over(w).alias("cheapest"),
+            F.last("o_orderkey").over(wfull).alias("priciest"),
+        )
+    )
+
+
+# --- higher-order array functions over embeddings ------------------------
+# filter/exists/forall/aggregate/zip_with reduced to scalars.
+_HOF_ORACLE = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       list_count(embedding) > len(list_filter(embedding, x -> x <= 0.9))
+           AS has_gt_09,
+       len(list_filter(embedding, x -> x > -2)) = list_count(embedding)
+           AS all_gt_neg2,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE * x)), 4)
+           AS sum_sq,
+       round(list_sum(list_apply(range(1, list_count(embedding) + 1),
+                                 i -> embedding[i]::DOUBLE * i)), 4)
+           AS weighted_sum
+FROM embeddings
+"""
+
+
+@register("array_higher_order", oracle=_HOF_ORACLE)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(1), F.size("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 0.9).alias("has_gt_09"),
+        F.forall(e, lambda x: x > -2).alias("all_gt_neg2"),
+        R.r(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x), 4).alias("sum_sq"),
+        R.r(
+            F.aggregate(
+                F.zip_with(e, idx, lambda x, i: x * i.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("weighted_sum"),
+    )
+
+
+# --- map construction + lookup (reduced to scalars at the sink) ----------
+_MAP_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS n, round(sum(value), 4) AS sv
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       coalesce(any_value(CASE WHEN event_type = 'click' THEN n END), 0)
+           AS clicks,
+       coalesce(any_value(CASE WHEN event_type = 'purchase' THEN n END), 0)
+           AS purchases,
+       coalesce(any_value(CASE WHEN event_type = 'error' THEN sv END), 0.0)
+           AS error_value,
+       count(*) AS n_types
+FROM counts GROUP BY user_id
+"""
+
+
+@register("map_funcs", oracle=_MAP_ORACLE)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-user map<event_type, struct(n, sv)> with
+    ``map_from_entries``, then read it back with ``element_at`` /
+    ``map_keys`` — demonstrating the map type while emitting plain
+    comparable scalars."""
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), R.r(F.sum("value"), 4).alias("sv")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", F.struct("n", "sv")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click").getField("n"), F.lit(0)).alias(
+            "clicks"
+        ),
+        F.coalesce(
+            F.element_at("m", "purchase").getField("n"), F.lit(0)
+        ).alias("purchases"),
+        F.coalesce(
+            F.element_at("m", "error").getField("sv"), F.lit(0.0)
+        ).alias("error_value"),
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+    )
+
+
+# --- bitwise operations --------------------------------------------------
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS xored,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       bit_count(o_orderkey) AS popcount
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@register("bitwise_funcs", oracle=_BITWISE_ORACLE)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.filter(k % 97 == 0).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+# --- string pack 2: pad/translate/levenshtein/split_part/repeat ----------
+_STR2_ORACLE = """
+SELECT c_custkey,
+       lpad(c_name, 25, '*') AS padded,
+       rpad(c_mktsegment, 12, '.') AS rpadded,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+       levenshtein(c_mktsegment, 'BUILDING') AS lev_to_building,
+       split_part(c_name, '#', 2) AS name_num,
+       repeat(substr(c_mktsegment, 1, 1), 3) AS tripled,
+       reverse(c_mktsegment) AS revseg,
+       ascii(c_mktsegment) AS first_code,
+       chr(65 + (c_custkey % 26)::INT) AS letter,
+       strpos(c_mktsegment, 'I') AS i_pos
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+@register("string_funcs2", oracle=_STR2_ORACLE)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.lpad("c_name", 25, "*").alias("padded"),
+        F.rpad(seg, 12, ".").alias("rpadded"),
+        F.translate(seg, "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.levenshtein(seg, F.lit("BUILDING")).alias("lev_to_building"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.repeat(F.substring(seg, 1, 1), 3).alias("tripled"),
+        F.reverse(seg).alias("revseg"),
+        F.ascii(seg).alias("first_code"),
+        F.chr(F.lit(65) + F.col("c_custkey") % 26).alias("letter"),
+        F.instr(seg, "I").alias("i_pos"),
+    )
+
+
+# --- date/interval pack 2 ------------------------------------------------
+# Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday → oracle +1.
+_DATE2_ORACLE = """
+SELECT event_id,
+       (ts + INTERVAL 7 DAY)::DATE AS plus_week,
+       (ts + INTERVAL 3 MONTH)::DATE AS plus_3mo,
+       last_day(ts::DATE) AS month_end,
+       dayofweek(ts) + 1 AS dow,
+       weekofyear(ts) AS woy,
+       dayofyear(ts) AS doy,
+       floor(epoch(ts))::BIGINT AS unix_sec,
+       make_date(2020, (event_id % 12 + 1)::INT, 1) AS synth_date,
+       date_trunc('week', ts)::DATE AS week_start
+FROM events WHERE event_id % 53 = 0
+"""
+
+
+@register("date_funcs2", oracle=_DATE2_ORACLE)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return events.filter(F.col("event_id") % 53 == 0).select(
+        "event_id",
+        F.date_add(ts.cast("date"), 7).alias("plus_week"),
+        F.add_months(ts.cast("date"), 3).alias("plus_3mo"),
+        F.last_day(ts.cast("date")).alias("month_end"),
+        F.dayofweek(ts).alias("dow"),
+        F.weekofyear(ts).alias("woy"),
+        F.dayofyear(ts).alias("doy"),
+        F.unix_timestamp(ts).alias("unix_sec"),
+        F.make_date(
+            F.lit(2020), (F.col("event_id") % 12 + 1).cast("int"), F.lit(1)
+        ).alias("synth_date"),
+        F.date_trunc("week", ts).cast("date").alias("week_start"),
+    )
+
+
+# --- unionByName (schema-aligned union of differently-ordered columns) ---
+_UNION_BYNAME_ORACLE = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n FROM events
+  WHERE event_type = 'click' GROUP BY user_id, event_type
+  UNION ALL
+  SELECT user_id, event_type, count(*) AS n FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, event_type
+) u
+"""
+
+
+@register("set_union_by_name", oracle=_UNION_BYNAME_ORACLE)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "event_type", "n")
+    )
+    # deliberately different column order — unionByName aligns by name
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", "event_type", "user_id")
+    )
+    return clicks.unionByName(purchases)
+
+
+# --- null-handling pack: nullif / ifnull / nvl2 / coalesce chains --------
+_NULLS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       nullif(l_discount, 0.0) AS disc_or_null,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
+       CASE WHEN nullif(l_tax, 0.0) IS NOT NULL THEN 'taxed' ELSE 'tax_free'
+            END AS tax_status,
+       coalesce(nullif(l_returnflag, 'N'), '(none)') AS flag_or_none
+FROM lineitem WHERE l_orderkey % 251 = 0
+"""
+
+
+@register("null_handling_funcs", oracle=_NULLS_ORACLE)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_nn = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.filter(F.col("l_orderkey") % 251 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_nn.alias("disc_or_null"),
+        F.ifnull(disc_nn, F.lit(-1.0)).alias("disc_or_neg1"),
+        F.nvl2(
+            F.nullif(F.col("l_tax"), F.lit(0.0)),
+            F.lit("taxed"),
+            F.lit("tax_free"),
+        ).alias("tax_status"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("(none)")
+        ).alias("flag_or_none"),
+    )

@@ -106,3 +106,53 @@ GROUP BY vec_id
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.lsh_buckets(emb)
+
+
+_IVF_ORACLE = f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT i, x AS qx FROM dims WHERE vec_id = {QUERY_VEC_ID}),
+cent AS (
+    SELECT e.label AS cell, d.i, avg(d.x) AS m
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY e.label, d.i
+),
+cq AS (
+    SELECT c.cell,
+           sum(c.m * q.qx) / (sqrt(sum(c.m * c.m)) * sqrt(sum(q.qx * q.qx)))
+               AS cqs
+    FROM cent c JOIN q ON c.i = q.i
+    GROUP BY c.cell
+),
+probe AS (SELECT cell FROM cq ORDER BY cqs DESC, cell LIMIT 2),
+scores AS (
+    SELECT d.vec_id,
+           sum(d.x * q.qx) / (sqrt(sum(d.x * d.x)) * sqrt(sum(q.qx * q.qx)))
+               AS cos_raw
+    FROM dims d
+    JOIN q ON d.i = q.i
+    JOIN embeddings e ON e.vec_id = d.vec_id
+    JOIN probe p ON e.label = p.cell
+    WHERE d.vec_id <> {QUERY_VEC_ID}
+    GROUP BY d.vec_id
+)
+SELECT s.vec_id, e.label, round(s.cos_raw, 4) AS cosine
+FROM scores s JOIN embeddings e ON e.vec_id = s.vec_id
+ORDER BY round(s.cos_raw, 4) DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest label-cells, search only there.
+    Same k and query vector as ann_topk_bruteforce — diffing the two
+    results shows the recall trade."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    )
+    return S.ivf_topk(
+        emb, [float(x) for x in qvec], k=10, nprobe=2, exclude_id=QUERY_VEC_ID
+    )

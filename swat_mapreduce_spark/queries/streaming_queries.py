@@ -78,3 +78,25 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_available_now(
         jobs.session_counts(stream, "30 minutes"), "session"
     )
+
+
+# Stateful operator: with availableNow the whole table is one micro-
+# batch, so the emitted per-user state equals the batch aggregate —
+# which is exactly what the oracle checks. (The cross-batch state
+# mechanics are exercised by tests/test_temporal_streaming.py with a
+# two-batch file source.)
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       round(max(value), 4) AS max_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful_user_stats", oracle=_STATEFUL_ORACLE)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.stateful_user_stats(stream), "stateful", output_mode="update"
+    )

@@ -55,7 +55,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
-def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink; return the result table."""
     spark = stream_df.sparkSession
@@ -63,7 +65,7 @@ def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -113,5 +115,67 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "user_id",
             F.col("w.start").alias("session_start"),
             "n_events",
+        )
+    )
+
+
+# --- custom stateful operator: applyInPandasWithState ----------------------
+
+STATEFUL_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, max_value double, last_ts timestamp"
+)
+STATEFUL_STATE_SCHEMA = "n long, mx double, last_us long"
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Per-user running (count, max value, last event time), kept in
+    explicit GroupState — the engine's custom-stateful-operator
+    surface (SURVEY.md §2B streaming row). State survives across
+    micro-batches; each batch emits the updated totals for the user.
+
+    Rounding of max_value uses the half-away-from-zero formula shared
+    with the DuckDB oracle (see functions/rounding.py)."""
+    import math
+
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, mx, last_us = state.get
+    else:
+        n, mx, last_us = 0, float("-inf"), 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+            batch_last = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+            last_us = max(last_us, batch_last)
+    state.update((n, mx, last_us))
+    r4 = math.copysign(math.floor(abs(mx) * 1e4 + 0.5) / 1e4, mx)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "max_value": [r4],
+            "last_ts": [pd.to_datetime(last_us, unit="us")],
+        }
+    )
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing over the event stream:
+    groupBy(user_id).applyInPandasWithState with an explicit state
+    schema and NoTimeout (state lives for the life of the query)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=STATEFUL_OUTPUT_SCHEMA,
+            stateStructType=STATEFUL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

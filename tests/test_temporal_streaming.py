@@ -71,3 +71,53 @@ def test_streaming_session_positive(spark, sf_dir):
     ).collect()
     assert sessions
     assert all(r.n_events >= 1 for r in sessions)
+
+
+def test_stateful_state_survives_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: feed the same users in two separate
+    files with maxFilesPerTrigger=1 so they arrive in different
+    micro-batches; the second batch's emission must include counts
+    carried in GroupState from the first."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.streaming import jobs
+
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    early = events.filter(F.col("event_id") % 2 == 0)
+    late = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "stream_src"
+    early.coalesce(1).write.parquet(str(src / "batch0"))
+    late.coalesce(1).write.parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    qname = f"stateful_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        jobs.stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname)
+    # more emissions than users => state was updated across >1 batch
+    n_users = events.select("user_id").distinct().count()
+    assert out.count() > n_users
+    # final (max) per-user count equals the full batch aggregate
+    final = {
+        r["user_id"]: r["mx"]
+        for r in out.groupBy("user_id").agg(F.max("n_events").alias("mx")).collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == expected
