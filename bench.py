@@ -36,6 +36,14 @@ HEADLINE = [
     "sessionize_events",
     "json_extract_agg",
     "stream_tumbling_agg",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "window_analytics_pack",
+    "ann_ivf_topk",
+    "skew_split_join_events",
+    "multimodal_frame_sample",
+    "stream_stateful_user_stats",
 ]
 
 

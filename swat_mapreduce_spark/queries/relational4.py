@@ -311,3 +311,28 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("(none)")
         ).alias("flag_or_none"),
     )
+
+
+# --- skew-split join: hot keys broadcast, cold keys shuffled -------------
+# Semantically a plain inner join (the oracle); physically the hot 20%
+# of users bypass the shuffle entirely (operators/skew.py).
+_SKEW_ORACLE = """
+SELECT c_mktsegment, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
+@register("skew_split_join_events", oracle=_SKEW_ORACLE)
+def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.operators import skew
+
+    events = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    hot = skew.hot_keys(events, "user_id", min_count=200)
+    joined = skew.skew_split_join(events, cust, "user_id", "c_custkey", hot)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        R.r(F.sum("value"), 2).alias("sum_value"),
+    )

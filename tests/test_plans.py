@@ -62,3 +62,66 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
 
     plan = formatted_plan(range_join_price_bands(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_skew_split_join_matches_plain_join(spark, sf_dir):
+    """Hot/cold split join must be semantically identical to the plain
+    inner join, and its hot path must be a broadcast join."""
+    from swat_mapreduce_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    hot = skew.hot_keys(events, "user_id", min_count=5)
+    assert hot, "test data should have users above the threshold"
+    split = skew.skew_split_join(events, cust, "user_id", "c_custkey", hot)
+    plain = events.join(cust, events.user_id == cust.c_custkey).drop("c_custkey")
+    assert split.count() == plain.count()
+    assert (
+        split.groupBy("user_id").count().exceptAll(
+            plain.groupBy("user_id").count()
+        ).count()
+        == 0
+    )
+    assert "BroadcastHashJoin" in formatted_plan(split)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Co-located fact-fact join: two tables bucketed by the join key
+    join WITHOUT an Exchange on either side — the 100 TB answer to
+    repeated orders⋈lineitem joins. (Bucketed reads require the
+    session catalog/warehouse, hence saveAsTable.)"""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df, key in [
+            ("t_orders_b", orders, "o_orderkey"),
+            ("t_lineitem_b", li, "l_orderkey"),
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = formatted_plan(j)
+        join_section = plan.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning" not in join_section, (
+            "bucketed join sides must not re-shuffle"
+        )
+        # correctness: same result as the unbucketed join
+        expected = orders.join(li, orders.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
