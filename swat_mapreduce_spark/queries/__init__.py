@@ -42,6 +42,7 @@ def load_all() -> dict[str, QueryEntry]:
         formats,
         llm_text,
         multimodal,
+        python_udf_surfaces,
         reference_pipeline,
         relational,
         relational2,

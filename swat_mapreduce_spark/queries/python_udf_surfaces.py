@@ -1,0 +1,115 @@
+"""Python-UDF surface coverage beyond the inference path
+(SURVEY.md §2B "UDF/UDAF/UDTF surface"):
+
+* grouped-map ``applyInPandas`` — per-group pandas transform (the
+  reference's closest analog is the per-batch subprocess, SURVEY §2A
+  #8; here the group is a first-class key, state is per-group).
+* Python UDTF (``@udtf``, Spark 3.5+) — 1→N row expansion with
+  schema-declared output.
+
+Both are Arrow-batched; both carry full DuckDB value oracles because
+the transforms are deterministic math, not model calls.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+
+def _round4(x: float) -> float:
+    """Half-away-from-zero 4dp rounding, the cross-engine formula
+    shared with functions/rounding.py."""
+    if x != x or math.isinf(x):  # NaN/inf pass through
+        return x
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
+# --- grouped-map applyInPandas: per-user z-score of event values ---------
+_ZSCORE_ORACLE = """
+SELECT event_id, user_id,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+           AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+QUALIFY count(*) OVER w > 1
+"""
+
+
+@register("applyinpandas_zscore", oracle=_ZSCORE_ORACLE)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(user_id).applyInPandas: whole-group pandas function
+    computing each event's z-score against its user's own
+    distribution. Shuffles once on the group key; each group is a
+    single pandas DataFrame in one Python worker — the grouped-map
+    contract (groups must fit in worker memory, so the key must be
+    finer than any mega-group at 100 TB)."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "zscore"]
+            ).astype({"event_id": "int64", "user_id": "int64", "zscore": "float64"})
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)  # sample stddev == stddev_samp
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": ((pdf["value"] - mu) / sd).map(_round4),
+            }
+        )
+
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, schema="event_id long, user_id long, zscore double")
+    )
+
+
+# --- Python UDTF: 1→N typed row expansion --------------------------------
+_UDTF_ORACLE = """
+SELECT doc_id, w.tok AS token, length(w.tok) AS tok_len
+FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents WHERE doc_id % 29 = 0
+) w(doc_id, tok)
+WHERE length(w.tok) > 0
+"""
+
+
+@register("udtf_tokenize", oracle=_UDTF_ORACLE)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ ``@udtf``): tokenizes each document and
+    emits one typed row per token — the declared-schema 1→N surface.
+    (For pure whitespace tokenization the JVM ``explode(split())`` is
+    the production path — functions/text.py — but the UDTF contract is
+    part of the engine's API surface and this pins its semantics.)"""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, tok_len int")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for tok in _re.split(r"\s+", text.strip()):
+                if tok:
+                    yield doc_id, tok, len(tok)
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 29 == 0
+    )
+    spark.udtf.register("swat_tokenize", Tokenize)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs d, "
+        "LATERAL swat_tokenize(d.doc_id, d.text) t"
+    )

@@ -336,3 +336,54 @@ def skew_split_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         R.r(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --- median / mode aggregates (exact; mode tie-broken by min value) ------
+# Spark's mode() tie-breaking is nondeterministic; both sides compute
+# the deterministic "most frequent, then smallest" via count+rank so
+# the oracle is stable.
+_MEDIAN_MODE_ORACLE = """
+WITH freq AS (
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+best AS (
+    SELECT o_orderpriority, o_orderstatus AS mode_status,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY n DESC, o_orderstatus) AS rn
+    FROM freq
+)
+SELECT m.o_orderpriority,
+       round(median(o.o_totalprice), 4) AS median_price,
+       any_value(b.mode_status) AS mode_status
+FROM orders o
+JOIN best b ON b.o_orderpriority = o.o_orderpriority AND b.rn = 1
+JOIN (SELECT DISTINCT o_orderpriority FROM orders) m
+  ON m.o_orderpriority = o.o_orderpriority
+GROUP BY m.o_orderpriority
+"""
+
+
+@register("agg_median_mode", oracle=_MEDIAN_MODE_ORACLE)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    freq = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    best = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_orderpriority").alias("bp"),
+            F.col("o_orderstatus").alias("mode_status"),
+        )
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        R.r(F.median("o_totalprice"), 4).alias("median_price")
+    )
+    return med.join(
+        F.broadcast(best), med.o_orderpriority == F.col("bp")
+    ).select("o_orderpriority", "median_price", "mode_status")

@@ -70,3 +70,24 @@ def test_repartition_sort_within_partitions(spark, sf_dir):
         yield keys == sorted(keys)
 
     assert all(preds.rdd.mapPartitions(check_sorted).collect())
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) has no cross-engine-exact oracle;
+    pin it to within 5% relative error of the exact distinct count
+    (rsd default 0.05), per-column."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rsd = 0.02
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("a"),
+        F.count_distinct("l_orderkey").alias("x"),
+        F.approx_count_distinct("l_partkey", rsd).alias("ap"),
+        F.count_distinct("l_partkey").alias("xp"),
+    ).first()
+    # 3-sigma bound: |approx - exact| <= 3 * rsd * exact
+    assert abs(row["a"] - row["x"]) <= 3 * rsd * row["x"] + 1
+    assert abs(row["ap"] - row["xp"]) <= 3 * rsd * row["xp"] + 1
