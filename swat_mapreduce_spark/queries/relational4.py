@@ -387,3 +387,86 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(
         F.broadcast(best), med.o_orderpriority == F.col("bp")
     ).select("o_orderpriority", "median_price", "mode_status")
+
+
+# --- schema-on-read JSON: from_json -> typed struct ----------------------
+# (json_extract_agg covers get_json_object string extraction; this is
+# the typed from_json surface with a declared schema.)
+_FROM_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       sum((props->>'k')::BIGINT) AS sum_k,
+       min((props->>'k')::BIGINT) AS min_k,
+       max((props->>'k')::BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("from_json_typed", oracle=_FROM_JSON_ORACLE)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json("props", "k bigint")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
+# --- boolean aggregates: every / some (bool_and / bool_or) ---------------
+_BOOL_AGG_ORACLE = """
+SELECT event_type,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 99) AS any_gt99,
+       count(*) FILTER (WHERE value > 50) AS n_gt50
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("bool_aggs", oracle=_BOOL_AGG_ORACLE)
+def bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 99).alias("any_gt99"),
+        F.count_if(F.col("value") > 50).alias("n_gt50"),
+    )
+
+
+# --- explode_outer / posexplode_outer (null-preserving expansion) --------
+# Rows whose array is NULL (doc_id % 5 == 0 here) must survive with a
+# NULL element — the outer-variant contract that plain explode drops.
+_EXPLODE_OUTER_ORACLE = """
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE string_split(lang, '') END AS arr
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       CASE WHEN arr IS NULL THEN NULL
+            ELSE generate_subscripts(arr, 1) END AS pos,
+       unnest(CASE WHEN arr IS NULL THEN [NULL] ELSE arr END) AS ch
+FROM src
+"""
+
+
+@register("explode_outer_nulls", oracle=_EXPLODE_OUTER_ORACLE)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    src = docs.withColumn(
+        "arr",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.split("lang", "")
+        ),
+    )
+    return src.select(
+        "doc_id", F.posexplode_outer("arr").alias("pos0", "ch")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "ch")

@@ -56,20 +56,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
-    memory sink; return the result table."""
+    memory sink; return the result table.
+
+    Stateful streaming instantiates one state store per shuffle
+    partition per stateful operator; the aggregate state here is tiny
+    (|windows| or |users| rows), so the store count — not the data —
+    dominates. The shuffle-partition count is dialed down for the
+    query's lifetime and restored after (a real deployment sets
+    ``spark.sql.streaming.statefulOperator`` sizing per job)."""
     spark = stream_df.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
