@@ -204,3 +204,70 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fp64"),
     )
+
+
+# --- end-to-end corpus cleaning: dedup → quality gate → stats ------------
+# The composite a training-data pipeline actually runs: exact-dedup
+# (keep lowest doc_id per identical text), drop low-quality and
+# too-short docs, emit per-(lang, source) corpus stats. One window
+# shuffle (dedup by text) + one agg shuffle; the quality math is the
+# same JVM expression pack as text_quality.
+_CORPUS_CLEAN_ORACLE = r"""
+WITH keeper AS (
+    SELECT doc_id, lang, source, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+),
+q AS (
+    SELECT doc_id, lang, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           0.4 * least(1.0, len(string_split_regex(trim(text), '\s+')) / 50.0)
+           + 0.3 * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+                    / len(string_split_regex(trim(text), '\s+')))
+           + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                    / length(text)) AS quality
+    FROM keeper WHERE rn = 1
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(quality), 4) AS avg_quality,
+       sum(n_tokens) AS total_tokens
+FROM q
+WHERE quality >= 0.5 AND n_tokens >= 5
+GROUP BY lang, source
+"""
+
+
+@register("llm_corpus_clean", oracle=_CORPUS_CLEAN_ORACLE)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    toks = ws_tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.length(
+        F.regexp_replace("text", r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / 50.0)
+        + 0.3 * (n_uniq.cast("double") / n_tokens)
+        + 0.3 * (1.0 - n_punct.cast("double") / n_chars)
+    )
+    return (
+        kept.select("lang", "source", n_tokens.alias("n_tokens"),
+                    quality.alias("quality"))
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            R.r(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
