@@ -150,13 +150,29 @@ def predict_top1(scored: DataFrame) -> DataFrame:
     )
 
 
-def attach_labels(preds: DataFrame, spark: SparkSession) -> DataFrame:
-    """Broadcast-join the 30-row label dict; out-of-range index →
-    class_names[0] (python/predict_batch_threaded_local.py:159)."""
-    labels = F.broadcast(labels_df(spark))
+def attach_labels(
+    preds: DataFrame, spark: SparkSession, labels_path: str | None = None
+) -> DataFrame:
+    """Broadcast-join the label dict; out-of-range index →
+    class_names[0] (python/predict_batch_threaded_local.py:159).
+
+    ``labels_path`` loads a custom vocabulary with the reference's
+    derivation rules (file lines / sorted dir names / sorted stems,
+    labels.derive_class_names); default is the built-in 30-class set.
+    """
+    if labels_path is None:
+        names = CLASS_NAMES
+        labels = labels_df(spark)
+    else:
+        from swat_mapreduce_spark.labels import derive_class_names
+
+        names = derive_class_names(labels_path)
+        labels = spark.createDataFrame(
+            list(enumerate(names)), "label_idx int, class_name string"
+        )
     return (
-        preds.join(labels, preds.pred_idx == labels.label_idx, "left")
-        .withColumn("class", F.coalesce("class_name", F.lit(CLASS_NAMES[0])))
+        preds.join(F.broadcast(labels), preds.pred_idx == labels.label_idx, "left")
+        .withColumn("class", F.coalesce("class_name", F.lit(names[0])))
         .drop("label_idx", "class_name")
     )
 

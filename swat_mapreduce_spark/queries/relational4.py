@@ -470,3 +470,72 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select(
         "doc_id", F.posexplode_outer("arr").alias("pos0", "ch")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "ch")
+
+
+# --- unpivot / melt: wide measures -> (name, value) rows -----------------
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 503 = 0)
+UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+"""
+
+
+@register("unpivot_measures", oracle=_UNPIVOT_ORACLE)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 503 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value0",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure",
+            R.r("value0", 4).alias("value"),
+        )
+    )
+
+
+# --- interval range frame: sliding 3-day window over timestamps ----------
+# rangeBetween with an interval bound — the time-based frame variant
+# (window_range_frame covers numeric bounds).
+_INTERVAL_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                                AND CURRENT ROW) AS n_3day,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                                AND CURRENT ROW), 2) AS spend_3day
+FROM orders
+WHERE o_custkey % 17 = 0
+"""
+
+
+@register("window_interval_frame", oracle=_INTERVAL_FRAME_ORACLE)
+def window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_custkey") % 17 == 0).createOrReplaceTempView(
+        "_ivf_orders"
+    )
+    # interval-bounded RANGE frames are SQL-only in Spark (the
+    # DataFrame rangeBetween takes longs); this IS the engine surface
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                                        AND CURRENT ROW) AS n_3day,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                                        AND CURRENT ROW) * 100.0) / 100.0
+                   AS spend_3day
+        FROM _ivf_orders
+        """
+    )
