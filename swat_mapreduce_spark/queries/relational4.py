@@ -539,3 +539,32 @@ def window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _ivf_orders
         """
     )
+
+
+# --- bivariate/dispersion statistics aggregates --------------------------
+_STATS2_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covs,
+       round(covar_pop(l_quantity, l_discount), 4) AS qty_disc_covp,
+       round(stddev_pop(l_extendedprice), 4) AS price_sd_pop,
+       round(var_pop(l_quantity), 4) AS qty_var_pop,
+       round(stddev_samp(l_tax), 4) AS tax_sd_samp
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats_bivariate", oracle=_STATS2_ORACLE)
+def agg_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        R.r(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        R.r(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covs"
+        ),
+        R.r(F.covar_pop("l_quantity", "l_discount"), 4).alias("qty_disc_covp"),
+        R.r(F.stddev_pop("l_extendedprice"), 4).alias("price_sd_pop"),
+        R.r(F.var_pop("l_quantity"), 4).alias("qty_var_pop"),
+        R.r(F.stddev_samp("l_tax"), 4).alias("tax_sd_samp"),
+    )

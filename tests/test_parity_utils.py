@@ -91,3 +91,31 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     # 3-sigma bound: |approx - exact| <= 3 * rsd * exact
     assert abs(row["a"] - row["x"]) <= 3 * rsd * row["x"] + 1
     assert abs(row["ap"] - row["xp"]) <= 3 * rsd * row["xp"] + 1
+
+
+def test_coverage_md_names_exist(spark):
+    """COVERAGE.md must not drift: every backticked query name it
+    cites must exist in the registry. (spark fixture: query modules
+    build Column expressions at import time.)"""
+    import re
+
+    from swat_mapreduce_spark.queries import load_all
+
+    reg = load_all()
+    text = open("COVERAGE.md").read()
+    cited = set(re.findall(r"`([a-z0-9_]+)`", text))
+    known_non_queries = {q for q in cited if "/" in q or "." in q}
+    missing = [
+        q
+        for q in cited - known_non_queries
+        if q not in reg
+        and not q.startswith(("test_", "tests", "spark", "sc", "sources"))
+        and q not in {
+            "queries", "oracle_sql", "entry", "binaryfile", "maxrecordsperbatch",
+            "batch_size", "udtf", "q4", "q15", "q17", "q18", "q22", "q3", "q10",
+            "q5", "q7", "q8", "q9", "prob_str",
+            # function/operator names (not query keys) cited in §2A rows
+            "clean_manifest", "repartition",
+        }
+    ]
+    assert not missing, f"COVERAGE.md cites unknown queries: {missing}"
