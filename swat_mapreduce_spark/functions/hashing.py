@@ -93,32 +93,35 @@ def logits_array(col: Column, n: int = 30) -> Column:
     expressions, mirrors the model score vector shape
     (``python/predict_batch_threaded_local.py:113-115``).
 
-    Built with nested higher-order lambdas instead of ``F.array(30
-    exprs)``: the digest array evaluates each block's md5 ONCE, and the
-    whole thing codegens to ~15 expression nodes instead of ~120 —
-    whole-stage codegen compile time and generated-code size stay flat
-    no matter how many classes."""
-    n_blocks = (n + LOGIT_PER_BLOCK - 1) // LOGIT_PER_BLOCK
-    digests = F.transform(
-        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-        lambda b: F.md5(F.concat(col.cast("string"), F.lit(":"), b.cast("string"))),
-    )
-    nibbles = F.flatten(
-        F.transform(
-            digests,
-            lambda d: F.transform(
-                F.sequence(F.lit(0), F.lit(LOGIT_PER_BLOCK - 1)),
-                lambda j: F.conv(
-                    F.substr(d, j * LOGIT_NIBBLES + 1, F.lit(LOGIT_NIBBLES)),
-                    16,
-                    10,
-                ).cast("bigint")
-                / LOGIT_SCALE
-                - LOGIT_SHIFT,
+    Built with ONE single-level higher-order lambda instead of
+    ``F.array(30 exprs)`` — codegen stays ~10 expression nodes no
+    matter how many classes. Deliberately NOT the nested
+    digests→nibbles form (4 md5/row): an inner lambda closing over an
+    outer lambda's variable is a PySpark correctness hazard (generated
+    lambda-variable names are session-counter-dependent and can
+    collide after unrelated lambda expressions were built — observed
+    corrupting the minhash LSH query). One md5 per element is the
+    safe, still-compact middle ground."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.conv(
+            F.substr(
+                F.md5(
+                    F.concat(
+                        col.cast("string"),
+                        F.lit(":"),
+                        (i / LOGIT_PER_BLOCK).cast("int").cast("string"),
+                    )
+                ),
+                (i % LOGIT_PER_BLOCK) * LOGIT_NIBBLES + 1,
+                F.lit(LOGIT_NIBBLES),
             ),
-        )
+            16,
+            10,
+        ).cast("bigint")
+        / LOGIT_SCALE
+        - LOGIT_SHIFT,
     )
-    return F.slice(nibbles, 1, n)
 
 
 def decode_ok(col: Column) -> Column:

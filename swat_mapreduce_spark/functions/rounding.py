@@ -22,3 +22,23 @@ def r(col: Column | str, digits: int = 4) -> Column:
         col = F.col(col)
     p = float(10**digits)
     return F.round(col * p) / p
+
+
+def money_sum(col: Column, digits: int = 2) -> Column:
+    """Exact money aggregation: cast to DECIMAL(30,8) BEFORE summing.
+
+    Distributed double sums depend on accumulation order; at 1e7+
+    magnitudes the ~1e-5 absolute noise can flip a 2dp rounding when
+    the true value sits near a .xx5 boundary (observed on TPC-H Q9 at
+    sf0.1). Decimal sums are exact and order-independent in both Spark
+    and DuckDB, so round(sum(decimal), d) is bit-stable at ANY scale.
+    The oracle mirror is :func:`duck_money_sum`.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(F.sum(col.cast("decimal(30,8)")), digits).cast("double")
+
+
+def duck_money_sum(expr: str, digits: int = 2) -> str:
+    """DuckDB SQL mirroring :func:`money_sum`."""
+    return f"round(sum(CAST(({expr}) AS DECIMAL(30,8))), {digits})::DOUBLE"

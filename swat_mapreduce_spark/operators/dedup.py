@@ -78,13 +78,22 @@ def minhash_signatures_from_arrays(docsh: DataFrame) -> DataFrame:
     inside whole-stage codegen, and scales embarrassingly parallel:
     each of the N hash functions folds over the row's own shingles.
     """
+    # NOTE: the per-k lambda MUST come from a factory, never from a
+    # default-arg capture (``lambda s, k=k: ...``): PySpark derives the
+    # higher-order-function arity from the Python signature, so a
+    # defaulted second parameter turns the lambda into the
+    # (element, index) form — k silently becomes the INDEX COLUMN and
+    # ``f"{k}:"`` stringifies it into a session-dependent garbage salt
+    # ("Column<'y_52'>:"). LSH still mostly works under any hash family
+    # (verify filters to exact Jaccard), which made this nearly
+    # invisible: only borderline pairs flipped, and only depending on
+    # what ran earlier in the session.
+    def salted_md5(k: int):
+        prefix = F.lit(f"{k}:")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     sigs = [
-        F.array_min(
-            F.transform(
-                F.col("sh_arr"),
-                lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s)),
-            )
-        ).alias(f"h{k}")
+        F.array_min(F.transform(F.col("sh_arr"), salted_md5(k))).alias(f"h{k}")
         for k in range(NUM_HASHES)
     ]
     return docsh.select("doc_id", *sigs)
@@ -126,26 +135,26 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 1000) -> DataFrame:
     pair list would dominate the stage at 100 TB; near-dups that big
     are caught by exact dedup first).
     """
+    # lambda-free pair expansion (posexplode + slice-explode): nested
+    # higher-order lambdas where the inner closes over the outer's
+    # variables are a correctness hazard in PySpark — generated lambda
+    # variable names are session-counter-dependent and can collide
+    # after unrelated lambda expressions were built in the same
+    # session (observed: this query losing pairs only when run after
+    # the array-function queries). Plain generators have no variables
+    # to collide.
     ids = F.array_sort(F.collect_list("doc_id"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
-                ),
-                lambda y: F.struct(
-                    x.alias("doc_a"), y.alias("doc_b")
-                ),
-            ),
-        )
-    )
     return (
         bands.groupBy("band", "bucket")
         .agg(ids.alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 

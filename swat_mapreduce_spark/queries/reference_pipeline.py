@@ -75,7 +75,11 @@ def _csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(c) for c in CLASS_NAMES]),
         (F.col("doc_id") % NUM_CLASSES + 1).cast("int"),
     )
-    prob = F.format_string("%.4f", H.hash_unit(F.col("doc_id"), "p", 4))
+    # pre-round before %.4f: raw h/65536 values can land EXACTLY on a
+    # 5th-decimal tie (e.g. 2048/65536 = 0.03125) where Java's HALF_UP
+    # format and C printf's half-even disagree; rounding first (both
+    # engines use the same half-away formula) makes the format tie-free
+    prob = F.format_string("%.4f", R.r(H.hash_unit(F.col("doc_id"), "p", 4), 4))
     line = (
         F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit("badline_"), F.col("doc_id").cast("string")))
         .when(F.col("doc_id") % 13 == 0, F.concat(path, F.lit(","), cls, F.lit(","), prob, F.lit(",extra")))
@@ -98,7 +102,7 @@ _CSV_LINES_DUCK = f"""
     FROM (
         SELECT doc_id, source,
                list_extract({CLASS_NAMES!r}, (doc_id % {NUM_CLASSES} + 1)::INT) AS cls,
-               printf('%.4f', {H.duck_hash_uint(H.sql_salted('doc_id', "'p'"), 4)} / {float(16**4)}) AS prob
+               printf('%.4f', round(({H.duck_hash_uint(H.sql_salted('doc_id', "'p'"), 4)} / {float(16**4)}) * 10000) / 10000) AS prob
         FROM documents
     )
 """

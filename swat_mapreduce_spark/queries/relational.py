@@ -29,12 +29,12 @@ def _t(spark, sf_dir, *names):
 
 
 # --- TPC-H Q1: pricing summary (filter → groupBy agg, map-side combine) ----
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {R.duck_money_sum('l_quantity')} AS sum_qty,
+       {R.duck_money_sum('l_extendedprice')} AS sum_base_price,
+       {R.duck_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {R.duck_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -53,10 +53,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            R.r(F.sum("l_quantity"), 2).alias("sum_qty"),
-            R.r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            R.r(F.sum(disc_price), 2).alias("sum_disc_price"),
-            R.r(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            R.money_sum("l_quantity").alias("sum_qty"),
+            R.money_sum("l_extendedprice").alias("sum_base_price"),
+            R.money_sum(disc_price).alias("sum_disc_price"),
+            R.money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             R.r(F.avg("l_quantity"), 4).alias("avg_qty"),
             R.r(F.avg("l_extendedprice"), 4).alias("avg_price"),
             R.r(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -66,9 +66,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- TPC-H Q3: shipping priority (3-way join, agg, deterministic top-10) ---
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {R.duck_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -94,8 +94,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            R.r(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            R.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -105,9 +105,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- TPC-H Q5: local supplier volume (6-way join incl. 2 broadcast dims) ---
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {R.duck_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -143,8 +143,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            R.r(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            R.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )

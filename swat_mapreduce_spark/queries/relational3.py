@@ -123,7 +123,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q6: forecasting revenue change (scan-heavy scalar agg) --------------
 _Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2)::DOUBLE AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -142,14 +142,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(R.r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .agg(R.money_sum(F.col("l_extendedprice") * F.col("l_discount"))
              .alias("revenue"))
     )
 
 
 # --- Q7: volume shipping between two nations per year --------------------
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, round(sum(CAST(volume AS DECIMAL(30,8))), 2)::DOUBLE AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate) AS l_year,
@@ -160,8 +160,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'CHINA' AND n2.n_name = 'INDIA')
-      OR (n1.n_name = 'INDIA' AND n2.n_name = 'CHINA'))
+  WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 """
@@ -185,19 +185,21 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
-            ((F.col("supp_nation") == "CHINA") & (F.col("cust_nation") == "INDIA"))
-            | ((F.col("supp_nation") == "INDIA") & (F.col("cust_nation") == "CHINA"))
+            ((F.col("supp_nation") == "NATION_9")
+             & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10")
+               & (F.col("cust_nation") == "NATION_9"))
         )
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(R.r(F.sum(_REV), 2).alias("revenue"))
+        .agg(R.money_sum(_REV).alias("revenue"))
     )
 
 
 # --- Q8: national market share within a region per year ------------------
 _Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'CHINA' THEN volume ELSE 0 END)
+       round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
              / sum(volume), 4) AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
@@ -241,7 +243,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             R.r(
-                F.sum(F.when(F.col("nation") == "CHINA", F.col("volume"))
+                F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume"))
                       .otherwise(F.lit(0.0)))
                 / F.sum("volume"),
                 4,
@@ -253,7 +255,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q9 (adapted): product-type profit by nation and year ----------------
 # No ps_supplycost: profit = revenue only, over PROMO parts.
 _Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year, round(sum(CAST(amount AS DECIMAL(30,8))), 2)::DOUBLE AS sum_profit
 FROM (
   SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS amount
@@ -285,14 +287,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             _REV.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(R.r(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(R.money_sum("amount").alias("sum_profit"))
     )
 
 
 # --- Q10: returned-item reporting (top 20 customers by lost revenue) -----
 _Q10_ORACLE = """
-SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
-         AS revenue,
+SELECT c_custkey, c_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)::DOUBLE AS revenue,
        round(c_acctbal, 2) AS c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -322,7 +324,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(R.r(F.sum(_REV), 2).alias("revenue"))
+        .agg(R.money_sum(_REV).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             R.r("c_acctbal", 2).alias("c_acctbal"), "n_name",
@@ -396,7 +398,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)::DOUBLE AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -417,7 +419,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(R.r(F.sum(_REV), 2).alias("total_revenue"))
+        .agg(R.money_sum(_REV).alias("total_revenue"))
     )
     # scalar max as a 1-row agg broadcast-crossed in — no single-partition
     # window, stays partition-parallel at any scale
@@ -459,7 +461,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q17: small-quantity-order revenue (correlated avg via co-group) -----
 _Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(30,8))) / 7.0, 2)::DOUBLE AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#21'
   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -482,7 +484,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_brand.join(F.broadcast(avg_qty),
                       F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(R.r(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")) / 7.0, 2).cast("double").alias("avg_yearly"))
     )
 
 
@@ -525,7 +527,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q19: disjunctive multi-attribute predicates (OR-of-ANDs) ------------
 _Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)::DOUBLE AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 21)
@@ -548,7 +550,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
            & F.col("l_quantity").between(20, 40))
     )
-    return joined.filter(cond).agg(R.r(F.sum(_REV), 2).alias("revenue"))
+    return joined.filter(cond).agg(R.money_sum(_REV).alias("revenue"))
 
 
 # --- Q22 (adapted): rich customers with no RECENT orders (anti join) -----
@@ -557,7 +559,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result; "no orders since 2000" keeps the anti join observable)
 _Q22_ORACLE = """
 SELECT c_mktsegment, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2)::DOUBLE AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -586,6 +588,6 @@ def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            R.r(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            R.money_sum("c_acctbal").alias("totacctbal"),
         )
     )
