@@ -88,3 +88,54 @@ def test_softmax_argmax_reference_semantics(vals):
     probs = [math.exp(v) / denom for v in vals]
     assert abs(sum(probs) - 1.0) < 1e-9
     assert probs.index(max(probs)) <= first_idx
+
+
+def test_minhash_signatures_match_reference_after_lambda_churn(spark, sf_dir):
+    """Regression: PySpark derives higher-order-function arity from the
+    Python callable's signature, so a default-arg capture
+    (``lambda s, k=k``) silently becomes the (element, index) form and
+    the salt turns into a stringified index Column. The signatures
+    must equal the hashlib reference BOTH fresh and after unrelated
+    lambda expressions have been built in the same session."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.operators import dedup as D
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    docsh = D.doc_shingle_arrays(docs, 3)
+    expected = {}
+    for r in docsh.collect():
+        if r["sh_arr"]:
+            expected[r["doc_id"]] = [
+                min(
+                    hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                    for s in r["sh_arr"]
+                )
+                for k in range(D.NUM_HASHES)
+            ]
+
+    def check():
+        got = {
+            r["doc_id"]: [r[f"h{k}"] for k in range(D.NUM_HASHES)]
+            for r in D.minhash_signatures_from_arrays(docsh).collect()
+            if r["h0"] is not None
+        }
+        assert got == expected
+
+    check()
+    # churn the session's lambda machinery with unrelated HOF exprs
+    arr = F.array(*[F.lit(float(i)) for i in range(5)])
+    for _ in range(4):
+        spark.range(10).select(
+            F.aggregate(
+                F.zip_with(arr, arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s"),
+            F.exists(F.filter(arr, lambda x: x > 1), lambda x: x > 2).alias("e"),
+            F.transform(arr, lambda x, i: x + i.cast("double")).alias("t"),
+        ).collect()
+    check()
