@@ -100,3 +100,29 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_available_now(
         jobs.stateful_user_stats(stream), "stateful", output_mode="update"
     )
+
+
+# Streaming dedup: every event_id is unique in the testdata, so the
+# oracle is the full projection; duplicate-collapse semantics are
+# pinned by tests/test_temporal_streaming.py with an injected-dup
+# two-batch source.
+_SDEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+FROM events
+"""
+
+
+@register("stream_dedup_events", oracle=_SDEDUP_ORACLE)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.functions import rounding as R
+
+    stream = jobs.events_stream(spark, sf_dir)
+    out = jobs.run_available_now(
+        jobs.stream_dedup(stream), "sdedup", output_mode="append"
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "event_type",
+        R.r("value", 4).alias("value"),
+    )

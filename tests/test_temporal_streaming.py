@@ -121,3 +121,39 @@ def test_stateful_state_survives_across_microbatches(spark, sf_dir, tmp_path):
         for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert final == expected
+
+
+def test_stream_dedup_collapses_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicates state must suppress a duplicate key arriving in a
+    LATER micro-batch (within the watermark horizon)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.streaming import jobs
+
+    events = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    src = tmp_path / "dedup_src"
+    events.coalesce(1).write.parquet(str(src / "batch0"))
+    # batch1 replays the SAME events (all duplicates)
+    events.coalesce(1).write.parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    qname = f"sdedup_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        jobs.stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname)
+    assert out.count() == events.count()  # replay fully suppressed
+    assert out.select("event_id").distinct().count() == events.count()
