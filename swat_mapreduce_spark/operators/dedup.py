@@ -128,9 +128,9 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 1000) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any LSH bucket.
 
     Shape: ONE shuffle (groupBy band+bucket), then in-bucket pair
-    generation with nested ``transform`` — no self-join, so the
-    signature pipeline upstream is evaluated once, not once per join
-    side. Buckets larger than ``max_bucket`` are dropped (standard LSH
+    generation — no self-join, so the signature pipeline upstream is
+    evaluated once, not once per join side. Buckets larger than
+    ``max_bucket`` are dropped (standard LSH
     practice: a mega-bucket is a degenerate hash, and its quadratic
     pair list would dominate the stage at 100 TB; near-dups that big
     are caught by exact dedup first).
@@ -269,4 +269,45 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose n-gram
+    shingles overlap a benchmark/eval set above ``threshold``.
+
+    The standard LLM-corpus hygiene pass: shingle both sides, inner-
+    join on the shingle (inverted index — the benchmark side is tiny
+    relative to the corpus, so Catalyst broadcasts it), count per-doc
+    distinct matching shingles, and emit contamination =
+    |matching| / |doc shingles|. At 100 TB the corpus side streams
+    through the broadcast join with no shuffle; only the per-doc count
+    aggregates (one shuffle on doc_id).
+
+    Returns (doc_id, n_shingles, n_matched, contamination) for docs
+    with contamination >= threshold.
+    """
+    doc_sh = doc_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle"), F.size("sh_arr").alias("n_shingles")
+    )
+    bench_sh = (
+        doc_shingle_arrays(benchmark, n)
+        .select(F.explode("sh_arr").alias("shingle"))
+        .distinct()
+    )
+    matched = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    return (
+        matched.groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .withColumn(
+            "contamination",
+            R.r(F.col("n_matched") / F.col("n_shingles"), 4),
+        )
+        .filter(F.col("contamination") >= threshold)
+        .select("doc_id", "n_shingles", "n_matched", "contamination")
     )

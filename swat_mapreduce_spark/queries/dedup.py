@@ -147,3 +147,36 @@ WHERE round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) >= 0.3
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+# --- decontamination vs a benchmark slice --------------------------------
+# Benchmark = the src0 documents; flag any OTHER document sharing >=20%
+# of its distinct 3-gram shingles with the benchmark shingle set.
+_DECON_ORACLE = f"""
+WITH {_SH_DUCK},
+bench AS (
+    SELECT DISTINCT sh.shingle FROM sh
+    JOIN documents d ON d.doc_id = sh.doc_id
+    WHERE d.source = 'src0'
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+matched AS (
+    SELECT sh.doc_id, count(*) AS n_matched
+    FROM sh JOIN bench USING (shingle)
+    JOIN documents d ON d.doc_id = sh.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY sh.doc_id
+)
+SELECT m.doc_id, s.n_shingles, m.n_matched,
+       round(m.n_matched::DOUBLE / s.n_shingles, 4) AS contamination
+FROM matched m JOIN sizes s ON s.doc_id = m.doc_id
+WHERE round(m.n_matched::DOUBLE / s.n_shingles, 4) >= 0.2
+"""
+
+
+@register("decontaminate_vs_benchmark", oracle=_DECON_ORACLE)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return D.decontaminate(train, bench, n=3, threshold=0.2)
