@@ -271,3 +271,62 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --- corpus token-count histogram (training-data analysis staple) --------
+_TOKEN_HIST_ORACLE = r"""
+WITH t AS (
+    SELECT len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+)
+SELECT (n_tokens // 10) * 10 AS bucket_lo,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens
+FROM t GROUP BY bucket_lo
+"""
+
+
+@register("corpus_token_histogram", oracle=_TOKEN_HIST_ORACLE)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(ws_tokens(F.col("text"))).cast("long")
+    return (
+        docs.select((F.floor(n_tokens / 10) * 10).alias("bucket_lo"),
+                    n_tokens.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+# --- deterministic stratified sampling (corpus mixture weighting) --------
+# Per-source keep rates via the shared md5-unit hash — the reproducible
+# form of sampleBy for corpus mixing: upweight src0/src1, downsample
+# the rest, no RNG so reruns and the oracle agree exactly.
+from swat_mapreduce_spark.functions import hashing as _H
+
+_STRAT_H = f"({_H.duck_hash_uint(_H.sql_salted('doc_id', chr(39) + 'samp' + chr(39)), 8)} / {float(16 ** 8)})"
+_STRAT_ORACLE = f"""
+WITH keep AS (
+    SELECT doc_id, source,
+           {_STRAT_H} < CASE WHEN source IN ('src0', 'src1') THEN 0.9 ELSE 0.3 END
+               AS kept
+    FROM documents
+)
+SELECT source, count(*) AS n_kept
+FROM keep WHERE kept GROUP BY source
+"""
+
+
+@register("stratified_sample_sources", oracle=_STRAT_ORACLE)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import hashing as H
+
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.col("source").isin("src0", "src1"), F.lit(0.9)
+    ).otherwise(F.lit(0.3))
+    kept = docs.filter(H.hash_unit(F.col("doc_id"), "samp", 8) < rate)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

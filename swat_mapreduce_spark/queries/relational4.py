@@ -568,3 +568,34 @@ def agg_stats_bivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.var_pop("l_quantity"), 4).alias("qty_var_pop"),
         R.r(F.stddev_samp("l_tax"), 4).alias("tax_sd_samp"),
     )
+
+
+# --- regexp_extract_all + str_to_map -------------------------------------
+_REGEXP_ALL_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       len(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks,
+       regexp_extract(concat('lang=', lang, ',src=', source),
+                      'lang=([^,]*)', 1) AS lang_kv,
+       regexp_extract(concat('lang=', lang, ',src=', source),
+                      'src=(.*)$', 1) AS src_kv
+FROM documents WHERE doc_id % 41 = 0
+"""
+
+
+@register("regexp_extract_all_kv", oracle=_REGEXP_ALL_ORACLE)
+def regexp_extract_all_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    kv = F.concat(
+        F.lit("lang="), F.col("lang"), F.lit(",src="), F.col("source")
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return docs.filter(F.col("doc_id") % 41 == 0).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))).alias(
+            "n_sentence_marks"
+        ),
+        F.element_at(m, "lang").alias("lang_kv"),
+        F.element_at(m, "src").alias("src_kv"),
+    )
