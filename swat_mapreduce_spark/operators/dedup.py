@@ -30,6 +30,31 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# MinHash family: ONE md5 per shingle → 32-bit uint h, then
+# sig_k = min((A[k]*h + B[k]) mod MERSENNE61). 16 cheap integer
+# transforms replace 16 salted md5 passes (the md5 was ~95% of the
+# signature stage's CPU). Constants are md5-derived so both engines
+# can hardcode the same values; A[k] is odd (bijective mod 2^61-1
+# would need gcd=1 — a prime modulus guarantees it for any A!=0).
+MERSENNE61 = (1 << 61) - 1
+
+
+def _mh_constants() -> tuple[list[int], list[int]]:
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"a{k}".encode()).hexdigest()[:7], 16) | 1
+        for k in range(NUM_HASHES)
+    ]
+    b = [
+        int(hashlib.md5(f"b{k}".encode()).hexdigest()[:7], 16)
+        for k in range(NUM_HASHES)
+    ]
+    return a, b
+
+
+MH_A, MH_B = _mh_constants()
+
 
 def doc_shingle_arrays(
     docs: DataFrame, n: int = 3, extra_cols: tuple[str, ...] = ()
@@ -55,17 +80,24 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """16 md5-minhash values per doc: sig_k = min(md5(k || ':' || shingle)).
+def shingle_uint(col):
+    """32-bit uint from the first 8 md5 nibbles of a shingle — the ONE
+    hash evaluation each shingle pays; all NUM_HASHES minhash values
+    derive from it arithmetically."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
-    Lexicographic min over hex strings — identical in any engine. One
-    shuffle (groupBy doc_id); all 16 hashes computed in the same pass
-    (map-side combine keeps shuffle rows = one per doc).
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """16 minhash values per doc: sig_k = min((A[k]*h + B[k]) mod p)
+    over h = shingle_uint(shingle). One shuffle (groupBy doc_id); all
+    16 mins computed in the same pass (map-side combine keeps shuffle
+    rows = one per doc); one md5 per shingle total.
     """
+    h = shingle_uint(F.col("shingle"))
     aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))
-        ).alias(f"h{k}")
+        F.min((F.lit(MH_A[k]) * h + F.lit(MH_B[k])) % F.lit(MERSENNE61)).alias(
+            f"h{k}"
+        )
         for k in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -78,42 +110,45 @@ def minhash_signatures_from_arrays(docsh: DataFrame) -> DataFrame:
     inside whole-stage codegen, and scales embarrassingly parallel:
     each of the N hash functions folds over the row's own shingles.
     """
-    # NOTE: the per-k lambda MUST come from a factory, never from a
-    # default-arg capture (``lambda s, k=k: ...``): PySpark derives the
-    # higher-order-function arity from the Python signature, so a
-    # defaulted second parameter turns the lambda into the
-    # (element, index) form — k silently becomes the INDEX COLUMN and
-    # ``f"{k}:"`` stringifies it into a session-dependent garbage salt
-    # ("Column<'y_52'>:"). LSH still mostly works under any hash family
-    # (verify filters to exact Jaccard), which made this nearly
-    # invisible: only borderline pairs flipped, and only depending on
-    # what ran earlier in the session.
-    def salted_md5(k: int):
-        prefix = F.lit(f"{k}:")
-        return lambda s: F.md5(F.concat(prefix, s))
+    # The md5→uint array is materialized in its own projection (it is
+    # referenced 16 times, so CollapseProject keeps it — one md5 per
+    # shingle); each signature is then a cheap integer fold.
+    # NOTE: per-k lambdas MUST come from a factory, never a default-arg
+    # capture (``lambda x, k=k: ...``): PySpark derives higher-order-
+    # function arity from the Python signature, and a defaulted second
+    # parameter silently switches to the (element, index) lambda form,
+    # binding k to the index Column (this bug shipped once — see
+    # tests/test_properties.py regression).
+    def lcg(k: int):
+        a, b = F.lit(MH_A[k]), F.lit(MH_B[k])
+        return lambda h: (a * h + b) % F.lit(MERSENNE61)
 
+    hashed = docsh.select(
+        "doc_id",
+        F.transform(F.col("sh_arr"), shingle_uint).alias("hv"),
+    )
     sigs = [
-        F.array_min(F.transform(F.col("sh_arr"), salted_md5(k))).alias(f"h{k}")
+        F.array_min(F.transform(F.col("hv"), lcg(k))).alias(f"h{k}")
         for k in range(NUM_HASHES)
     ]
-    return docsh.select("doc_id", *sigs)
+    return hashed.select("doc_id", *sigs)
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): bucket = md5 of the band's concatenated
     signature rows. Docs sharing any (band, bucket) are candidates."""
+    # bucket is only ever compared for equality — the concatenated
+    # signature rows ARE the bucket key, no hashing needed
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"h{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(BANDS)

@@ -52,15 +52,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 def _minhash_oracle() -> str:
+    h = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
     sig_cols = ",\n           ".join(
-        f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(D.NUM_HASHES)
+        f"min(({D.MH_A[k]} * {h} + {D.MH_B[k]}) % {D.MERSENNE61}) AS h{k}"
+        for k in range(D.NUM_HASHES)
     )
     band_rows = []
     for b in range(D.BANDS):
-        cols = " || '|' || ".join(
+        cols = ", ".join(
             f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
         )
-        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS bucket FROM sigs"
+        )
     bands_sql = " UNION ALL ".join(band_rows)
     return f"""
 WITH {_SH_DUCK},

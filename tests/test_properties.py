@@ -109,11 +109,12 @@ def test_minhash_signatures_match_reference_after_lambda_churn(spark, sf_dir):
     expected = {}
     for r in docsh.collect():
         if r["sh_arr"]:
+            hs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                for s in r["sh_arr"]
+            ]
             expected[r["doc_id"]] = [
-                min(
-                    hashlib.md5(f"{k}:{s}".encode()).hexdigest()
-                    for s in r["sh_arr"]
-                )
+                min((D.MH_A[k] * h + D.MH_B[k]) % D.MERSENNE61 for h in hs)
                 for k in range(D.NUM_HASHES)
             ]
 
