@@ -591,3 +591,89 @@ def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.money_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --- Q12 (adapted): late-shipment priority distribution ------------------
+# No l_shipmode/l_commitdate: classify lineitems shipped >60/ >90 days
+# after the order date, count high- vs low-priority orders per class —
+# Q12's conditional-aggregation shape on the available columns.
+_Q12_ORACLE = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+            THEN 'very_late' ELSE 'late' END AS lateness,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE datediff('day', o_orderdate, l_shipdate) > 60
+GROUP BY lateness
+"""
+
+
+@register("q12_late_shipment_priority", oracle=_Q12_ORACLE)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(lag_days > 60)
+        .withColumn(
+            "lateness",
+            F.when(lag_days > 90, "very_late").otherwise("late"),
+        )
+        .groupBy("lateness")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q20 (adapted): suppliers with excess shipped volume -----------------
+# No partsupp.availqty: flag suppliers whose shipped quantity of PROMO
+# parts in 1997 exceeds 0.22 of their total shipped quantity —
+# Q20's nested-subquery shape (semi-join against a per-supplier agg).
+_Q20_ORACLE = """
+WITH promo_qty AS (
+    SELECT l_suppkey, sum(CASE WHEN p_type = 'PROMO' THEN l_quantity
+                               ELSE 0 END) AS promo_qty,
+           sum(l_quantity) AS total_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM promo_qty
+              WHERE l_suppkey = s_suppkey
+                AND promo_qty > 0.22 * total_qty)
+"""
+
+
+@register("q20_promo_heavy_suppliers", oracle=_Q20_ORACLE)
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    l97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_supp = (
+        l97.join(F.broadcast(part), l97.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("l_quantity"))
+                .otherwise(F.lit(0.0))
+            ).alias("promo_qty"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        # 0.22: PROMO is 1-of-6 part types (~0.17 mean share); 0.22
+        # selects the promo-heavy tail non-vacuously at every sf
+        .filter(F.col("promo_qty") > 0.22 * F.col("total_qty"))
+    )
+    return (
+        supp.join(per_supp, supp.s_suppkey == per_supp.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", R.r("s_acctbal", 2).alias("s_acctbal"))
+    )

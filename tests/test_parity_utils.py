@@ -113,7 +113,7 @@ def test_coverage_md_names_exist(spark):
         and q not in {
             "queries", "oracle_sql", "entry", "binaryfile", "maxrecordsperbatch",
             "batch_size", "udtf", "q4", "q15", "q17", "q18", "q22", "q3", "q10",
-            "q5", "q7", "q8", "q9", "prob_str",
+            "q5", "q7", "q8", "q9", "q12", "q20", "prob_str",
             # function/operator names (not query keys) cited in §2A rows
             "clean_manifest", "repartition",
         }

@@ -125,3 +125,60 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet layout: a read with a partition-column
+    filter must plan a pruned scan (partitionFilters, not a full
+    scan + post-filter) — the layout a 100 TB corpus would use."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.sources.sinks import write_parquet
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == expected
+
+
+def test_repartition_by_range_sorted_write(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions before writing:
+    produces globally range-ordered files (each file covers a disjoint
+    key range), the layout that makes min/max row-group pruning work
+    for range predicates downstream."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_ranged")
+    (
+        orders.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob as _glob
+
+    ranges = []
+    for f in sorted(_glob.glob(f"{out}/part-*.parquet")):
+        stats = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi"),
+            )
+            .first()
+        )
+        if stats["lo"] is not None:
+            ranges.append((stats["lo"], stats["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, "file key ranges must be disjoint"

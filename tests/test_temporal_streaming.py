@@ -157,3 +157,73 @@ def test_stream_dedup_collapses_cross_batch_duplicates(spark, sf_dir, tmp_path):
     out = spark.table(qname)
     assert out.count() == events.count()  # replay fully suppressed
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The 100 TB state path: the same stateful aggregation must run on
+    the RocksDB state store provider (spillable, incremental
+    checkpoints) — config-only swap, no code change."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.streaming import jobs
+
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    src = tmp_path / "rocks_src"
+    events.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    qname = f"rocks_{uuid.uuid4().hex[:8]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            jobs.tumbling_counts(stream, "1 hour")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert "RocksDB" in q.lastProgress["stateOperators"][0][
+            "customMetrics"
+        ].__str__() or "rocksdb" in str(
+            q.lastProgress["stateOperators"][0]
+        ), "query must actually run on the RocksDB provider"
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    got = spark.table(qname).agg(F.sum("n").alias("s")).first()["s"]
+    assert got == events.count()
+
+
+def test_observe_metrics_on_batch_query(spark, sf_dir):
+    """df.observe(): accumulator-style metrics collected during a
+    normal action — the audit-counters surface (rows seen, sum checks)
+    with zero extra passes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("l_quantity").alias("qty_sum"),
+    )
+    n = audited.filter(F.col("l_quantity") > 25).count()
+    assert obs.get["rows_seen"] == li.count()
+    assert obs.get["qty_sum"] > 0
+    assert n < obs.get["rows_seen"]
