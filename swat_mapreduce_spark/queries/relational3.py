@@ -677,3 +677,88 @@ def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(per_supp, supp.s_suppkey == per_supp.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", R.r("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+# --- Q11 (adapted): supplier value concentration -------------------------
+# No partsupp value: per-supplier shipped revenue share, keeping
+# suppliers above the mean supplier value — Q11's HAVING-against-
+# global-scalar shape.
+_Q11_ORACLE = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,8))), 2)::DOUBLE AS value
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, value
+FROM per_supp
+WHERE value > (SELECT avg(value) FROM per_supp)
+"""
+
+
+@register("q11_supplier_concentration", oracle=_Q11_ORACLE)
+def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        R.money_sum(_REV).alias("value")
+    )
+    # above-average cutoff: |suppliers| grows with sf, so any fixed
+    # share fraction eventually selects nothing; the mean is scale-free
+    total = per_supp.agg(F.avg("value").alias("cutoff"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_suppkey", "value")
+    )
+
+
+# --- Q21 (adapted): sole-late supplier in multi-supplier orders ----------
+# No l_receiptdate/commitdate: a line is "late" if shipped >90 days
+# after the order date. Find suppliers who were the ONLY late supplier
+# on an order involving 2+ suppliers — Q21's EXISTS/NOT-EXISTS double
+# correlation, expressed as per-order supplier aggregates.
+_Q21_ORACLE = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                                    > 90
+                               THEN l_suppkey END) AS n_late_supp,
+           any_value(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+                          THEN l_suppkey END) AS only_late_supp
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = only_late_supp
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_suppkey, s_name
+"""
+
+
+@register("q21_sole_late_supplier", oracle=_Q21_ORACLE)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(late, F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.any_value(
+                F.when(late, F.col("l_suppkey")), ignoreNulls=True
+            ).alias("only_late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supp), F.col("only_late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

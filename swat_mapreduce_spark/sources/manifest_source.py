@@ -1,0 +1,74 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource``):
+a deterministic manifest generator.
+
+The reference's input is a manifest text file listing image paths
+(``imagelist1.txt``, SURVEY.md §2A #1). This source generates the
+same record shape directly inside Spark's data source API — the
+modern way to wrap ANY external listing (an object-store inventory,
+an HTTP catalog, a database cursor) as a first-class, partitioned,
+schema-declared table:
+
+    spark.dataSource.register(ManifestDataSource)
+    df = (spark.read.format("swat_manifest")
+          .option("rows", 1000).option("partitions", 8).load())
+
+Rows are deterministic functions of their index (md5-derived source
+and class segments), so tests can assert exact content. Partitions
+carry disjoint index ranges — each executor generates its slice
+independently, no driver materialization (the 100 TB posture for a
+listing of billions of objects).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+MANIFEST_SCHEMA = "idx bigint, image_path string"
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _path_for(i: int) -> str:
+    h = hashlib.md5(f"manifest:{i}".encode()).hexdigest()
+    src = f"src{int(h[:2], 16) % 20}"
+    cls = f"class_{int(h[2:4], 16) % 30}"
+    return f"/data/img/{src}/{cls}/{i}.jpg"
+
+
+class ManifestReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 100))
+        self.num_partitions = int(options.get("partitions", 4))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        per = max(1, -(-self.rows // self.num_partitions))  # ceil div
+        return [
+            _RangePartition(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield (i, _path_for(i))
+
+
+class ManifestDataSource(DataSource):
+    """``format("swat_manifest")`` — options: rows, partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "swat_manifest"
+
+    def schema(self) -> str | StructType:
+        return MANIFEST_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ManifestReader(self.options)

@@ -119,3 +119,35 @@ def test_coverage_md_names_exist(spark):
         }
     ]
     assert not missing, f"COVERAGE.md cites unknown queries: {missing}"
+
+
+def test_custom_python_data_source(spark):
+    """Spark 4 Python data source API: the swat_manifest generator must
+    read with declared schema, honor partitioning (parallel,
+    driver-free generation), and produce deterministic rows."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.manifest_source import (
+        ManifestDataSource,
+        _path_for,
+    )
+
+    spark.dataSource.register(ManifestDataSource)
+    df = (
+        spark.read.format("swat_manifest")
+        .option("rows", 97)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<idx:bigint,image_path:string>"
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r["idx"]: r["image_path"] for r in df.collect()}
+    assert len(rows) == 97
+    assert rows[0] == _path_for(0) and rows[96] == _path_for(96)
+    # composes with the classification pipeline's manifest cleaning
+    from swat_mapreduce_spark.operators.classify import clean_manifest
+
+    cleaned = clean_manifest(df.select(F.col("image_path").alias("line")))
+    assert cleaned.count() == 97
