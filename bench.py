@@ -44,6 +44,9 @@ HEADLINE = [
     "skew_split_join_events",
     "multimodal_frame_sample",
     "stream_stateful_user_stats",
+    "llm_corpus_clean",
+    "decontaminate_vs_benchmark",
+    "q21_sole_late_supplier",
 ]
 
 

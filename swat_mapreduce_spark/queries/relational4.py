@@ -599,3 +599,29 @@ def regexp_extract_all_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "lang").alias("lang_kv"),
         F.element_at(m, "src").alias("src_kv"),
     )
+
+
+# --- VariantType semi-structured path (Spark 4) --------------------------
+# parse_json -> VARIANT -> typed variant_get: the modern
+# schema-flexible JSON path (vs from_json's declared schema).
+_VARIANT_ORACLE = """
+SELECT event_type,
+       sum((props->>'k')::BIGINT) AS sum_k,
+       count(*) FILTER (WHERE (props->>'k')::BIGINT > 50) AS n_big
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_json_typed_get", oracle=_VARIANT_ORACLE)
+def variant_json_typed_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count_if(F.col("k") > 50).alias("n_big"),
+        )
+    )
