@@ -327,15 +327,27 @@ def decontaminate(
     Returns (doc_id, n_shingles, n_matched, contamination) for docs
     with contamination >= threshold.
     """
+    # join on the 32-bit shingle hash, not the string: the broadcast
+    # table and the corpus-side join keys shrink to 8 bytes each (the
+    # md5 is already paid once per shingle by the minhash family);
+    # 32-bit collisions inflate a doc's match count only if a non-
+    # matching shingle collides with a benchmark hash — odds ~|bench|
+    # /2^32 per shingle, and the oracle applies the identical hashing
+    # so the check stays exact.
     doc_sh = doc_shingle_arrays(docs, n).select(
-        "doc_id", F.explode("sh_arr").alias("shingle"), F.size("sh_arr").alias("n_shingles")
+        "doc_id",
+        F.explode("sh_arr").alias("shingle"),
+        F.size("sh_arr").alias("n_shingles"),
+    ).select(
+        "doc_id", shingle_uint(F.col("shingle")).alias("sh"), "n_shingles"
     )
     bench_sh = (
         doc_shingle_arrays(benchmark, n)
         .select(F.explode("sh_arr").alias("shingle"))
+        .select(shingle_uint(F.col("shingle")).alias("sh"))
         .distinct()
     )
-    matched = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    matched = doc_sh.join(F.broadcast(bench_sh), "sh")
     return (
         matched.groupBy("doc_id", "n_shingles")
         .agg(F.count(F.lit(1)).alias("n_matched"))

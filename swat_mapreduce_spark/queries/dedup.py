@@ -158,18 +158,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of its distinct 3-gram shingles with the benchmark shingle set.
 _DECON_ORACLE = f"""
 WITH {_SH_DUCK},
+hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh_h
+    FROM sh
+),
 bench AS (
-    SELECT DISTINCT sh.shingle FROM sh
-    JOIN documents d ON d.doc_id = sh.doc_id
+    SELECT DISTINCT h.sh_h FROM hashed h
+    JOIN documents d ON d.doc_id = h.doc_id
     WHERE d.source = 'src0'
 ),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 matched AS (
-    SELECT sh.doc_id, count(*) AS n_matched
-    FROM sh JOIN bench USING (shingle)
-    JOIN documents d ON d.doc_id = sh.doc_id
+    SELECT h.doc_id, count(*) AS n_matched
+    FROM hashed h JOIN bench USING (sh_h)
+    JOIN documents d ON d.doc_id = h.doc_id
     WHERE d.source <> 'src0'
-    GROUP BY sh.doc_id
+    GROUP BY h.doc_id
 )
 SELECT m.doc_id, s.n_shingles, m.n_matched,
        round(m.n_matched::DOUBLE / s.n_shingles, 4) AS contamination

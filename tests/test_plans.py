@@ -182,3 +182,21 @@ def test_repartition_by_range_sorted_write(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, "file key ranges must be disjoint"
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Catalyst must honor explicit join strategy hints: merge() forces
+    SortMergeJoin, shuffle_hash() forces ShuffledHashJoin, broadcast()
+    forces BroadcastHashJoin — the manual override surface when the
+    optimizer's stats-based choice is wrong."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    for hint, node in [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]:
+        j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        assert node in formatted_plan(j), f"hint {hint} must plan {node}"

@@ -227,3 +227,108 @@ def test_observe_metrics_on_batch_query(spark, sf_dir):
     assert obs.get["rows_seen"] == li.count()
     assert obs.get["qty_sum"] > 0
     assert n < obs.get["rows_seen"]
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Fault-tolerance contract: stop a file-sink stream, add new
+    source data, restart with the SAME checkpoint — the sink must
+    contain every source row exactly once (no reprocessing of batch0,
+    no loss of batch1)."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    b0.coalesce(1).write.parquet(str(src / "f0"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(f"{src}/*")
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == b0.count()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()  # exactly once, no dupes
+    assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: arbitrary batch logic per micro-batch (the
+    merge/upsert sink pattern) — collect per-batch aggregates into a
+    driver-side audit list and a parquet sink."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    src = tmp_path / "fb_src"
+    events.coalesce(1).write.parquet(str(src))
+    sink = str(tmp_path / "fb_sink")
+    seen = []
+
+    def handle(batch_df, batch_id: int):
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        agg.write.mode("append").parquet(sink)
+        seen.append((batch_id, batch_df.count()))
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(n for _, n in seen) == events.count()
+    total = (
+        spark.read.parquet(sink).agg(F.sum("n").alias("s")).first()["s"]
+    )
+    assert total == events.count()
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedup state expires
+    with the watermark instead of growing forever — duplicates within
+    the horizon are still suppressed."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 200
+    )
+    doubled = events.union(events)
+    src = tmp_path / "ddw_src"
+    doubled.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    out_name = "ddw_out"
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(out_name).count() == events.count()
