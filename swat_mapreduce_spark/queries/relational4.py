@@ -625,3 +625,70 @@ def variant_json_typed_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("k") > 50).alias("n_big"),
         )
     )
+
+
+# --- multiset set ops: intersectAll / exceptAll --------------------------
+# (set_intersect/set_except cover the DISTINCT variants; these keep
+# duplicate multiplicities — INTERSECT ALL / EXCEPT ALL.)
+_MULTISET_ORACLE = """
+SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 45
+INTERSECT ALL
+SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.08
+"""
+
+
+@register("set_intersect_all", oracle=_MULTISET_ORACLE)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") > 0.08).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
+
+
+_EXCEPTALL_ORACLE = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000
+"""
+
+
+@register("set_except_all", oracle=_EXCEPTALL_ORACLE)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    # 400000: rare enough that the F-status multiset retains surplus
+    # multiplicity at every sf (200000 subtracted everything away)
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_orderpriority")
+    return a.exceptAll(b)
+
+
+# --- grouping() / grouping_id() over rollup ------------------------------
+_GROUPING_ID_ORACLE = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPING_ID_ORACLE)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            F.col("g_flag").cast("long"),
+            F.col("g_status").cast("long"),
+            "n",
+        )
+    )
