@@ -192,3 +192,61 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+# --- date spine + gap fill (calendar left join) --------------------------
+# The reporting staple: a generated daily spine left-joined to actual
+# per-day aggregates, absent days filled with zero. sequence() +
+# explode generates the spine JVM-side — no driver loop.
+_DATE_SPINE_ORACLE = """
+WITH spine AS (
+    SELECT unnest(generate_series(DATE '2001-06-01', DATE '2001-07-31',
+                                  INTERVAL 1 DAY))::DATE AS day
+),
+daily AS (
+    SELECT o_orderdate::DATE AS day, count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+               AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+      AND o_orderdate < TIMESTAMP '2001-08-01'
+    GROUP BY day
+)
+SELECT s.day, coalesce(d.n, 0) AS n, coalesce(d.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+"""
+
+
+@register("date_spine_gap_fill", oracle=_DATE_SPINE_ORACLE)
+def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2001-06-01").cast("date"),
+                F.lit("2001-07-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2001-08-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R.money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )

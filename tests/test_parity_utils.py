@@ -151,3 +151,24 @@ def test_custom_python_data_source(spark):
 
     cleaned = clean_manifest(df.select(F.col("image_path").alias("line")))
     assert cleaned.count() == 97
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    """percentile_approx (t-digest-style sketch) has no cross-engine
+    exact oracle; pin it to within accuracy-bound distance of the
+    exact percentile."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx"),
+        F.percentile("o_totalprice", 0.5).alias("exact"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("exact99"),
+        F.percentile_approx("o_totalprice", 0.99, 1000).alias("approx99"),
+    ).first()
+    # accuracy=1000 → rank error <= n/1000; translate to a loose value
+    # tolerance of 2% of the exact value for this distribution
+    assert abs(row["approx"] - row["exact"]) <= 0.02 * row["exact"]
+    assert abs(row["approx99"] - row["exact99"]) <= 0.02 * row["exact99"]
