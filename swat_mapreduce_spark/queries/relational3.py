@@ -741,16 +741,21 @@ GROUP BY s_suppkey, s_name
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
-    per_order = (
+    # two-level agg instead of multi-count_distinct: the (order,
+    # supplier) pre-aggregate avoids Catalyst's Expand-based distinct
+    # rewrite (which duplicates every input row per distinct column)
+    per_order_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("was_late"))
+    )
+    per_order = (
+        per_order_supp.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(
-                F.when(late, F.col("l_suppkey"))
-            ).alias("n_late_supp"),
-            F.any_value(
-                F.when(late, F.col("l_suppkey")), ignoreNulls=True
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("was_late").alias("n_late_supp"),
+            F.max(
+                F.when(F.col("was_late") == 1, F.col("l_suppkey"))
             ).alias("only_late_supp"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
