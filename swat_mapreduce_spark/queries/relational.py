@@ -428,18 +428,24 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
+# customers minus recently-active customers — non-vacuous at every
+# scale factor (suppliers cover all nations, so the old nationkey
+# difference was empty at sf>=0.1 and checked nothing)
 _EXCEPT_ORACLE = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT c_custkey FROM customer
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
 """
 
 
 @register("set_except", oracle=_EXCEPT_ORACLE)
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust, supp = _t(spark, sf_dir, "customer", "supplier")
-    a = cust.select(F.col("c_nationkey").alias("nationkey"))
-    b = supp.select(F.col("s_nationkey").alias("nationkey"))
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    a = cust.select("c_custkey")
+    b = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return a.subtract(b)  # EXCEPT (set semantics), not EXCEPT ALL
 
 
