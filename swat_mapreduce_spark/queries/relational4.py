@@ -692,3 +692,102 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- error-safe arithmetic: try_divide / try_cast / try_add --------------
+# ANSI-safe forms that yield NULL instead of failing — the robustness
+# surface for dirty data.
+_TRY_FUNCS_ORACLE = """
+SELECT event_id,
+       CASE WHEN (props->>'k')::BIGINT = 0 THEN NULL
+            ELSE value / (props->>'k')::BIGINT END AS per_k,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       TRY_CAST('20' || lpad((event_id % 99)::VARCHAR, 2, '0')
+                AS BIGINT) AS good_cast
+FROM events WHERE event_id % 61 = 0
+"""
+
+
+@register("try_functions", oracle=_TRY_FUNCS_ORACLE)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.filter(F.col("event_id") % 61 == 0).select(
+        "event_id",
+        F.try_divide(F.col("value"), k).alias("per_k"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("bigint")
+            .alias("bad_cast"),
+        F.concat(
+            F.lit("20"), F.lpad((F.col("event_id") % 99).cast("string"), 2, "0")
+        ).cast("bigint").alias("good_cast"),
+    )
+
+
+# --- map value lambdas: transform_values / map_filter --------------------
+# Reduced to scalars (map render formats differ across engines).
+_MAP_LAMBDA_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       coalesce(any_value(CASE WHEN event_type = 'view' THEN n * 100 END), -1)
+           AS views_pct,
+       count(*) FILTER (WHERE n > 10) AS n_frequent_types
+FROM counts GROUP BY user_id
+"""
+
+
+@register("map_value_lambdas", oracle=_MAP_LAMBDA_ORACLE)
+def map_value_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    scaled = F.transform_values(F.col("m"), lambda _, v: v * 100)
+    frequent = F.map_filter(F.col("m"), lambda _, v: v > 10)
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at(scaled, "view"), F.lit(-1)).alias("views_pct"),
+        F.size(F.map_keys(frequent)).cast("long").alias("n_frequent_types"),
+    )
+
+
+# --- array edit functions: compact / append / prepend / remove -----------
+_ARRAY_EDIT_ORACLE = """
+WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN [n_chars, NULL, n_chars + 1]
+                ELSE [n_chars, n_chars + 1] END AS arr
+    FROM documents WHERE doc_id % 23 = 0
+)
+SELECT doc_id,
+       len(list_filter(arr, x -> x IS NOT NULL)) AS n_compact,
+       list_prepend(0::BIGINT, list_filter(arr, x -> x IS NOT NULL))
+           AS with_head,
+       list_append(list_filter(arr, x -> x IS NOT NULL), -1::BIGINT)
+           AS with_tail
+FROM src
+"""
+
+
+@register("array_edit_funcs", oracle=_ARRAY_EDIT_ORACLE)
+def array_edit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    arr = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array("n_chars", F.lit(None), F.col("n_chars") + 1),
+    ).otherwise(F.array("n_chars", F.col("n_chars") + 1))
+    compact = F.array_compact(arr)
+    return docs.filter(F.col("doc_id") % 23 == 0).select(
+        "doc_id",
+        F.size(compact).alias("n_compact"),
+        F.array_prepend(compact, F.lit(0).cast("bigint")).alias("with_head"),
+        F.array_append(compact, F.lit(-1).cast("bigint")).alias("with_tail"),
+    )
