@@ -208,3 +208,20 @@ def stream_dedup(stream: DataFrame, key: str = "event_id") -> DataFrame:
         .dropDuplicates([key])
         .select(key, "ts", "user_id", "event_type", "value")
     )
+
+
+def streaming_classify(
+    spark: SparkSession, manifest_dir: str, schema: str = "line string"
+) -> DataFrame:
+    """The reference pipeline as a stream: manifest files arriving in a
+    directory are cleaned, scored, and labeled continuously — the
+    stateless per-row stages (trim/filter/score/softmax/label
+    broadcast-join) run unchanged in append mode, which is the whole
+    point of keeping the pipeline declarative: batch and streaming
+    share one dataflow definition (SURVEY.md §7 step 5)."""
+    from swat_mapreduce_spark.operators import classify
+
+    stream = spark.readStream.schema(schema).format("text").load(manifest_dir)
+    cleaned = classify.clean_manifest(stream.withColumnRenamed("value", "line"))
+    preds = classify.predict_top1(classify.score(cleaned))
+    return classify.attach_labels(preds, spark)

@@ -332,3 +332,52 @@ def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert spark.table(out_name).count() == events.count()
+
+
+def test_streaming_classify_matches_batch(spark, tmp_path):
+    """The classification pipeline must produce identical predictions
+    whether the manifest arrives as a batch file or as a stream of
+    files — one dataflow, two execution modes."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.operators import classify
+    from swat_mapreduce_spark.streaming import jobs
+
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    (mdir / "m0.txt").write_text(
+        "/data/img/a.jpg\n# comment\n\n/data/img/b.jpg\n"
+    )
+    (mdir / "m1.txt").write_text("/data/img/c.jpg\n/data/img/b.jpg\n")
+
+    qname = f"sclassify_{uuid.uuid4().hex[:8]}"
+    q = (
+        jobs.streaming_classify(spark, str(mdir))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["image_path"], r["class"], round(r["prob"], 4))
+        for r in spark.table(qname).collect()
+    }
+
+    batch_manifest = spark.createDataFrame(
+        [("/data/img/a.jpg",), ("# comment",), ("",), ("/data/img/b.jpg",),
+         ("/data/img/c.jpg",), ("/data/img/b.jpg",)],
+        "line string",
+    )
+    preds = classify.predict_top1(
+        classify.score(classify.clean_manifest(batch_manifest))
+    )
+    batch = {
+        (r["image_path"], r["class"], round(r["prob"], 4))
+        for r in classify.attach_labels(preds, spark).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 3  # a, b, c (sets collapse the dup b)
