@@ -21,7 +21,9 @@ def r(col: Column | str, digits: int = 4) -> Column:
     if isinstance(col, str):
         col = F.col(col)
     p = float(10**digits)
-    return F.round(col * p) / p
+    # trailing + 0.0 folds IEEE -0.0 into +0.0 (DuckDB round() can emit
+    # -0.0 for tiny negatives; a -0.0/0.0 split breaks the value hash)
+    return F.round(col * p) / p + 0.0
 
 
 def money_sum(col: Column, digits: int = 2) -> Column:

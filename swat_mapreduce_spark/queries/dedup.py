@@ -116,7 +116,7 @@ bits AS (
     GROUP BY doc_id, g.j
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END) AS simhash
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)::BIGINT AS simhash
 FROM bits
 GROUP BY doc_id
 """

@@ -18,7 +18,7 @@ from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.sources.readers import read_table
 
 _AGG_ORACLE = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents
 GROUP BY lang, source
 """

@@ -231,7 +231,7 @@ q AS (
 SELECT lang, source,
        count(*) AS n_docs,
        round(avg(quality), 4) AS avg_quality,
-       sum(n_tokens) AS total_tokens
+       sum(n_tokens)::BIGINT AS total_tokens
 FROM q
 WHERE quality >= 0.5 AND n_tokens >= 5
 GROUP BY lang, source
@@ -281,7 +281,7 @@ WITH t AS (
 )
 SELECT (n_tokens // 10) * 10 AS bucket_lo,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens
+       sum(n_tokens)::BIGINT AS total_tokens
 FROM t GROUP BY bucket_lo
 """
 

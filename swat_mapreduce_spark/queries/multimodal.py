@@ -28,7 +28,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.with_binary_payload(docs).drop("payload")
 
 
-@register("multimodal_decode_features", oracle=None)  # mapInPandas: rows-only
+# The fake decode is pure md5 arithmetic over the payload bytes
+# (operators/multimodal.py:_fake_decode): digest bytes h[0],h[1],h[2]
+# are hex chars 1-2 / 3-4 / 5-6 of md5(text) — fully DuckDB-expressible,
+# so the mapInPandas stage gets a real value oracle, not rows-only.
+_DECODE_ORACLE = """
+SELECT doc_id,
+       (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192)::INT AS width,
+       (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192)::INT AS height,
+       3::INT AS channels,
+       ('0x' || substr(md5(text), 5, 2))::INT / 255.0 AS mean_pixel
+FROM documents
+"""
+
+
+@register("multimodal_decode_features", oracle=_DECODE_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return M.fake_decode_features(M.with_binary_payload(docs))

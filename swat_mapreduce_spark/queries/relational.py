@@ -520,7 +520,9 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("o_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
         F.quarter("o_orderdate").cast("long").alias("o_quarter"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # DuckDB date_trunc('month', TIMESTAMP) yields DATE (date32);
+        # Spark's yields TIMESTAMP — cast so both engines emit DATE
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.datediff(
             F.col("o_orderdate").cast("date"),
             F.lit("1995-01-01").cast("date"),
@@ -531,7 +533,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_type,
        count(*) AS n,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
 FROM events
 GROUP BY event_type
@@ -555,7 +557,7 @@ SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4)
            AS l2_norm,
        round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 4)
-           AS mean_val,
+           + 0.0 AS mean_val,
        round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_val
 FROM embeddings
 """

@@ -33,7 +33,11 @@ def _t(spark, sf_dir, *names):
     return [read_table(spark, sf_dir, n) for n in names]
 
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # built lazily per call: F.col() needs an active SparkContext, and
+    # this module must be importable (load_all/oracle_sql) before the
+    # driver creates its session
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # --- Q2 (adapted): best supplier per part --------------------------------
@@ -192,7 +196,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(R.money_sum(_REV).alias("revenue"))
+        .agg(R.money_sum(_rev()).alias("revenue"))
     )
 
 
@@ -239,7 +243,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(asia), F.col("c_rk") == F.col("r_regionkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .withColumn("volume", _REV)
+        .withColumn("volume", _rev())
         .groupBy("o_year")
         .agg(
             R.r(
@@ -284,7 +288,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _REV.alias("amount"),
+            _rev().alias("amount"),
         )
         .groupBy("nation", "o_year")
         .agg(R.money_sum("amount").alias("sum_profit"))
@@ -324,7 +328,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(R.money_sum(_REV).alias("revenue"))
+        .agg(R.money_sum(_rev()).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             R.r("c_acctbal", 2).alias("c_acctbal"), "n_name",
@@ -385,9 +389,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             R.r(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", _REV)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev())
                         .otherwise(F.lit(0.0)))
-                / F.sum(_REV),
+                / F.sum(_rev()),
                 4,
             ).alias("promo_revenue")
         )
@@ -419,7 +423,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(R.money_sum(_REV).alias("total_revenue"))
+        .agg(R.money_sum(_rev()).alias("total_revenue"))
     )
     # scalar max as a 1-row agg broadcast-crossed in — no single-partition
     # window, stays partition-parallel at any scale
@@ -550,7 +554,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
            & F.col("l_quantity").between(20, 40))
     )
-    return joined.filter(cond).agg(R.money_sum(_REV).alias("revenue"))
+    return joined.filter(cond).agg(R.money_sum(_rev()).alias("revenue"))
 
 
 # --- Q22 (adapted): rich customers with no RECENT orders (anti join) -----
@@ -601,9 +605,9 @@ _Q12_ORACLE = """
 SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
             THEN 'very_late' ELSE 'late' END AS lateness,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE datediff('day', o_orderdate, l_shipdate) > 60
 GROUP BY lateness
@@ -700,7 +704,7 @@ WHERE value > (SELECT avg(value) FROM per_supp)
 def q11_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
-        R.money_sum(_REV).alias("value")
+        R.money_sum(_rev()).alias("value")
     )
     # above-average cutoff: |suppliers| grows with sf, so any fixed
     # share fraction eventually selects nothing; the mean is scale-free

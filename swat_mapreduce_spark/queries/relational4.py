@@ -395,7 +395,7 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FROM_JSON_ORACLE = """
 SELECT event_type,
        count(*) AS n,
-       sum((props->>'k')::BIGINT) AS sum_k,
+       sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
        min((props->>'k')::BIGINT) AS min_k,
        max((props->>'k')::BIGINT) AS max_k
 FROM events
@@ -606,7 +606,7 @@ def regexp_extract_all_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schema-flexible JSON path (vs from_json's declared schema).
 _VARIANT_ORACLE = """
 SELECT event_type,
-       sum((props->>'k')::BIGINT) AS sum_k,
+       sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
        count(*) FILTER (WHERE (props->>'k')::BIGINT > 50) AS n_big
 FROM events
 GROUP BY event_type

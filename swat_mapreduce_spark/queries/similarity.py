@@ -98,7 +98,7 @@ dots AS (
     GROUP BY d.vec_id, g.p
 )
 SELECT vec_id,
-       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
 FROM dots
 GROUP BY vec_id
 """

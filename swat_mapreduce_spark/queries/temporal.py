@@ -103,8 +103,8 @@ WITH e AS (
 s AS (
     SELECT user_id, ts, event_id,
            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_num
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                             )::BIGINT AS session_num
     FROM e
 )
 SELECT user_id, session_num, count(*) AS n_events,

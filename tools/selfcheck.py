@@ -20,23 +20,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def norm_value(v):
+    """Normalize one cell for hashing.
+
+    Deliberately TYPE-PRESERVING: the external driver hashes values
+    type-aware (a DuckDB HUGEINT/DECIMAL result does NOT match a Spark
+    bigint even when numerically equal — see VERDICT.md round 1), so a
+    Decimal here keeps a distinct tag instead of being folded into
+    float/int. Local green must predict driver green; when in doubt be
+    STRICTER than the driver, never looser.
+    """
     if v is None:
         return "∅"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, Decimal):
-        v = float(v)
+        # canonical scale-free form, but tagged so it can never collide
+        # with an int64/double from the other engine
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return "dec:" + s
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        r = round(v, 4)
-        if r == int(r):
-            return str(int(r))  # avoid 1.0 vs 1 mismatches
+        r = round(v, 4) + 0.0  # fold IEEE -0.0 into +0.0
+        # NOTE: no int-folding — a whole double stays "1.0" so that an
+        # int64-vs-double divergence between Spark and the oracle fails
+        # here instead of only under the driver.
         return repr(r)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
-        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+        # distinct from datetime: Spark DateType vs TIMESTAMP must not
+        # silently compare equal
+        return "date:" + v.strftime("%Y-%m-%d")
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -86,7 +103,12 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         try:
             res = con.sql(q.oracle)
             dcols = [c for c in res.columns]
-            drows = res.fetchall()
+            # fetch via Arrow, NOT fetchall(): duckdb's fetchall folds
+            # HUGEINT into plain int, masking the decimal128-vs-int64
+            # drift the driver's type-aware hash catches (VERDICT r1)
+            atbl = res.arrow()
+            dmaps = atbl.to_pylist()
+            drows = [tuple(m[c] for c in dcols) for m in dmaps]
             dh, dn = table_hash(dcols, drows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} duckdb error: {str(e).splitlines()[0][:160]}")
