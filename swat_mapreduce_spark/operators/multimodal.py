@@ -75,22 +75,50 @@ def fake_decode_features(binary_df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_real(binary_df: DataFrame) -> DataFrame:
-    """Real image decode via PIL — unavailable in this container.
+def decode_image_real(binary_df: DataFrame, resize_to: int = 224) -> DataFrame:
+    """Real image decode via PIL (gated: PIL is not in this container).
 
-    Kept as the documented production entry point: same mapInPandas
-    shape as fake_decode_features, PIL.Image.open over BytesIO,
-    convert('RGB'), resize(224,224) — mirroring
-    python/predict_batch_threaded_local.py:78-83,100-105.
+    Same mapInPandas shape and FEATURE_SCHEMA as fake_decode_features:
+    PIL.Image.open over BytesIO → convert('RGB') → native (width,
+    height, channels=3) → resize(resize_to, resize_to) → mean pixel in
+    [0,1] — mirroring python/predict_batch_threaded_local.py:78-83,
+    100-105. Undecodable payloads yield the class-0-style fallback row
+    (0, 0, 0, 0.0) so bad bytes never kill a 100 TB job.
     """
     try:
-        import PIL  # noqa: F401
+        from PIL import Image
     except ImportError as e:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "PIL/torchvision not available in this environment; use "
+            "PIL not available in this environment; use "
             "fake_decode_features for the plumbing-equivalent path"
         ) from e
-    raise NotImplementedError("real decode wiring pending PIL availability")
+
+    import io
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+                    w, h = img.size
+                    arr = np.asarray(
+                        img.resize((resize_to, resize_to)), dtype=np.float64
+                    )
+                    rows.append((w, h, 3, float(arr.mean() / 255.0)))
+                except Exception:  # noqa: BLE001 - decode fallback by contract
+                    rows.append((0, 0, 0, 0.0))
+            out = pd.DataFrame(
+                rows, columns=["width", "height", "channels", "mean_pixel"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        extract, schema=FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, brightness double"

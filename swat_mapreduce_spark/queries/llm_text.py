@@ -243,7 +243,12 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # dedup key is md5(text), NOT text: windowing by the raw column
+    # would shuffle full document bodies as partition keys at corpus
+    # scale. 128-bit digest keeps collision odds negligible even at
+    # 1e12 docs (a 64-bit hash would not: birthday bound ~5e4
+    # expected collisions there).
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     kept = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -252,3 +252,89 @@ def infer_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.select(
         "image_path", "class", R.r("prob", 4).alias("prob")
     )
+
+
+# --- end-to-end binary inference (SURVEY §2A #6 + #8 joined up) ------------
+# manifest → binaryFile content fetch → content-addressed scorer →
+# label join: the full dataflow of java/PredictBatchMapperCluster
+# .java:51-67 (per-record HDFS fetch + subprocess scoring) as one Spark
+# plan. The file-writing step is test scaffolding (in production the
+# objects already sit in object storage); the binaryFile read, the
+# manifest⋈content join, and the payload-keyed mapInPandas scorer are
+# the production shapes. Output keys on doc_id (parsed from the object
+# path) so the oracle is temp-dir-independent.
+def _binary_e2e_oracle() -> str:
+    logit = H.duck_logit("sc.k", "g.i")
+    ok = H.duck_decode_ok("sc.k")
+    return f"""
+WITH sel AS (
+    SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 5 = 0
+),
+li AS (
+    SELECT sc.doc_id, sc.k, g.i, {logit} AS logit
+    FROM sel sc, generate_series(0, {NUM_CLASSES - 1}) AS g(i)
+),
+sc AS (
+    SELECT doc_id, any_value(k) AS k,
+           max(logit) AS mx, sum(exp(logit)) AS denom
+    FROM li GROUP BY doc_id
+),
+am AS (
+    SELECT li.doc_id, min(li.i) AS pred_raw
+    FROM li JOIN sc ON li.doc_id = sc.doc_id AND li.logit = sc.mx
+    GROUP BY li.doc_id
+),
+pred AS (
+    SELECT sc.doc_id,
+           CASE WHEN {ok} THEN am.pred_raw ELSE 0 END AS pred_idx,
+           CASE WHEN {ok} THEN exp(sc.mx) / sc.denom ELSE 0.0 END AS prob
+    FROM sc JOIN am ON sc.doc_id = am.doc_id
+)
+SELECT pred.doc_id,
+       coalesce(labels.class_name, '{CLASS_NAMES[0]}') AS class,
+       round(prob, 4) AS prob
+FROM pred LEFT JOIN {labels_values_sql()} ON pred.pred_idx = labels.label_idx
+"""
+
+
+@register("binary_inference_e2e", oracle=_binary_e2e_oracle())
+def binary_inference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from swat_mapreduce_spark.operators.inference import (
+        predict_batch_from_payload,
+    )
+    from swat_mapreduce_spark.sources.readers import (
+        read_binary_objects,
+        read_table,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    outdir = os.path.join(
+        tempfile.gettempdir(), f"swat_bin_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(outdir, exist_ok=True)
+
+    def write_part(rows):
+        # executor-side object store stand-in: one file per record,
+        # named by doc_id (the manifest key)
+        for r in rows:
+            with open(os.path.join(outdir, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(write_part)
+
+    manifest = docs.select("doc_id")
+    objects = read_binary_objects(spark, outdir + "/*.bin").withColumn(
+        "doc_id",
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long"),
+    )
+    joined = manifest.join(objects, "doc_id")
+    preds = predict_batch_from_payload(joined)
+    return preds.select("doc_id", "class", R.r("prob", 4).alias("prob"))

@@ -8,17 +8,15 @@ which makes results deterministic and lets the same code serve as a
 batch backfill — the recommended pattern for validating streaming
 logic.
 
-Because the driver's events.parquet uses TIMESTAMP(NANOS) (unreadable
-by Spark's streaming parquet source without the nanos workaround), the
-stream helpers stage a normalized copy (micros timestamps) in a temp
-dir first; a production deployment would read the original stream
-source (Kafka/files) directly.
+The driver's events.parquet uses TIMESTAMP(NANOS); the stream source
+reads it DIRECTLY (no staging copy) with the same nanosAsLong + integer
+``div 1000`` normalization the batch reader uses — one source of truth,
+zero extra I/O. (Round 1 staged a normalized temp copy first, a full
+rewrite of the input that a 100 TB deployment could not afford.)
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,32 +25,29 @@ from pyspark.sql import functions as F
 from swat_mapreduce_spark.functions import rounding as R
 
 
-_STAGE_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
-
-
-def stage_events_stream(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
-    """Write a timestamp-normalized copy of events to a temp dir and
-    return (path, schema) ready for ``readStream``. Memoized per
-    (session, sf_dir): the staged copy is immutable input, so the
-    tumbling/sliding/session queries share one staging write."""
-    from swat_mapreduce_spark.sources.readers import read_table
-
-    key = (id(spark), sf_dir)
-    hit = _STAGE_CACHE.get(key)
-    if hit is not None and os.path.isdir(hit[0]):
-        return hit
-    events = read_table(spark, sf_dir, "events")
-    stage_dir = os.path.join(
-        tempfile.gettempdir(), f"swat_stream_{uuid.uuid4().hex[:8]}"
-    )
-    events.write.mode("overwrite").parquet(stage_dir)
-    _STAGE_CACHE[key] = (stage_dir, events.schema)
-    return _STAGE_CACHE[key]
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path, schema = stage_events_stream(spark, sf_dir)
-    return spark.readStream.schema(schema).parquet(path)
+    """``readStream`` over the original events.parquet.
+
+    nanosAsLong makes the nanos column arrive as bigint; the stream
+    converts with integer ``ts div 1000`` → timestamp_micros, exactly
+    mirroring sources/readers.read_table. pathGlobFilter scopes the
+    directory-based file source to the one table file (the streaming
+    parquet source requires a directory, not a file path).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - already set / non-settable
+        pass
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_available_now(

@@ -64,3 +64,41 @@ def test_binary_file_source(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0].content) == b"\x89PNG fakebytes"
     assert rows[0].length == 14
+
+
+def test_checkpoint_unwrap_rules():
+    """The three wrapper keys unwrap in priority order; raw dicts and
+    non-dict objects pass through (predict_batch_threaded_local.py:53-59)."""
+    from swat_mapreduce_spark.operators.inference import unwrap_checkpoint
+
+    sd = {"layer.weight": [1.0]}
+    assert unwrap_checkpoint({"state_dict": sd}) is sd
+    assert unwrap_checkpoint({"model_state_dict": sd}) is sd
+    assert unwrap_checkpoint({"model": sd}) is sd
+    # priority: state_dict wins over model
+    assert unwrap_checkpoint({"model": {"x": 1}, "state_dict": sd}) is sd
+    # wrapper key holding a non-dict is NOT unwrapped
+    raw = {"state_dict": "not-a-dict", "layer.weight": [2.0]}
+    assert unwrap_checkpoint(raw) is raw
+    # raw state-dict passes through
+    assert unwrap_checkpoint(sd) is sd
+    # non-dict (e.g. a pickled nn.Module) passes through
+    assert unwrap_checkpoint("opaque") == "opaque"
+
+
+def test_model_arch_branch():
+    from swat_mapreduce_spark.operators.inference import model_arch_for_cfg
+
+    assert model_arch_for_cfg("vitb32_openclip_laion400m") == "vit_b_32"
+    assert model_arch_for_cfg("ViTB32-custom") == "vit_b_32"
+    assert model_arch_for_cfg("resnet18_imagenet") == "resnet18"
+    assert model_arch_for_cfg("anything_else") == "resnet18"
+
+
+def test_torch_scorer_is_gated():
+    """Only the literal torch/PIL import should be missing — reaching
+    the gate means all pure-Python wiring above it is importable."""
+    from swat_mapreduce_spark.operators.inference import torch_scorer
+
+    with pytest.raises(NotImplementedError):
+        torch_scorer("/nonexistent/ckpt.pt")
