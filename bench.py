@@ -47,6 +47,11 @@ HEADLINE = [
     "llm_corpus_clean",
     "decontaminate_vs_benchmark",
     "q21_sole_late_supplier",
+    "binary_inference_e2e",
+    "vocab_corpus_terms",
+    "tfidf_top_terms",
+    "incremental_dedup_vs_corpus",
+    "embedding_neardup_lsh",
 ]
 
 

@@ -358,3 +358,61 @@ def decontaminate(
         .filter(F.col("contamination") >= threshold)
         .select("doc_id", "n_shingles", "n_matched", "contamination")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list →
+    (node, component) with component = min node id reachable.
+
+    Iterative min-label propagation (the Pregel/GraphX CC algorithm):
+    each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds —
+    near-dup clusters are short-diameter by construction, and
+    ``max_iter`` bounds the degenerate case. Per round: one shuffle
+    for the neighbor-min aggregate, one for the label join.
+    ``localCheckpoint`` truncates the per-iteration lineage so the
+    plan doesn't grow unboundedly (the standard iterative-algorithm
+    pattern; at cluster scale use a checkpoint dir on shared storage).
+
+    This is the canonical LAST step of a near-dup pipeline: pairs from
+    LSH only relate docs two at a time; clustering them and keeping
+    min-id per cluster is what actually dedups A~B~C chains.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.node == msgs.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))

@@ -41,6 +41,7 @@ def load_all() -> dict[str, QueryEntry]:
         dedup,
         formats,
         llm_text,
+        llm_text2,
         multimodal,
         python_udf_surfaces,
         reference_pipeline,

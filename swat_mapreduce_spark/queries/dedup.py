@@ -188,3 +188,51 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("source") != "src0")
     bench = docs.filter(F.col("source") == "src0")
     return D.decontaminate(train, bench, n=3, threshold=0.2)
+
+
+# --- near-dup cluster assignment (connected components) --------------------
+# Pairs only relate docs two at a time; clustering A~B~C chains and
+# electing min-id per cluster is the step that actually dedups.
+# Spark side: iterative min-label propagation
+# (operators/dedup.connected_components — O(diameter) rounds, lineage-
+# checkpointed). Oracle: transitive closure by recursive CTE over the
+# same MinHash-LSH pair list; min reachable id == propagated label.
+def _cc_oracle() -> str:
+    pair_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+)
+SELECT c.doc_id, c.component,
+       count(*) OVER (PARTITION BY c.component) AS comp_size,
+       (c.doc_id = c.component) AS is_keeper
+FROM comp c
+"""
+
+
+@register("dedup_cluster_components", oracle=_cc_oracle())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = D.connected_components(pairs)
+    w = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        w.alias("comp_size"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

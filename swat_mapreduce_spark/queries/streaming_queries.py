@@ -126,3 +126,26 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type",
         R.r("value", 4).alias("value"),
     )
+
+
+# Stream-stream interval join (click→purchase attribution within 1h).
+# availableNow processes everything in one micro-batch, so the result
+# equals the batch interval join the oracle runs.
+_INTERVAL_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       datediff('microsecond', c.ts, p.ts) AS delay_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@register("stream_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.interval_join_clicks_purchases(stream, "1 hour"),
+        "interval_join",
+        output_mode="append",
+    )

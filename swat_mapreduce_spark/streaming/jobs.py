@@ -220,3 +220,48 @@ def streaming_classify(
     cleaned = classify.clean_manifest(stream.withColumnRenamed("value", "line"))
     preds = classify.predict_top1(classify.score(cleaned))
     return classify.attach_labels(preds, spark)
+
+
+def interval_join_clicks_purchases(
+    stream: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's purchases within [click_ts, click_ts + horizon].
+
+    Both sides carry watermarks; the time-bound predicate lets the
+    state store evict rows once the watermark passes the interval —
+    bounded state at unbounded input, THE requirement for a 100 TB/day
+    attribution join. (An unbounded-condition stream-stream join would
+    hold every row forever.)
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("delay_us"),
+    )
