@@ -368,3 +368,77 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+# --- corpus language rebalancing -------------------------------------------
+# Downsample over-represented languages to the smallest language's
+# count: keep_rate(lang) = min_lang_count / lang_count, gated by the
+# shared md5-unit hash (no RNG — reruns and the oracle agree exactly).
+# Fully declarative: per-lang counts and the global min are aggregates
+# (broadcast back), never a driver-side collect.
+from swat_mapreduce_spark.functions import hashing as _H
+
+_REBALANCE_H = (
+    f"({_H.duck_hash_uint(_H.sql_salted('doc_id', chr(39) + 'bal' + chr(39)), 8)}"
+    f" / {float(16 ** 8)})"
+)
+_REBALANCE_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT lang, n, (SELECT mn FROM m)::DOUBLE / n AS rate FROM c)
+SELECT d.doc_id, d.lang,
+       round(r.rate, 4) AS keep_rate,
+       {_REBALANCE_H} < r.rate AS keep
+FROM documents d JOIN r ON d.lang = r.lang
+"""
+
+
+@register("rebalance_langs", oracle=_REBALANCE_ORACLE)
+def rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang", (F.col("mn").cast("double") / F.col("n")).alias("rate")
+    )
+    gate = _H.hash_unit(F.col("doc_id"), "bal", 8)
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        R.r("rate", 4).alias("keep_rate"),
+        (gate < F.col("rate")).alias("keep"),
+    )
+
+
+# --- mapInArrow token counting ---------------------------------------------
+# The Arrow-native UDF surface (lower per-batch overhead than the
+# pandas bridge: no to_pandas copy). Same n_ws_tokens semantics as the
+# JVM token_count query, so the oracle pins the Arrow path to the SQL
+# result.
+_ARROW_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+@register("token_count_arrow", oracle=_ARROW_TOKENS_ORACLE)
+def token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def count_tokens(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            toks = pc.utf8_split_whitespace(
+                pc.utf8_trim_whitespace(batch.column("text"))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.list_value_length(toks).cast("int64")],
+                ["doc_id", "n_tokens"],
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInArrow(
+        count_tokens, "doc_id long, n_tokens long"
+    )

@@ -791,3 +791,61 @@ def array_edit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_prepend(compact, F.lit(0).cast("bigint")).alias("with_head"),
         F.array_append(compact, F.lit(-1).cast("bigint")).alias("with_tail"),
     )
+
+
+# --- bucketed tables + shuffle-free sort-merge join ----------------------
+# The 100 TB co-location strategy made oracle-checkable: both fact
+# tables are written bucketed+sorted on the join key, so the SMJ reads
+# bucket i of each side directly — NO Exchange on either side of the
+# join (tests/test_plans.py asserts the plan; this query pins the
+# results). At scale this is how nightly orders⋈lineitem pipelines
+# amortize one bucketed write across every downstream join.
+_SMB_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("bucketed_smb_join", oracle=_SMB_ORACLE)
+def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from swat_mapreduce_spark.functions import rounding as _R
+
+    suffix = _uuid.uuid4().hex[:8]
+    ot, lt = f"smb_orders_{suffix}", f"smb_lineitem_{suffix}"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for df, name, key in ((orders, ot, "o_orderkey"), (lineitem, lt, "l_orderkey")):
+        (
+            # repartition on the bucket key first → exactly one file
+            # per bucket, so the scan's per-file sort order satisfies
+            # the SMJ requirement and the local Sorts disappear too
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o, li = spark.table(ot), spark.table(lt)
+    # merge hint: at small SF Catalyst would broadcast the orders side
+    # and never touch the bucketed layout; the hint forces the SMJ so
+    # the plan exercises (and tests/test_plans.py asserts) the
+    # zero-Exchange bucket-to-bucket read this query exists to pin
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _R.money_sum("l_extendedprice").alias("total_price"),
+        )
+    )

@@ -250,3 +250,35 @@ def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+# --- SCD2-style validity intervals ----------------------------------------
+# Events → slowly-changing-dimension form: each user event is valid
+# from its own timestamp until the user's next event (NULL = current).
+# The standard CDC→dimension-snapshot derivation; one window shuffle
+# keyed by user_id.
+_SCD2_ORACLE = """
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_user_intervals", oracle=_SCD2_ORACLE)
+def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
