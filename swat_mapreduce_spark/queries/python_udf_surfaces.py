@@ -113,3 +113,38 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.* FROM _udtf_docs d, "
         "LATERAL swat_tokenize(d.doc_id, d.text) t"
     )
+
+
+# --- grouped-agg pandas UDF (UDAF surface) --------------------------------
+# Weighted mean as a PandasUDFType.GROUPED_AGG aggregate: the Arrow
+# UDAF path (whole group's columns arrive as pandas Series, return one
+# scalar). Weight = (event_id % 10) + 1 keeps everything deterministic
+# integers. At scale a grouped-agg UDF has NO partial aggregation —
+# the whole group ships to one worker — so the JVM expression form
+# (sum(v*w)/sum(w), which DOES combine map-side) is the production
+# default; this pins the UDAF contract itself.
+_UDAF_ORACLE = """
+SELECT event_type,
+       round(sum(value * ((event_id % 10) + 1))
+             / sum((event_id % 10) + 1), 4) AS wmean
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("pandas_udaf_weighted_mean", oracle=_UDAF_ORACLE)
+def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: this module uses postponed
+    # annotations (PEP 563), which turns type hints into strings that
+    # pandas_udf's signature inference cannot resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        return _round4(float((v * w).sum() / w.sum()))
+
+    events = read_table(spark, sf_dir, "events")
+    weight = (F.col("event_id") % 10 + 1).cast("double")
+    return events.groupBy("event_type").agg(
+        wmean(F.col("value"), weight).alias("wmean")
+    )
