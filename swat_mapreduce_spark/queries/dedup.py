@@ -236,3 +236,48 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("comp_size"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+# --- end-to-end corpus clean: drop non-keeper near-dups --------------------
+# The user-facing form of the whole near-dup stack: pairs → components
+# → keeper election → anti-join the losers out of the corpus. Output
+# is the cleaned-corpus census per (lang, source) so the check pins
+# exactly which docs survived at any scale.
+def _dedup_clean_oracle() -> str:
+    pair_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT d.lang, d.source, count(*) AS n_docs_kept
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY d.lang, d.source
+"""
+
+
+@register("corpus_dedup_clean", oracle=_dedup_clean_oracle())
+def corpus_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = D.connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept")
+    )

@@ -158,3 +158,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         emb, [float(x) for x in qvec], k=10, nprobe=2, exclude_id=QUERY_VEC_ID
     )
+
+
+# --- batched ANN: many queries, one pass ----------------------------------
+# The serving shape: a block of Q query vectors broadcast against the
+# corpus, one scan computing all Q*N cosines, per-query top-k via a
+# bounded window (WindowGroupLimit keeps per-partition heaps).
+# For large Q the per-query IVF/LSH probe prunes first — this is the
+# small-Q/batch path.
+_BATCH_Q = 3
+_BATCH_ORACLE = f"""
+WITH {_DIMS_DUCK},
+qs AS (SELECT vec_id AS q_id, i, x AS qx FROM dims WHERE vec_id < {_BATCH_Q}),
+scores AS (
+    SELECT q.q_id, d.vec_id,
+           sum(d.x * q.qx) / (sqrt(sum(d.x * d.x)) * sqrt(sum(q.qx * q.qx)))
+               AS cos_raw
+    FROM dims d JOIN qs q ON d.i = q.i
+    WHERE d.vec_id >= {_BATCH_Q}
+    GROUP BY q.q_id, d.vec_id
+),
+rk AS (
+    SELECT q_id, vec_id, round(cos_raw, 4) AS cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(cos_raw, 4) DESC, vec_id) AS rn
+    FROM scores
+)
+SELECT q_id, vec_id, cosine FROM rk WHERE rn <= 10
+"""
+
+
+@register("ann_batch_topk", oracle=_BATCH_ORACLE)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from swat_mapreduce_spark.functions import arrays as A
+    from swat_mapreduce_spark.functions import rounding as R
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        A.as_double_array(F.col("embedding")).alias("qv"),
+    )
+    data = emb.filter(F.col("vec_id") >= _BATCH_Q).select(
+        "vec_id", A.as_double_array(F.col("embedding")).alias("v")
+    )
+    cos = R.r(A.cosine(F.col("v"), F.col("qv")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        data.crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cosine")
+    )

@@ -93,3 +93,40 @@ def test_fingerprint_shape(spark, sf_dir):
         assert len(r.fingerprint) == 32
         int(r.fingerprint, 16)
         assert r.fp64 >= 0
+
+
+def test_connected_components_shapes(spark):
+    """Chain, star, and disjoint pairs must collapse to min-id
+    components; CC is the near-dup clustering primitive, so its graph
+    semantics get direct coverage beyond the oracle query."""
+    from swat_mapreduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, star 10-{11,12,13}, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+    assert got == want
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node chain needs ~log rounds of min-label propagation;
+    max_iter default must cover it and the labels must all reach the
+    chain head."""
+    from swat_mapreduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "doc_a long, doc_b long"
+    )
+    got = connected_components(edges).collect()
+    assert all(r.component == 100 for r in got)
+    assert len(got) == 12
