@@ -338,3 +338,94 @@ def binary_inference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = manifest.join(objects, "doc_id")
     preds = predict_batch_from_payload(joined)
     return preds.select("doc_id", "class", R.r("prob", 4).alias("prob"))
+
+
+# --- flagship, scale form: no global sort ---------------------------------
+# classify_pipeline ends in a global orderBy because the reference's
+# MR key-sort does (wart parity, SURVEY §2A #18). At 100x data the
+# total order is a cross-cluster range exchange no consumer actually
+# needs; the scale path keeps everything else identical and sorts only
+# within partitions (downstream writers still get locally-ordered
+# output, e.g. for run-length-friendly sinks). The driver's value hash
+# is row-order-insensitive, so the SAME oracle pins this variant.
+@register("flagship_classify_scale", oracle=classify.classify_oracle_sql(""))
+def flagship_classify_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = classify.synth_manifest(spark, sf_dir)
+    preds = classify.predict_top1(
+        classify.score(classify.clean_manifest(manifest))
+    )
+    labeled = classify.attach_labels(preds, spark)
+    from swat_mapreduce_spark.functions.text import format_prob
+
+    return labeled.select(
+        "image_path",
+        "class",
+        R.r("prob", 4).alias("prob"),
+        format_prob("prob").alias("prob_str"),
+    ).sortWithinPartitions("image_path")
+
+
+# --- CSV PERMISSIVE mode: corrupt-record capture ---------------------------
+# Complement of csv_parse_dropmalformed: instead of silently dropping
+# bad subprocess output, PERMISSIVE parses what it can and captures
+# the raw line in _corrupt_record — the auditable form of the
+# reference's "skip rows that don't have 3 fields" rule
+# (java/PredictBatchMapperCluster.java:114-116). Pinned semantics
+# (verified against Spark 4): 1-field and 4-field and bad-typed rows
+# are parsed-best-effort AND marked corrupt; comment/blank lines are
+# skipped by the reader.
+_CSV_PERMISSIVE_ORACLE = f"""
+WITH lines(line) AS ({_CSV_LINES_DUCK}),
+kept AS (
+    SELECT line FROM lines
+    WHERE length(trim(line)) > 0 AND substr(trim(line), 1, 1) <> '#'
+),
+cls AS (
+    SELECT line,
+           len(string_split(line, ',')) = 3 AS is_valid,
+           CASE WHEN len(string_split(line, ',')) = 3
+                THEN list_extract(string_split(line, ','), 3)::DOUBLE
+                END AS prob
+    FROM kept
+)
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN is_valid THEN 0 ELSE 1 END)::BIGINT AS n_corrupt,
+       sum(CASE WHEN is_valid THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       round(sum(CASE WHEN is_valid THEN prob ELSE 0 END), 4) AS sum_prob
+FROM cls
+"""
+
+
+@register("csv_permissive_corrupt", oracle=_CSV_PERMISSIVE_ORACLE)
+def csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    lines = _csv_lines(spark, sf_dir)
+    d = os.path.join(tempfile.gettempdir(), f"swat_csvp_{uuid.uuid4().hex[:8]}")
+    lines.write.mode("overwrite").text(d)
+    back = (
+        spark.read.schema(
+            "image_path string, class string, prob double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("comment", "#")
+        .csv(d)
+        # cache REQUIRED for _corrupt_record correctness: without it,
+        # column pruning re-parses only the referenced columns and the
+        # corrupt marker silently reads as NULL (documented Spark CSV
+        # behavior — "queries on the internal corrupt record column
+        # need the data cached")
+        .cache()
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(~corrupt, 1).otherwise(0)).alias("n_valid"),
+        R.r(F.sum(F.when(~corrupt, F.col("prob")).otherwise(0.0)), 4).alias(
+            "sum_prob"
+        ),
+    )

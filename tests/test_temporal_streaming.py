@@ -381,3 +381,49 @@ def test_streaming_classify_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) == 3  # a, b, c (sets collapse the dup b)
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink keyed by epoch: replaying an epoch
+    (exactly what Structured Streaming does after a failure between
+    sink write and offset commit) must not duplicate rows, because
+    each epoch overwrites its own directory — the standard
+    exactly-once-by-idempotence sink recipe."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.streaming import jobs
+
+    out = str(tmp_path / "sink")
+
+    def write_epoch(batch_df, epoch_id):
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out}/epoch={epoch_id}")
+        )
+
+    stream = jobs.events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.foreachBatch(write_epoch)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(f"{out}/epoch=0").drop("epoch")
+    baseline = {tuple(r) for r in first.collect()}
+    assert len(baseline) == 5  # one row per event type
+
+    # replay epoch 0 (same batch content, same epoch id)
+    replay_df = spark.createDataFrame(first.collect(), first.schema)
+    write_epoch(replay_df, 0)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/epoch=0").drop("epoch").collect()
+    }
+    assert again == baseline  # no duplication after replay
+    assert len(glob.glob(f"{out}/epoch=0/*.parquet")) >= 1
