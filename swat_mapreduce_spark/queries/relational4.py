@@ -849,3 +849,127 @@ def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R.money_sum("l_extendedprice").alias("total_price"),
         )
     )
+
+
+# --- recursive CTE (Spark 4 WITH RECURSIVE) -------------------------------
+# Hierarchy walk over a deterministic binary tree on the nation table
+# (parent(k) = (k-1) div 2): per-node depth and root via recursive
+# union — the Spark 4 recursive-CTE surface, checked against DuckDB's
+# own WITH RECURSIVE. Spark plans each recursion level as a separate
+# union step; for unbounded-depth graph closure at 100 TB prefer the
+# iterative checkpointed form (operators/dedup.connected_components).
+_RCTE_SPARK = """
+WITH RECURSIVE h(n_nationkey, n_name, depth, root) AS (
+    SELECT n_nationkey, n_name, 0, n_nationkey
+    FROM nation WHERE n_nationkey = 0
+    UNION ALL
+    SELECT c.n_nationkey, c.n_name, h.depth + 1, h.root
+    FROM nation c JOIN h ON (c.n_nationkey - 1) DIV 2 = h.n_nationkey
+    WHERE c.n_nationkey > 0
+)
+SELECT n_nationkey, n_name, depth, root FROM h
+"""
+
+_RCTE_ORACLE = """
+WITH RECURSIVE h(n_nationkey, n_name, depth, root) AS (
+    SELECT n_nationkey, n_name, 0, n_nationkey
+    FROM nation WHERE n_nationkey = 0
+    UNION ALL
+    SELECT c.n_nationkey, c.n_name, h.depth + 1, h.root
+    FROM nation c JOIN h ON (c.n_nationkey - 1) // 2 = h.n_nationkey
+    WHERE c.n_nationkey > 0
+)
+SELECT n_nationkey, n_name, depth, root FROM h
+"""
+
+
+@register("recursive_cte_hierarchy", oracle=_RCTE_ORACLE)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RCTE_SPARK)
+
+
+# --- schema evolution: mergeSchema across parquet generations -------------
+# v1 files carry (doc_id, lang); v2 adds n_chars. mergeSchema reads
+# both generations as one table with nulls for the missing column —
+# the append-only schema-evolution contract every long-lived lake
+# table depends on.
+_MERGE_SCHEMA_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       count(n_chars) AS n_with_chars,
+       sum(coalesce(n_chars, 0))::BIGINT AS total_chars
+FROM (
+    SELECT lang, NULL::BIGINT AS n_chars FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+"""
+
+
+@register("schema_evolution_merge", oracle=_MERGE_SCHEMA_ORACLE)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(), f"swat_evo_{uuid.uuid4().hex[:8]}"
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        f"{base}/gen=1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
+    )
+
+
+# --- null-safe equality join (<=>) ----------------------------------------
+# Key = nullif(event_type, 'error'): the error rows carry NULL keys.
+# A plain equi-join drops them (NULL = NULL is NULL); the null-safe
+# operator (<=> / IS NOT DISTINCT FROM) matches them — pinning the
+# three-valued-logic corner every dedup-on-nullable-key hits.
+_NULLSAFE_ORACLE = """
+WITH k AS (
+    SELECT event_id, nullif(event_type, 'error') AS key FROM events
+),
+dim(key, label) AS (
+    VALUES ('click', 'interactive'), ('view', 'interactive'),
+           ('purchase', 'transactional'), ('signup', 'transactional'),
+           (NULL, 'failed')
+)
+SELECT coalesce(d.label, 'unmatched') AS label, count(*) AS n
+FROM k LEFT JOIN dim d ON k.key IS NOT DISTINCT FROM d.key
+GROUP BY 1
+"""
+
+
+@register("nullsafe_join", oracle=_NULLSAFE_ORACLE)
+def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    k = events.select(
+        "event_id", F.nullif("event_type", F.lit("error")).alias("key")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "interactive"),
+            ("view", "interactive"),
+            ("purchase", "transactional"),
+            ("signup", "transactional"),
+            (None, "failed"),
+        ],
+        "key string, label string",
+    )
+    return (
+        k.join(F.broadcast(dim), k.key.eqNullSafe(dim.key), "left")
+        .groupBy(F.coalesce("label", F.lit("unmatched")).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
