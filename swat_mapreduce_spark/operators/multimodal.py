@@ -158,3 +158,54 @@ def sample_frames(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(extract, schema=FRAME_SCHEMA)
+
+
+AUDIO_FRAME = 64  # samples per analysis window
+AUDIO_STRIDE = 32  # hop size (overlapping windows, audio convention)
+AUDIO_CENTER = 96.0  # DC offset: code points oscillate around ~96
+AUDIO_SCHEMA = (
+    "doc_id long, frame_idx int, rms double, zero_crossing_rate double"
+)
+
+
+def audio_frame_energy(docs: DataFrame) -> DataFrame:
+    """Audio-style windowed DSP over an opaque payload: the document
+    text stands in for a PCM stream (code point = sample), framed
+    into AUDIO_FRAME-sample windows with AUDIO_STRIDE hop, emitting
+    per-frame RMS energy and zero-crossing rate — the two features
+    every VAD/segmentation pass starts from. Arrow-batched
+    mapInPandas 1→N, narrow (frames never shuffle); a real decoder
+    (soundfile/ffmpeg — not in this container) drops into the same
+    stage shape.
+
+    Cross-engine exactness: RMS = sqrt(avg((c-96)^2)) uses only exact
+    integer sums, one exact division, and sqrt — which IEEE 754
+    requires correctly rounded (unlike ln/exp) — so both engines
+    produce bit-identical doubles before the 4dp round.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                samples = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.float64)
+                n = len(samples)
+                fi = 0
+                for start in range(0, n - AUDIO_FRAME + 1, AUDIO_STRIDE):
+                    w = samples[start : start + AUDIO_FRAME] - AUDIO_CENTER
+                    rms = float(np.sqrt((w * w).sum() / AUDIO_FRAME))
+                    signs = w[:-1] * w[1:]
+                    zcr = float((signs < 0).sum() / (AUDIO_FRAME - 1))
+                    rows.append((doc_id, fi, rms, zcr))
+                    fi += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "rms", "zero_crossing_rate"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        extract, schema=AUDIO_SCHEMA
+    )

@@ -75,3 +75,51 @@ FROM frames
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return M.sample_frames(docs)
+
+
+# Audio-style windowed features over the char-code "waveform": RMS and
+# zero-crossing rate per overlapping 64-sample frame. All math is
+# exact-int sums + one division + sqrt (IEEE-correctly-rounded), so
+# the mapInPandas stage gets a full value oracle.
+_AUDIO_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, (length(text) - {M.AUDIO_FRAME}) // {M.AUDIO_STRIDE}
+                           + 1)) AS frame_idx
+    FROM documents
+    WHERE length(text) >= {M.AUDIO_FRAME}
+),
+w AS (
+    SELECT doc_id, frame_idx,
+           list_transform(
+               string_split_regex(
+                   substr(text, frame_idx * {M.AUDIO_STRIDE} + 1,
+                          {M.AUDIO_FRAME}), ''),
+               c -> unicode(c) - {M.AUDIO_CENTER}) AS s
+    FROM f
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       round(sqrt(list_sum(list_transform(s, x -> x * x))
+                  / {M.AUDIO_FRAME}), 4) AS rms,
+       round(len(list_filter(
+                 list_apply(range(1, {M.AUDIO_FRAME}),
+                            i -> s[i] * s[i + 1]),
+                 p -> p < 0))::DOUBLE / {M.AUDIO_FRAME - 1}, 4)
+           AS zero_crossing_rate
+FROM w
+"""
+
+
+@register("multimodal_audio_energy", oracle=_AUDIO_ORACLE)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = M.audio_frame_energy(docs)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        R.r("rms", 4).alias("rms"),
+        R.r("zero_crossing_rate", 4).alias("zero_crossing_rate"),
+    )
