@@ -172,3 +172,23 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
     # tolerance of 2% of the exact value for this distribution
     assert abs(row["approx"] - row["exact"]) <= 0.02 * row["exact"]
     assert abs(row["approx99"] - row["exact99"]) <= 0.02 * row["exact99"]
+
+
+def test_registry_contract():
+    """Every registered query must carry a DuckDB oracle (no silent
+    rows-only slippage as the registry grows) and the queries()/
+    oracle_sql() views of the registry must agree key-for-key."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(qs) == set(osql), "queries()/oracle_sql() key mismatch"
+    missing = [k for k, v in osql.items() if not (v and v.strip())]
+    assert not missing, f"queries without oracles: {missing}"
+    assert all(callable(f) for f in qs.values())
