@@ -38,6 +38,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QueryEntry]:
     """Import every query module (side effect: registration)."""
     from swat_mapreduce_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         formats,
         lakehouse,
@@ -50,6 +51,7 @@ def load_all() -> dict[str, QueryEntry]:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity,
         streaming_queries,
         temporal,

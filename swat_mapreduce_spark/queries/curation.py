@@ -1,0 +1,344 @@
+"""Corpus-curation and scale-pattern queries: salted two-phase
+aggregation (hot-key safety), PII redaction, paragraph-level dedup,
+and an iterative Lloyd's k-means over the embedding table.
+
+These extend the LLM-training-pipeline surface (SURVEY.md §2B): the
+reference pipeline stops at classification, but a production corpus
+pipeline needs redaction, sub-document dedup, and clustering for
+data-mixture control. Everything here is JVM-expression-only (no
+Python UDFs) and every query carries a full DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions.text import ws_tokens
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- salted two-phase aggregation ------------------------------------------
+# events has a handful of event_type values owning ~all rows — the
+# canonical skewed-groupBy shape. A direct groupBy(event_type) puts each
+# hot key on ONE reducer; salting first aggregates (key, salt) — 16-way
+# parallel per key, with map-side partial aggregation — then merges the
+# 16 partials per key in a second (tiny) shuffle. Same result set as the
+# plain groupBy, which is exactly what the oracle checks.
+
+_SALTED_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("salted_agg_twophase", oracle=_SALTED_ORACLE)
+def salted_agg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewed key.
+
+    Phase 1 groups by (event_type, salt16) — decimal partial sums keep
+    the merge exact and order-independent. Phase 2 merges the ≤16
+    partials per key. At 100 TB the phase-2 shuffle is |keys|×16 rows
+    regardless of input size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
+    partial = (
+        ev.withColumn("_salt", salt)
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    p4 = F.lit(10000.0)
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).cast("double").alias("sum_value"),
+        (F.round(F.min("pmin") * p4) / p4 + 0.0).alias("min_value"),
+        (F.round(F.max("pmax") * p4) / p4 + 0.0).alias("max_value"),
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+# The synthetic corpus carries no real PII, so the query first plants
+# deterministic PII derived from doc_id (an email, a phone, an IPv4) —
+# making the redaction non-vacuous at every scale factor (CLAUDE.md
+# gotcha 5) — then strips it with the production regexes. Patterns are
+# kept to the regex subset Java and RE2 agree on.
+
+_PII_ORACLE = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1-555-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.'
+                || (doc_id % 256) || '.0.1' AS t
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean
+    FROM dirty
+)
+SELECT doc_id, n_emails, n_phones, n_ips, md5(clean) AS clean_fp,
+       contains(clean, '<EMAIL>') AND contains(clean, '<PHONE>')
+           AND contains(clean, '<IP>') AS fully_tagged
+FROM red
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails → phones → IPs, in that order so the
+    phone pattern's digits aren't half-eaten by the IP pass). Pure
+    narrow map — codegen'd JVM regex, no shuffle, scales linearly."""
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0.1"),
+    )
+    t = docs.select("doc_id", dirty.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("t", F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        F.md5(clean).alias("clean_fp"),
+        (
+            clean.contains("<EMAIL>")
+            & clean.contains("<PHONE>")
+            & clean.contains("<IP>")
+        ).alias("fully_tagged"),
+    )
+
+
+# --- paragraph-level dedup -------------------------------------------------
+# Sub-document dedup: split every document into fixed 8-token chunks
+# ("paragraphs" for this single-line synthetic corpus), keep only the
+# globally-first occurrence of each chunk (order: doc_id, chunk index),
+# and report per-document survival counts. The shuffle key is md5(chunk)
+# — 32 bytes regardless of chunk size — never the chunk text itself.
+
+_PARA_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> length(x) > 0) AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, j,
+           md5(array_to_string(toks[(j*8+1):(j*8+8)], ' ')) AS h
+    FROM t, unnest(range(0, cast(ceil(len(toks) / 8.0) AS BIGINT))) AS u(j)
+    WHERE len(toks) > 0
+),
+r AS (
+    SELECT doc_id, j, h,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, j) AS rn
+    FROM c
+)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM r
+GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup", oracle=_PARA_ORACLE)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / 8.0).cast("long")
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("j") * 8 + 1, F.lit(8)), " "
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "j")
+    r = c.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+# --- Lloyd's k-means (2 iterations, k=8) -----------------------------------
+# The iterative-ML workload shape: per-iteration the model state (8×64
+# centroids) is collected to the driver and re-broadcast as literals —
+# the same coordination pattern Spark MLlib's KMeans uses. All
+# floating-point steps are engine-portable by construction:
+#   * distances: left-fold sum of (x−c)² in DOUBLE — identical operation
+#     order in Spark's aggregate() and DuckDB's list_sum, so bit-equal;
+#   * centroid updates: per-dimension DECIMAL(38,10) sums (exact,
+#     order-independent) cast to DOUBLE, divided by the member count —
+#     no accumulation-order dependence anywhere.
+# Ties in the argmin break to the lowest centroid id in both engines.
+
+_KMEANS_DIM = 64
+_KMEANS_K = 8
+
+
+def _dist_sq(emb: Column, cvec: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in cvec])
+    diffs = F.zip_with(emb, arr, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def _assign(emb_df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid id (first minimum wins) for each vector."""
+    dists = F.array(*[_dist_sq(F.col("embedding"), c) for c in cents])
+    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return emb_df.select("vec_id", "embedding", cid.alias("cid"))
+
+
+def _update(assigned: DataFrame) -> list[list[float]]:
+    """Exact per-dimension means; returns k×dim Python floats."""
+    sums = [
+        F.sum(F.col("embedding")[i].cast("decimal(38,10)"))
+        .cast("double")
+        .alias(f"s{i}")
+        for i in range(_KMEANS_DIM)
+    ]
+    rows = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .collect()
+    )
+    by_cid = {r["cid"]: r for r in rows}
+    out = []
+    for k in range(_KMEANS_K):
+        r = by_cid[k]
+        out.append([r[f"s{i}"] / r["n"] for i in range(_KMEANS_DIM)])
+    return out
+
+
+_KMEANS_ORACLE = """
+WITH c0 AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < 8
+),
+a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                       j -> (e.embedding[j]::DOUBLE - c.cvec[j])
+                          * (e.embedding[j]::DOUBLE - c.cvec[j]))),
+                       c.cid) AS rn
+        FROM embeddings e, c0 c)
+    WHERE rn = 1
+),
+m1 AS (
+    SELECT cid, j,
+           (sum(e.embedding[j]::DECIMAL(38,10))::DOUBLE) / count(*) AS m
+    FROM a1 JOIN embeddings e USING (vec_id),
+         unnest(range(1, 65)) AS u(j)
+    GROUP BY cid, j
+),
+c1 AS (SELECT cid, list(m ORDER BY j) AS cvec FROM m1 GROUP BY cid),
+a2 AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                       j -> (e.embedding[j]::DOUBLE - c.cvec[j])
+                          * (e.embedding[j]::DOUBLE - c.cvec[j]))),
+                       c.cid) AS rn
+        FROM embeddings e, c1 c)
+    WHERE rn = 1
+)
+SELECT a2.cid, count(*) AS n_members,
+       min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+       round(any_value(c1.cvec[1]) * 1000000) / 1000000 + 0.0 AS c_dim0
+FROM a2 JOIN c1 ON a2.cid = c1.cid
+GROUP BY a2.cid
+"""
+
+
+@register("kmeans_lloyd_2iter", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations, k=8, deterministic init (vec_id < 8).
+
+    Per iteration: one narrow assignment pass (centroids are literals —
+    effectively a broadcast of the model) + one shuffle for the k×dim
+    decimal sums. The driver-side state is 8×64 doubles per iteration —
+    constant in the input size, so the loop works unchanged at 100 TB.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    init_rows = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(v) for v in r["embedding"]] for r in init_rows]
+    assigned = _assign(emb, cents)
+    cents = _update(assigned)
+    assigned = _assign(emb, cents)
+    cent_df = spark.createDataFrame(
+        [(k, cents[k][0]) for k in range(_KMEANS_K)], "cid int, c0 double"
+    )
+    p6 = F.lit(1000000.0)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .join(F.broadcast(cent_df), "cid")
+        .select(
+            "cid",
+            "n_members",
+            "min_vec",
+            "max_vec",
+            (F.round(F.col("c0") * p6) / p6 + 0.0).alias("c_dim0"),
+        )
+    )

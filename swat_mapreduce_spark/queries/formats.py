@@ -57,6 +57,34 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+@register("xml_roundtrip_agg", oracle=_AGG_ORACLE)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML source (the donated spark-xml): write the
+    documents projection as ``<row>`` elements, re-read with an explicit
+    schema (XML infers everything as string otherwise), and aggregate.
+    The XML reader is splittable on row tags, so at 100 TB each file
+    still fans out across tasks."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"swat_fmt_xml_{uuid.uuid4().hex[:8]}"
+    )
+    docs.write.mode("overwrite").format("xml").option("rowTag", "row").save(
+        path
+    )
+    re_read = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .load(path)
+    )
+    return re_read.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 @register("parquet_partitioned_roundtrip", oracle=_AGG_ORACLE)
 def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet write + re-read: partition column (lang)

@@ -118,3 +118,71 @@ def upsert_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.coalesce("s.value", "t.value"), 4).alias("value"),
         action.alias("action"),
     )
+
+
+# --- incremental aggregate maintenance -------------------------------------
+# The materialized-view refresh pattern a 100 TB pipeline lives on:
+# yesterday's aggregate is NOT recomputed — only the new partition is
+# aggregated and merged into the stored partials. Correct merging
+# requires every statistic kept in a mergeable form (count/sum/min/max;
+# avg derived at read time from sum÷count). The oracle recomputes the
+# aggregate over the full table, so the query proves partial+merge ≡
+# full recompute. Sums use DECIMAL so the merge is exact regardless of
+# which partial each row landed in.
+_INCR_ORACLE = """
+SELECT user_id, event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round((sum(CAST(value AS DECIMAL(30,8)))::DOUBLE
+              / count(*)) * 10000) / 10000 + 0.0 AS avg_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+_INCR_SPLIT = "2024-01-16"
+
+
+def _partial_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+
+
+@register("incremental_agg_merge", oracle=_INCR_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split events at a date boundary into the "already materialized"
+    partials and the "newly arrived" partition, aggregate each side
+    independently, then merge by re-aggregating the unioned partials.
+    At scale the old side is a stored table of |group| rows — the
+    incremental refresh cost is O(new partition), not O(history)."""
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit(_INCR_SPLIT).cast("timestamp")
+    old_partials = _partial_agg(ev.filter(F.col("ts") < split))
+    new_partials = _partial_agg(ev.filter(F.col("ts") >= split))
+    merged = (
+        old_partials.unionByName(new_partials)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").alias("ssum"),
+            F.min("pmin").alias("mn"),
+            F.max("pmax").alias("mx"),
+        )
+    )
+    p4 = F.lit(10000.0)
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(F.col("ssum"), 2).cast("double").alias("sum_value"),
+        (F.round(F.col("mn") * p4) / p4 + 0.0).alias("min_value"),
+        (F.round(F.col("mx") * p4) / p4 + 0.0).alias("max_value"),
+        (
+            F.round((F.col("ssum").cast("double") / F.col("n")) * p4) / p4
+            + 0.0
+        ).alias("avg_value"),
+    )

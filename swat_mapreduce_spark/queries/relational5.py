@@ -1,0 +1,194 @@
+"""Spark 4 SQL-surface additions (pipe syntax, collations) and
+lakehouse maintenance patterns (small-file compaction, distributed
+contiguous id assignment)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- SQL pipe syntax -------------------------------------------------------
+# Spark 4's |> operator chains: same Catalyst plan as the classic
+# SELECT, so this pins the parser surface, not new semantics.
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS revenue
+FROM lineitem
+WHERE l_quantity > 30
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity > 30
+        |> AGGREGATE count(*) AS n,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)
+                  AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        """
+    )
+
+
+# --- collations ------------------------------------------------------------
+# Spark 4 collated strings: grouping under UTF8_LCASE merges case
+# variants at the hash-aggregate level (no pre-lowering projection).
+# The input is case-uniform, so a mixed-case column is derived first
+# (CLAUDE.md gotcha 5: the merge must be non-vacuous at every SF).
+# The group key is re-exposed as lower()::string because the collated
+# representative ("SRC3" vs "src3") is whichever variant the aggregate
+# saw first — nondeterministic under parallelism.
+
+_COLLATION_ORACLE = """
+WITH t AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS src_mixed,
+           n_chars
+    FROM documents
+)
+SELECT lower(src_mixed) AS src, count(*) AS n,
+       sum(n_chars)::BIGINT AS total_chars
+FROM t
+GROUP BY lower(src_mixed)
+"""
+
+
+@register("collation_groupby", oracle=_COLLATION_ORACLE)
+def collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    return (
+        docs.select(
+            F.collate(mixed, "UTF8_LCASE").alias("src_ci"), "n_chars"
+        )
+        .groupBy("src_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.lower("src_ci").cast("string").alias("src"),
+            "n",
+            "total_chars",
+        )
+    )
+
+
+# --- small-file compaction -------------------------------------------------
+# The nightly job every parquet lake needs: collapse a directory of
+# small files into few large ones without changing a row. The query
+# proves both sides: content identity (the oracle aggregates the
+# original events) and the file-count contract via input_file_name().
+
+_COMPACT_ORACLE = """
+SELECT count(*) AS n_rows,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS sum_value,
+       64 AS n_files_before, 4 AS n_files_after
+FROM events
+"""
+
+
+@register("compact_small_files", oracle=_COMPACT_ORACLE)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64 round-robin shards → coalesce(4) rewrite. coalesce (not
+    repartition) makes the rewrite shuffle-free: each output task
+    drains 16 input files. At 100 TB the same job runs per partition
+    directory with target-size-based file counts."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"swat_compact_{uuid.uuid4().hex[:8]}"
+    )
+    small, big = f"{base}/small", f"{base}/big"
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    # input_file_name() is nondeterministic, so it must be projected
+    # into a column before any aggregate touches it
+    small_df = spark.read.parquet(small).withColumn(
+        "_f", F.input_file_name()
+    )
+    small_df.drop("_f").coalesce(4).write.mode("overwrite").parquet(big)
+    big_df = spark.read.parquet(big).withColumn("_f", F.input_file_name())
+    n_before = small_df.select(F.count_distinct("_f").alias("c"))
+    return (
+        big_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.count_distinct("_f").alias("n_files_after"),
+        )
+        .crossJoin(F.broadcast(n_before))
+        .select(
+            "n_rows",
+            "sum_value",
+            F.col("c").alias("n_files_before"),
+            "n_files_after",
+        )
+    )
+
+
+# --- distributed contiguous row ids ----------------------------------------
+# Assigning 0..N-1 ids with a global orderBy would funnel 100 TB
+# through one task. The scalable form: bucket the key space into
+# explicit ranges (derived from min/max — NOT repartitionByRange,
+# whose sampled boundaries differ between the counting job and the
+# numbering job), count each bucket (tiny job), broadcast the
+# cumulative offsets, then number within buckets in parallel:
+# rid = offset[bucket] + local row_number. Each bucket is one window
+# partition, so parallelism = bucket count — size buckets to the
+# task target (and derive boundaries from CDF quantiles instead of
+# min/max when the key space is skewed).
+
+_ROWID_ORACLE = """
+SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rid
+FROM documents
+"""
+
+
+@register("stable_row_ids", oracle=_ROWID_ORACLE)
+def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    parts = 8
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = mx - mn + 1
+    bucket = F.floor(((F.col("doc_id") - mn) * parts) / span).cast("int")
+    bucketed = docs.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["c"]
+        for r in bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(parts):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for b in range(parts) for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    rid = F.element_at(offset_map, F.col("_b")) + F.row_number().over(w) - 1
+    return bucketed.select(
+        "doc_id", rid.cast("long").alias("rid")
+    )

@@ -102,6 +102,89 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# transformWithStateInPandas (Spark 4's typed-state successor to
+# applyInPandasWithState): same single-batch-equals-batch-aggregate
+# argument as stream_stateful_user_stats. The TWS Python runner talks
+# to the JVM state server over protobuf, which this container lacks
+# (`google.protobuf` absent) — so the query registers ONLY when the
+# runtime dependency is importable; the processor's accumulate/emit
+# logic is pinned dependency-free by tests/test_temporal_streaming.py.
+_TWS_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       round(max(value), 4) AS max_value,
+       min(ts) AS first_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+def _tws_runtime_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, sf_dir)
+        return jobs.run_available_now(
+            jobs.tws_user_stats(stream), "tws", output_mode="update"
+        )
+    finally:
+        spark.conf.set(provider_key, prev)
+
+
+if _tws_runtime_available():  # pragma: no cover - env-dependent
+    register("stream_tws_user_stats", oracle=_TWS_ORACLE)(
+        stream_tws_user_stats
+    )
+
+
+# Chained stateful operators (Spark 4): 30-min per-user tumbling counts
+# re-windowed into 2-hour rollups, append mode end to end. Append only
+# emits windows the final watermark closed, so the oracle reproduces
+# Spark's watermark arithmetic exactly: max event time truncated to
+# MILLISECONDS minus the 1-hour delay; a 2h window emits iff its end
+# <= that watermark (all its 30-min inputs closed strictly earlier).
+_CHAINED_ORACLE = """
+WITH wm AS (
+    SELECT ((max(epoch_us(ts)) // 1000) - 3600000) * 1000 AS wm_us
+    FROM events
+),
+i AS (
+    SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS wus,
+           user_id, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT make_timestamp((wus // 7200000000) * 7200000000) AS window_start,
+       count(*) AS n_user_windows,
+       sum(n)::BIGINT AS n_events,
+       max(n) AS max_user_window
+FROM i, wm
+GROUP BY 1, wm.wm_us
+HAVING (epoch_us(window_start) + 7200000000) <= wm.wm_us
+"""
+
+
+@register("stream_chained_agg", oracle=_CHAINED_ORACLE)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.chained_window_agg(stream), "chained", output_mode="append"
+    )
+
+
 # Streaming dedup: every event_id is unique in the testdata, so the
 # oracle is the full projection; duplicate-collapse semantics are
 # pinned by tests/test_temporal_streaming.py with an injected-dup

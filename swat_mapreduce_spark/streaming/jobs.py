@@ -21,6 +21,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor
 
 from swat_mapreduce_spark.functions import rounding as R
 
@@ -187,6 +188,107 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
             stateStructType=STATEFUL_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- custom stateful operator: transformWithStateInPandas (Spark 4) --------
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, max_value double, first_ts timestamp"
+)
+
+
+class _UserStatsProcessor(StatefulProcessor):
+    """Spark 4 ``StatefulProcessor``: per-user running stats in a
+    ValueState. The successor API to applyInPandasWithState — typed
+    state handles (value/list/map state), timers, and TTL — backed by
+    the RocksDB state store. Emits the running totals on every batch
+    the user appears in; with availableNow's single batch that equals
+    the batch aggregate, which is what the oracle pins.
+
+    Only order-free statistics (count/max/min) are kept: a double sum
+    here would accumulate in Arrow-batch arrival order and break
+    replay determinism."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "stats", "n long, mx double, first_us long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        import pandas as pd
+
+        if self._state.exists():
+            n, mx, first_us = self._state.get()
+        else:
+            n, mx, first_us = 0, float("-inf"), 2**62
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                batch_first = int(pd.Timestamp(pdf["ts"].min()).value // 1000)
+                first_us = min(first_us, batch_first)
+        self._state.update((n, mx, first_us))
+        r4 = math.copysign(math.floor(abs(mx) * 1e4 + 0.5) / 1e4, mx)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [r4],
+                "first_ts": [pd.to_datetime(first_us, unit="us")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_stats(stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas over the event stream. Requires the
+    RocksDB state store provider (set by the caller for the query's
+    lifetime — a runtime-settable conf)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserStatsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def chained_window_agg(stream: DataFrame) -> DataFrame:
+    """Two chained stateful aggregations in ONE streaming query
+    (Spark 4 multiple-stateful-operator support): 30-minute tumbling
+    per-user counts, re-aggregated into 2-hour windows downstream via
+    ``window_time()``. Append mode end to end — each operator emits a
+    window only once its watermark passes, so downstream state stays
+    bounded: the 2-hour operator holds |open windows| rows, not the
+    event stream."""
+    inner = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        inner.groupBy(
+            F.window(F.window_time("w"), "2 hours").alias("w2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_user_windows"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_user_window"),
+        )
+        .select(
+            F.col("w2.start").alias("window_start"),
+            "n_user_windows",
+            "n_events",
+            "max_user_window",
         )
     )
 

@@ -116,6 +116,8 @@ def test_coverage_md_names_exist(spark):
             "q5", "q7", "q8", "q9", "q12", "q20", "prob_str",
             # function/operator names (not query keys) cited in §2A rows
             "clean_manifest", "repartition",
+            # env-gated: registers only when the protobuf runtime exists
+            "stream_tws_user_stats",
         }
     ]
     assert not missing, f"COVERAGE.md cites unknown queries: {missing}"

@@ -427,3 +427,63 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     }
     assert again == baseline  # no duplication after replay
     assert len(glob.glob(f"{out}/epoch=0/*.parquet")) >= 1
+
+
+def test_tws_processor_logic_without_runtime():
+    """transformWithStateInPandas needs a protobuf runtime this
+    container lacks, so the StatefulProcessor's accumulate/emit logic
+    is pinned directly: fake ValueState, two batches, running stats
+    must merge across them (count adds, max maxes, first_ts mins)."""
+    import pandas as pd
+
+    from swat_mapreduce_spark.streaming.jobs import _UserStatsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = _UserStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame(
+        {
+            "value": [3.0, 7.55555],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 11:00:00"]),
+        }
+    )
+    out1 = list(proc.handleInputRows((42,), iter([b1]), None))
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert row["user_id"] == 42 and row["n_events"] == 2
+    assert row["max_value"] == 7.5556  # half-away rounding, oracle form
+    assert row["first_ts"] == pd.Timestamp("2024-01-01 10:00:00")
+
+    b2 = pd.DataFrame(
+        {
+            "value": [9.0],
+            "ts": pd.to_datetime(["2024-01-01 09:00:00"]),
+        }
+    )
+    out2 = list(proc.handleInputRows((42,), iter([b2]), None))
+    row2 = out2[0].iloc[0]
+    assert row2["n_events"] == 3  # state carried across batches
+    assert row2["max_value"] == 9.0
+    assert row2["first_ts"] == pd.Timestamp("2024-01-01 09:00:00")
+    proc.close()
