@@ -34,10 +34,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 can only
-    read as long nanos (``spark.sql.legacy.parquet.nanosAsLong``); we
-    convert to TimestampType by truncating to micros — exactly what the
-    DuckDB oracle does natively.
+    ``events.ts`` has varied physical type across testdata generations
+    and is normalized to TimestampType either way:
+
+    - TIMESTAMP(NANOS): Spark 4 can only read it as long nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``); truncate to micros —
+      exactly what the DuckDB oracle does natively.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ; cast to TimestampType (wall-clock identity under
+      the engine's pinned UTC session timezone) so downstream
+      ``unix_micros``/watermark code sees one type everywhere.
     """
     if name == "events":
         try:
@@ -45,10 +51,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:  # noqa: BLE001
             pass
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
             # integer DIV, not `/`: nano values exceed double's exact
             # integer range, so float division would drift by ±1 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -29,9 +29,13 @@ from swat_mapreduce_spark.functions import rounding as R
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the original events.parquet.
 
-    nanosAsLong makes the nanos column arrive as bigint; the stream
-    converts with integer ``ts div 1000`` → timestamp_micros, exactly
-    mirroring sources/readers.read_table. pathGlobFilter scopes the
+    The ``ts`` physical type varies by testdata generation:
+    TIMESTAMP(MICROS) reads natively, while TIMESTAMP(NANOS) arrives
+    as bigint nanos under ``nanosAsLong`` and is converted with
+    integer ``ts div 1000`` → timestamp_micros. A one-file batch
+    schema probe (footer-only, no data read) picks the branch, so the
+    stream mirrors sources/readers.read_table exactly — one source of
+    truth, zero staging copies. pathGlobFilter scopes the
     directory-based file source to the one table file (the streaming
     parquet source requires a directory, not a file path).
     """
@@ -39,16 +43,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 - already set / non-settable
         pass
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in batch_schema
+    )["ts"]
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_available_now(
