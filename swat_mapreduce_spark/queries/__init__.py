@@ -56,6 +56,7 @@ def load_all() -> dict[str, QueryEntry]:
         similarity,
         streaming_queries,
         temporal,
+        training_pipeline,
     )
 
     return REGISTRY

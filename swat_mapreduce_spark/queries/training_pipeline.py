@@ -1,0 +1,295 @@
+"""Training-data-preparation operators: document chunking, sequence
+packing, epoch sharding, per-source caps, vocabulary OOV analysis.
+
+These are the pipeline stages between "cleaned corpus" (llm_text.py /
+dedup.py) and "tokens on a trainer": every one is a standard step in
+assembling a 100 TB pretraining mix, expressed as JVM-side DataFrame
+ops with DuckDB oracles. No Python UDFs anywhere — chunk geometry,
+hashes and ranks are all codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import hashing as H
+from swat_mapreduce_spark.functions.text import ws_tokens
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- sliding-window document chunking --------------------------------------
+# Context-window chunking with overlap (RAG / long-doc pretraining):
+# token windows of CHUNK starting every STRIDE tokens. 1→N row
+# expansion is a narrow map (sequence + posexplode) — no shuffle at
+# all; at 100 TB the output is written straight back out partitioned
+# by source. Chunk text is materialized via slice+join so the oracle
+# pins content, not just geometry.
+
+_CHUNK, _STRIDE = 64, 48
+
+_CHUNK_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks), {_STRIDE})) AS s
+    FROM t
+)
+SELECT doc_id,
+       ((s - 1) / {_STRIDE})::BIGINT AS chunk_idx,
+       least({_CHUNK}, len(toks) - s + 1)::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[s : s + {_CHUNK} - 1], ' ') AS chunk_text
+FROM starts
+"""
+
+
+@register("chunk_documents_sliding", oracle=_CHUNK_ORACLE)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    with_toks = docs.select("doc_id", toks.alias("toks"))
+    starts = with_toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(_CHUNK), F.size("toks") - F.col("s") + 1
+        ).cast("long").alias("n_chunk_tokens"),
+        F.array_join(F.slice("toks", F.col("s"), _CHUNK), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+# --- fixed-budget sequence packing -----------------------------------------
+# GPT-style concat-then-chunk packing: documents in doc_id order are
+# conceptually concatenated and cut into training sequences of SEQ
+# tokens; each doc reports the sequence range it lands in. The global
+# prefix sum does NOT use a single-partition window: the key space is
+# range-bucketed, per-bucket token totals (a tiny aggregate) are
+# turned into broadcast offsets, and the window runs per bucket —
+# the same distributed-cumsum shape as stable_row_ids
+# (relational5.py), parallelism = bucket count.
+
+_SEQ = 256
+
+_PACK_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING
+           ) AS cum_before
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       coalesce(cum_before, 0)::BIGINT AS tok_offset,
+       (coalesce(cum_before, 0) // {_SEQ})::BIGINT AS first_seq,
+       ((coalesce(cum_before, 0) + n_tokens - 1) // {_SEQ})::BIGINT AS last_seq
+FROM c
+"""
+
+
+@register("pack_sequences_fixed", oracle=_PACK_ORACLE)
+def pack_sequences_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    parts = 8
+    with_n = docs.select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    mn, mx = with_n.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = mx - mn + 1
+    bucket = F.floor(((F.col("doc_id") - mn) * parts) / span).cast("int")
+    bucketed = with_n.withColumn("_b", bucket)
+    # tiny job: one row per bucket → broadcast cumulative token offsets
+    totals = {
+        r["_b"]: r["t"]
+        for r in bucketed.groupBy("_b")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in range(parts):
+        offsets.append(acc)
+        acc += totals.get(b, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for b in range(parts) for x in (b, offsets[b])]
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    tok_offset = (F.element_at(offset_map, F.col("_b")) + local_before).cast(
+        "long"
+    )
+    return bucketed.select(
+        "doc_id",
+        "n_tokens",
+        tok_offset.alias("tok_offset"),
+        F.floor(tok_offset / _SEQ).cast("long").alias("first_seq"),
+        F.floor((tok_offset + F.col("n_tokens") - 1) / _SEQ)
+        .cast("long")
+        .alias("last_seq"),
+    )
+
+
+# --- deterministic epoch shuffle into shards -------------------------------
+# Training-order shuffling without a global sort: md5(doc_id:epoch)
+# assigns each doc a pseudorandom key; the first nibble buckets it
+# into 16 shards and the order WITHIN a shard is the key order. A
+# trainer streams shards in index order → a full deterministic
+# permutation of the corpus, reproducible across engines and epochs,
+# with per-shard windows as the only shuffle (no single-task global
+# orderBy — the classic epoch-shuffle scale trap).
+
+_EPOCH_SALT = "'epoch1'"
+_ES_KEY_DUCK = f"md5(doc_id || ':' || {_EPOCH_SALT})"
+
+_EPOCH_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, {_ES_KEY_DUCK} AS key,
+           ('0x' || substr({_ES_KEY_DUCK}, 1, 1))::BIGINT AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1)::BIGINT
+           AS pos_in_shard
+FROM k
+"""
+
+
+@register("epoch_shuffle_shards", oracle=_EPOCH_ORACLE)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(H.salted(F.col("doc_id"), "epoch1"))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("key"),
+        F.conv(F.substring(key, 1, 1), 16, 10).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+    )
+
+
+# --- per-source document caps ----------------------------------------------
+# Corpus-mix governance: no source may contribute more than CAP docs,
+# chosen deterministically by hash order (not "first N by doc_id",
+# which would bias toward old crawls). One shuffle on source; at
+# 100 TB a skewed mega-source is the hot key — the window is a
+# rank-truncation, so AQE skew handling or pre-salting with a
+# two-level rank both apply; the cap itself keeps downstream bounded.
+
+# 15 binds at every testdata scale (sources hold ≤25 docs at each sf —
+# a cap above that would filter nothing and make the oracle vacuous)
+_CAP = 15
+_CAP_KEY_DUCK = "md5(doc_id || ':' || 'cap')"
+
+_CAP_ORACLE = f"""
+WITH r AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source ORDER BY {_CAP_KEY_DUCK}, doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, source, rn::BIGINT AS rank_in_source
+FROM r WHERE rn <= {_CAP}
+"""
+
+
+@register("source_domain_cap", oracle=_CAP_ORACLE)
+def source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(H.salted(F.col("doc_id"), "cap"))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _CAP)
+        .select(
+            "doc_id", "source", F.col("rn").cast("long").alias("rank_in_source")
+        )
+    )
+
+
+# --- OOV rate vs a top-K vocabulary ----------------------------------------
+# Tokenizer-design staple: build the top-K vocab by corpus frequency
+# (ties → lexicographic), then measure per-language OOV token rate
+# against it. Two aggregation shuffles (token counts, per-lang stats)
+# plus one BROADCAST join — the vocab is K rows by construction, so
+# the membership probe never shuffles the token stream.
+
+_VOCAB_K = 64
+
+_OOV_ORACLE = rf"""
+WITH tok AS (
+    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM tok GROUP BY token
+    ) WHERE rn <= {_VOCAB_K}
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+           AS n_oov,
+       round(count(*) FILTER (
+           WHERE token NOT IN (SELECT token FROM vocab)
+       )::DOUBLE / count(*), 4) AS oov_rate
+FROM tok
+GROUP BY lang
+"""
+
+
+@register("oov_rate_topk_vocab", oracle=_OOV_ORACLE)
+def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))),
+        "token",
+        "left",
+    )
+    n_oov = F.sum(
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        R.r(
+            n_oov.cast("double") / F.count(F.lit(1)), 4
+        ).alias("oov_rate"),
+    )
