@@ -328,7 +328,9 @@ def binary_inference_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(outdir, f"{r.doc_id}.bin"), "wb") as fh:
                 fh.write(r.text.encode("utf-8"))
 
-    docs.foreachPartition(write_part)
+    # scaffold write parallelized: documents arrive as ONE parquet
+    # split, and writing 1k files from a single task is serial I/O
+    docs.repartition(32).foreachPartition(write_part)
 
     manifest = docs.select("doc_id")
     objects = read_binary_objects(spark, outdir + "/*.bin").withColumn(

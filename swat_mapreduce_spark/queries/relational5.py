@@ -192,3 +192,76 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.select(
         "doc_id", rid.cast("long").alias("rid")
     )
+
+
+# --- correlated LATERAL join (Spark 4) -------------------------------------
+# Top-2 most expensive lineitems per order of one priority class via a
+# correlated LATERAL subquery — the planner path where the subquery
+# re-executes per outer row and Catalyst rewrites it into a
+# DomainJoin → window. Same answer as a rank-filter window, but it
+# pins the LATERAL parser/optimizer surface itself.
+
+_LATERAL_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o,
+     LATERAL (
+         SELECT l_linenumber, l_extendedprice
+         FROM lineitem
+         WHERE l_orderkey = o.o_orderkey
+         ORDER BY l_extendedprice DESC, l_linenumber
+         LIMIT 2
+     ) AS l
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@register("lateral_topn_per_order", oracle=_LATERAL_ORACLE)
+def lateral_topn_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lat_v"
+    )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_lat_v"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders_lat_v o
+        JOIN LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM lineitem_lat_v
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber
+            LIMIT 2
+        ) AS l
+        WHERE o.o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+# --- GROUP BY ALL ----------------------------------------------------------
+# Spark 4 / DuckDB shared surface: every non-aggregate select item
+# becomes a grouping key. Same Aggregate plan as an explicit list —
+# this pins the resolver surface.
+
+_GBALL_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(l_quantity::BIGINT)::BIGINT AS total_qty
+FROM lineitem
+GROUP BY ALL
+"""
+
+
+@register("group_by_all", oracle=_GBALL_ORACLE)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gba_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem_gba_v
+        GROUP BY ALL
+        """
+    )

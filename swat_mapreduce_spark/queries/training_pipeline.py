@@ -293,3 +293,60 @@ def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_oov.cast("double") / F.count(F.lit(1)), 4
         ).alias("oov_rate"),
     )
+
+
+# --- temperature-weighted source mixing ------------------------------------
+# Corpus-mix resampling with temperature alpha: source s is kept at
+# rate proportional to count(s)^(alpha-1) (alpha<1 flattens the mix
+# toward uniform — the multilingual-sampling trick). Rates are
+# derived FROM the data in a tiny per-source aggregate, normalized so
+# the largest source's rate is 1.0, then applied as a broadcast-
+# joined deterministic hash gate — two scans + one broadcast, no
+# shuffle of the corpus itself, fully reproducible (no RNG).
+
+_MIX_ALPHA = 0.5
+
+_MIX_ORACLE = f"""
+WITH stats AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+rates AS (
+    SELECT source,
+           pow(n, {_MIX_ALPHA} - 1.0)
+               / max(pow(n, {_MIX_ALPHA} - 1.0)) OVER () AS keep_rate
+    FROM stats
+),
+gated AS (
+    SELECT d.doc_id, d.source,
+           {{H}} < r.keep_rate AS kept
+    FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT source, count(*) AS n_total,
+       count(*) FILTER (WHERE kept) AS n_kept
+FROM gated GROUP BY source
+""".replace(
+    "{H}",
+    f"({H.duck_hash_uint(H.sql_salted('d.doc_id', chr(39) + 'mix' + chr(39)), 8)}"
+    f" / {float(16 ** 8)})",
+)
+
+
+@register("temperature_mix_sources", oracle=_MIX_ORACLE)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    rates = stats.select(
+        "source",
+        (
+            F.pow("n", F.lit(_MIX_ALPHA - 1.0))
+            / F.max(F.pow("n", F.lit(_MIX_ALPHA - 1.0))).over(w_all)
+        ).alias("keep_rate"),
+    )
+    gated = docs.join(F.broadcast(rates), "source").withColumn(
+        "kept", H.hash_unit(F.col("doc_id"), "mix", 8) < F.col("keep_rate")
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )

