@@ -59,9 +59,11 @@ def synth_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic manifest (FIXTURES.md §B1) derived from the
     ``documents`` table: one image path per document, ~1/7 duplicated,
     plus the wart lines. Column: ``line string``."""
-    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.sources.readers import fan_out, read_table
 
-    docs = read_table(spark, sf_dir, "documents")
+    # fanned out so the downstream 30-logit md5 scoring (score()) is
+    # not serialized by the testdata's single-row-group scan
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     path = F.concat(
         F.lit("/data/img/"),
         F.col("source"),

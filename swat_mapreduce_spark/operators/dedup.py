@@ -62,7 +62,13 @@ def doc_shingle_arrays(
     """(doc_id, sh_arr) — distinct word n-gram shingles per document as
     an array column. Tokens are materialized in an intermediate
     projection so shingle construction is O(tokens), not O(tokens²)
-    (see functions/text.py PERF note)."""
+    (see functions/text.py PERF note). The input is fanned out first:
+    shingling + the md5 per shingle that always follows are the CPU
+    hot path of the whole dedup family, and a single-split source
+    would run them in one task (sources/readers.fan_out)."""
+    from swat_mapreduce_spark.sources.readers import fan_out
+
+    docs = fan_out(docs)
     toked = docs.select(
         "doc_id", *extra_cols, ws_tokens(F.col("text")).alias("toks")
     )

@@ -62,6 +62,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Unlock scan-side parallelism for CPU-heavy NARROW derivations.
+
+    The testdata parquet files are single row groups, so Spark's
+    byte-range file splitting yields ONE non-empty partition per table
+    — every expression evaluated before the first shuffle (md5
+    shingling, logit scoring) runs in a single task. A round-robin
+    repartition of the small input (KBs–MBs) buys cores× speedup on
+    the derivation that follows.
+
+    No-op when the scan already has >= target partitions — on a real
+    multi-split dataset (100 TB = tens of thousands of row groups)
+    this helper disappears from the plan rather than injecting a
+    pointless extra shuffle.
+    """
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
