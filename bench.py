@@ -52,6 +52,12 @@ HEADLINE = [
     "tfidf_top_terms",
     "incremental_dedup_vs_corpus",
     "embedding_neardup_lsh",
+    "chunk_documents_sliding",
+    "pack_sequences_fixed",
+    "epoch_shuffle_shards",
+    "oov_rate_topk_vocab",
+    "temperature_mix_sources",
+    "lateral_topn_per_order",
 ]
 
 
