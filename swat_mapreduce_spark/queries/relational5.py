@@ -265,3 +265,36 @@ def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# --- parameterized SQL (named parameter markers) ---------------------------
+# Spark 4's spark.sql(query, args=...) binds :params server-side
+# (constant-folded before optimization — no string splicing, no
+# injection surface). The oracle inlines the same literals.
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS total_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("parameterized_sql", oracle=_PARAM_ORACLE)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders_param_v
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 50000.0},
+    )

@@ -194,3 +194,27 @@ def test_registry_contract():
     missing = [k for k, v in osql.items() if not (v and v.strip())]
     assert not missing, f"queries without oracles: {missing}"
     assert all(callable(f) for f in qs.values())
+
+
+def test_observe_metrics_surface(spark, sf_dir):
+    """df.observe() metrics: the engine's run-time row/value counters
+    (the declarative replacement for Hadoop job Counters the reference
+    reads from the MR framework) — collected via the observation API
+    without a second pass over the data."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    obs = Observation("lineitem_scan")
+    li = read_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+    kept = observed.filter(F.col("l_quantity") > 25).count()
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["total_qty"] > 0
+    assert kept < m["n_rows"]
