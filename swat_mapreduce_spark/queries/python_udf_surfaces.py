@@ -148,3 +148,114 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         wmean(F.col("value"), weight).alias("wmean")
     )
+
+
+# --- cogrouped applyInPandas: per-user click/purchase alignment ----------
+# groupBy(k).cogroup(other.groupBy(k)).applyInPandas — the two-sided
+# grouped-map surface: both sides shuffle once on the key and arrive
+# as separate pandas frames per key. Here: per-user click/purchase
+# counts and the gap between their mean values — a pandas-side
+# full-outer "compare two event streams" that SQL expresses as a
+# FULL JOIN of two aggregates.
+
+# means are computed from exact integer cents (values carry 2dp):
+# a float mean's accumulation order differs between pandas and the
+# oracle and flips 4dp roundings (CLAUDE.md gotcha 2/3)
+_COGROUP_ORACLE = """
+WITH c AS (
+    SELECT user_id, count(*) AS n_clicks,
+           sum(round(value * 100)::BIGINT) AS cents_click
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+    SELECT user_id, count(*) AS n_purchases,
+           sum(round(value * 100)::BIGINT) AS cents_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.n_clicks, 0) AS n_clicks,
+       coalesce(p.n_purchases, 0) AS n_purchases,
+       round(coalesce(p.cents_purchase / (100.0 * p.n_purchases), 0.0)
+             - coalesce(c.cents_click / (100.0 * c.n_clicks), 0.0), 4)
+           AS value_gap
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+@register("cogroup_click_purchase", oracle=_COGROUP_ORACLE)
+def cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def align(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        (user_id,) = key
+        # exact integer cents → order-independent means (see oracle)
+        cents_c = int((left["value"] * 100).round().astype("int64").sum())
+        cents_p = int((right["value"] * 100).round().astype("int64").sum())
+        avg_c = cents_c / (100.0 * len(left)) if len(left) else 0.0
+        avg_p = cents_p / (100.0 * len(right)) if len(right) else 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "value_gap": [_round4(avg_p - avg_c)],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, n_clicks long, n_purchases long, value_gap double",
+        )
+    )
+
+
+# --- grouped applyInArrow: pandas-free per-group aggregation -------------
+# groupBy(k).applyInArrow — the zero-pandas grouped-map path: each
+# group arrives as a pyarrow.Table and returns one. No pandas object
+# materialization, no index bookkeeping; for numeric crunching the
+# Arrow compute kernels are the vectorized hot path.
+
+_ARROW_GROUP_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+@register("applyinarrow_source_stats", oracle=_ARROW_GROUP_ORACLE)
+def applyinarrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        total = pc.sum(tbl.column("n_chars")).as_py() or 0
+        return pa.table(
+            {
+                "source": [tbl.column("source")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "total_chars": pa.array([total], pa.int64()),
+                "avg_chars": pa.array(
+                    [_round4(total / n)], pa.float64()
+                ),
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        stats,
+        "source string, n_docs long, total_chars long, avg_chars double",
+    )
