@@ -186,3 +186,74 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("avg_value"),
     )
+
+
+# --- custom Python data source: STREAMING scan -----------------------------
+# The streaming face of swat_manifest (SimpleDataSourceStreamReader):
+# micro-batches of batch_size rows, dict offsets checkpointed by the
+# engine, deterministic drain on a finite listing. availableNow on a
+# simple stream reader only drains the one prefetched batch, so the
+# query runs a processing-time trigger and waits until the finite
+# source is exhausted (row count reaches the option) — multi-batch by
+# construction (rows/batch_size = 5 triggers), which is the point:
+# the offset hand-off between batches is what's under test.
+
+_PYSTREAM_ROWS = 500
+_PYSTREAM_ORACLE = f"""
+WITH g AS (SELECT unnest(generate_series(0, {_PYSTREAM_ROWS - 1})) AS i),
+p AS (
+    SELECT i,
+           'src' || (('0x' || substr(md5('manifest:' || i), 1, 2))::INT % 20)
+               AS src
+    FROM g
+)
+SELECT src, count(*) AS n, min(i) AS min_idx, max(i) AS max_idx
+FROM p GROUP BY src
+"""
+
+
+@register("python_datasource_stream", oracle=_PYSTREAM_ORACLE)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import uuid
+
+    from swat_mapreduce_spark.sources.manifest_source import (
+        ManifestDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("swat_manifest")
+        .option("rows", _PYSTREAM_ROWS)
+        .option("batch_size", 100)
+        .load()
+    )
+    qname = f"pystream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(qname).count() >= _PYSTREAM_ROWS:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    src = F.regexp_extract("image_path", r"/img/(src\d+)/", 1)
+    return (
+        spark.table(qname)
+        .groupBy(src.alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("idx").alias("min_idx"),
+            F.max("idx").alias("max_idx"),
+        )
+    )

@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 MANIFEST_SCHEMA = "idx bigint, image_path string"
@@ -60,8 +65,49 @@ class ManifestReader(DataSourceReader):
             yield (i, _path_for(i))
 
 
+class ManifestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same listing: micro-batches of
+    ``batch_size`` manifest rows per trigger, offset = next index.
+
+    The simple-stream contract (``initialOffset``/``read(start)``/
+    ``commit``): offsets are plain dicts the engine checkpoints, so a
+    restarted query resumes exactly where the last committed batch
+    ended — the Python-source form of exactly-once file tracking. A
+    finite ``rows`` option makes the stream drain deterministically
+    (empty batches once exhausted), which is what lets a test pin the
+    complete result."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 100))
+        self.batch_size = int(options.get("batch_size", 50))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["i"])
+        hi = min(lo + self.batch_size, self.rows)
+        return (
+            iter([(i, _path_for(i)) for i in range(lo, hi)]),
+            {"i": hi},
+        )
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        # replay path after restart: regenerate the exact slice
+        return iter(
+            (i, _path_for(i))
+            for i in range(int(start["i"]), int(end["i"]))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ManifestDataSource(DataSource):
-    """``format("swat_manifest")`` — options: rows, partitions."""
+    """``format("swat_manifest")`` — options: rows, partitions,
+    batch_size (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -72,3 +118,8 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ManifestReader(self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return ManifestStreamReader(self.options)

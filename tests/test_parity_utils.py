@@ -218,3 +218,27 @@ def test_observe_metrics_surface(spark, sf_dir):
     assert m["n_rows"] == li.count()
     assert m["total_qty"] > 0
     assert kept < m["n_rows"]
+
+
+def test_manifest_stream_reader_replay_slice():
+    """readBetweenOffsets must regenerate EXACTLY the committed slice —
+    the restart/replay contract of the simple stream reader (offsets
+    are values, rows are pure functions of the index)."""
+    from swat_mapreduce_spark.sources.manifest_source import (
+        ManifestStreamReader,
+        _path_for,
+    )
+
+    r = ManifestStreamReader({"rows": "120", "batch_size": "50"})
+    assert r.initialOffset() == {"i": 0}
+    it, nxt = r.read({"i": 0})
+    first = list(it)
+    assert nxt == {"i": 50} and len(first) == 50
+    # replay the same span: byte-identical rows
+    assert list(r.readBetweenOffsets({"i": 0}, {"i": 50})) == first
+    # drain: final partial batch then empty batches at a fixed offset
+    it, nxt = r.read({"i": 100})
+    assert len(list(it)) == 20 and nxt == {"i": 120}
+    it, nxt = r.read({"i": 120})
+    assert list(it) == [] and nxt == {"i": 120}
+    assert first[7] == (7, _path_for(7))
