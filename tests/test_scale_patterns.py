@@ -131,3 +131,51 @@ def test_pagerank_mass_positive_and_bounded(spark):
     for r in rows:
         assert r["rank"] >= 0.15 - 1e-9
         assert r["rank"] < 10.0
+
+
+def test_range_partitioned_total_order(spark, sf_dir):
+    """The scalable form of a global sort: repartitionByRange gives
+    non-overlapping key ranges across partitions, sortWithinPartitions
+    orders inside each — concatenating partitions in index order IS
+    the total order, with no single-task orderBy anywhere. Asserted:
+    per-partition sortedness + strictly increasing range boundaries."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    arranged = orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    per_part = (
+        arranged.select(
+            F.spark_partition_id().alias("pid"), "o_orderkey"
+        )
+        .groupBy("pid")
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    assert sum(r.n for r in per_part) == orders.count()
+    nonempty = [r for r in per_part if r.n > 0]
+    assert len(nonempty) >= 2  # the range split actually split
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert a.hi < b.lo, (a, b)  # disjoint, increasing ranges
+
+    def check_sorted(it):
+        prev = None
+        for row in it:
+            if prev is not None and row.o_orderkey < prev:
+                yield (prev, row.o_orderkey)
+            prev = row.o_orderkey
+
+    violations = arranged.rdd.mapPartitions(
+        lambda it: check_sorted(it)
+    ).collect()
+    assert violations == []
