@@ -376,3 +376,59 @@ def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r2.select(
         F.col("c").alias("custkey"), R.r(F.col("r"), 4).alias("rank")
     )
+
+
+# --- sketch cardinality/quantile pack --------------------------------------
+# The 100 TB counting toolkit: HLL and theta sketches for mergeable
+# distinct counts, KLL for mergeable quantiles — all constant-size
+# state, partial-aggregable (map-side combine), unionable across
+# partitions/days. Exact answers don't survive 1e12 rows; sketches +
+# error bounds are the production form.
+#
+# Oracle strategy: sketch ESTIMATES aren't reproducible in DuckDB, but
+# their error CONTRACTS are — the query emits the exact value plus
+# within-tolerance booleans (HLL/theta: deterministic hash registers,
+# default-precision error << the 5% gate; KLL k=200 rank error ~1.65%
+# at 99% confidence, gated at rank±0.10). The oracle computes the same
+# exact values and pins the booleans TRUE.
+
+_SKETCH_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS hll_ok,
+       TRUE AS theta_ok,
+       TRUE AS kll_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sketch_cardinality_pack", oracle=_SKETCH_ORACLE)
+def sketch_cardinality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_est"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
+            "theta_est"
+        ),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("kll_median"),
+        F.expr("percentile(value, 0.40)").alias("p40"),
+        F.expr("percentile(value, 0.60)").alias("p60"),
+    )
+    rel_ok = (
+        lambda est: (F.abs(F.col(est) - F.col("n_exact")) / F.col("n_exact"))
+        <= 0.05
+    )
+    return per_type.select(
+        "event_type",
+        "n_exact",
+        rel_ok("hll_est").alias("hll_ok"),
+        rel_ok("theta_est").alias("theta_ok"),
+        (
+            (F.col("kll_median") >= F.col("p40"))
+            & (F.col("kll_median") <= F.col("p60"))
+        ).alias("kll_ok"),
+    )

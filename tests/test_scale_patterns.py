@@ -179,3 +179,34 @@ def test_range_partitioned_total_order(spark, sf_dir):
         lambda it: check_sorted(it)
     ).collect()
     assert violations == []
+
+
+def test_sketch_merge_equals_direct(spark, sf_dir):
+    """Mergeability IS the scale contract: per-shard partial HLL
+    sketches unioned with hll_union_agg must estimate exactly what one
+    direct pass estimates (register max-merge is associative and
+    order-free). Same for theta sketches."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("h"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("t"),
+    ).first()
+    merged = (
+        ev.withColumn("shard", F.col("event_id") % 7)
+        .groupBy("shard")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("hs"),
+            F.theta_sketch_agg("user_id").alias("ts"),
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("h"),
+            F.theta_sketch_estimate(F.theta_union_agg("ts")).alias("t"),
+        )
+        .first()
+    )
+    assert merged.h == direct.h
+    assert merged.t == direct.t
