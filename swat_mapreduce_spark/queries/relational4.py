@@ -973,3 +973,47 @@ def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("label", F.lit("unmatched")).alias("label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- IGNORE NULLS window navigation ----------------------------------------
+# last_value/lag over a SPARSE column (only purchases carry a value
+# here): IGNORE NULLS is the "carry forward the last real observation"
+# primitive — the same gap-fill semantics the as-of join builds on
+# (operators/asof.py), exposed as its own oracle-pinned surface.
+
+_WIN_IGNULLS_ORACLE = """
+WITH t AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+    FROM events
+)
+SELECT event_id, user_id,
+       round(last_value(purchase_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS last_purchase_value,
+       count(purchase_value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_purchases_so_far
+FROM t
+"""
+
+
+@register("window_ignore_nulls", oracle=_WIN_IGNULLS_ORACLE)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        R.r(
+            F.last(sparse, ignorenulls=True).over(w), 4
+        ).alias("last_purchase_value"),
+        F.count(sparse).over(w).alias("n_purchases_so_far"),
+    )
