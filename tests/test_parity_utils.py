@@ -242,3 +242,41 @@ def test_manifest_stream_reader_replay_slice():
     it, nxt = r.read({"i": 120})
     assert list(it) == [] and nxt == {"i": 120}
     assert first[7] == (7, _path_for(7))
+
+
+def test_archive_distribution_auto_unzip(spark, tmp_path):
+    """sc.addArchive ships a zip that executors see UNPACKED — the
+    Spark form of the reference's distributed-cache archive for
+    class_folder.zip (java/PredictDriverCluster.java:51, label dirs
+    auto-unzipped beside the task). The label vocabulary is derived
+    from the extracted directory names on the executor."""
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    zpath = tmp_path / "labels_arch.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for name in ["clothing", "shoes", "tea_bags"]:
+            z.writestr(f"labels_arch/{name}/.keep", "")
+    spark.sparkContext.addArchive(str(zpath))
+
+    def read_labels(_):
+        import os
+
+        from pyspark import SparkFiles
+
+        root = os.path.join(SparkFiles.getRootDirectory(), "labels_arch.zip")
+        inner = os.path.join(root, "labels_arch")
+        yield sorted(os.listdir(inner))
+
+    got = (
+        spark.sparkContext.parallelize([0], 1)
+        .mapPartitions(read_labels)
+        .collect()
+    )
+    assert got == [["clothing", "shoes", "tea_bags"]]
+    # and the derived dict matches labels.derive semantics: sorted order
+    labels = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(got[0])], "label_idx int, class_name string"
+    )
+    assert labels.filter(F.col("label_idx") == 1).first().class_name == "shoes"
