@@ -259,3 +259,50 @@ def applyinarrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "source string, n_docs long, total_chars long, avg_chars double",
     )
+
+
+# --- SQL-registered UDFs: row UDF + scalar pandas UDF ----------------------
+# The two remaining UDF shapes: a plain Python row UDF registered into
+# the SQL namespace (spark.udf.register → callable from SQL text), and
+# a vectorized scalar pandas_udf (Series → Series, Arrow-batched).
+# Both are applied to the 500-row documents table — these shapes are
+# for EDGES of a pipeline, not 100 TB hot paths (SCALING.md principle
+# 5: hot-path expressions stay JVM-side; the engine's hot Python
+# surfaces are the iterator/grouped forms above).
+
+_UDF_REG_ORACLE = """
+SELECT doc_id,
+       upper(substr(lang, 1, 1)) || substr(lang, 2) AS lang_title,
+       round(n_chars / 100.0, 4) AS hecto_chars
+FROM documents
+"""
+
+
+@register("sql_registered_udfs", oracle=_UDF_REG_ORACLE)
+def sql_registered_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf, udf
+
+    @udf("string")
+    def title_case(s: str) -> str:
+        return s[:1].upper() + s[1:] if s else s
+
+    # no type hints: postponed annotations (PEP 563) stringify them
+    # and pandas_udf's signature inference then rejects the function —
+    # same as the GROUPED_AGG note above. SCALAR is the default type.
+    @pandas_udf("double")
+    def hecto(v):
+        return (v / 100.0).map(_round4)
+
+    spark.udf.register("swat_title_case", title_case)
+    spark.udf.register("swat_hecto", hecto)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udf_v"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               swat_title_case(lang) AS lang_title,
+               swat_hecto(CAST(n_chars AS DOUBLE)) AS hecto_chars
+        FROM documents_udf_v
+        """
+    )
