@@ -77,3 +77,12 @@ def test_cli_bad_args_exit_code():
     with pytest.raises(SystemExit) as e:
         main(["only_one_arg"])
     assert e.value.code == 2
+
+
+def test_query_cli_list_and_unknown(capsys):
+    from swat_mapreduce_spark.query_cli import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "q1_pricing_summary" in out and len(out) > 150
+    assert main(["definitely_not_a_query"]) == 2
