@@ -232,3 +232,48 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "interval_join",
         output_mode="append",
     )
+
+
+# Dynamic-gap session windows: gap depends on the EVENT (clicks 10m,
+# everything else 30m). Merge rule: an event joins a session if its ts
+# is strictly before the session's running max end (end-exclusive);
+# its own gap then extends the end. Oracle: running max of (ts + gap)
+# over preceding rows — the lag+cumsum sessionization generalized to
+# per-row gaps.
+_SESSION_DYN_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts,
+           epoch_us(ts) AS us,
+           CASE WHEN event_type = 'click' THEN 600000000
+                ELSE 1800000000 END AS gap_us
+    FROM events
+),
+m AS (
+    SELECT user_id, ts, us,
+           max(us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS max_end_us
+    FROM e
+),
+s AS (
+    SELECT user_id, ts,
+           (sum(CASE WHEN max_end_us IS NULL OR us >= max_end_us
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS session_num
+    FROM m
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s
+GROUP BY user_id, session_num
+"""
+
+
+@register("stream_session_dynamic_gap", oracle=_SESSION_DYN_ORACLE)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = jobs.events_stream(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.session_counts_dynamic_gap(stream), "session_dyn"
+    )

@@ -140,6 +140,28 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def session_counts_dynamic_gap(stream: DataFrame) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression
+    (``session_window(ts, gap_col)``): bursty event types close
+    sessions faster. An event extends its session to ``ts + gap`` and
+    merges with any window it overlaps — the engine's native dynamic-
+    gap stateful operator; state per user = the open window only."""
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("10 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 # --- custom stateful operator: applyInPandasWithState ----------------------
 
 STATEFUL_OUTPUT_SCHEMA = (
