@@ -277,3 +277,44 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_available_now(
         jobs.session_counts_dynamic_gap(stream), "session_dyn"
     )
+
+
+# Stream-static enrichment: the event stream joined per-micro-batch
+# against a STATIC dimension (customer -> nation) — no state store at
+# all (the static side is just re-planned into each batch; Catalyst
+# broadcasts it under the threshold). The production pattern for
+# enriching a 100 TB/day stream with reference data; only the
+# post-join aggregation is stateful.
+_STREAM_STATIC_ORACLE = """
+SELECT n.n_name, e.event_type, count(*) AS n,
+       round(sum(CAST(e.value AS DECIMAL(30,8))), 2)::DOUBLE AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+"""
+
+
+@register("stream_static_enrich", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    stream = jobs.events_stream(spark, sf_dir)
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            read_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return jobs.run_available_now(agg, "static_enrich")
