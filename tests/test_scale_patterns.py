@@ -210,3 +210,21 @@ def test_sketch_merge_equals_direct(spark, sf_dir):
     )
     assert merged.h == direct.h
     assert merged.t == direct.t
+
+
+def test_fan_out_contract(spark, sf_dir):
+    """fan_out repartitions a single-split scan to default parallelism
+    and is a strict NO-OP (same plan object) once the input already has
+    enough partitions — the guard that keeps it out of real multi-split
+    plans at scale."""
+    from swat_mapreduce_spark.sources.readers import fan_out, read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == 1
+    fanned = fan_out(docs)
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    again = fan_out(fanned)
+    assert again is fanned  # no second Exchange stacked on top
