@@ -432,3 +432,41 @@ def sketch_cardinality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("kll_median") <= F.col("p60"))
         ).alias("kll_ok"),
     )
+
+
+# --- incremental top-k maintenance -----------------------------------------
+# Interactive/top-k-refresh pattern (cf. "Incremental Based Framework
+# for Efficient Top-K Similarity Search in Interactive Data Analysis
+# Sessions", EDBT 2020, PAPERS.md): top-k is a mergeable monoid under
+# a total order — topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — so a
+# materialized top-k absorbs a new data batch by merging two k-row
+# sets instead of rescanning the corpus. Both sub-top-ks plan as
+# TakeOrderedAndProject; the merge input is 2k rows regardless of
+# corpus size. Oracle: the direct top-k over everything.
+
+_TOPK_K = 20
+
+_INC_TOPK_ORACLE = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {_TOPK_K}
+"""
+
+
+@register("incremental_topk_merge", oracle=_INC_TOPK_ORACLE)
+def incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # deterministic total order: (price desc, key) is unique
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    corpus = orders.filter(F.col("o_orderkey") % 10 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 10 == 0)
+    topk_corpus = corpus.orderBy(*order_cols).limit(_TOPK_K)
+    topk_batch = batch.orderBy(*order_cols).limit(_TOPK_K)
+    return (
+        topk_corpus.unionAll(topk_batch)
+        .orderBy(*order_cols)
+        .limit(_TOPK_K)
+    )
