@@ -58,6 +58,8 @@ HEADLINE = [
     "oov_rate_topk_vocab",
     "temperature_mix_sources",
     "lateral_topn_per_order",
+    "sketch_cardinality_pack",
+    "stream_static_enrich",
 ]
 
 
