@@ -212,3 +212,96 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("q_id", "vec_id", "cosine")
     )
+
+
+# --- int8 embedding quantization -------------------------------------------
+# Vector-index compression: per-vector symmetric int8 quantization
+# (scale = 127 / max|x|), the standard 4x memory cut for ANN serving.
+# The query audits the compression: per-vector reconstruction error
+# and the quantized self-dot-product drift — all narrow array math
+# (one transform + aggregates per row, zero shuffles before the final
+# stats rollup). Rounding to int8 uses the shared half-away-from-zero
+# formula so both engines quantize identically.
+
+_QUANT_ORACLE = f"""
+WITH {_DIMS_DUCK},
+s AS (
+    SELECT vec_id, max(abs(x)) AS mx
+    FROM dims GROUP BY vec_id
+),
+q AS (
+    SELECT d.vec_id, d.i, d.x,
+           CASE WHEN s.mx = 0 THEN 0
+                ELSE greatest(-127, least(127,
+                    (CASE WHEN d.x >= 0
+                          THEN floor(abs(d.x) * 127.0 / s.mx + 0.5)
+                          ELSE -floor(abs(d.x) * 127.0 / s.mx + 0.5)
+                     END)::BIGINT))
+           END AS qi,
+           s.mx AS mx
+    FROM dims d JOIN s USING (vec_id)
+),
+r AS (
+    SELECT vec_id, i, x, qi,
+           CASE WHEN mx = 0 THEN 0.0 ELSE qi * mx / 127.0 END AS xr
+    FROM q
+)
+SELECT vec_id,
+       round(max(abs(x - xr)), 6) AS max_abs_err,
+       round(sum((x - xr) * (x - xr)) / {DIM}, 6) AS mse,
+       sum(qi * qi)::BIGINT AS q_self_dot
+FROM r
+GROUP BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    mx = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    with_scale = emb.select("vec_id", "e", mx.alias("mx"))
+    # half-away-from-zero to int8, clamped: same formula as the oracle
+    qarr = F.when(F.col("mx") == 0, F.transform(F.col("e"), lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            F.col("e"),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    (
+                        F.signum(x)
+                        * F.floor(F.abs(x) * 127.0 / F.col("mx") + 0.5)
+                    ).cast("long"),
+                ),
+            ),
+        )
+    )
+    quant = with_scale.select("vec_id", "e", "mx", qarr.alias("q"))
+    recon = F.when(F.col("mx") == 0, F.transform(F.col("q"), lambda qi: qi.cast("double"))).otherwise(
+        F.transform(F.col("q"), lambda qi: qi * F.col("mx") / 127.0)
+    )
+    diffs = F.zip_with(F.col("e"), recon, lambda x, xr: x - xr)
+    return quant.select(
+        "vec_id",
+        R.r(
+            F.array_max(F.transform(diffs, lambda d: F.abs(d))), 6
+        ).alias("max_abs_err"),
+        R.r(
+            F.aggregate(
+                F.transform(diffs, lambda d: d * d),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / DIM,
+            6,
+        ).alias("mse"),
+        F.aggregate(
+            F.transform(F.col("q"), lambda qi: qi * qi),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("q_self_dot"),
+    )
