@@ -93,26 +93,20 @@ def logits_array(col: Column, n: int = 30) -> Column:
     expressions, mirrors the model score vector shape
     (``python/predict_batch_threaded_local.py:113-115``).
 
-    Built with ONE single-level higher-order lambda instead of
-    ``F.array(30 exprs)`` — codegen stays ~10 expression nodes no
-    matter how many classes. Deliberately NOT the nested
-    digests→nibbles form (4 md5/row): an inner lambda closing over an
-    outer lambda's variable is a PySpark correctness hazard (generated
-    lambda-variable names are session-counter-dependent and can
-    collide after unrelated lambda expressions were built — observed
-    corrupting the minhash LSH query). One md5 per element is the
-    safe, still-compact middle ground."""
+    Block-derived: the ceil(n/8) md5 digests are materialized ONCE in
+    an array-of-blocks expression and the single-level lambda only
+    slices nibbles out of them — ceil(n/8) md5 evaluations per row
+    (4 for n=30) instead of one per class. The lambda references the
+    outer ``blocks`` column expression, never another lambda's
+    variable, so the nested-lambda name-collision hazard (see round-1
+    minhash incident, CLAUDE.md gotcha 1) does not apply."""
+    n_blocks = (n + LOGIT_PER_BLOCK - 1) // LOGIT_PER_BLOCK
+    blocks = F.array(*[F.md5(salted(col, b)) for b in range(n_blocks)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda i: F.conv(
             F.substr(
-                F.md5(
-                    F.concat(
-                        col.cast("string"),
-                        F.lit(":"),
-                        (i / LOGIT_PER_BLOCK).cast("int").cast("string"),
-                    )
-                ),
+                F.element_at(blocks, (i / LOGIT_PER_BLOCK).cast("int") + 1),
                 (i % LOGIT_PER_BLOCK) * LOGIT_NIBBLES + 1,
                 F.lit(LOGIT_NIBBLES),
             ),

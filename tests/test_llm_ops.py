@@ -130,3 +130,32 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(edges).collect()
     assert all(r.component == 100 for r in got)
     assert len(got) == 12
+
+
+def test_quantize_int8_zero_vector_and_clamp(spark):
+    """The mx=0 branch (all-zero vector) must yield zero error and
+    zero dot — not NaN from 0/0 — and extremes land exactly on ±127."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.queries import load_all
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] + [-1.0] * 63)],
+        "vec_id long, embedding array<float>",
+    )
+    import swat_mapreduce_spark.queries.similarity as S_mod
+
+    orig = S_mod.read_table
+    try:
+        S_mod.read_table = lambda spark, sf_dir, name: df
+        out = {
+            r.vec_id: r
+            for r in load_all()["embedding_quantize_int8"]
+            .spark_fn(spark, "unused")
+            .collect()
+        }
+    finally:
+        S_mod.read_table = orig
+    assert out[0].max_abs_err == 0.0 and out[0].q_self_dot == 0
+    assert out[1].q_self_dot == 64 * 127 * 127  # every dim exactly ±127
+    assert out[1].max_abs_err == 0.0
