@@ -1017,3 +1017,37 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_purchase_value"),
         F.count(sparse).over(w).alias("n_purchases_so_far"),
     )
+
+
+# --- binary / crypto scalar functions --------------------------------------
+# sha2-256 and base64 are directly cross-engine-comparable; AES is not
+# reproducible in DuckDB, so the oracle pins its CONTRACT instead:
+# decrypt(encrypt(x)) == x under a fixed key (ECB keeps the ciphertext
+# deterministic too — acceptable here because the query tests the API,
+# not a security posture; GCM's random IV would break rerun equality).
+
+_CRYPTO_ORACLE = """
+SELECT doc_id,
+       sha256(text) AS sha_hex,
+       to_base64(substr(text, 1, 12)::BLOB) AS b64_prefix,
+       TRUE AS aes_roundtrip_ok
+FROM documents
+"""
+
+
+@register("binary_crypto_funcs", oracle=_CRYPTO_ORACLE)
+def binary_crypto_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key, fixed
+    enc = F.aes_encrypt(
+        F.col("text").cast("binary"), key.cast("binary"), F.lit("ECB")
+    )
+    dec = F.aes_decrypt(enc, key.cast("binary"), F.lit("ECB"))
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_hex"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias(
+            "b64_prefix"
+        ),
+        (dec.cast("string") == F.col("text")).alias("aes_roundtrip_ok"),
+    )
