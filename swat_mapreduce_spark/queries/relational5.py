@@ -298,3 +298,47 @@ def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 50000.0},
     )
+
+
+# --- SQL scalar UDF (CREATE FUNCTION ... RETURN) ---------------------------
+# Spark 4 SQL-defined functions are INLINED into the plan by Catalyst
+# — unlike Python UDFs they stay inside whole-stage codegen, making
+# them the right way to package reusable business expressions (the
+# 100 TB-safe user-function path). The oracle inlines the same
+# expression text.
+
+_SQL_UDF_ORACLE = """
+SELECT doc_id,
+       round(least(1.0, length(text) / 500.0), 4) AS len_score,
+       upper(substr(source, 1, 1)) || substr(source, 2) AS source_title
+FROM documents
+"""
+
+
+@register("sql_scalar_udf_inline", oracle=_SQL_UDF_ORACLE)
+def sql_scalar_udf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION swat_len_score(t STRING)
+        RETURNS DOUBLE
+        RETURN round(least(1.0, length(t) / 500.0) * 10000) / 10000
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION swat_title(s STRING)
+        RETURNS STRING
+        RETURN upper(substr(s, 1, 1)) || substr(s, 2)
+        """
+    )
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_sqludf_v"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               swat_len_score(text) AS len_score,
+               swat_title(source) AS source_title
+        FROM documents_sqludf_v
+        """
+    )
