@@ -342,3 +342,42 @@ def sql_scalar_udf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_sqludf_v
         """
     )
+
+
+# --- SQL table function (RETURNS TABLE) + LATERAL --------------------------
+# The declarative sibling of the Python UDTF: a SQL-defined table
+# function laterally applied per row, fully inlined by Catalyst (the
+# explode runs as a generator in the same stage — no Python worker,
+# no shuffle). Char trigrams of a document sample.
+
+_SQL_TVF_ORACLE = """
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 2)) AS i
+    FROM documents WHERE doc_id % 31 = 0
+)
+SELECT doc_id, substr(text, i, 3) AS gram
+FROM pos
+"""
+
+
+@register("sql_table_function_lateral", oracle=_SQL_TVF_ORACLE)
+def sql_table_function_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION swat_char_trigrams(s STRING)
+        RETURNS TABLE(gram STRING)
+        RETURN SELECT substr(s, g.i, 3)
+               FROM (SELECT explode(sequence(1, length(s) - 2)) AS i) g
+        """
+    )
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_tvf_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.gram
+        FROM documents_tvf_v d, LATERAL swat_char_trigrams(d.text) t
+        WHERE d.doc_id % 31 = 0
+        """
+    )
