@@ -282,3 +282,101 @@ def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- ordered conversion funnel ---------------------------------------------
+# signup -> click -> purchase, each step's FIRST occurrence must come
+# strictly after the previous step's first occurrence. One aggregation
+# (per-user min timestamps), then a tiny conditional rollup — the
+# standard product-analytics funnel, no joins, one shuffle.
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+),
+flags AS (
+    SELECT user_id,
+           (t_signup IS NOT NULL) AS s1,
+           (t_signup IS NOT NULL AND t_click > t_signup) AS s2,
+           (t_signup IS NOT NULL AND t_click > t_signup
+            AND t_purchase > t_click) AS s3
+    FROM firsts
+)
+SELECT count(*) FILTER (WHERE s1) AS n_signup,
+       count(*) FILTER (WHERE s2) AS n_then_click,
+       count(*) FILTER (WHERE s3) AS n_then_purchase
+FROM flags
+"""
+
+
+@register("funnel_signup_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_signup_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731 - tiny local alias
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    count_if = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return firsts.agg(
+        count_if(s1).alias("n_signup"),
+        count_if(s2).alias("n_then_click"),
+        count_if(s3).alias("n_then_purchase"),
+    )
+
+
+# --- cohort retention ------------------------------------------------------
+# Users grouped by first-seen WEEK; for each later week, how many of
+# the cohort were active. Two aggregations (first-seen, then cohort x
+# week distincts) — the churn/retention staple. Week buckets keep the
+# output dense and the group count bounded.
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+    -- ::TIMESTAMP: DuckDB's week-trunc yields DATE, Spark's yields
+    -- TIMESTAMP — the type-aware hash would split on it
+    SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           date_trunc('week', e.ts)::TIMESTAMP AS active_week
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, active_week,
+       count(DISTINCT user_id) AS n_active
+FROM activity
+GROUP BY cohort_week, active_week
+"""
+
+
+@register("cohort_retention_weekly", oracle=_COHORT_ORACLE)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").alias("active_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "active_week").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
