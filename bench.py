@@ -60,6 +60,8 @@ HEADLINE = [
     "lateral_topn_per_order",
     "sketch_cardinality_pack",
     "stream_static_enrich",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
 ]
 
 
