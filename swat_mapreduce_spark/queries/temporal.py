@@ -380,3 +380,63 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "active_week").agg(
         F.count_distinct("user_id").alias("n_active")
     )
+
+
+# --- deterministic A/B experiment analysis ---------------------------------
+# Users hash into arms (md5 parity — reproducible assignment, the
+# no-RNG rule every experiment pipeline needs for reanalysis); metric
+# = per-user purchase rate, compared across arms. Exact integer
+# counts; the only doubles are final ratios rounded with the shared
+# formula.
+
+_AB_ORACLE = """
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN ('0x' || substr(md5(user_id || ':' || 'exp1'), 1, 8)
+                )::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+m AS (
+    SELECT a.arm, e.user_id,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE e.event_type = 'purchase') AS n_purch
+    FROM events e JOIN assign a USING (user_id)
+    GROUP BY a.arm, e.user_id
+)
+SELECT arm,
+       count(*) AS n_users,
+       sum(n_events)::BIGINT AS n_events,
+       sum(n_purch)::BIGINT AS n_purchases,
+       round(sum(n_purch)::DOUBLE / sum(n_events), 6) AS purchase_rate
+FROM m GROUP BY arm
+"""
+
+
+@register("ab_test_arms", oracle=_AB_ORACLE)
+def ab_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import hashing as H
+    from swat_mapreduce_spark.functions import rounding as R
+
+    ev = read_table(spark, sf_dir, "events")
+    arm = F.when(
+        H.hash_uint(F.col("user_id"), "exp1", 8) % 2 == 0, F.lit("A")
+    ).otherwise(F.lit("B"))
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purch"),
+        )
+        .withColumn("arm", arm)
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_purch").alias("n_purchases"),
+        R.r(
+            F.sum("n_purch").cast("double") / F.sum("n_events"), 6
+        ).alias("purchase_rate"),
+    )
