@@ -470,3 +470,44 @@ def incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order_cols)
         .limit(_TOPK_K)
     )
+
+
+# --- bipartite degree distribution -----------------------------------------
+# Graph-health staple: distinct customer-supplier edges from the
+# order fact, per-supplier degree, then the degree histogram. Two
+# aggregation shuffles after a distinct; all keys are ids. At 100 TB
+# the distinct IS the expensive step — it shuffles the edge list once,
+# and the histogram is tiny.
+
+_DEGREE_ORACLE = """
+WITH edges AS (
+    SELECT DISTINCT o.o_custkey, l.l_suppkey
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (
+    SELECT l_suppkey, count(*) AS degree FROM edges GROUP BY l_suppkey
+)
+SELECT degree, count(*) AS n_suppliers
+FROM deg GROUP BY degree
+"""
+
+
+@register("graph_degree_distribution", oracle=_DEGREE_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    deg = edges.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
