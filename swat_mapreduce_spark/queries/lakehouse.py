@@ -257,3 +257,62 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("idx").alias("max_idx"),
         )
     )
+
+
+# --- Z-order clustering key ------------------------------------------------
+# Morton/Z-order bit interleave of two dimensions (customer bucket x
+# order day) — the multi-dimensional data-skipping layout Delta/
+# Iceberg OPTIMIZE ZORDER uses: sorting files by z keeps BOTH columns'
+# per-file min/max ranges tight, so scans filtering either dimension
+# skip files. Pure bit arithmetic (8 bits per dim -> 16-bit z),
+# identical in both engines; the query audits the clustering by
+# reporting per-z-bucket spans of each dimension.
+
+def _z16(x: str, y: str) -> str:
+    """SQL for the 16-bit interleave of two 8-bit ints (shared text —
+    valid in both Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZX = "(o_custkey % 256)"
+_ZY = "(CAST(day(o_orderdate) AS BIGINT) % 256)"
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+    SELECT o_custkey, day(o_orderdate)::BIGINT AS d,
+           {_z16(_ZX, _ZY)} AS zval
+    FROM orders
+)
+SELECT (zval // 4096)::BIGINT AS z_bucket,
+       count(*) AS n,
+       (max(o_custkey % 256) - min(o_custkey % 256))::BIGINT AS cust_span,
+       (max(d % 256) - min(d % 256))::BIGINT AS day_span
+FROM z GROUP BY z_bucket
+"""
+
+
+@register("zorder_cluster_stats", oracle=_ZORDER_ORACLE)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_zorder_v"
+    )
+    return spark.sql(
+        f"""
+        WITH z AS (
+            SELECT o_custkey,
+                   CAST(day(o_orderdate) AS BIGINT) AS d,
+                   {_z16(_ZX, _ZY)} AS zval
+            FROM orders_zorder_v
+        )
+        SELECT CAST(zval DIV 4096 AS BIGINT) AS z_bucket,
+               count(*) AS n,
+               CAST(max(o_custkey % 256) - min(o_custkey % 256) AS BIGINT)
+                   AS cust_span,
+               CAST(max(d % 256) - min(d % 256) AS BIGINT) AS day_span
+        FROM z GROUP BY z_bucket
+        """
+    )
