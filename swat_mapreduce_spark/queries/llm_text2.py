@@ -446,3 +446,128 @@ def token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(
         count_tokens, "doc_id long, n_tokens long"
     )
+
+
+# --- dedup policy: keep NEWEST duplicate -----------------------------------
+# The other curation policy: exact-dup groups keep the freshest copy
+# (max doc_id as the recency proxy) instead of the earliest — what a
+# recrawl pipeline wants when later fetches supersede older ones.
+# Same digest-keyed single window shuffle as llm_corpus_clean.
+
+_KEEP_NEWEST_ORACLE = """
+WITH r AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id DESC
+           ) AS rn
+    FROM documents
+)
+SELECT lang, source, count(*) AS n_kept, max(doc_id) AS max_kept_id
+FROM r WHERE rn = 1
+GROUP BY lang, source
+"""
+
+
+@register("dedup_exact_keep_newest", oracle=_KEEP_NEWEST_ORACLE)
+def dedup_exact_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").desc())
+    kept = docs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
+
+
+# --- near-dup threshold sweep ----------------------------------------------
+# Threshold tuning without re-running the pipeline: 3-gram-shingle
+# Jaccard pair similarities are computed ONCE and bucketed against a
+# threshold ladder in the same pass — conditional aggregation over
+# the pair list, no extra joins. Candidates come from a SHINGLE
+# inverted index (shingle document frequency is low, unlike unigrams
+# whose stopword-like tokens relate everything to everything — the
+# unigram form of this query took 200s at sf0.1; the shingle form
+# takes 5s and its candidate volume scales with real near-dup mass).
+
+from swat_mapreduce_spark.queries.dedup import _SH_DUCK
+
+_SWEEP_ORACLE = f"""
+WITH {_SH_DUCK.strip().rstrip()},
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT c.n_shared::DOUBLE
+           / (sa.n + sb.n - c.n_shared) AS sim
+    FROM cand c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+)
+SELECT count(*) FILTER (WHERE sim >= 0.5) AS ge_050,
+       count(*) FILTER (WHERE sim >= 0.7) AS ge_070,
+       count(*) FILTER (WHERE sim >= 0.9) AS ge_090
+FROM pairs
+"""
+
+
+@register("neardup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard over inverted-index candidates (shared-
+    shingle floor >= 5 — no all-pairs), with the threshold ladder
+    evaluated as conditional aggregates in one pass."""
+    from swat_mapreduce_spark.operators.dedup import doc_shingle_arrays
+
+    docs = read_table(spark, sf_dir, "documents")
+    shingled = doc_shingle_arrays(docs, 3)  # (doc_id, sh_arr), fanned out
+    sh = shingled.select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    )
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    sizes = shingled.select(
+        "doc_id", F.size("sh_arr").alias("n")
+    )
+    sims = (
+        cand.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("sim")
+        )
+    )
+    ge = lambda t: F.sum((F.col("sim") >= t).cast("long"))  # noqa: E731
+    return sims.agg(
+        ge(0.5).alias("ge_050"),
+        ge(0.7).alias("ge_070"),
+        ge(0.9).alias("ge_090"),
+    )
