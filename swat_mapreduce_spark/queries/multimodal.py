@@ -6,6 +6,7 @@ values independently."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from swat_mapreduce_spark.operators import multimodal as M
 from swat_mapreduce_spark.queries import register
@@ -122,4 +123,71 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         R.r("rms", 4).alias("rms"),
         R.r("zero_crossing_rate", 4).alias("zero_crossing_rate"),
+    )
+
+
+# --- video scene-cut detection ---------------------------------------------
+# Temporal segmentation over the sampled frame stream: a cut is a
+# frame whose brightness jumps >= CUT_THRESH from the previous sampled
+# frame (per doc, frame order). One window shuffle keyed by doc_id on
+# top of the narrow frame-sampling stage; brightness is an exact
+# integer-sum / 64 double in both engines, so the threshold compare
+# never straddles an ulp.
+
+_CUT_THRESH = 4.0
+
+_SCENE_CUTS_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, len(text) // {M.FRAME_SIZE}, {M.FRAME_STRIDE}))
+               AS frame_idx
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, frame_idx,
+           (SELECT sum(unicode(c))
+            FROM unnest(string_split_regex(
+                substr(text, frame_idx * {M.FRAME_SIZE} + 1,
+                       {M.FRAME_SIZE}), '')) AS u(c)
+           ) / {M.FRAME_SIZE}.0 AS brightness
+    FROM f
+),
+d AS (
+    SELECT doc_id, frame_idx, brightness,
+           abs(brightness - lag(brightness) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+    FROM frames
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       count(*) FILTER (WHERE delta >= {_CUT_THRESH}) AS n_cuts,
+       round(coalesce(max(delta), 0.0), 4) AS max_delta
+FROM d GROUP BY doc_id
+"""
+
+
+@register("multimodal_scene_cuts", oracle=_SCENE_CUTS_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from swat_mapreduce_spark.functions import rounding as R
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = M.sample_frames(docs)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(
+        F.col("brightness") - F.lag("brightness").over(w)
+    )
+    with_delta = frames.withColumn("delta", delta)
+    return with_delta.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        # when/otherwise, not a bare cast: a single-frame doc has only
+        # a NULL delta, and sum over all-NULL yields NULL where the
+        # oracle's FILTER count yields 0
+        F.sum(
+            F.when(F.col("delta") >= _CUT_THRESH, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("n_cuts"),
+        R.r(F.coalesce(F.max("delta"), F.lit(0.0)), 4).alias("max_delta"),
     )
