@@ -191,3 +191,33 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_cuts"),
         R.r(F.coalesce(F.max("delta"), F.lit(0.0)), 4).alias("max_delta"),
     )
+
+
+# --- modality coverage audit -----------------------------------------------
+# The multimodal-curation bookkeeping query: which text documents have
+# a paired embedding row (vec_id == doc_id) and which are text-only,
+# per source — the "missing modality" audit run before training-mix
+# assembly. Left join on ids + conditional counts; the embedding side
+# projects only its key, so the join never moves vector payloads.
+
+_MODALITY_ORACLE = """
+SELECT d.source,
+       count(*) AS n_docs,
+       count(e.vec_id) AS n_with_embedding,
+       count(*) - count(e.vec_id) AS n_text_only
+FROM documents d
+LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.source
+"""
+
+
+@register("modality_coverage_join", oracle=_MODALITY_ORACLE)
+def modality_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id, "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("vec_id").alias("n_with_embedding"),
+        (F.count(F.lit(1)) - F.count("vec_id")).alias("n_text_only"),
+    )
