@@ -440,3 +440,95 @@ def ab_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_purch").cast("double") / F.sum("n_events"), 6
         ).alias("purchase_rate"),
     )
+
+
+# --- RFM customer segmentation ---------------------------------------------
+# Recency / frequency / monetary quartiles per customer from the order
+# fact — the classic segmentation. One per-customer aggregate, then
+# DISTRIBUTED ntile for each metric (operators/ranking.py: range-
+# bucketed rank + the exact ntile size formula — a bare global ntile
+# window would funnel every customer through one task). Deterministic
+# tie-breaks by customer key keep assignment identical across engines.
+
+_RFM_ORACLE = """
+WITH m AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(30,8))) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+t AS (
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+    FROM m
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers
+FROM t GROUP BY r_q, f_q, m_q
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.operators.ranking import distributed_ntile_desc
+
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("monetary"),
+    )
+    key = F.col("o_custkey")
+    # NTZ timestamps don't cast to double; epoch-seconds projection
+    # keeps the bucket binning monotone
+    last_num = F.col("last_order").cast("timestamp").cast("double")
+    t = distributed_ntile_desc(
+        m, F.col("last_order"), key, 4, out="r_q", num=last_num
+    )
+    t = distributed_ntile_desc(t, F.col("frequency"), key, 4, out="f_q")
+    t = distributed_ntile_desc(t, F.col("monetary"), key, 4, out="m_q")
+    return t.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --- day-of-week seasonality index -----------------------------------------
+# Per event type: each weekday's share of activity vs a uniform week —
+# the seasonality profile behind capacity planning and anomaly
+# baselines. Exact integer counts; the index is a ratio of counts
+# rounded with the shared formula. isodow keeps Mon=1..Sun=7 in both
+# engines.
+
+_SEASONAL_ORACLE = """
+WITH c AS (
+    SELECT event_type, isodow(ts) AS dow, count(*) AS n
+    FROM events GROUP BY event_type, dow
+),
+tot AS (
+    SELECT event_type, sum(n) AS total FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.dow::BIGINT AS dow, c.n AS n,
+       round(7.0 * c.n / t.total, 4) AS seasonality_index
+FROM c JOIN tot t ON c.event_type = t.event_type
+"""
+
+
+@register("seasonality_dow_index", oracle=_SEASONAL_ORACLE)
+def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # Spark dayofweek: Sun=1..Sat=7; convert to ISO Mon=1..Sun=7
+    isodow = ((F.dayofweek("ts") + 5) % 7) + 1
+    c = ev.groupBy(
+        "event_type", isodow.cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "dow",
+        "n",
+        R.r(7.0 * F.col("n") / F.sum("n").over(w), 4).alias(
+            "seasonality_index"
+        ),
+    )

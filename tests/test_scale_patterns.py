@@ -228,3 +228,38 @@ def test_fan_out_contract(spark, sf_dir):
     )
     again = fan_out(fanned)
     assert again is fanned  # no second Exchange stacked on top
+
+
+def test_distributed_ntile_matches_sql_sizing(spark):
+    """SQL ntile front-loads the remainder (n=10,k=4 -> 3,3,2,2). The
+    distributed formula must reproduce that exactly — the even-spread
+    floor((r-1)k/n) alternates bucket sizes and diverges whenever k
+    does not divide n (caught live at sf0.001: n=150 ranks 76 landed
+    in bucket 3 instead of 2)."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.operators.ranking import (
+        distributed_ntile_desc,
+    )
+
+    for n, k in [(10, 4), (150, 4), (7, 3), (12, 4), (5, 8)]:
+        df = spark.range(n).select(F.col("id").alias("v"))
+        out = distributed_ntile_desc(
+            df, F.col("v"), F.col("v"), k, parts=3, out="b"
+        )
+        got = sorted(
+            (r.v, r.b) for r in out.collect()
+        )
+        # reference: rank r of v DESC = n - v; SQL sizing front-loads
+        q, rem = divmod(n, k)
+        sizes = [q + 1] * rem + [q] * (k - rem) if q else [1] * n
+        expect = {}
+        r = 1
+        for b, s in enumerate(sizes, start=1):
+            for _ in range(s):
+                if r > n:
+                    break
+                expect[r] = b
+                r += 1
+        for v, b in got:
+            assert b == expect[n - v], (n, k, v, b, expect[n - v])
