@@ -532,3 +532,47 @@ def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     )
+
+
+# --- point-in-time (time-travel) read over SCD2 intervals ------------------
+# The read side of the SCD2 derivation above: reconstruct every user's
+# state AS OF a fixed instant by selecting the interval containing it
+# — the lakehouse "time travel by validity interval" query. Filter
+# pushes to both interval bounds; one window shuffle to build the
+# intervals, then a narrow filter (no join).
+
+_ASOF_STATE_TS = "2024-01-15 00:00:00"
+
+_ASOF_STATE_ORACLE = f"""
+WITH iv AS (
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+    FROM events
+)
+SELECT user_id, event_id, event_type, valid_from
+FROM iv
+WHERE valid_from <= TIMESTAMP '{_ASOF_STATE_TS}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_STATE_TS}')
+"""
+
+
+@register("scd2_asof_state", oracle=_ASOF_STATE_ORACLE)
+def scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    at = F.lit(_ASOF_STATE_TS).cast("timestamp")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return iv.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).select("user_id", "event_id", "event_type", "valid_from")
