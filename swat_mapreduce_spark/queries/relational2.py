@@ -283,3 +283,80 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         R.r(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --- month-over-month growth -----------------------------------------------
+# Growth metrics: monthly revenue per order priority with the previous
+# month's value and pct change — one aggregate then a lag window over
+# the (priority, month) rollup (group count bounded, so the window
+# partition is tiny). Decimal-exact sums; pct change rounded 4dp.
+
+_MOM_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+           round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+               AS revenue
+    FROM orders GROUP BY o_orderpriority, month
+)
+SELECT o_orderpriority, month, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       round((revenue - lag(revenue) OVER w)
+             / lag(revenue) OVER w, 4) AS mom_pct
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+
+@register("growth_mom_by_priority", oracle=_MOM_ORACLE)
+def growth_mom_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("timestamp").alias("month"),
+    ).agg(R.money_sum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        R.r((F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
+
+
+# --- robust statistics: median absolute deviation --------------------------
+# Outlier-resistant dispersion per event type: MAD = median of
+# |x - median(x)|. Two exact-percentile aggregations (each one
+# shuffle; Spark's percentile is a sort-free high-accuracy aggregate,
+# DuckDB's median interpolates identically on doubles).
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, median(value) AS m
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(any_value(med.m), 4) AS median_value,
+       round(median(abs(e.value - med.m)), 4) AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("robust_mad_stats", oracle=_MAD_ORACLE)
+def robust_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    joined = ev.join(F.broadcast(med), "event_type")
+    return joined.groupBy("event_type").agg(
+        R.r(F.first("m"), 4).alias("median_value"),
+        R.r(
+            F.expr("percentile(abs(value - m), 0.5)"), 4
+        ).alias("mad"),
+    )
