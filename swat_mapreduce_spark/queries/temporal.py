@@ -576,3 +576,48 @@ def scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= at)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
     ).select("user_id", "event_id", "event_type", "valid_from")
+
+
+# --- time-series anomaly flags (daily-count z-scores) ----------------------
+# Ops-monitoring staple: per event type, flag days whose event count
+# deviates > 2 sigma from that type's daily mean. Two tiny aggregates
+# (day-counts, then per-type moments over ~30 day rows) + a broadcast
+# join back — the fact table is read once. Counts are exact ints;
+# mean/std are computed from them identically in both engines.
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+           count(*) AS n
+    FROM events GROUP BY event_type, day
+),
+stats AS (
+    SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+    FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       round((d.n - s.mu) / s.sigma, 4) AS zscore,
+       (abs((d.n - s.mu) / s.sigma) > 2.0) AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+"""
+
+
+@register("anomaly_daily_zscore", oracle=_ANOMALY_ORACLE)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("timestamp").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return joined.select(
+        "event_type",
+        "day",
+        "n",
+        R.r(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
