@@ -360,3 +360,53 @@ def robust_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(value - m), 0.5)"), 4
         ).alias("mad"),
     )
+
+
+# --- SLA latency percentiles -----------------------------------------------
+# Ship-delay distribution per order priority: p50/p90/p99 of
+# (shipdate - orderdate) in days — the SLA-latency readout every ops
+# dashboard carries. One join shuffle + one aggregate; delays are
+# exact integer day counts so the exact-percentile interpolation is
+# identical in both engines.
+
+_SLA_ORACLE = """
+WITH d AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(quantile_cont(delay_days, 0.5), 4) AS p50,
+       round(quantile_cont(delay_days, 0.9), 4) AS p90,
+       round(quantile_cont(delay_days, 0.99), 4) AS p99,
+       max(delay_days)::BIGINT AS max_delay
+FROM d GROUP BY o_orderpriority
+"""
+
+
+@register("sla_ship_delay_percentiles", oracle=_SLA_ORACLE)
+def sla_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    d = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("delay_days"),
+    )
+    pct = lambda p: F.expr(f"percentile(delay_days, {p})")  # noqa: E731
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        R.r(pct(0.5), 4).alias("p50"),
+        R.r(pct(0.9), 4).alias("p90"),
+        R.r(pct(0.99), 4).alias("p99"),
+        F.max("delay_days").alias("max_delay"),
+    )
