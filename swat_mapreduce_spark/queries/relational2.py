@@ -410,3 +410,49 @@ def sla_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(pct(0.99), 4).alias("p99"),
         F.max("delay_days").alias("max_delay"),
     )
+
+
+# --- market-basket co-purchase pairs ---------------------------------------
+# Association mining's first step: part pairs co-occurring in the same
+# order, kept above a minimum support. The pair join is keyed by
+# orderkey, so candidate volume is sum(basket_size^2) — bounded by the
+# biggest basket (~7 lines in TPC-H shapes), never corpus-quadratic.
+# One join shuffle + one pair aggregate.
+
+_BASKET_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS support
+FROM pairs
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+"""
+
+
+@register("market_basket_pairs", oracle=_BASKET_ORACLE)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(
+        b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
