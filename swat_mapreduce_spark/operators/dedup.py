@@ -13,8 +13,9 @@ Everything is deterministic (md5-based, no RNG) so the DuckDB oracles
 in queries/dedup.py reproduce results bit-for-bit. At 100 TB the same
 plans hold: candidate generation is an equi-join on (band, bucket) or
 (shingle), which Spark shuffles by key — no quadratic stage anywhere;
-skewed shingles (very common n-grams) can be dropped by a document-
-frequency cap before the join.
+skewed shingles (very common n-grams) ARE dropped by the MAX_DF
+document-frequency cap before the exact-Jaccard self-join, and LSH
+mega-buckets by candidate_pairs' max_bucket.
 """
 
 from __future__ import annotations
@@ -29,6 +30,17 @@ from swat_mapreduce_spark.functions.text import shingles_from_tokens, ws_tokens
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# Hot-shingle document-frequency cap for the exact-Jaccard inverted
+# index (mirrors candidate_pairs' max_bucket): a shingle present in
+# d documents contributes d*(d-1)/2 candidate pairs, so one stop-
+# shingle in 1e5 docs would emit ~5e9 pairs from a single join key at
+# 100 TB. Shingles with df > MAX_DF are non-discriminative by
+# definition and are dropped from the shingle SETS themselves (sizes
+# AND intersections), so the emitted value is the exact Jaccard over
+# discriminative shingles — a well-defined measure both engines apply
+# identically.
+MAX_DF = 1000
 
 # MinHash family: ONE md5 per shingle → 32-bit uint h, then
 # sig_k = min((A[k]*h + B[k]) mod MERSENNE61). 16 cheap integer
@@ -274,13 +286,30 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.3, n: int = 3
+    docs: DataFrame, threshold: float = 0.3, n: int = 3,
+    max_df: int = MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within the same language partition —
     candidates come from the shingle inverted index (equi-join on
-    (lang, shingle)), so work scales with shared-shingle pairs only."""
+    (lang, shingle)), so work scales with shared-shingle pairs only.
+
+    Shingles whose document frequency exceeds ``max_df`` are dropped
+    BEFORE the self-join (see MAX_DF): the per-key pair blowup is
+    quadratic in df, and a stop-shingle would otherwise dominate the
+    stage at scale. The df filter is a window over (lang, shingle) —
+    the exact partitioning the self-join shuffles on — so the cap
+    costs no extra read of the shingle table and its exchange is
+    reusable by the join."""
+    from pyspark.sql import Window
+
     sh = doc_shingle_arrays(docs, n, extra_cols=("lang",)).select(
         "doc_id", "lang", F.explode("sh_arr").alias("shingle")
+    )
+    w = Window.partitionBy("lang", "shingle")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

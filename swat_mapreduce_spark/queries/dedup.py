@@ -129,12 +129,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact n-gram Jaccard within language ----------------------------------
+# Mirrors operators/dedup.ngram_jaccard_pairs' MAX_DF hot-shingle cap:
+# shingles in more than MAX_DF docs are dropped from the shingle sets
+# (sizes AND intersections) before the self-join on both engines.
 _NGRAM_ORACLE = f"""
 WITH {_SH_DUCK},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+capped AS (
+    SELECT doc_id, lang, shingle FROM (
+        SELECT s.*, count(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM sh s
+    ) WHERE df <= {D.MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-    FROM sh a JOIN sh b
+    FROM capped a JOIN capped b
       ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )

@@ -230,6 +230,63 @@ def test_fan_out_contract(spark, sf_dir):
     assert again is fanned  # no second Exchange stacked on top
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Plant a stop-shingle shared by all 30 docs: without the MAX_DF
+    cap the inverted-index self-join emits all C(30,2)=435 candidate
+    pairs from that one key; with the cap the stop-shingle is dropped
+    from the shingle SETS, so only the genuinely-overlapping pair
+    survives and its Jaccard is computed over the capped sets."""
+    from swat_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(30):
+        if i < 2:
+            text = f"common common common a{i} b{i} dup1 dup2 dup3 dup4"
+        else:
+            text = f"common common common a{i} b{i} c{i} d{i} e{i} f{i}"
+        rows.append((i, text, "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+    # cap disabled: every pair shares the stop-shingle -> full blowup
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.01, max_df=10**9
+    ).collect()
+    assert len(uncapped) == 30 * 29 // 2
+
+    # cap active (stop-shingle df=30 > 10): only docs 0/1 still share
+    # shingles ("dup1 dup2 dup3", "dup2 dup3 dup4"); capped sets have
+    # 6 shingles each -> jaccard = 2 / (6 + 6 - 2) = 0.2 exactly
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=10).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in capped] == [(0, 1, 0.2)]
+
+
+def test_paragraph_dedup_hot_key_bounded(spark):
+    """Skew-resilience pin for digest-keyed dedup shuffles: plant a hot
+    key (25% of docs byte-identical) and assert the exact-dedup
+    aggregation still produces one keeper row for the hot text with the
+    full copy count — the map-side partial aggregation means the hot
+    key ships one combined row per input partition, never n_copies
+    rows, so a 100 TB hot key is bounded by #partitions."""
+    n, hot = 400, 100
+    rows = [
+        (i, "hot hot hot identical text" if i < hot else f"unique text {i}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    agg = (
+        docs.groupBy(F.md5("text").alias("k"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.keeper: r.n for r in agg.collect()}
+    assert got[0] == hot
+    assert sum(got.values()) == n
+    # partial aggregation is actually in the plan (the skew bound)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
 def test_distributed_ntile_matches_sql_sizing(spark):
     """SQL ntile front-loads the remainder (n=10,k=4 -> 3,3,2,2). The
     distributed formula must reproduce that exactly — the even-spread
