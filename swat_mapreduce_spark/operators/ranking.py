@@ -36,12 +36,28 @@ def distributed_global_rank(
     correctness, only balance; skewed keys call for CDF-derived
     boundaries instead). ``num`` overrides the default double cast for
     types that don't cast numerically (timestamps: pass epoch
-    seconds)."""
+    seconds).
+
+    PRECONDITION: ``num`` must be non-null on every row (SQL rank has
+    a defined NULL order; this helper does not). A NULL projection
+    would land in a bucket absent from the offset map and silently
+    rank NULL — checked loudly below, piggybacked on the min/max job.
+    """
     num = value.cast("double") if num is None else num
     tagged = df.withColumn("_v", value).withColumn("_vn", num).withColumn(
         "_tb", tiebreak
     )
-    mn, mx = tagged.agg(F.min("_vn"), F.max("_vn")).first()
+    mn, mx, n_null = tagged.agg(
+        F.min("_vn"),
+        F.max("_vn"),
+        F.count(F.when(F.col("_vn").isNull(), F.lit(1))),
+    ).first()
+    if n_null:
+        raise ValueError(
+            f"distributed_global_rank: {n_null} rows have a NULL sort "
+            "projection — rank over non-null values only (filter or "
+            "coalesce first)"
+        )
     if mn is None or mx == mn:
         bucket = F.lit(0)
     else:

@@ -236,7 +236,7 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .trigger(processingTime="0 seconds")
+        .trigger(processingTime="1 seconds")
         .start()
     )
     try:
@@ -245,6 +245,14 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if spark.table(qname).count() >= _PYSTREAM_ROWS:
                 break
             time.sleep(0.2)
+        else:
+            # fail loudly: a partial drain would otherwise surface as an
+            # opaque value-hash mismatch at the driver
+            got = spark.table(qname).count()
+            raise TimeoutError(
+                f"python_datasource_stream drained {got}/{_PYSTREAM_ROWS} "
+                "rows before the 120 s deadline"
+            )
     finally:
         q.stop()
     src = F.regexp_extract("image_path", r"/img/(src\d+)/", 1)

@@ -28,10 +28,14 @@ from swat_mapreduce_spark.sources.readers import read_table
 
 _CHUNK, _STRIDE = 64, 48
 
+# Zero-token docs are filtered identically on both engines (Spark's
+# ws_tokens('') is [] so sequence(1,0,..) would throw; DuckDB's
+# string_split_regex('') is [''] and would emit a phantom chunk —
+# length(trim(text)) > 0 is exactly "has at least one token" on both).
 _CHUNK_ORACLE = rf"""
 WITH t AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-    FROM documents
+    FROM documents WHERE length(trim(text)) > 0
 ),
 starts AS (
     SELECT doc_id, toks, unnest(generate_series(1, len(toks), {_STRIDE})) AS s
@@ -47,7 +51,9 @@ FROM starts
 
 @register("chunk_documents_sliding", oracle=_CHUNK_ORACLE)
 def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
     toks = ws_tokens(F.col("text"))
     with_toks = docs.select("doc_id", toks.alias("toks"))
     starts = with_toks.select(
@@ -81,11 +87,13 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEQ = 256
 
+# Same zero-token filter as chunking: DuckDB would count an empty doc
+# as 1 token (split('') = ['']), Spark as 0 — excluded on both sides.
 _PACK_ORACLE = rf"""
 WITH t AS (
     SELECT doc_id,
            len(string_split_regex(trim(text), '\s+')) AS n_tokens
-    FROM documents
+    FROM documents WHERE length(trim(text)) > 0
 ),
 c AS (
     SELECT doc_id, n_tokens,
@@ -105,7 +113,9 @@ FROM c
 
 @register("pack_sequences_fixed", oracle=_PACK_ORACLE)
 def pack_sequences_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
     parts = 8
     with_n = docs.select(
         "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
@@ -300,7 +310,9 @@ def oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rate proportional to count(s)^(alpha-1) (alpha<1 flattens the mix
 # toward uniform — the multilingual-sampling trick). Rates are
 # derived FROM the data in a tiny per-source aggregate, normalized so
-# the largest source's rate is 1.0, then applied as a broadcast-
+# the smallest source's rate is 1.0 (pow(n, alpha-1) with alpha<1 is
+# decreasing in n, so small sources keep everything), applied as a
+# broadcast-
 # joined deterministic hash gate — two scans + one broadcast, no
 # shuffle of the corpus itself, fully reproducible (no RNG).
 

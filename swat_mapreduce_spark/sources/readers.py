@@ -77,6 +77,13 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     this helper disappears from the plan rather than injecting a
     pointless extra shuffle.
     """
+    # Batch-only: df.rdd on a streaming DataFrame raises
+    # AnalysisException (and re-plans the query on every call even on
+    # batch — acceptable for the small single-split scans this guards).
+    # Streaming sources size their partitions at the source; return
+    # unchanged rather than blow up a future streaming caller.
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
