@@ -105,10 +105,11 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transformWithStateInPandas (Spark 4's typed-state successor to
 # applyInPandasWithState): same single-batch-equals-batch-aggregate
 # argument as stream_stateful_user_stats. The TWS Python runner talks
-# to the JVM state server over protobuf, which this container lacks
-# (`google.protobuf` absent) — so the query registers ONLY when the
-# runtime dependency is importable; the processor's accumulate/emit
-# logic is pinned dependency-free by tests/test_temporal_streaming.py.
+# to the JVM state server over protobuf; compat.ensure_protobuf makes
+# the container's vendored cloud-sdk protobuf runtime importable as
+# google.protobuf, so the query registers unconditionally wherever
+# ANY protobuf runtime is reachable (the registration gate survives
+# only for a container with none at all — documented in COVERAGE.md).
 _TWS_ORACLE = """
 SELECT user_id, count(*) AS n_events,
        round(max(value), 4) AS max_value,
@@ -119,8 +120,14 @@ GROUP BY user_id
 
 
 def _tws_runtime_available() -> bool:
+    from swat_mapreduce_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        # the real gate: pyspark's generated protocol module must load
+        # against whatever runtime ensure_protobuf provided
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
     except ImportError:

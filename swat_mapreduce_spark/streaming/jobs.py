@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor
 
+from swat_mapreduce_spark.compat import ensure_protobuf
 from swat_mapreduce_spark.functions import rounding as R
+
+# transformWithStateInPandas needs google.protobuf on BOTH sides of the
+# Arrow socket; module scope runs on the worker too (this module is
+# imported there when the pickled StatefulProcessor is resolved),
+# before the worker's first lazy StateMessage_pb2 import.
+ensure_protobuf()
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
