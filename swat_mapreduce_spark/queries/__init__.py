@@ -44,6 +44,7 @@ def load_all() -> dict[str, QueryEntry]:
         lakehouse,
         llm_text,
         llm_text2,
+        llm_text3,
         multimodal,
         python_udf_surfaces,
         reference_pipeline,
