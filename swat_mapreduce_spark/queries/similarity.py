@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from swat_mapreduce_spark.functions import arrays as A
+from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.operators import similarity as S
 from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.sources.readers import read_table
@@ -304,4 +306,194 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("q_self_dot"),
+    )
+
+
+# --- SemDeDup-style semantic dedup ----------------------------------------
+# Abbas et al. "SemDeDup": cluster embeddings, keep one exemplar per
+# cluster, drop members semantically too close to it. Cells are the
+# deterministic label clusters (same stand-in as ivf_centroids — a
+# trained k-means would be seed-dependent and un-oracle-able); the
+# exemplar is the member closest to the cell centroid (rounded-4dp
+# cosine, vec_id tiebreak — the same rank-on-rounded pattern as
+# ann_topk_bruteforce).
+# Plan shape: one centroid shuffle (element-wise aggregate, |cells|
+# rows → broadcast), one per-cell window (cells bound the partition),
+# one broadcast join of the |cells|-row exemplar table. No pairwise
+# math: each member is compared to its exemplar only — O(n), not
+# O(n²/cells).
+SEMDEDUP_THRESHOLD = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_DIMS_DUCK},
+cent AS (
+    SELECT e.label, d.i, avg(d.x) AS c
+    FROM dims d JOIN embeddings e USING (vec_id)
+    GROUP BY e.label, d.i
+),
+cos_c AS (
+    SELECT e.vec_id, e.label,
+           round(sum(d.x * c.c) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(c.c * c.c))) * 10000) / 10000 + 0.0 AS cc
+    FROM embeddings e
+    JOIN dims d USING (vec_id)
+    JOIN cent c ON c.label = e.label AND c.i = d.i
+    GROUP BY e.vec_id, e.label
+),
+ranked AS (
+    SELECT vec_id, label, cc,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY cc DESC, vec_id) AS rn
+    FROM cos_c
+),
+reps AS (SELECT label, vec_id AS rep_id FROM ranked WHERE rn = 1),
+pair AS (
+    SELECT m.vec_id, m.label, r.rep_id,
+           sum(dm.x * dr.x) / (sqrt(sum(dm.x * dm.x))
+               * sqrt(sum(dr.x * dr.x))) AS cr
+    FROM ranked m
+    JOIN reps r ON r.label = m.label
+    JOIN dims dm ON dm.vec_id = m.vec_id
+    JOIN dims dr ON dr.vec_id = r.rep_id AND dr.i = dm.i
+    WHERE m.rn > 1
+    GROUP BY m.vec_id, m.label, r.rep_id
+)
+SELECT vec_id, label, rep_id,
+       round(cr * 10000) / 10000 + 0.0 AS cos_to_rep,
+       (round(cr * 10000) / 10000 + 0.0 >= {SEMDEDUP_THRESHOLD})
+           AS is_semdup
+FROM pair
+"""
+
+
+@register("semdedup_embeddings", oracle=_SEMDEDUP_ORACLE)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb)
+    vec = A.as_double_array(F.col("embedding"))
+    scored = emb.join(
+        F.broadcast(cents), emb["label"] == cents["cell"]
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        R.r(A.cosine(vec, F.col("centroid")), 4).alias("cc"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cc"), F.asc("vec_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    reps = ranked.filter(F.col("rn") == 1).select(
+        F.col("label").alias("r_label"),
+        F.col("vec_id").alias("rep_id"),
+        F.col("embedding").alias("rep_emb"),
+    )
+    members = ranked.filter(F.col("rn") > 1)
+    cr = A.cosine(
+        A.as_double_array(F.col("embedding")),
+        A.as_double_array(F.col("rep_emb")),
+    )
+    out = members.join(
+        F.broadcast(reps), members["label"] == reps["r_label"]
+    )
+    rounded = R.r(cr, 4)
+    return out.select(
+        "vec_id",
+        "label",
+        "rep_id",
+        rounded.alias("cos_to_rep"),
+        (rounded >= SEMDEDUP_THRESHOLD).alias("is_semdup"),
+    )
+
+
+# --- corpus-calibrated uniform quantization audit -------------------------
+# The PQ-pipeline building block that IS oracle-able without a trained
+# codebook: per-dimension uniform quantizer calibrated on corpus
+# min/max (16 levels = 4 bits/dim), reconstruction-error audit per
+# label. Complements embedding_quantize_int8 (per-VECTOR max-abs
+# scaling) with the per-DIMENSION corpus-calibrated scheme.
+# Plan shape: one global min/max aggregate (1 row, broadcast), narrow
+# quantize + error map, one per-label regroup. Error terms go through
+# DECIMAL(30,8) (pagerank's exactness trick) so Spark's index-order
+# fold and DuckDB's row-order sum cannot diverge at the rounding.
+_PQ_LEVELS = 15  # max level index (16 levels)
+
+_PQ_ORACLE = f"""
+WITH {_DIMS_DUCK},
+rng AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i),
+q AS (
+    SELECT d.vec_id, d.x,
+           r.mn + floor((d.x - r.mn) / (r.mx - r.mn) * {_PQ_LEVELS} + 0.5)
+               * (r.mx - r.mn) / {_PQ_LEVELS} AS xq
+    FROM dims d JOIN rng r USING (i)
+),
+e AS (
+    SELECT emb.label, q.vec_id,
+           CAST((q.x - q.xq) * (q.x - q.xq) AS DECIMAL(30,8)) AS t,
+           abs(q.x - q.xq) AS a
+    FROM q JOIN embeddings emb USING (vec_id)
+)
+SELECT label,
+       count(DISTINCT vec_id)::BIGINT AS n_vecs,
+       round(sum(t)::DOUBLE / count(*) * 1000000) / 1000000 + 0.0 AS mse,
+       round(max(a) * 1000000) / 1000000 + 0.0 AS max_abs_err
+FROM e
+GROUP BY label
+"""
+
+
+@register("embedding_pq_audit", oracle=_PQ_ORACLE)
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = A.as_double_array(F.col("embedding"))
+    rng = emb.agg(
+        F.array(
+            *[F.min(F.element_at(vec, i + 1)) for i in range(DIM)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at(vec, i + 1)) for i in range(DIM)]
+        ).alias("mx"),
+    )
+    with_rng = emb.select("vec_id", "label", vec.alias("v")).crossJoin(
+        F.broadcast(rng)
+    )
+
+    def _xq(i):
+        x = F.element_at(F.col("v"), i)
+        mn = F.element_at(F.col("mn"), i)
+        mx = F.element_at(F.col("mx"), i)
+        return mn + F.floor(
+            (x - mn) / (mx - mn) * _PQ_LEVELS + 0.5
+        ) * (mx - mn) / _PQ_LEVELS
+
+    idx = F.sequence(F.lit(1), F.lit(DIM))
+    diffs = F.transform(
+        idx, lambda i: F.element_at(F.col("v"), i) - _xq(i)
+    )
+    # re-cast inside the merge: Spark's decimal-addition typing widens
+    # (38,8)+(30,8) to (38,7), which then fails the accumulator check
+    dec_sum = F.aggregate(
+        F.transform(diffs, lambda d: (d * d).cast("decimal(30,8)")),
+        F.lit(0).cast("decimal(38,8)"),
+        lambda acc, v: (acc + v).cast("decimal(38,8)"),
+    )
+    max_abs = F.array_max(F.transform(diffs, lambda d: F.abs(d)))
+    per_vec = with_rng.select(
+        "vec_id", "label", dec_sum.alias("ds"), max_abs.alias("ma")
+    )
+    n_elems = F.count(F.lit(1)) * DIM
+    return per_vec.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vecs"),
+        (
+            F.round(
+                F.sum("ds").cast("double") / n_elems * 1000000.0
+            )
+            / 1000000.0
+            + 0.0
+        ).alias("mse"),
+        (F.round(F.max("ma") * 1000000.0) / 1000000.0 + 0.0).alias(
+            "max_abs_err"
+        ),
     )
