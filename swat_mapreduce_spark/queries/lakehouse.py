@@ -324,3 +324,113 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM z GROUP BY z_bucket
         """
     )
+
+
+# --- data-quality expectations report --------------------------------------
+# Great-Expectations-style suite run as ONE query: each expectation is
+# an independent aggregate (or anti-join for referential checks), all
+# unioned into a (check, total_rows, violations, pass) report. At
+# 100 TB every check is a single scan with map-side partial
+# aggregation; the FK checks shuffle on the key like any join — there
+# is no driver-side loop over checks (the union is one Spark plan, so
+# scans shared by checks on the same table are subject to Catalyst's
+# common-scan reuse).
+_DQ_ORACLE = """
+SELECT 'lineitem_qty_range' AS check_name,
+       count(*)::BIGINT AS total_rows,
+       count(*) FILTER (l_quantity < 1 OR l_quantity > 50)::BIGINT
+           AS violations,
+       count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0 AS pass
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_price_positive', count(*)::BIGINT,
+       count(*) FILTER (l_extendedprice <= 0)::BIGINT,
+       count(*) FILTER (l_extendedprice <= 0) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_fk_order', count(*)::BIGINT,
+       count(*) FILTER (o.o_orderkey IS NULL)::BIGINT,
+       count(*) FILTER (o.o_orderkey IS NULL) = 0
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_fk_customer', count(*)::BIGINT,
+       count(*) FILTER (c.c_custkey IS NULL)::BIGINT,
+       count(*) FILTER (c.c_custkey IS NULL) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer_key_unique', count(*)::BIGINT,
+       (count(*) - count(DISTINCT c_custkey))::BIGINT,
+       count(*) = count(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'events_value_non_negative', count(*)::BIGINT,
+       count(*) FILTER (value < 0)::BIGINT,
+       count(*) FILTER (value < 0) = 0
+FROM events
+UNION ALL
+SELECT 'documents_nonempty_text', count(*)::BIGINT,
+       count(*) FILTER (length(trim(text)) = 0)::BIGINT,
+       count(*) FILTER (length(trim(text)) = 0) = 0
+FROM documents
+"""
+
+
+@register("dq_expectations_report", oracle=_DQ_ORACLE)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(name, df, viol_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.when(viol_col, 1).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+            (F.sum(F.when(viol_col, 1).otherwise(0)) == 0).alias("pass"),
+        )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events")
+    docs = read_table(spark, sf_dir, "documents")
+
+    li_fk = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+        "left",
+    )
+    ord_fk = orders.select("o_custkey").join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == cust["c_custkey"],
+        "left",
+    )
+    uniq = cust.agg(
+        F.lit("customer_key_unique").alias("check_name"),
+        F.count(F.lit(1)).alias("total_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("long")
+        .alias("violations"),
+        (F.count(F.lit(1)) == F.countDistinct("c_custkey")).alias("pass"),
+    )
+    parts = [
+        check(
+            "lineitem_qty_range",
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        check(
+            "lineitem_price_positive", li, F.col("l_extendedprice") <= 0
+        ),
+        check("lineitem_fk_order", li_fk, F.col("o_orderkey").isNull()),
+        check("orders_fk_customer", ord_fk, F.col("c_custkey").isNull()),
+        uniq,
+        check("events_value_non_negative", ev, F.col("value") < 0),
+        check(
+            "documents_nonempty_text",
+            docs,
+            F.length(F.trim("text")) == 0,
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

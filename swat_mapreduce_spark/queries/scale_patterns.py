@@ -511,3 +511,76 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_suppliers")
     )
+
+
+# --- triangle counting -----------------------------------------------------
+# Classic distributed triangle count over the PROMO co-purchase graph
+# (parts co-occurring in an order). The `pa < pb` orientation is the
+# standard degree-style dedup: every triangle is enumerated exactly
+# once as (a<b<c), so the wedge join never re-counts permutations.
+# Plan shape: one distinct on (order, part) after a broadcast semi-join
+# against the PROMO dim slice, one per-order self-join (bounded by
+# items-per-order, ~7 → ≤21 pairs per order), one distinct edge
+# shuffle, then edges⋈edges⋈edges — the wedge volume is Σ_v d(v)²
+# over ORIENTED degrees, which the a<b orientation keeps near-minimal
+# (the same reason Google's MR triangle algorithms orient by degree).
+_TRIANGLE_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+)
+SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       count(*)::BIGINT AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.pa = e1.pb
+JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo), li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri).select("n_edges", "n_triangles")

@@ -621,3 +621,77 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(z, 4).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+# --- last-touch attribution ------------------------------------------------
+# Marketing-attribution shape: each purchase is credited to the user's
+# most recent preceding click (carry-forward via last_value IGNORE
+# NULLS over the per-user event stream), the click's props.k hashes to
+# a channel, and purchase value rolls up per channel. Purchases with
+# no prior click land in 'organic'.
+# Plan shape: ONE shuffle on user_id for the window (per-user
+# partitions are bounded by a user's event history), then a tiny
+# per-channel regroup. The same carry-forward works under streaming
+# watermarks; this is the batch twin.
+_ATTRIB_ORACLE = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+),
+flow AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(CASE WHEN event_type = 'click' THEN k END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_k
+    FROM ev
+)
+SELECT coalesce('ch_' || (last_click_k % 4), 'organic') AS channel,
+       count(*)::BIGINT AS n_purchases,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE
+           AS attributed_value
+FROM flow
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("attribution_last_touch", oracle=_ATTRIB_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flow = ev.withColumn(
+        "last_click_k",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("k")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        flow.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(
+                F.concat(F.lit("ch_"), F.col("last_click_k") % 4),
+                F.lit("organic"),
+            ).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            R.money_sum(F.col("value")).alias("attributed_value"),
+        )
+    )
