@@ -78,6 +78,15 @@ HEADLINE = [
     # newly executable / newly capped (r3)
     "stream_tws_user_stats",
     "dedup_ngram_jaccard",
+    # round-3 curation / graph / governance additions
+    "dedup_substring_spans",
+    "charlm_perplexity_proxy",
+    "quality_linear_classifier",
+    "semdedup_embeddings",
+    "embedding_pq_audit",
+    "graph_triangle_count",
+    "attribution_last_touch",
+    "dq_expectations_report",
 ]
 
 REPEATS = 2

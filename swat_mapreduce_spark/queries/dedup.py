@@ -290,3 +290,120 @@ def corpus_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs_kept")
     )
+
+
+# --- MinHash estimator accuracy audit --------------------------------------
+# ML-infra hygiene op: for every LSH candidate pair, compare the
+# MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+# components — multiples of 1/16, exact doubles, no rounding hazard)
+# against the EXACT shingle Jaccard, reporting the absolute error.
+# This is how a production dedup pipeline validates its band/row
+# parameters before trusting the estimator at 100 TB, where exact
+# verification of every candidate is the expensive step being traded
+# away. Plan shape: the same bucketed candidate generation as
+# dedup_minhash_lsh, plus two broadcast-joinable signature lookups
+# (one row per doc) and the pair-array exact verify.
+def _mh_audit_oracle() -> str:
+    h = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    sig_cols = ",\n           ".join(
+        f"min(({D.MH_A[k]} * {h} + {D.MH_B[k]}) % {D.MERSENNE61}) AS h{k}"
+        for k in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.BANDS):
+        cols = ", ".join(
+            f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS bucket"
+            " FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    est_terms = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(D.NUM_HASHES)
+    )
+    return f"""
+WITH {_SH_DUCK},
+sigs AS (
+    SELECT doc_id, {sig_cols}
+    FROM sh GROUP BY doc_id
+),
+bands AS ({bands_sql}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS c
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           ({est_terms}) / {float(D.NUM_HASHES)} AS est_j
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       e.est_j AS est_jaccard,
+       round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) AS exact_jaccard,
+       round(abs(e.est_j - round(i.c::DOUBLE / (na.n + nb.n - i.c), 4))
+             * 10000) / 10000 + 0.0 AS abs_err
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+"""
+
+
+@register("minhash_estimate_accuracy", oracle=_mh_audit_oracle())
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    docsh = D.doc_shingle_arrays(docs, 3)
+    sigs = D.minhash_signatures_from_arrays(docsh)
+    pairs = D.candidate_pairs(D.lsh_bands(sigs))
+    est_sum = sum(
+        F.when(F.col(f"a_h{k}") == F.col(f"b_h{k}"), 1).otherwise(0)
+        for k in range(D.NUM_HASHES)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a_h{k}") for k in range(D.NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b_h{k}") for k in range(D.NUM_HASHES)],
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (est_sum / float(D.NUM_HASHES)).alias("est_jaccard"),
+        )
+    )
+    exact = D.jaccard_verify_arrays(pairs, docsh, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    joined = est.join(exact, ["doc_a", "doc_b"])
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        (
+            F.round(
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+                * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("abs_err"),
+    )

@@ -434,3 +434,63 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --- snapshot diff / change-data-feed --------------------------------------
+# Delta/Iceberg "table_changes between two versions" semantics without
+# a table format: two deterministic snapshots are derived from events
+# (v1 = event_id % 7 != 0, v2 = event_id % 5 != 0, with values
+# restated for event_id % 11 == 0), then ONE full-outer join on the
+# key classifies every row as insert / delete / update_post / nochange
+# — exactly the CDF a downstream incremental consumer reads. At
+# 100 TB the join shuffles both snapshots on the key once; the
+# classification itself is narrow.
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+    SELECT event_id, value FROM events WHERE event_id % 7 != 0
+),
+v2 AS (
+    SELECT event_id,
+           CASE WHEN event_id % 11 = 0
+                THEN round(value * 1.1 * 10000) / 10000 + 0.0
+                ELSE value END AS value
+    FROM events WHERE event_id % 5 != 0
+),
+diff AS (
+    SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+           CASE WHEN v1.event_id IS NULL THEN 'insert'
+                WHEN v2.event_id IS NULL THEN 'delete'
+                WHEN v1.value != v2.value THEN 'update_post'
+                ELSE 'nochange' END AS change_type
+    FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+)
+SELECT change_type, count(*)::BIGINT AS n_rows
+FROM diff GROUP BY change_type
+"""
+
+
+@register("snapshot_diff_cdf", oracle=_SNAPDIFF_ORACLE)
+def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    v1 = ev.filter(F.col("event_id") % 7 != 0)
+    v2 = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 11 == 0,
+            R.r(F.col("value") * 1.1, 4),
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    diff = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
+    change = (
+        F.when(F.col("a.event_id").isNull(), "insert")
+        .when(F.col("b.event_id").isNull(), "delete")
+        .when(F.col("a.value") != F.col("b.value"), "update_post")
+        .otherwise("nochange")
+    )
+    return diff.select(change.alias("change_type")).groupBy(
+        "change_type"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))

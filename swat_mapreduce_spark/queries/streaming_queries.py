@@ -325,3 +325,53 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return jobs.run_available_now(agg, "static_enrich")
+
+
+# --- incremental top-k materialization via foreachBatch --------------------
+# The monoid-merge pattern applied to a stream: each micro-batch
+# contributes its LOCAL top-k (TakeOrderedAndProject inside the
+# batch — no global sort, no unbounded state store), and foreachBatch
+# folds it into a driver-held k-row materialization (top-k is a
+# mergeable monoid: merge(topk(A), topk(B)) == topk(A ∪ B)). State is
+# k rows regardless of stream length — the streaming twin of
+# incremental_topk_merge. The oracle is the batch top-k over the whole
+# table, which the fold provably equals.
+_STREAM_TOPK_K = 20
+
+_STREAM_TOPK_ORACLE = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT {_STREAM_TOPK_K}
+"""
+
+
+@register("stream_topk_foreachbatch", oracle=_STREAM_TOPK_ORACLE)
+def stream_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    state: dict[str, list] = {"rows": []}
+
+    def fold_topk(batch_df, _batch_id):
+        batch_top = (
+            batch_df.orderBy(F.desc("value"), F.asc("event_id"))
+            .limit(_STREAM_TOPK_K)
+            .collect()
+        )
+        merged = state["rows"] + batch_top
+        merged.sort(key=lambda r: (-r["value"], r["event_id"]))
+        state["rows"] = merged[:_STREAM_TOPK_K]
+
+    q = (
+        stream.writeStream.foreachBatch(fold_topk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        state["rows"],
+        "event_id long, user_id long, event_type string, value double",
+    )
