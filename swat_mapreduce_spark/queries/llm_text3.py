@@ -260,3 +260,288 @@ def charlm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("lp").cast("double")) / F.count(F.lit(1)), 4
         ).alias("avg_nll"),
     )
+
+
+# --- corpus filter attrition funnel ----------------------------------------
+# The "data funnel" report every corpus pipeline publishes (C4 /
+# Gopher / RefinedWeb all report per-rule attrition): rules applied in
+# a fixed order, each doc attributed to the FIRST rule it fails, then
+# one tiny cumulative pass turns first-fail counts into the
+# stage-by-stage n_dropped / n_remaining table. ONE corpus scan
+# (narrow per-doc feature math + a first-fail classification), one
+# |rules|-row aggregate — the cumulative window runs over 6 rows.
+_FUNNEL_RULES = [
+    ("min_tokens", "n_tokens < 20"),
+    ("max_tokens", "n_tokens > 80"),
+    ("uniq_ratio", "uniq_ratio < 0.35"),
+    ("stop_ratio", "stop_ratio > 0.15"),
+    ("mean_word_len", "mean_wl < 4.2 OR mean_wl > 4.8"),
+]
+
+_ATTRITION_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
+           len(list_filter(toks, x -> list_contains(
+               ['the', 'a', 'of', 'and', 'to', 'in', 'is'], x)))::DOUBLE
+               / len(toks) AS stop_ratio,
+           list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / len(toks) AS mean_wl
+    FROM t
+),
+ff AS (
+    SELECT CASE
+        {" ".join(f"WHEN {cond} THEN '{name}'" for name, cond in _FUNNEL_RULES)}
+        ELSE 'kept' END AS first_fail
+    FROM f
+),
+counts AS (
+    SELECT first_fail, count(*) AS c FROM ff GROUP BY first_fail
+),
+stages AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"({i}, '{name}')" for i, (name, _) in enumerate(_FUNNEL_RULES))}
+    ) AS v(stage_no, stage)
+)
+SELECT s.stage_no, s.stage,
+       (SELECT sum(c) FROM counts)::BIGINT
+           - coalesce(sum(c2.c) OVER (ORDER BY s.stage_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS n_in,
+       coalesce(c2.c, 0)::BIGINT AS n_dropped
+FROM stages s LEFT JOIN counts c2 ON c2.first_fail = s.stage
+"""
+
+
+@register("filter_attrition_funnel", oracle=_ATTRITION_ORACLE)
+def filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks").cast("double")
+    stop_arr = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    feats = docs.select(
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")).cast("double") / n).alias(
+            "uniq_ratio"
+        ),
+        (
+            F.size(
+                F.filter("toks", lambda x: F.array_contains(stop_arr, x))
+            ).cast("double")
+            / n
+        ).alias("stop_ratio"),
+        (
+            F.aggregate(
+                F.transform("toks", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n
+        ).alias("mean_wl"),
+    )
+    first_fail = (
+        F.when(F.col("n_tokens") < 20, "min_tokens")
+        .when(F.col("n_tokens") > 80, "max_tokens")
+        .when(F.col("uniq_ratio") < 0.35, "uniq_ratio")
+        .when(F.col("stop_ratio") > 0.15, "stop_ratio")
+        .when(
+            (F.col("mean_wl") < 4.2) | (F.col("mean_wl") > 4.8),
+            "mean_word_len",
+        )
+        .otherwise("kept")
+    )
+    counts = feats.select(first_fail.alias("first_fail")).groupBy(
+        "first_fail"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stages = counts.sparkSession.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(_FUNNEL_RULES)],
+        "stage_no int, stage string",
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    joined = (
+        stages.join(
+            counts, stages["stage"] == counts["first_fail"], "left"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage_no",
+            "stage",
+            "total",
+            F.coalesce(F.col("c"), F.lit(0)).alias("dropped"),
+        )
+    )
+    w = (
+        Window.orderBy("stage_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return joined.select(
+        "stage_no",
+        "stage",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("dropped").over(w), F.lit(0))
+        ).cast("long").alias("n_in"),
+        F.col("dropped").cast("long").alias("n_dropped"),
+    )
+
+
+# --- cross-source contamination matrix -------------------------------------
+# Which sources share content with which: per-shingle distinct source
+# list (bounded by |sources|, NOT by doc count — the aggregation
+# collapses before any pair math), then per-shingle source pairs.
+# A boilerplate shingle present in every source costs |sources|²/2
+# pairs — a constant — so there is no hot-key blowup by construction.
+_OVERLAP_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           md5(unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS h
+    FROM t
+    WHERE len(toks) >= 3
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, a.h
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+),
+per_src AS (SELECT source, count(*) AS n FROM sh GROUP BY source)
+SELECT p.source_a, p.source_b,
+       count(*)::BIGINT AS shared_shingles,
+       round(count(*)::DOUBLE / (na.n + nb.n - count(*)) * 10000)
+           / 10000 + 0.0 AS jaccard
+FROM pairs p
+JOIN per_src na ON na.source = p.source_a
+JOIN per_src nb ON nb.source = p.source_b
+GROUP BY p.source_a, p.source_b, na.n, nb.n
+"""
+
+
+@register("source_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_tokens(F.col("text")).alias("toks")
+    )
+    sh = (
+        docs.filter(F.size("toks") >= SPAN_W)
+        .select(
+            "source",
+            F.explode(shingles_from_tokens(F.col("toks"), SPAN_W)).alias(
+                "s"
+            ),
+        )
+        .select("source", F.md5(F.col("s")).alias("h"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared_shingles")
+    )
+    na = per_src.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    nb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    out = shared.join(F.broadcast(na), "source_a").join(
+        F.broadcast(nb), "source_b"
+    )
+    denom = F.col("na") + F.col("nb") - F.col("shared_shingles")
+    return out.select(
+        "source_a",
+        "source_b",
+        "shared_shingles",
+        (
+            F.round(
+                F.col("shared_shingles").cast("double") / denom * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("jaccard"),
+    )
+
+
+# --- BPE first-merge pair statistics ---------------------------------------
+# The first iteration of byte-pair-encoding tokenizer training: build
+# the word vocabulary WITH counts (one corpus shuffle that collapses
+# to |vocab| rows), then count adjacent character pairs over the
+# vocabulary weighted by word frequency — the corpus itself is never
+# touched again, which is exactly why BPE training scales (all
+# iterations run on the vocab table, not the corpus). Top-20 by
+# count with lexicographic tie-break.
+_BPE_ORACLE = r"""
+WITH w AS (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS word
+    FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+prs AS (
+    SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                 i -> substring(word, i, 2))) AS pair,
+           cnt
+    FROM vocab
+    WHERE length(word) >= 2
+)
+SELECT pair, sum(cnt)::BIGINT AS n
+FROM prs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@register("bpe_pair_stats", oracle=_BPE_ORACLE)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        ws_tokens(F.col("text")).alias("toks")
+    )
+    vocab = (
+        docs.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # 1-char words have no adjacent pairs; filtering them keeps both
+    # engines off the sequence(1, 0) edge (descending in Spark, empty
+    # in DuckDB)
+    prs = vocab.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        prs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
