@@ -39,6 +39,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--list", action="store_true", help="list registered query names"
     )
+    p.add_argument(
+        "--format",
+        choices=("show", "tsv", "jsonl"),
+        default="show",
+        help="output style: pretty .show() (default), or machine-"
+        "readable tsv/jsonl streamed via toLocalIterator (one "
+        "partition on the driver at a time — pipe-friendly, never "
+        "materializes the full result; implies no --limit default cap)",
+    )
     return p
 
 
@@ -50,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     reg = load_all()
     if args.list:
         for name in sorted(reg):
-            print(name)
+            marker = " [oracle]" if reg[name].oracle else ""
+            print(f"{name}{marker}")
         return 0
     if not args.query:
         build_parser().print_usage(sys.stderr)
@@ -59,17 +69,31 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query: {args.query!r} (see --list)", file=sys.stderr)
         return 2
 
-    from swat_mapreduce_spark.session import get_spark
+    from swat_mapreduce_spark.session import ensure_engine_conf, get_spark
 
     spark = get_spark("swat-query-cli")
+    ensure_engine_conf(spark)
     df = reg[args.query].spark_fn(spark, args.sf_dir)
     if args.explain:
         print(df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         ))
-    else:
+    elif args.format == "show":
         df.show(args.limit, truncate=False)
         print(f"({df.count()} rows total)", file=sys.stderr)
+    else:
+        import json
+
+        cols = df.columns
+        if args.format == "tsv":
+            print("\t".join(cols))
+            for row in df.toLocalIterator():
+                print(
+                    "\t".join("" if v is None else str(v) for v in row)
+                )
+        else:
+            for row in df.toLocalIterator():
+                print(json.dumps(dict(zip(cols, row)), default=str))
     return 0
 
 

@@ -84,5 +84,8 @@ def test_query_cli_list_and_unknown(capsys):
 
     assert main(["--list"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert "q1_pricing_summary" in out and len(out) > 150
+    names = [ln.split(" ")[0] for ln in out]
+    assert "q1_pricing_summary" in names and len(names) > 150
+    # every registered query advertises its oracle in the listing
+    assert "q1_pricing_summary [oracle]" in out
     assert main(["definitely_not_a_query"]) == 2
