@@ -381,3 +381,75 @@ def sql_table_function_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 31 = 0
         """
     )
+
+
+# --- FILTER clause in aggregates ------------------------------------------
+# ANSI `agg(...) FILTER (WHERE ...)` — the conditional-aggregation
+# surface proper (not the CASE-WHEN emulation q12 uses). Catalyst
+# plans it as a single aggregate with per-function predicates: one
+# scan, one shuffle, no self-joins for N filtered metrics.
+_AGG_FILTER_ORACLE = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       count(*) FILTER (o_totalprice > 200000)::BIGINT AS n_big,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+             FILTER (o_orderstatus = 'F'), 2)::DOUBLE AS finished_value,
+       count(DISTINCT o_custkey) FILTER (o_totalprice > 200000)::BIGINT
+           AS n_big_custs
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_filter_clause", oracle=_AGG_FILTER_ORACLE)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_fltr_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+                   AS finished_value,
+               count(DISTINCT o_custkey)
+                   FILTER (WHERE o_totalprice > 200000) AS n_big_custs
+        FROM orders_fltr_v
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# --- ORDER BY ALL + LIMIT/OFFSET pagination --------------------------------
+# Deterministic keyset-free pagination: ORDER BY ALL (Spark 4 / DuckDB
+# shared surface) fixes a total order over the whole projection, then
+# LIMIT/OFFSET slices page 3. Note the scale contract: OFFSET is
+# planned as a driver-side skip after a global sort prefix — fine for
+# human-sized pages, wrong for deep pagination (use keyset ranges
+# there; stable_row_ids is this engine's cursor primitive).
+_PAGINATION_ORACLE = """
+SELECT n_name, r_regionkey, n_nationkey
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY ALL
+LIMIT 5 OFFSET 10
+"""
+
+
+@register("limit_offset_pagination", oracle=_PAGINATION_ORACLE)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_pg_v"
+    )
+    read_table(spark, sf_dir, "region").createOrReplaceTempView(
+        "region_pg_v"
+    )
+    return spark.sql(
+        """
+        SELECT n_name, r_regionkey, n_nationkey
+        FROM nation_pg_v JOIN region_pg_v ON n_regionkey = r_regionkey
+        ORDER BY ALL
+        LIMIT 5 OFFSET 10
+        """
+    )

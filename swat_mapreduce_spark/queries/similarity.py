@@ -497,3 +497,121 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err"
         ),
     )
+
+
+# --- cross-modal retrieval evaluation --------------------------------------
+# The eval-metric op a multimodal training pipeline runs on its
+# (text ↔ embedding) pairs: for a deterministic query sample, do
+# brute-force cosine retrieval and score label-match hit@k / mean
+# reciprocal rank. Shape: |Q| query vectors broadcast as one array
+# literal block (bounded sample by construction), ONE corpus pass
+# scoring all queries (the corpus is never re-scanned per query),
+# per-query top-k via window over the |Q|·k candidate set.
+_RETRIEVAL_K = 10
+_RETRIEVAL_SAMPLE = 50  # vec_id % 50 == 0 → deterministic query set
+
+_RETRIEVAL_ORACLE = f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+      WHERE vec_id % {_RETRIEVAL_SAMPLE} = 0),
+scores AS (
+    SELECT q.qid, q.qlabel, d.vec_id,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    GROUP BY q.qid, q.qlabel, d.vec_id
+),
+ranked AS (
+    SELECT qid, qlabel, vec_id, c,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rnk
+    FROM scores
+),
+hits AS (
+    SELECT r.qid,
+           max(CASE WHEN e.label = r.qlabel THEN 1 ELSE 0 END) AS hit,
+           min(CASE WHEN e.label = r.qlabel THEN r.rnk END) AS first_rel
+    FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+    WHERE r.rnk <= {_RETRIEVAL_K}
+    GROUP BY r.qid
+)
+SELECT count(*)::BIGINT AS n_queries,
+       sum(hit)::BIGINT AS n_hits,
+       round(sum(hit) * 10000.0 / count(*)) / 10000 + 0.0
+           AS hit_rate_at_k,
+       round(sum(CAST(coalesce(1.0 / first_rel, 0.0)
+                 AS DECIMAL(30,8)))::DOUBLE * 10000 / count(*))
+           / 10000 + 0.0 AS mrr_at_k
+FROM hits
+"""
+
+
+@register("crossmodal_retrieval_eval", oracle=_RETRIEVAL_ORACLE)
+def crossmodal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % _RETRIEVAL_SAMPLE == 0)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded: corpus/|sample| rows by construction
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("qid"),
+                F.lit(int(r.label)).alias("qlabel"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias(
+                    "qv"
+                ),
+            )
+            for r in qrows
+        ]
+    )
+    vec = A.as_double_array(F.col("embedding"))
+    scored = (
+        emb.select("vec_id", "label", F.explode(qlit).alias("q"), vec.alias("v"))
+        .filter(F.col("vec_id") != F.col("q.qid"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col("q.qlabel").alias("qlabel"),
+            "vec_id",
+            "label",
+            R.r(A.cosine(F.col("v"), F.col("q.qv")), 4).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _RETRIEVAL_K
+    )
+    hits = ranked.groupBy("qid").agg(
+        F.max(
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+        ).alias("hit"),
+        F.min(
+            F.when(F.col("label") == F.col("qlabel"), F.col("rnk"))
+        ).alias("first_rel"),
+    )
+    n = F.count(F.lit(1))
+    return hits.agg(
+        n.alias("n_queries"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        (F.round(F.sum("hit") * 10000.0 / n) / 10000.0 + 0.0).alias(
+            "hit_rate_at_k"
+        ),
+        (
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.lit(1.0) / F.col("first_rel"), F.lit(0.0)
+                    ).cast("decimal(30,8)")
+                ).cast("double")
+                * 10000.0
+                / n
+            )
+            / 10000.0
+            + 0.0
+        ).alias("mrr_at_k"),
+    )
