@@ -545,3 +545,59 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --- per-document token entropy --------------------------------------------
+# Shannon entropy of the within-doc token distribution — the
+# information-theoretic repetition signal (a doc stuck on 3 tokens has
+# ~1.5 bits; healthy prose runs 5-7): the entropy analog of the
+# Gopher repetition rules. Shape: explode → (doc, token) count →
+# per-doc entropy fold; both shuffles key on doc-sized groups, terms
+# go through DECIMAL(30,8) so Spark's fold order and DuckDB's row
+# order can't diverge at the rounding.
+_ENTROPY_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS tok
+    FROM documents
+),
+cnt AS (
+    SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+terms AS (
+    SELECT c.doc_id,
+           CAST(-(c.c::DOUBLE / t.n) * log2(c.c::DOUBLE / t.n)
+                AS DECIMAL(30,8)) AS term
+    FROM cnt c JOIN tot t ON t.doc_id = c.doc_id
+)
+SELECT doc_id,
+       round(sum(term)::DOUBLE * 10000) / 10000 + 0.0 AS entropy_bits
+FROM terms
+GROUP BY doc_id
+"""
+
+
+@register("token_entropy", oracle=_ENTROPY_ORACLE)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    cnt = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        (-p * F.log2(p)).cast("decimal(30,8)").alias("term"),
+    )
+    return terms.groupBy("doc_id").agg(
+        (
+            F.round(F.sum("term").cast("double") * 10000.0) / 10000.0
+            + 0.0
+        ).alias("entropy_bits")
+    )

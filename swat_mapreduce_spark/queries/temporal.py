@@ -695,3 +695,131 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.money_sum(F.col("value")).alias("attributed_value"),
         )
     )
+
+
+# --- resample + linear interpolation ---------------------------------------
+# Time-series regularization: resample each user's purchase stream to
+# an hourly grid and LINEARLY interpolate value between surrounding
+# observations (date_spine_gap_fill zero-fills; this computes the
+# between-points line — the feature-engineering primitive for
+# irregular telemetry). Grid rows come from a per-user hour spine
+# (sequence between that user's min/max hour — narrow 1→N, bounded by
+# the user's own span); the bracketing observations arrive via
+# last/first IGNORE NULLS windows over the merged grid+events stream.
+# ONE shuffle on user_id; per-user partitions bound the window state.
+_RESAMPLE_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, value FROM events
+    WHERE event_type = 'purchase' AND user_id % 100 = 0
+),
+spine AS (
+    SELECT user_id,
+           unnest(generate_series(date_trunc('hour', min(ts)),
+                                  date_trunc('hour', max(ts)),
+                                  INTERVAL 1 HOUR)) AS grid_ts
+    FROM p GROUP BY user_id
+),
+merged AS (
+    SELECT user_id, grid_ts, NULL::DOUBLE AS v, NULL::TIMESTAMP AS ots,
+           0 AS is_obs
+    FROM spine
+    UNION ALL
+    SELECT user_id, ts AS grid_ts, value AS v, ts AS ots, 1 AS is_obs
+    FROM p
+),
+br AS (
+    SELECT user_id, grid_ts, is_obs, v,
+           last_value(v IGNORE NULLS) OVER w AS prev_v,
+           last_value(ots IGNORE NULLS) OVER w AS prev_ts,
+           first_value(v IGNORE NULLS) OVER w2 AS next_v,
+           first_value(ots IGNORE NULLS) OVER w2 AS next_ts
+    FROM merged
+    WINDOW w AS (PARTITION BY user_id ORDER BY grid_ts, is_obs DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY grid_ts, is_obs DESC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, grid_ts,
+       round((CASE
+           WHEN prev_v IS NULL THEN next_v
+           WHEN next_v IS NULL THEN prev_v
+           WHEN next_ts = prev_ts THEN prev_v
+           ELSE prev_v + (next_v - prev_v)
+                * (epoch_us(grid_ts) - epoch_us(prev_ts))
+                / (epoch_us(next_ts) - epoch_us(prev_ts))
+       END) * 10000) / 10000 + 0.0 AS v_interp
+FROM br
+WHERE is_obs = 0
+"""
+
+
+@register("resample_interpolate_linear", oracle=_RESAMPLE_ORACLE)
+def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        read_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") % 100 == 0)
+        )
+        .select("user_id", "ts", "value")
+    )
+    spine = p.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    ).select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("grid_ts"),
+    )
+    grid = spine.select(
+        "user_id",
+        "grid_ts",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("timestamp").alias("ots"),
+        F.lit(0).alias("is_obs"),
+    )
+    obs = p.select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.col("value").alias("v"),
+        F.col("ts").alias("ots"),
+        F.lit(1).alias("is_obs"),
+    )
+    merged = grid.unionByName(obs)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("grid_ts"), F.desc("is_obs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("grid_ts"), F.desc("is_obs"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    br = merged.select(
+        "user_id",
+        "grid_ts",
+        "is_obs",
+        F.last("v", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last("ots", ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first("ots", ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    frac = (
+        (F.unix_micros("grid_ts") - F.unix_micros("prev_ts")).cast("double")
+        / (F.unix_micros("next_ts") - F.unix_micros("prev_ts"))
+    )
+    interp = (
+        F.when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return br.filter(F.col("is_obs") == 0).select(
+        "user_id",
+        "grid_ts",
+        (F.round(interp * 10000.0) / 10000.0 + 0.0).alias("v_interp"),
+    )
