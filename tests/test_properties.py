@@ -140,3 +140,84 @@ def test_minhash_signatures_match_reference_after_lambda_churn(spark, sf_dir):
             F.transform(arr, lambda x, i: x + i.cast("double")).alias("t"),
         ).collect()
     check()
+
+
+# --- round-3 operator invariants ------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_topk_merge_is_a_monoid(rows, k):
+    """merge(topk(A), topk(B)) == topk(A ∪ B) — the invariant both
+    incremental_topk_merge and stream_topk_foreachbatch rely on."""
+
+    def topk(xs):
+        return sorted(xs, key=lambda r: (-r[0], r[1]))[:k]
+
+    mid = len(rows) // 2
+    merged = topk(topk(rows[:mid]) + topk(rows[mid:]))
+    assert merged == topk(rows)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        max_size=40,
+    )
+)
+def test_triangle_orientation_counts_each_once(edges_raw):
+    """The oriented a<b<c wedge join (graph_triangle_count) equals the
+    brute-force triangle count on random graphs."""
+    from itertools import combinations
+
+    edges = {(min(a, b), max(a, b)) for a, b in edges_raw if a != b}
+    verts = {v for e in edges for v in e}
+    brute = sum(
+        1
+        for a, b, c in combinations(sorted(verts), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    oriented = sum(
+        1
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b2 == b and (a, c) in edges
+    )
+    assert oriented == brute
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                max_size=50))
+def test_entropy_bounds(tokens):
+    """0 <= H <= log2(#distinct) — the contract behind token_entropy."""
+    from collections import Counter
+
+    n = len(tokens)
+    counts = Counter(tokens)
+    h = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    assert -1e-9 <= h <= math.log2(len(counts)) + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_linear_interpolation_bounded_by_brackets(v0, v1, frac):
+    """The interpolated value always lies between its bracketing
+    observations (resample_interpolate_linear's invariant)."""
+    v = v0 + (v1 - v0) * frac
+    assert min(v0, v1) - 1e-9 <= v <= max(v0, v1) + 1e-9
