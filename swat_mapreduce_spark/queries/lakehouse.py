@@ -494,3 +494,49 @@ def snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.select(change.alias("change_type")).groupBy(
         "change_type"
     ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- partition min/max skipping stats --------------------------------------
+# The file-skipping decision a lakehouse table format (Iceberg
+# manifests / Delta stats / parquet row-group zone maps) makes,
+# surfaced as a query: per daily partition, the min/max of `value`
+# and whether a given predicate (value > threshold) could PRUNE the
+# whole partition from its stats alone. The aggregate is one shuffle
+# on the partition key; the skip decision is a narrow comparison — at
+# 100 TB this query is the "how selective is my layout" audit run
+# before choosing a partition/Z-order scheme (zorder_cluster_stats is
+# the multi-column sibling).
+_PARTSTATS_THRESHOLD = 450.0
+
+_PARTSTATS_ORACLE = f"""
+SELECT date_trunc('day', ts) AS part_day,
+       count(*)::BIGINT AS n_rows,
+       round(min(value) * 10000) / 10000 + 0.0 AS min_value,
+       round(max(value) * 10000) / 10000 + 0.0 AS max_value,
+       (max(value) <= {_PARTSTATS_THRESHOLD}) AS prunable,
+       count(*) FILTER (value > {_PARTSTATS_THRESHOLD})::BIGINT
+           AS n_matching
+FROM events
+GROUP BY date_trunc('day', ts)
+"""
+
+
+@register("partition_minmax_stats", oracle=_PARTSTATS_ORACLE)
+def partition_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # DuckDB date_trunc('day') yields DATE; emit DATE here too
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("part_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.round(F.min("value") * 10000.0) / 10000.0 + 0.0).alias(
+            "min_value"
+        ),
+        (F.round(F.max("value") * 10000.0) / 10000.0 + 0.0).alias(
+            "max_value"
+        ),
+        (F.max("value") <= _PARTSTATS_THRESHOLD).alias("prunable"),
+        F.sum(
+            F.when(F.col("value") > _PARTSTATS_THRESHOLD, 1).otherwise(0)
+        ).cast("long").alias("n_matching"),
+    )

@@ -19,7 +19,7 @@ reproduce uses md5, which both engines compute identically over UTF-8.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from swat_mapreduce_spark.functions import rounding as R
@@ -570,6 +570,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .distinct()
     )
+    # materialize the oriented edge list ONCE: the plan references it
+    # four times (three join legs + the edge count), and without a
+    # persist Spark re-derives the whole lineitem→items→distinct
+    # pipeline per reference (16 scans / 15 shuffles in the census).
+    # Persisting is exactly what a production triangle count does —
+    # the edge list is the working set, the fact table is not.
+    edges = edges.persist()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -584,3 +591,119 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri).select("n_edges", "n_triangles")
+
+
+# --- watermark late-data audit (distributed prefix-MAX) --------------------
+# "How much data would a 10-minute watermark drop?" answered from the
+# batch log before committing to a streaming config. The raw log is
+# perfectly time-ordered (zero disorder — a vacuous audit), so
+# ingestion is modeled deterministically: each event arrives at
+# ts + jitter, jitter = md5-derived uniform ±15 min — the bounded
+# out-of-orderness of a real multi-source collector. An event is late
+# iff some EARLIER-ARRIVING event carried an event-time more than D
+# newer. The prior-arrival running max is a prefix-MAX scan — computed
+# distributed exactly like stable_row_ids\' prefix-sum: range-bucket
+# the arrival key into B=64 fixed buckets (min/max from one tiny agg —
+# O(B) driver state at ANY scale, never O(rows)), per-bucket max →
+# exclusive cumulative max across buckets on the driver, broadcast
+# back, finish with a per-bucket window. No single-partition window.
+_LATE_D_US = 600_000_000  # 10-minute watermark
+_LATE_JITTER_US = 1_800_000_000  # ±15-minute ingestion jitter window
+_LATE_BUCKETS = 64
+
+_LATE_ORACLE = f"""
+WITH arr AS (
+    SELECT event_id, ts, epoch_us(ts) AS us,
+           epoch_us(ts)
+           + (\'0x\' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+             % {_LATE_JITTER_US} - {_LATE_JITTER_US // 2} AS arrival
+    FROM events
+),
+w AS (
+    SELECT ts, us,
+           max(us) OVER (ORDER BY arrival, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prior_max
+    FROM arr
+)
+SELECT date_trunc(\'hour\', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       count(*) FILTER (prior_max IS NOT NULL
+                        AND us < prior_max - {_LATE_D_US})::BIGINT
+           AS n_late,
+       round(count(*) FILTER (prior_max IS NOT NULL
+                              AND us < prior_max - {_LATE_D_US})
+             * 10000.0 / count(*)) / 10000 + 0.0 AS late_frac
+FROM w
+GROUP BY date_trunc(\'hour\', ts)
+"""
+
+
+@register("watermark_late_audit", oracle=_LATE_ORACLE)
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _LATE_JITTER_US
+        - _LATE_JITTER_US // 2
+    )
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") + jitter).alias("arrival"),
+    )
+    lo, hi = ev.agg(F.min("arrival"), F.max("arrival")).first()
+    span = max(int(hi) - int(lo), 1)
+    bucket = F.least(
+        F.lit(_LATE_BUCKETS - 1),
+        ((F.col("arrival") - int(lo)) * _LATE_BUCKETS / span).cast(
+            "long"
+        ),
+    )
+    tagged = ev.withColumn("b", bucket)
+    per_bucket = {
+        int(r["b"]): int(r["mx"])
+        for r in tagged.groupBy("b").agg(F.max("us").alias("mx")).collect()
+    }  # O(B) rows by construction
+    prev_max, run = {}, None
+    for b in sorted(per_bucket):
+        prev_max[b] = run
+        run = per_bucket[b] if run is None else max(run, per_bucket[b])
+    prev_df = tagged.sparkSession.createDataFrame(
+        [(b, v) for b, v in prev_max.items()],
+        "b long, prev_bucket_max long",
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = (
+        tagged.join(F.broadcast(prev_df), "b")
+        .withColumn("prior_in_bucket", F.max("us").over(w))
+        .withColumn(
+            "prior_max",
+            F.greatest(
+                F.coalesce(F.col("prior_in_bucket"), F.lit(None)),
+                F.coalesce(F.col("prev_bucket_max"), F.lit(None)),
+            ),
+        )
+    )
+    late = F.col("prior_max").isNotNull() & (
+        F.col("us") < F.col("prior_max") - _LATE_D_US
+    )
+    n = F.count(F.lit(1))
+    n_late = F.sum(F.when(late, 1).otherwise(0))
+    return scanned.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(
+        n.alias("n_events"),
+        n_late.cast("long").alias("n_late"),
+        (F.round(n_late * 10000.0 / n) / 10000.0 + 0.0).alias(
+            "late_frac"
+        ),
+    )
