@@ -407,3 +407,99 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("abs_err"),
     )
+
+
+# --- SimHash hamming-distance pairs ----------------------------------------
+# Completes the SimHash path from fingerprint to PAIRS: byte-band the
+# 32-bit fingerprint (4 bands x 8 bits), candidates share >=1 exact
+# band (the pigeonhole guarantee is total for hamming <= 3; beyond
+# that this is the standard LSH recall trade — document, don't hide),
+# verify with bit_count(xor) <= R. Same bucketed shape as MinHash:
+# one groupBy on (band, byte), in-bucket pair expansion, no all-pairs
+# join, degenerate buckets capped. The OUTPUT is the per-distance pair
+# histogram, not the pair list: the synthetic 40-word vocabulary
+# saturates 32-bit fingerprints (most docs share most distinct
+# tokens), so the raw pair set is inherently dense here — the
+# histogram is the tuning artifact you actually read (pick R where
+# the count knees), and it keeps the result bounded at any scale.
+_SIMHASH_R = 6  # max hamming distance reported
+_SIMHASH_BANDS = 4
+
+_SIMHASH_PAIRS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, g.j,
+           sum(CASE WHEN strpos('89abcdef', substr(md5(tok), g.j, 1)) > 0
+                    THEN 1 ELSE -1 END) AS s
+    FROM toks, generate_series(1, 32) AS g(j)
+    GROUP BY doc_id, g.j
+),
+sims AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)
+               ::BIGINT AS sh
+    FROM bits GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, g.b, (sh >> (8 * g.b)) & 255 AS key
+    FROM sims, generate_series(0, {_SIMHASH_BANDS - 1}) AS g(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming,
+       count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN sims sa ON sa.doc_id = p.doc_a
+JOIN sims sb ON sb.doc_id = p.doc_b
+WHERE bit_count(xor(sa.sh, sb.sh)) <= {_SIMHASH_R}
+GROUP BY 1
+"""
+
+
+@register("simhash_hamming_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sims = D.simhash(docs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftright(F.col("simhash"), 8 * b)
+                .bitwiseAND(255)
+                .alias("key"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = sims.select(
+        "doc_id", F.explode(band_arr).alias("bb")
+    ).select("doc_id", F.col("bb.b").alias("b"), F.col("bb.key").alias("key"))
+    pairs = D.candidate_pairs(
+        bands.withColumnRenamed("b", "band").withColumnRenamed(
+            "key", "bucket"
+        )
+    )
+    sa = sims.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    sb = sims.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_R)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

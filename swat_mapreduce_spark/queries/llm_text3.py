@@ -601,3 +601,102 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("entropy_bits")
     )
+
+
+# --- interpolated word-bigram LM scoring -----------------------------------
+# Jelinek–Mercer interpolation: p(w|prev) = λ·p_bigram + (1-λ)·p_uni,
+# the standard smoothing for n-gram LM quality scoring (what KenLM
+# does with Kneser–Ney; JM is the oracle-able member of the family).
+# Model tables are plain aggregates JOINED (not broadcast) onto the
+# per-doc bigram stream — at web scale the bigram table is
+# vocab²-shaped, so the shuffle join is the honest plan; Catalyst
+# still broadcasts it when stats say it's small. Per-doc log-prob
+# sums go through DECIMAL(30,8) (order-independent rounding).
+_JM_LAMBDA = 0.7
+
+_WORDLM_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+    FROM t WHERE len(toks) >= 2
+),
+flat AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS w FROM bg),
+uni AS (
+    SELECT w, count(*) AS cu
+    FROM (SELECT unnest(toks) AS w FROM t)
+    GROUP BY w
+),
+n_tot AS (SELECT sum(cu)::DOUBLE AS n FROM uni),
+big AS (
+    SELECT prev, w, count(*) AS cb FROM flat GROUP BY prev, w
+),
+prevc AS (
+    SELECT prev, sum(cb) AS cp FROM big GROUP BY prev
+),
+scored AS (
+    SELECT f.doc_id,
+           CAST(ln({_JM_LAMBDA} * (b.cb::DOUBLE / pc.cp)
+                + {1 - _JM_LAMBDA} * (u.cu / n_tot.n))
+                AS DECIMAL(30,8)) AS lp
+    FROM flat f
+    JOIN big b ON b.prev = f.prev AND b.w = f.w
+    JOIN prevc pc ON pc.prev = f.prev
+    JOIN uni u ON u.w = f.w
+    CROSS JOIN n_tot
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round((-sum(lp)::DOUBLE / count(*)) * 10000) / 10000 + 0.0
+           AS avg_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("wordlm_interpolated_nll", oracle=_WORDLM_ORACLE)
+def wordlm_interpolated_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), "
+                    "i -> struct(toks[i-2] AS prev, toks[i-1] AS w))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    )
+    uni = docs.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    n_tot = uni.agg(F.sum("cu").cast("double").alias("n"))
+    big = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    prevc = big.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    p_int = _JM_LAMBDA * (
+        F.col("cb").cast("double") / F.col("cp")
+    ) + (1 - _JM_LAMBDA) * (F.col("cu") / F.col("n"))
+    scored = (
+        bg.join(big, ["prev", "w"])
+        .join(prevc, "prev")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id", F.log(p_int).cast("decimal(30,8)").alias("lp")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        R.r((-F.sum("lp").cast("double")) / F.count(F.lit(1)), 4).alias(
+            "avg_nll"
+        ),
+    )

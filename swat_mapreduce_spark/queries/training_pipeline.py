@@ -362,3 +362,56 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+# --- weighted sampling without replacement (A-Res) -------------------------
+# Efraimidis–Spirakis reservoir sampling as a dataflow: each doc draws
+# a deterministic md5-uniform u ∈ (0,1) and competes on
+# key = ln(u)/w (the monotone form of u^(1/w)); the global top-m by
+# key IS an exact weighted sample without replacement. This is how a
+# training pipeline takes an importance-weighted corpus subsample in
+# ONE pass: narrow key math + TakeOrderedAndProject (per-partition
+# heaps, no global sort). Weights here are n_chars (longer docs more
+# likely kept).
+_ARES_M = 50
+
+_ARES_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+              / 4294967297.0) / n_chars AS k
+    FROM documents
+)
+SELECT doc_id, source, n_chars,
+       round(k * 1000000) / 1000000 + 0.0 AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_ARES_M}
+"""
+
+
+@register("weighted_sample_ares", oracle=_ARES_ORACLE)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / 4294967297.0
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_ARES_M)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.round(F.col("k") * 1000000.0) / 1000000.0 + 0.0).alias(
+                "sample_key"
+            ),
+        )
+    )
