@@ -707,3 +707,125 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_frac"
         ),
     )
+
+
+# --- Count-Min sketch heavy hitters ----------------------------------------
+# The remaining member of the sketch family (HLL/theta = distinct,
+# KLL = quantiles, CM = frequencies): d=4 md5-salted hash rows x
+# w=256 buckets, built as ONE groupBy over (row, bucket) — partial
+# aggregation collapses each partition to <= d*w rows before the
+# shuffle, and the sketch is mergeable by addition (shard-merge ==
+# direct, the property that matters at 100 TB). Point estimates
+# (min over rows) are then audited against exact counts for the top
+# candidates: CM guarantees est >= true, overestimate bounded by
+# eps*N with eps = e/w.
+_CM_D = 4
+_CM_W = 256
+_CM_TOPN = 10
+
+_CM_ORACLE = rf"""
+WITH w AS (
+    SELECT w FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> len(x) > 0)) AS w
+        FROM documents)
+),
+exact AS (SELECT w AS tok, count(*) AS true_count FROM w GROUP BY w),
+cells AS (
+    SELECT g.d,
+           ('0x' || substr(md5(g.d || '|' || w.w), 1, 8))::BIGINT
+               % {_CM_W} AS bucket,
+           count(*) AS c
+    FROM w, generate_series(0, {_CM_D - 1}) AS g(d)
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT tok, true_count FROM exact
+    ORDER BY true_count DESC, tok LIMIT {_CM_TOPN}
+),
+est AS (
+    SELECT cand.tok, cand.true_count, min(cells.c) AS est_count
+    FROM cand, generate_series(0, {_CM_D - 1}) AS g(d)
+    JOIN cells ON cells.d = g.d
+       AND cells.bucket = ('0x' || substr(md5(g.d || '|' || cand.tok),
+                           1, 8))::BIGINT % {_CM_W}
+    GROUP BY cand.tok, cand.true_count
+)
+SELECT tok, true_count::BIGINT AS true_count,
+       est_count::BIGINT AS est_count,
+       (est_count - true_count)::BIGINT AS overestimate
+FROM est
+"""
+
+
+@register("countmin_heavy_hitters", oracle=_CM_ORACLE)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+    )
+
+    def bucket_of(d, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(d)), F.lit("|"), col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint") % _CM_W
+
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket_of(d, F.col("w")).alias("bucket"),
+                    )
+                    for d in range(_CM_D)
+                ]
+            )
+        ).alias("rb")
+    )
+    cells = rows.groupBy(
+        F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy(F.col("w").alias("tok")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    cand = exact.orderBy(F.desc("true_count"), F.asc("tok")).limit(
+        _CM_TOPN
+    )
+    probes = cand.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket_of(d, F.col("tok")).alias("bucket"),
+                    )
+                    for d in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "tok",
+        "true_count",
+        F.col("rb.d").alias("d"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.select(
+        "tok",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )

@@ -375,3 +375,69 @@ def stream_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["rows"],
         "event_id long, user_id long, event_type string, value double",
     )
+
+
+# Streaming last-touch attribution via transformWithStateInPandas:
+# the per-user counters a single availableNow batch produces equal the
+# batch carry-forward computation, which is what the oracle pins
+# (attribution_last_touch is the channel-level batch twin; this one
+# emits per-user counters — order-free, replay-deterministic).
+_TWS_ATTRIB_ORACLE = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+),
+flow AS (
+    SELECT user_id, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN k END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lk
+    FROM ev
+),
+lastk AS (
+    SELECT user_id,
+           last_value(CASE WHEN event_type = 'click' THEN k END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS final_k
+    FROM ev
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT f.user_id,
+       count(*) FILTER (f.event_type = 'purchase')::BIGINT
+           AS n_purchases,
+       count(*) FILTER (f.event_type = 'purchase'
+                        AND f.lk IS NOT NULL)::BIGINT AS n_attributed,
+       CASE WHEN max(l.final_k) IS NOT NULL
+            THEN 'ch_' || (max(l.final_k) % 4) END AS last_channel
+FROM flow f JOIN lastk l ON l.user_id = f.user_id
+GROUP BY f.user_id
+"""
+
+
+def stream_tws_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, sf_dir)
+        return jobs.run_available_now(
+            jobs.tws_attribution(stream), "tws_attr", output_mode="update"
+        )
+    finally:
+        spark.conf.set(provider_key, prev)
+
+
+if _tws_runtime_available():  # pragma: no cover - env-dependent
+    register("stream_tws_attribution", oracle=_TWS_ATTRIB_ORACLE)(
+        stream_tws_attribution
+    )

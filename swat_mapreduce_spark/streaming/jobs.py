@@ -285,6 +285,77 @@ class _UserStatsProcessor(StatefulProcessor):
         pass
 
 
+TWS_ATTRIB_SCHEMA = (
+    "user_id long, n_purchases long, n_attributed long, last_channel string"
+)
+
+
+class _AttributionProcessor(StatefulProcessor):
+    """Last-touch attribution as a custom stateful operator: ValueState
+    holds (last_click_k, last_click_us); each purchase is credited to
+    the click the state currently holds. Rows are sorted by
+    (ts, event_id) inside the batch (the same total order the batch
+    twin attribution_last_touch uses), and state carries the last
+    click across micro-batches, so a replayed multi-batch stream
+    converges to the same attribution as the one-batch run. Only
+    order-free counters are emitted (no float sums — replay
+    determinism, same rule as _UserStatsProcessor)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "lastclick", "k int, us long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import json
+
+        import pandas as pd
+
+        last = self._state.get() if self._state.exists() else None
+        n_purch = 0
+        n_attr = 0
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                if row["event_type"] == "click":
+                    k = int(json.loads(row["props"])["k"])
+                    us = int(pd.Timestamp(row["ts"]).value // 1000)
+                    last = (k, us)
+                elif row["event_type"] == "purchase":
+                    n_purch += 1
+                    if last is not None:
+                        n_attr += 1
+        if last is not None:
+            self._state.update(last)
+        chan = f"ch_{last[0] % 4}" if last is not None else None
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [n_purch],
+                "n_attributed": [n_attr],
+                "last_channel": [chan],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_attribution(stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas last-touch attribution (per-user
+    ValueState). Same RocksDB provider requirement as tws_user_stats."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_AttributionProcessor(),
+            outputStructType=TWS_ATTRIB_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def tws_user_stats(stream: DataFrame) -> DataFrame:
     """transformWithStateInPandas over the event stream. Requires the
     RocksDB state store provider (set by the caller for the query's
