@@ -87,6 +87,14 @@ HEADLINE = [
     "graph_triangle_count",
     "attribution_last_touch",
     "dq_expectations_report",
+    "token_entropy",
+    "wordlm_interpolated_nll",
+    "simhash_hamming_pairs",
+    "countmin_heavy_hitters",
+    "watermark_late_audit",
+    "source_overlap_matrix",
+    "minhash_estimate_accuracy",
+    "crossmodal_retrieval_eval",
 ]
 
 REPEATS = 2

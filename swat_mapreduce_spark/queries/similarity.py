@@ -615,3 +615,70 @@ def crossmodal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("mrr_at_k"),
     )
+
+
+# --- IVF index-build audit: posting-list statistics ------------------------
+# Before serving an IVF index you audit the partition it induces:
+# posting-list sizes per cell, the imbalance factor (max/mean — the
+# tail-latency predictor: a probe into the fattest cell costs
+# imbalance× the average), and each cell's mean distance to centroid
+# (quantization coarseness). One centroid shuffle + one assignment
+# regroup; all |cells|-bounded output.
+_IVF_STATS_ORACLE = f"""
+WITH {_DIMS_DUCK},
+cent AS (
+    SELECT e.label AS cell, d.i, avg(d.x) AS m
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY e.label, d.i
+),
+cc AS (
+    SELECT e.vec_id, e.label AS cell,
+           sum(d.x * c.m) / (sqrt(sum(d.x * d.x)) * sqrt(sum(c.m * c.m)))
+               AS cos_c
+    FROM embeddings e
+    JOIN dims d ON d.vec_id = e.vec_id
+    JOIN cent c ON c.cell = e.label AND c.i = d.i
+    GROUP BY e.vec_id, e.label
+),
+per_cell AS (
+    SELECT cell, count(*)::BIGINT AS posting_size,
+           round(avg(cos_c) * 10000) / 10000 + 0.0 AS mean_cos_to_centroid
+    FROM cc GROUP BY cell
+),
+tot AS (SELECT max(posting_size) AS mx,
+               avg(posting_size) AS mean_sz FROM per_cell)
+SELECT p.cell, p.posting_size, p.mean_cos_to_centroid,
+       round(t.mx / t.mean_sz * 10000) / 10000 + 0.0 AS imbalance
+FROM per_cell p CROSS JOIN tot t
+"""
+
+
+@register("ivf_posting_stats", oracle=_IVF_STATS_ORACLE)
+def ivf_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb)
+    vec = A.as_double_array(F.col("embedding"))
+    cc = emb.join(
+        F.broadcast(cents), emb["label"] == cents["cell"]
+    ).select(
+        "cell", A.cosine(vec, F.col("centroid")).alias("cos_c")
+    )
+    per_cell = cc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("posting_size"),
+        (F.round(F.avg("cos_c") * 10000.0) / 10000.0 + 0.0).alias(
+            "mean_cos_to_centroid"
+        ),
+    )
+    tot = per_cell.agg(
+        F.max("posting_size").alias("mx"),
+        F.avg("posting_size").alias("mean_sz"),
+    )
+    return per_cell.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "posting_size",
+        "mean_cos_to_centroid",
+        (
+            F.round(F.col("mx") / F.col("mean_sz") * 10000.0) / 10000.0
+            + 0.0
+        ).alias("imbalance"),
+    )

@@ -487,3 +487,105 @@ def test_tws_processor_logic_without_runtime():
     assert row2["max_value"] == 9.0
     assert row2["first_ts"] == pd.Timestamp("2024-01-01 09:00:00")
     proc.close()
+
+
+def test_tws_attribution_replay_converges_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """The processor's claim: last-click ValueState carries across
+    micro-batches, so a two-batch time-split replay attributes a
+    batch-2 purchase to its batch-1 click, and per-user counter
+    emissions SUM to the single-batch totals."""
+    import uuid
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.queries.streaming_queries import (
+        _tws_runtime_available,
+    )
+    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.streaming import jobs
+
+    if not _tws_runtime_available():
+        pytest.skip("no protobuf runtime for transformWithState")
+
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 30
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "tws_replay"
+    events.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    events.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    qname = f"twsattr_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            jobs.tws_attribution(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(provider_key, prev)
+    summed = {
+        r["user_id"]: (int(r["np"]), int(r["na"]))
+        for r in spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_purchases").alias("np"),
+            F.sum("n_attributed").alias("na"),
+        )
+        .collect()
+    }
+    # batch truth: carry-forward over the full per-user stream
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth_df = (
+        events.withColumn(
+            "lk",
+            F.last(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.get_json_object("props", "$.k"),
+                ),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(
+                F.when(F.col("lk").isNotNull(), 1).otherwise(0)
+            ).alias("na"),
+        )
+    )
+    truth = {
+        r["user_id"]: (int(r["np"]), int(r["na"]))
+        for r in truth_df.collect()
+    }
+    assert {u: v for u, v in summed.items() if v != (0, 0)} == truth
