@@ -342,3 +342,60 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("c0") * p6) / p6 + 0.0).alias("c_dim0"),
         )
     )
+
+
+# --- deterministic column pseudonymization ---------------------------------
+# Governance twin of pii_redaction: REVERSIBLE-BY-LOOKUP masking is a
+# non-goal; what a training/analytics export needs is DETERMINISTIC
+# pseudonyms — the same input maps to the same token everywhere, so
+# joins and group-bys still work on the masked export. Tokens are
+# sha2-derived with a fixed salt; numeric quasi-identifiers are
+# GENERALIZED (k-anonymity-style 1000-unit account-balance bands)
+# rather than hashed, keeping them aggregable. Entirely narrow
+# (zero shuffles before the verification aggregate).
+_PSEUDO_ORACLE = """
+WITH masked AS (
+    SELECT c_name, c_mktsegment,
+           'cust_' || substr(sha256('swat-v1|' || c_name), 1, 16)
+               AS name_token,
+           floor(c_acctbal / 1000) * 1000 AS acct_band
+    FROM customer
+)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT name_token)::BIGINT AS n_distinct_tokens,
+       (count(DISTINCT name_token) = count(DISTINCT c_name))
+           AS tokens_consistent,
+       count(DISTINCT acct_band)::BIGINT AS n_acct_bands
+FROM masked
+GROUP BY c_mktsegment
+"""
+
+
+@register("mask_pseudonymize", oracle=_PSEUDO_ORACLE)
+def mask_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    name_token = F.concat(
+        F.lit("cust_"),
+        F.substring(
+            F.sha2(F.concat(F.lit("swat-v1|"), F.col("c_name")), 256),
+            1,
+            16,
+        ),
+    )
+    acct_band = F.floor(F.col("c_acctbal") / 1000) * 1000
+    masked = cust.select(
+        "c_name",
+        "c_mktsegment",
+        name_token.alias("name_token"),
+        acct_band.alias("acct_band"),
+    )
+    return masked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("name_token").alias("n_distinct_tokens"),
+        # determinism + injectivity on this corpus: one token per name
+        (
+            F.countDistinct("name_token") == F.countDistinct("c_name")
+        ).alias("tokens_consistent"),
+        F.countDistinct("acct_band").alias("n_acct_bands"),
+    )

@@ -829,3 +829,66 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") - F.col("true_count")).alias("overestimate"),
     )
+
+
+# --- closed-form linear regression (normal equations) ----------------------
+# Iteration-free distributed ML: simple OLS y = a + b·x fitted from
+# sufficient statistics (n, Σx, Σy, Σxx, Σxy, Σyy) — ONE aggregate
+# pass with map-side combine; the solve is constant driver math
+# folded into the same plan. Sums go through DECIMAL(30,8) so the
+# fitted coefficients are bit-identical across engines and partition
+# counts (same exactness contract as money_sum). The model audits
+# discount→quantity on lineitem: slope/intercept/R².
+_LINREG_ORACLE = """
+WITH s AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(CAST(l_discount AS DECIMAL(30,8)))::DOUBLE AS sx,
+           sum(CAST(l_quantity AS DECIMAL(30,8)))::DOUBLE AS sy,
+           sum(CAST(l_discount * l_discount AS DECIMAL(30,8)))::DOUBLE
+               AS sxx,
+           sum(CAST(l_discount * l_quantity AS DECIMAL(30,8)))::DOUBLE
+               AS sxy,
+           sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))::DOUBLE
+               AS syy
+    FROM lineitem
+)
+SELECT n::BIGINT AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000)
+           / 1000000 + 0.0 AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1000000) / 1000000 + 0.0 AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1000000) / 1000000 + 0.0 AS r2
+FROM s
+"""
+
+
+@register("linreg_normal_equations", oracle=_LINREG_ORACLE)
+def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,8)")  # noqa: E731
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+        F.sum(dec(y * y)).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("sxy"), F.col("syy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r6 = lambda c: F.round(c * 1000000.0) / 1000000.0 + 0.0  # noqa: E731
+    return s.select(
+        n.cast("long").alias("n"),
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+        r6(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
