@@ -657,6 +657,8 @@ def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") + jitter).alias("arrival"),
     )
     lo, hi = ev.agg(F.min("arrival"), F.max("arrival")).first()
+    if lo is None:  # empty table: keep the plan valid, 0 output rows
+        lo, hi = 0, 0
     span = max(int(hi) - int(lo), 1)
     bucket = F.least(
         F.lit(_LATE_BUCKETS - 1),

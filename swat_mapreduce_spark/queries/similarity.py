@@ -48,12 +48,20 @@ LIMIT 10
 @register("ann_topk_bruteforce", oracle=_ANN_ORACLE)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    qvec = (
+    qrow = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
-        .first()[0]
+        .first()
     )
-    return S.cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=QUERY_VEC_ID)
+    if qrow is None:  # query vector absent (empty/regenerated data)
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS INT) AS label,"
+            " CAST(NULL AS DOUBLE) AS cosine"
+        ).limit(0)
+    return S.cosine_topk(
+        emb, [float(x) for x in qrow[0]], k=10, exclude_id=QUERY_VEC_ID
+    )
 
 
 _PAIRS_ORACLE = f"""
@@ -152,13 +160,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same k and query vector as ann_topk_bruteforce — diffing the two
     results shows the recall trade."""
     emb = read_table(spark, sf_dir, "embeddings")
-    qvec = (
+    qrow = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
-        .first()[0]
+        .first()
     )
+    if qrow is None:  # query vector absent (empty/regenerated data)
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS INT) AS label,"
+            " CAST(NULL AS DOUBLE) AS cosine"
+        ).limit(0)
     return S.ivf_topk(
-        emb, [float(x) for x in qvec], k=10, nprobe=2, exclude_id=QUERY_VEC_ID
+        emb, [float(x) for x in qrow[0]], k=10, nprobe=2,
+        exclude_id=QUERY_VEC_ID,
     )
 
 
@@ -558,6 +573,15 @@ def crossmodal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding")
         .collect()
     )  # bounded: corpus/|sample| rows by construction
+    if not qrows:
+        # empty corpus: one all-zero metrics row, matching the
+        # oracle's aggregate-over-empty shape (count=0, sums NULL)
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_queries,"
+            " CAST(NULL AS BIGINT) AS n_hits,"
+            " CAST(NULL AS DOUBLE) AS hit_rate_at_k,"
+            " CAST(NULL AS DOUBLE) AS mrr_at_k"
+        )
     qlit = F.array(
         *[
             F.struct(

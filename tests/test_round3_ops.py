@@ -153,3 +153,30 @@ def test_dq_report_catches_planted_violations(spark, tmp_path, sf_dir):
     assert out["lineitem_fk_order"].violations == 1
     assert out["customer_key_unique"]["pass"]
     assert out["events_value_non_negative"]["pass"]
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    """A regenerated-testdata hazard (ADVICE r2): empty tables must
+    yield empty (or aggregate-shaped) results, never crash. Runs the
+    driver-facing entry points that do driver-side .first()/.collect()
+    priming — the paths a 0-row input can break."""
+    from swat_mapreduce_spark.queries import load_all
+    from swat_mapreduce_spark.sources.readers import TABLES
+
+    for t in TABLES:
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).coalesce(1).write.parquet(f"{tmp_path}/{t}.parquet")
+    reg = load_all()
+    for name in [
+        "ann_topk_bruteforce",
+        "ann_ivf_topk",
+        "crossmodal_retrieval_eval",
+        "watermark_late_audit",
+        "dedup_substring_spans",
+        "semdedup_embeddings",
+        "graph_triangle_count",
+        "linreg_normal_equations",
+    ]:
+        n = reg[name].spark_fn(spark, str(tmp_path)).count()
+        assert n >= 0, name
