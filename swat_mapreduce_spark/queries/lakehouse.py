@@ -540,3 +540,101 @@ def partition_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") > _PARTSTATS_THRESHOLD, 1).otherwise(0)
         ).cast("long").alias("n_matching"),
     )
+
+
+# --- Python DataSource WRITER (Spark 4) ------------------------------------
+# Completes the custom-format API surface (scan + stream reader are
+# above): per-priority order aggregates go out through the
+# swat_jsonl_sink two-phase writer (task temp files → commit rename),
+# come back in via spark.read.json, and the round trip is oracled —
+# proving the writer's commit protocol delivers exactly the committed
+# rows. One agg shuffle; the write itself is embarrassingly parallel
+# (one file per partition, no driver funnel).
+_PYSINK_ORACLE = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS total_value
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("python_datasource_write", oracle=_PYSINK_ORACLE)
+def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from swat_mapreduce_spark.sources.manifest_source import (
+        JsonlSinkDataSource,
+    )
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    agg = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R.money_sum(F.col("o_totalprice")).alias("total_value"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="swat_jsonl_sink_")
+    agg.write.format("swat_jsonl_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    back = spark.read.json(f"{out_dir}/part-*.jsonl")
+    return back.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+# --- SQL scripting (Spark 4 BEGIN…END) -------------------------------------
+# Procedural SQL: DECLARE/WHILE/SET driving real queries — the
+# scripting runtime executes on the driver but every statement inside
+# is a distributed Catalyst plan. The script doubles a price
+# threshold until fewer than 100 orders exceed it; the oracle derives
+# the same fixed point declaratively (first k with count < 100).
+_SQLSCRIPT_START = 32000.0
+_SQLSCRIPT_LIMIT = 100
+
+_SQLSCRIPT_ORACLE = f"""
+WITH ks AS (SELECT unnest(generate_series(0, 10)) AS k),
+counts AS (
+    SELECT k.k, {_SQLSCRIPT_START} * power(2, k.k) AS threshold,
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice > {_SQLSCRIPT_START} * power(2, k.k))
+               AS n_above
+    FROM ks k
+)
+SELECT threshold, n_above::BIGINT AS n_above
+FROM counts WHERE n_above < {_SQLSCRIPT_LIMIT}
+ORDER BY k LIMIT 1
+"""
+
+
+@register("sql_scripting_block", oracle=_SQLSCRIPT_ORACLE)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_script_v"
+    )
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE threshold DOUBLE DEFAULT {_SQLSCRIPT_START};
+          DECLARE n_above BIGINT DEFAULT 0;
+          SET n_above = (SELECT count(*) FROM orders_script_v
+                         WHERE o_totalprice > threshold);
+          WHILE n_above >= {_SQLSCRIPT_LIMIT} DO
+            SET threshold = threshold * 2;
+            SET n_above = (SELECT count(*) FROM orders_script_v
+                           WHERE o_totalprice > threshold);
+          END WHILE;
+          SELECT threshold, n_above;
+        END
+        """
+    )

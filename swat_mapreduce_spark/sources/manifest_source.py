@@ -27,8 +27,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -123,3 +125,72 @@ class ManifestDataSource(DataSource):
         self, schema: StructType
     ) -> SimpleDataSourceStreamReader:
         return ManifestStreamReader(self.options)
+
+
+# --- custom writer: the Spark 4 DataSourceWriter surface -------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-partition JSONL writer with a commit protocol: tasks write
+    to uniquely-named temp files and report them in commit messages;
+    ``commit`` atomically renames the complete set, ``abort`` removes
+    strays — the same two-phase layout FileOutputCommitter uses, in
+    ~30 lines of Python. One file per partition, no driver funnel."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(
+            self.path, f"_tmp_part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        )
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = m.path.replace("_tmp_part-", "part-", 1)
+            os.replace(m.path, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``format("swat_jsonl_sink")`` — options: path."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "swat_jsonl_sink"
+
+    def schema(self) -> str | StructType:
+        return "placeholder string"  # sinks take the input schema
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlSinkWriter(self.options)
