@@ -130,12 +130,18 @@ def main() -> None:
     for name in HEADLINE:
         q = reg[name]
         best, n = None, None
-        for _ in range(REPEATS):
+        for rep in range(REPEATS):
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            # repeats exist to strip first-run plan-compile noise,
+            # which dominates only FAST queries; for slow ones the
+            # first run is already steady-state-dominated, and
+            # re-running them would double the harness wall time
+            if dt > 2.5:
+                break
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s (best of {REPEATS})", file=sys.stderr)
 
