@@ -448,9 +448,15 @@ bands AS (
     SELECT doc_id, g.b, (sh >> (8 * g.b)) & 255 AS key
     FROM sims, generate_series(0, {_SIMHASH_BANDS - 1}) AS g(b)
 ),
+-- mirror candidate_pairs' degenerate-bucket cap (max_bucket=1000):
+-- saturated fingerprints make some byte-buckets exceed it at sf0.1
+capped AS (
+    SELECT doc_id, b, key FROM bands
+    QUALIFY count(*) OVER (PARTITION BY b, key) <= 1000
+),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming,
