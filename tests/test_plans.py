@@ -249,3 +249,67 @@ def test_headline_plans_no_cartesian_bounded_python(spark, sf_dir):
             offenders.append(name)
     assert not cartesians, f"cartesian products in: {cartesians}"
     assert not offenders, f"unexpected Python stages in: {offenders}"
+
+
+def test_triangle_count_reuses_persisted_edges(spark, sf_dir):
+    """The oriented edge list must be materialized once and read from
+    cache by all four references — not re-derived from the fact
+    table per join leg (the 16-scan shape the census caught)."""
+    from swat_mapreduce_spark.queries import load_all
+
+    import re
+
+    df = load_all()["graph_triangle_count"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    # count numbered TREE nodes only — InMemoryRelation detail text
+    # re-prints the cached pipeline, inflating a plain substring count
+    nodes = re.findall(r"\(\d+\)\s+([A-Za-z]+)", plan)
+    assert nodes.count("InMemoryTableScan") >= 2
+    assert nodes.count("Scan") <= 4
+
+
+def test_watermark_late_audit_no_single_partition_window(spark, sf_dir):
+    """The prefix-MAX must stay bucketed: no Exchange SinglePartition
+    anywhere in the plan (the global-window scale trap)."""
+    from swat_mapreduce_spark.queries import load_all
+
+    df = load_all()["watermark_late_audit"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+
+
+def test_countmin_cells_bounded(spark, sf_dir):
+    """The sketch table is at most d*w rows no matter the corpus —
+    the mergeable-constant-state property."""
+    from swat_mapreduce_spark.queries import load_all
+    from swat_mapreduce_spark.queries.scale_patterns import _CM_D, _CM_W
+
+    out = load_all()["countmin_heavy_hitters"].spark_fn(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.est_count >= r.true_count  # CM never underestimates
+
+
+def test_jsonl_sink_commit_protocol(tmp_path):
+    """Writer commit renames temp files into place; abort removes
+    them — no partial output can ever be read as committed."""
+    import os
+
+    from swat_mapreduce_spark.sources.manifest_source import (
+        JsonlSinkWriter, _JsonlCommit,
+    )
+
+    w = JsonlSinkWriter({"path": str(tmp_path)})
+    t1 = tmp_path / "_tmp_part-00000-aa.jsonl"
+    t2 = tmp_path / "_tmp_part-00001-bb.jsonl"
+    t1.write_text('{"a": 1}\n')
+    t2.write_text('{"a": 2}\n')
+    w.commit([_JsonlCommit(str(t1), 1), _JsonlCommit(str(t2), 1)])
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["part-00000-aa.jsonl", "part-00001-bb.jsonl"]
+    t3 = tmp_path / "_tmp_part-00002-cc.jsonl"
+    t3.write_text('{"a": 3}\n')
+    w.abort([_JsonlCommit(str(t3), 1)])
+    assert not t3.exists()
+    w.abort([_JsonlCommit(str(t3), 1)])  # idempotent on missing files
