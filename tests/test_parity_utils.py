@@ -280,3 +280,31 @@ def test_archive_distribution_auto_unzip(spark, tmp_path):
         [(i, n) for i, n in enumerate(got[0])], "label_idx int, class_name string"
     )
     assert labels.filter(F.col("label_idx") == 1).first().class_name == "shoes"
+
+
+def test_catalog_managed_table_roundtrip(spark, sf_dir, tmp_path):
+    """The catalog surface a switching user hits first: saveAsTable a
+    partitioned managed table, append via insertInto, prune partitions
+    on read, and introspect via the catalog API."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "etype", F.col("event_type")
+    )
+    tbl = "swat_cat_events"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    half.write.partitionBy("etype").saveAsTable(tbl)
+    rest.write.insertInto(tbl)
+    back = spark.table(tbl)
+    assert back.count() == ev.count()
+    one = back.filter(F.col("etype") == "click").count()
+    assert one == ev.filter(F.col("event_type") == "click").count()
+    cols = {c.name for c in spark.catalog.listColumns(tbl)}
+    assert "etype" in cols and "event_id" in cols
+    parts = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+    assert parts == 5  # one per event_type
+    spark.sql(f"DROP TABLE {tbl}")
