@@ -706,3 +706,101 @@ def ivf_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("imbalance"),
     )
+
+
+# --- hard-negative mining --------------------------------------------------
+# Contrastive-training data prep: for each anchor, the HARDEST
+# negative (highest-cosine vector with a DIFFERENT label) found
+# within its LSH bucket — the bucketed form of hard-negative mining:
+# candidates are bucket-local (random-hyperplane signs), so the
+# pairwise cosine work is Σ bucket² like every LSH op here, never
+# corpus². Anchors whose bucket holds no cross-label vector get no
+# row (mine from more buckets by re-hashing in production — the
+# recall trade is the same one ann_lsh_buckets documents).
+def _hardneg_oracle() -> str:
+    comp = S.duck_plane_component("g.p", "d.i - 1")
+    return f"""
+WITH {_DIMS_DUCK},
+dots AS (
+    SELECT d.vec_id, g.p, sum(d.x * ({comp})) AS dp
+    FROM dims d, generate_series(0, {S.LSH_PLANES - 1}) AS g(p)
+    GROUP BY d.vec_id, g.p
+),
+buckets AS (
+    SELECT vec_id,
+           sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+               AS bucket
+    FROM dots GROUP BY vec_id
+),
+pairs AS (
+    SELECT a.vec_id AS anchor, ea.label AS anchor_label,
+           b.vec_id AS cand, eb.label AS cand_label
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE ea.label <> eb.label
+),
+scored AS (
+    SELECT p.anchor, p.anchor_label, p.cand, p.cand_label,
+           round(sum(da.x * db.x) / (sqrt(sum(da.x * da.x))
+                 * sqrt(sum(db.x * db.x))) * 10000) / 10000 + 0.0 AS c
+    FROM pairs p
+    JOIN dims da ON da.vec_id = p.anchor
+    JOIN dims db ON db.vec_id = p.cand AND db.i = da.i
+    GROUP BY p.anchor, p.anchor_label, p.cand, p.cand_label
+)
+SELECT anchor, anchor_label, cand AS hard_negative,
+       cand_label AS negative_label, c AS cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY anchor
+                           ORDER BY c DESC, cand) = 1
+"""
+
+
+@register("hard_negative_mining", oracle=_hardneg_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = S.lsh_buckets(emb)  # (vec_id, bucket)
+    tagged = emb.join(buckets, "vec_id").select(
+        "vec_id", "label", "embedding", "bucket"
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("anchor_label"),
+        A.as_double_array(F.col("embedding")).alias("av"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("cand_label"),
+        A.as_double_array(F.col("embedding")).alias("bv"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("anchor") != F.col("cand"))
+        & (F.col("anchor_label") != F.col("cand_label")),
+    )
+    scored = pairs.select(
+        "anchor",
+        "anchor_label",
+        "cand",
+        "cand_label",
+        R.r(A.cosine(F.col("av"), F.col("bv")), 4).alias("c"),
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("c"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            "anchor_label",
+            F.col("cand").alias("hard_negative"),
+            F.col("cand_label").alias("negative_label"),
+            F.col("c").alias("cosine"),
+        )
+    )

@@ -415,3 +415,90 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- span-corruption prep (UL2/T5-style denoising objectives) --------------
+# Deterministic span masking for denoiser training data: tokens are
+# grouped into 3-token blocks and a block is masked iff its md5 draw
+# (keyed on doc_id|block — reproducible across runs AND engines) hits
+# the 1-in-5 rate. The query emits the per-doc corruption accounting
+# a data pipeline validates before writing input/target pairs:
+# masked-token count, span count, realized corruption rate. Entirely
+# narrow — the mask decision is per-block arithmetic in the scan
+# stage; no shuffle until the (bounded) output.
+_SPANCORR_BLOCK = 3
+_SPANCORR_RATE = 5  # 1-in-5 blocks masked
+
+_SPANCORR_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+    FROM t
+),
+flags AS (
+    SELECT doc_id, i, (i - 1) // {_SPANCORR_BLOCK} AS blk,
+           (('0x' || substr(md5(doc_id || '|' ||
+               ((i - 1) // {_SPANCORR_BLOCK})), 1, 8))::BIGINT
+               % {_SPANCORR_RATE} = 0) AS masked
+    FROM tok
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+       count(DISTINCT CASE WHEN masked THEN blk END)::BIGINT AS n_spans,
+       round(sum(CASE WHEN masked THEN 1 ELSE 0 END) * 10000.0
+             / count(*)) / 10000 + 0.0 AS corruption_rate
+FROM flags
+GROUP BY doc_id
+"""
+
+
+@register("span_corruption_prep", oracle=_SPANCORR_ORACLE)
+def span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    idx = F.sequence(F.lit(1), F.size("toks"))
+    tok = docs.select(
+        "doc_id", F.explode(idx).alias("i")
+    )
+    blk = ((F.col("i") - 1) / _SPANCORR_BLOCK).cast("long")
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        blk.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _SPANCORR_RATE
+        == 0
+    )
+    flags = tok.select(
+        "doc_id", blk.alias("blk"), masked.alias("masked")
+    )
+    n_masked = F.sum(F.when(F.col("masked"), 1).otherwise(0))
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        F.countDistinct(
+            F.when(F.col("masked"), F.col("blk"))
+        ).alias("n_spans"),
+        (
+            F.round(n_masked * 10000.0 / F.count(F.lit(1))) / 10000.0
+            + 0.0
+        ).alias("corruption_rate"),
+    )
