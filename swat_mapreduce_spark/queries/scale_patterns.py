@@ -894,3 +894,70 @@ def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+# --- bounded multi-hop reachability (2-hop BFS) ----------------------------
+# The bounded-frontier BFS shape: distance-k reachability from a seed
+# set over the customer→supplier→customer co-transaction graph, one
+# shuffle-join per hop with the frontier deduplicated between hops
+# (the iterative-join pattern connected-components uses, but with a
+# FIXED hop budget — the form analytics actually runs: "who is within
+# 2 hops of these accounts"). Frontiers only shrink relative to the
+# vertex set, never multiply: each hop is frontier ⋈ edges followed
+# by a distinct, so state is O(|vertices|) at any scale.
+_BFS_SEED_MOD = 1000  # custkey % 1000 == 0 → deterministic seed set
+
+_BFS_ORACLE = f"""
+WITH edges AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+seeds AS (SELECT DISTINCT c FROM edges WHERE c % {_BFS_SEED_MOD} = 0),
+hop1 AS (
+    SELECT DISTINCT e.s FROM edges e JOIN seeds ON e.c = seeds.c
+),
+hop2 AS (
+    SELECT DISTINCT e.c FROM edges e JOIN hop1 ON e.s = hop1.s
+)
+SELECT (SELECT count(*) FROM seeds)::BIGINT AS n_seeds,
+       (SELECT count(*) FROM hop1)::BIGINT AS n_suppliers_1hop,
+       (SELECT count(*) FROM hop2)::BIGINT AS n_customers_2hop,
+       (SELECT count(*) FROM hop2 WHERE c % {_BFS_SEED_MOD} != 0)
+           ::BIGINT AS n_new_customers
+"""
+
+
+@register("bfs_2hop_reach", oracle=_BFS_ORACLE)
+def bfs_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .persist()  # referenced by both hops + seed derivation
+    )
+    seeds = edges.filter(F.col("c") % _BFS_SEED_MOD == 0).select(
+        "c"
+    ).distinct()
+    hop1 = (
+        edges.join(seeds, "c", "left_semi").select("s").distinct()
+    )
+    hop2 = (
+        edges.join(hop1, "s", "left_semi").select("c").distinct()
+    )
+    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    n_h1 = hop1.agg(F.count(F.lit(1)).alias("n_suppliers_1hop"))
+    n_h2 = hop2.agg(F.count(F.lit(1)).alias("n_customers_2hop"))
+    n_new = hop2.filter(F.col("c") % _BFS_SEED_MOD != 0).agg(
+        F.count(F.lit(1)).alias("n_new_customers")
+    )
+    return (
+        n_seeds.crossJoin(n_h1).crossJoin(n_h2).crossJoin(n_new)
+    )

@@ -502,3 +502,78 @@ def span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("corruption_rate"),
     )
+
+
+# --- curriculum ordering ---------------------------------------------------
+# Curriculum-learning data prep: order the corpus easy→hard by a
+# quality score and cut it into equal curriculum phases. The global
+# order comes from operators/ranking.distributed_global_rank (range
+# buckets + broadcast offsets — no single-partition window), making
+# this the second production caller of that operator; the phase is
+# derived from the rank with the exact ntile sizing formula. Scores
+# are rounded to 4dp BEFORE ranking so the rank ties (and therefore
+# the phases) are decided on values both engines agree on bit-exactly.
+_CURRICULUM_PHASES = 4
+
+_CURRICULUM_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           round((least(1.0, len(toks) / 80.0)
+                  + len(list_distinct(toks))::DOUBLE / len(toks))
+                 * 10000) / 10000 + 0.0 AS score
+    FROM t
+),
+r AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+           count(*) OVER () AS n
+    FROM f
+)
+SELECT doc_id, score, rnk::BIGINT AS rnk,
+       (((rnk - 1) * 4) // n + 1)::BIGINT AS phase
+FROM r
+"""
+
+
+@register("curriculum_order_phases", oracle=_CURRICULUM_ORACLE)
+def curriculum_order_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.operators.ranking import (
+        distributed_global_rank,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks").cast("double")
+    score = (
+        F.round(
+            (
+                F.least(F.lit(1.0), n / 80.0)
+                + F.size(F.array_distinct("toks")).cast("double") / n
+            )
+            * 10000.0
+        )
+        / 10000.0
+        + 0.0
+    )
+    scored = docs.select("doc_id", score.alias("score"))
+    total = scored.count()  # one count job; O(1) driver state
+    ranked = distributed_global_rank(
+        scored,
+        value=-F.col("score"),  # DESC order: rank ascending on -score
+        tiebreak=F.col("doc_id"),
+        out="rnk",
+    )
+    phase = ((F.col("rnk") - 1) * _CURRICULUM_PHASES / total).cast(
+        "long"
+    ) + 1
+    return ranked.select(
+        "doc_id", "score", F.col("rnk").cast("long").alias("rnk"),
+        phase.alias("phase"),
+    )
