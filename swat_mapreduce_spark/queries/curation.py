@@ -319,6 +319,14 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = [[float(v) for v in r["embedding"]] for r in init_rows]
+    if not cents:  # empty table: no centroids, schema-correct 0 rows
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS cid,"
+            " CAST(NULL AS BIGINT) AS n_members,"
+            " CAST(NULL AS BIGINT) AS min_vec,"
+            " CAST(NULL AS BIGINT) AS max_vec,"
+            " CAST(NULL AS DOUBLE) AS c0"
+        ).limit(0)
     assigned = _assign(emb, cents)
     cents = _update(assigned)
     assigned = _assign(emb, cents)

@@ -33,7 +33,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **opts) -> DataFrame:
     )
     docs.write.mode("overwrite").format(fmt).options(**opts).save(path)
     back = spark.read.format(fmt).options(**opts)
-    if fmt == "csv":
+    if fmt in ("csv", "json"):
+        # csv: untyped without it; json: schema inference FAILS on an
+        # empty dataset (a 0-row corpus must round-trip, not crash)
         back = back.schema("doc_id long, lang string, source string, n_chars long")
     re_read = back.load(path)
     return re_read.groupBy("lang", "source").agg(
@@ -98,7 +100,11 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     return (
-        spark.read.parquet(path)
+        # explicit schema: inference fails when the write was 0-row
+        # (no data files, no partition dirs to discover)
+        spark.read.schema(
+            "doc_id long, source string, n_chars long, lang string"
+        ).parquet(path)
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -584,7 +584,13 @@ def python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg.write.format("swat_jsonl_sink").option("path", out_dir).mode(
         "append"
     ).save()
-    back = spark.read.json(f"{out_dir}/part-*.jsonl")
+    back = (
+        spark.read.schema(
+            "o_orderpriority string, n_orders long, total_value double"
+        )
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out_dir)
+    )
     return back.select(
         "o_orderpriority",
         F.col("n_orders").cast("long").alias("n_orders"),

@@ -171,6 +171,8 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     parts = 8
     mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if mn is None:  # empty table: any constant binning works
+        mn, mx = 0, 0
     span = mx - mn + 1
     bucket = F.floor(((F.col("doc_id") - mn) * parts) / span).cast("int")
     bucketed = docs.withColumn("_b", bucket)

@@ -121,6 +121,8 @@ def pack_sequences_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
     mn, mx = with_n.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if mn is None:  # empty corpus: any constant binning works
+        mn, mx = 0, 0
     span = mx - mn + 1
     bucket = F.floor(((F.col("doc_id") - mn) * parts) / span).cast("int")
     bucketed = with_n.withColumn("_b", bucket)

@@ -177,6 +177,15 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "semdedup_embeddings",
         "graph_triangle_count",
         "linreg_normal_equations",
+        # the six the full-registry empty sweep caught (schema
+        # inference on 0-row round trips; None prefix offsets;
+        # empty k-means init)
+        "json_roundtrip_agg",
+        "parquet_partitioned_roundtrip",
+        "python_datasource_write",
+        "stable_row_ids",
+        "pack_sequences_fixed",
+        "kmeans_lloyd_2iter",
     ]:
         n = reg[name].spark_fn(spark, str(tmp_path)).count()
         assert n >= 0, name
