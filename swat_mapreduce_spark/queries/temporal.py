@@ -823,3 +823,101 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grid_ts",
         (F.round(interp * 10000.0) / 10000.0 + 0.0).alias("v_interp"),
     )
+
+
+# --- gaps and islands ------------------------------------------------------
+# The canonical interval-coalescing pattern: per user, consecutive
+# ACTIVE DAYS merge into islands via the date-minus-dense-row-number
+# trick (consecutive days share one anchor date). One shuffle on
+# user_id; the per-user window is bounded by that user's history.
+# Output: per-user island count, longest streak, total active days.
+_ISLANDS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d
+    FROM events
+),
+anch AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INTEGER) AS anchor
+    FROM days
+),
+isl AS (
+    SELECT user_id, anchor, count(*) AS len
+    FROM anch GROUP BY user_id, anchor
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_islands,
+       max(len)::BIGINT AS longest_streak,
+       sum(len)::BIGINT AS active_days
+FROM isl
+GROUP BY user_id
+"""
+
+
+@register("gaps_and_islands", oracle=_ISLANDS_ORACLE)
+def gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anch = days.withColumn(
+        "anchor",
+        F.date_sub(F.col("d"), F.row_number().over(w)),
+    )
+    isl = anch.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+# --- user-journey transition matrix ----------------------------------------
+# First-order Markov view of the event stream: per user, each event's
+# successor via lead(), then the (from, to) transition counts and
+# row-normalized probabilities — the journey/Sankey input. One
+# user_id shuffle for the window, one tiny regroup on the bounded
+# (|event_types|²) transition space.
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) AS t FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n::BIGINT AS n,
+       round(c.n * 10000.0 / t.t) / 10000 + 0.0 AS p
+FROM cnt c JOIN tot t USING (from_type)
+"""
+
+
+@register("journey_transition_matrix", oracle=_TRANSITION_ORACLE)
+def journey_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.round(F.col("n") * 10000.0 / F.col("t")) / 10000.0 + 0.0).alias(
+            "p"
+        ),
+    )
