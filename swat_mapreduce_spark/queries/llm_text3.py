@@ -700,3 +700,107 @@ def wordlm_interpolated_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll"
         ),
     )
+
+
+# --- multi-granularity duplication report ----------------------------------
+# The corpus-health overview a dedup pipeline publishes before
+# choosing where to spend its budget: duplication measured at DOCUMENT
+# (md5 of full text), CHUNK (8-token windows — paragraph_dedup's
+# unit), and SPAN (3-token windows — dedup_substring_spans' unit)
+# granularity, one row each. All three are hash-groupBy aggregates —
+# digest keys, no pair math — unioned into one plan.
+_MULTIGRAIN_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+doc_units AS (
+    SELECT md5(text) AS h, count(*) AS n FROM t GROUP BY 1
+),
+chunk_units AS (
+    SELECT h, count(*) AS n FROM (
+        SELECT md5(array_to_string(toks[(j*8+1):(j*8+8)], ' ')) AS h
+        FROM t, unnest(range(0, cast(ceil(len(toks) / 8.0) AS BIGINT)))
+             AS u(j)
+        WHERE len(toks) > 0) GROUP BY h
+),
+span_units AS (
+    SELECT h, count(*) AS n FROM (
+        SELECT md5(unnest(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')))) AS h
+        FROM t WHERE len(toks) >= 3) GROUP BY h
+),
+rep AS (
+    SELECT 'document' AS granularity, sum(n) AS n_units,
+           sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS n_duplicated
+    FROM doc_units
+    UNION ALL
+    SELECT 'chunk_8tok', sum(n),
+           sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+    FROM chunk_units
+    UNION ALL
+    SELECT 'span_3tok', sum(n),
+           sum(CASE WHEN n >= 2 THEN n ELSE 0 END)
+    FROM span_units
+)
+SELECT granularity, n_units::BIGINT AS n_units,
+       n_duplicated::BIGINT AS n_duplicated,
+       round(n_duplicated * 10000.0 / n_units) / 10000 + 0.0
+           AS dup_frac
+FROM rep
+"""
+
+
+@register("multigranularity_dup_report", oracle=_MULTIGRAIN_ORACLE)
+def multigranularity_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", ws_tokens(F.col("text")).alias("toks")
+    )
+
+    def report(units, name):
+        grp = units.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        n_units = F.sum("n")
+        n_dup = F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+        return grp.agg(
+            F.lit(name).alias("granularity"),
+            n_units.cast("long").alias("n_units"),
+            n_dup.cast("long").alias("n_duplicated"),
+            (
+                F.round(n_dup * 10000.0 / n_units) / 10000.0 + 0.0
+            ).alias("dup_frac"),
+        )
+
+    doc_u = docs.select(F.md5("text").alias("h"))
+    n_chunks = F.ceil(F.size("toks") / 8.0).cast("long")
+    chunk_u = (
+        docs.filter(F.size("toks") > 0)
+        .select(
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
+        )
+        .select(
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), F.col("j") * 8 + 1, F.lit(8)),
+                    " ",
+                )
+            ).alias("h")
+        )
+    )
+    span_u = (
+        docs.filter(F.size("toks") >= SPAN_W)
+        .select(
+            F.explode(
+                shingles_from_tokens(F.col("toks"), SPAN_W)
+            ).alias("s")
+        )
+        .select(F.md5("s").alias("h"))
+    )
+    return (
+        report(doc_u, "document")
+        .unionAll(report(chunk_u, "chunk_8tok"))
+        .unionAll(report(span_u, "span_3tok"))
+    )

@@ -804,3 +804,140 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("cosine"),
         )
     )
+
+
+# --- Matryoshka truncation audit -------------------------------------------
+# MRL-style question: how much retrieval quality survives truncating
+# embeddings to the first k dims (the memory/latency knob modern
+# embedding models expose)? For each sampled query: top-10 by
+# truncated cosine vs top-10 by full cosine, report the overlap.
+# Same one-corpus-pass batch shape as crossmodal_retrieval_eval; the
+# truncated scoring reads the SAME vectors (slice, don't re-store).
+_MRL_DIM = 16
+_MRL_SAMPLE = 100  # vec_id % 100 == 0 → deterministic query set
+_MRL_K = 10
+
+_MRL_ORACLE = f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT vec_id AS qid FROM embeddings
+      WHERE vec_id % {_MRL_SAMPLE} = 0),
+full_s AS (
+    SELECT q.qid, d.vec_id,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    GROUP BY q.qid, d.vec_id
+),
+trunc_s AS (
+    SELECT q.qid, d.vec_id,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid AND qd.i <= {_MRL_DIM}
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    GROUP BY q.qid, d.vec_id
+),
+top_full AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM full_s) WHERE rn <= {_MRL_K}
+),
+top_trunc AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM trunc_s) WHERE rn <= {_MRL_K}
+),
+ov AS (
+    SELECT f.qid, count(*) AS n_overlap
+    FROM top_full f JOIN top_trunc t
+      ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+)
+SELECT q.qid, coalesce(ov.n_overlap, 0)::BIGINT AS overlap_at_k,
+       round(coalesce(ov.n_overlap, 0) * 10000.0 / {_MRL_K}) / 10000
+           + 0.0 AS recall_vs_full
+FROM q LEFT JOIN ov ON ov.qid = q.qid
+"""
+
+
+@register("matryoshka_truncation_audit", oracle=_MRL_ORACLE)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % _MRL_SAMPLE == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded query sample by construction
+    if not qrows:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS qid,"
+            " CAST(NULL AS BIGINT) AS overlap_at_k,"
+            " CAST(NULL AS DOUBLE) AS recall_vs_full"
+        ).limit(0)
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias(
+                    "qv"
+                ),
+            )
+            for r in qrows
+        ]
+    )
+    vec = A.as_double_array(F.col("embedding"))
+    scored = (
+        emb.select("vec_id", F.explode(qlit).alias("q"), vec.alias("v"))
+        .filter(F.col("vec_id") != F.col("q.qid"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            R.r(A.cosine(F.col("v"), F.col("q.qv")), 4).alias("c_full"),
+            R.r(
+                A.cosine(
+                    F.slice(F.col("v"), 1, _MRL_DIM),
+                    F.slice(F.col("q.qv"), 1, _MRL_DIM),
+                ),
+                4,
+            ).alias("c_trunc"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
+    both = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    ov = (
+        both.filter((F.col("rf") <= _MRL_K) & (F.col("rt") <= _MRL_K))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qdf = emb.filter(F.col("vec_id") % _MRL_SAMPLE == 0).select(
+        F.col("vec_id").alias("qid")
+    )
+    return qdf.join(ov, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+            "overlap_at_k"
+        ),
+        (
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                * 10000.0
+                / _MRL_K
+            )
+            / 10000.0
+            + 0.0
+        ).alias("recall_vs_full"),
+    )
