@@ -644,3 +644,94 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# --- delta-encoding sort-order audit ---------------------------------------
+# Which layout compresses best? Parquet delta/RLE encodings win when
+# consecutive values are close, so the audit measures the mean
+# absolute successive difference of `value` under two candidate
+# orders — arrival (ts) vs value-sorted — per daily partition
+# (windows stay partition-bounded; no global sort). The value-sorted
+# delta is the floor any order can reach; the ratio tells you what
+# re-sorting before write would buy. Companion to
+# zorder_cluster_stats (clustering) and compact_small_files (sizing).
+_DELTA_ORACLE = """
+WITH d AS (
+    SELECT date_trunc('day', ts)::DATE AS day, ts, event_id, value
+    FROM events
+),
+by_ts AS (
+    SELECT day,
+           abs(value - lag(value) OVER (PARTITION BY day
+                                        ORDER BY ts, event_id)) AS dv
+    FROM d
+),
+by_val AS (
+    SELECT day,
+           abs(value - lag(value) OVER (PARTITION BY day
+                                        ORDER BY value, event_id)) AS dv
+    FROM d
+),
+a AS (
+    SELECT day,
+           round(sum(CAST(dv AS DECIMAL(30,8)))::DOUBLE
+                 / count(dv) * 10000) / 10000 + 0.0 AS mad_ts
+    FROM by_ts WHERE dv IS NOT NULL GROUP BY day
+),
+b AS (
+    SELECT day,
+           round(sum(CAST(dv AS DECIMAL(30,8)))::DOUBLE
+                 / count(dv) * 10000) / 10000 + 0.0 AS mad_sorted
+    FROM by_val WHERE dv IS NOT NULL GROUP BY day
+)
+SELECT a.day, a.mad_ts, b.mad_sorted,
+       round(a.mad_ts / b.mad_sorted * 10000) / 10000 + 0.0
+           AS sort_gain
+FROM a JOIN b USING (day)
+"""
+
+
+@register("delta_encoding_audit", oracle=_DELTA_ORACLE)
+def delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_ts = Window.partitionBy("day").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("day").orderBy("value", "event_id")
+
+    def mad(wspec, out):
+        dv = F.abs(F.col("value") - F.lag("value").over(wspec))
+        per = d.select("day", dv.alias("dv")).filter(
+            F.col("dv").isNotNull()
+        )
+        return per.groupBy("day").agg(
+            (
+                F.round(
+                    F.sum(F.col("dv").cast("decimal(30,8)")).cast(
+                        "double"
+                    )
+                    / F.count("dv")
+                    * 10000.0
+                )
+                / 10000.0
+                + 0.0
+            ).alias(out)
+        )
+
+    a = mad(w_ts, "mad_ts")
+    b = mad(w_val, "mad_sorted")
+    return a.join(b, "day").select(
+        "day",
+        "mad_ts",
+        "mad_sorted",
+        (
+            F.round(F.col("mad_ts") / F.col("mad_sorted") * 10000.0)
+            / 10000.0
+            + 0.0
+        ).alias("sort_gain"),
+    )
