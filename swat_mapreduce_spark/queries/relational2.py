@@ -456,3 +456,107 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+# --- item-item collaborative filtering -------------------------------------
+# The recommender step after market_basket_pairs: normalize pair
+# support into cosine similarity n_ab / sqrt(n_a · n_b) over order
+# baskets and keep each item's top-3 neighbors — the item-item CF
+# model (Amazon-style) as a dataflow. Candidates stay basket-blocked
+# (the same bounded pair join as support mining); the per-item top-k
+# is a WindowGroupLimit, not a global sort. Support >= 2 prunes the
+# pair tail BEFORE the window.
+_ITEMCF_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+freq AS (
+    SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS nab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+),
+sym AS (
+    SELECT part_a AS i, part_b AS j, nab FROM pairs
+    UNION ALL
+    SELECT part_b, part_a, nab FROM pairs
+),
+scored AS (
+    SELECT s.i, s.j,
+           round(s.nab / sqrt(fi.n * fj.n) * 10000) / 10000 + 0.0 AS sim
+    FROM sym s
+    JOIN freq fi ON fi.l_partkey = s.i
+    JOIN freq fj ON fj.l_partkey = s.j
+)
+SELECT i AS part, j AS neighbor, sim
+FROM (
+    SELECT i, j, sim,
+           row_number() OVER (PARTITION BY i
+                              ORDER BY sim DESC, j) AS rn
+    FROM scored)
+WHERE rn <= 3
+"""
+
+
+@register("itemcf_topk_neighbors", oracle=_ITEMCF_ORACLE)
+def itemcf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("i"), F.col("part_b").alias("j"), "nab"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("i"), F.col("part_a").alias("j"), "nab"
+        )
+    )
+    fi = freq.select(F.col("l_partkey").alias("i"), F.col("n").alias("ni"))
+    fj = freq.select(F.col("l_partkey").alias("j"), F.col("n").alias("nj"))
+    scored = (
+        sym.join(fi, "i")
+        .join(fj, "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("nab")
+                    / F.sqrt(F.col("ni") * F.col("nj"))
+                    * 10000.0
+                )
+                / 10000.0
+                + 0.0
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("i").alias("part"),
+            F.col("j").alias("neighbor"),
+            "sim",
+        )
+    )

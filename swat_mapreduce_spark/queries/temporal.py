@@ -921,3 +921,79 @@ def journey_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+# --- in-session conversion -------------------------------------------------
+# Session-scoped funnel: within each 30-min gap session, did a click
+# happen and did a purchase follow it (strictly later ts, same
+# session)? Aggregated into the session-quality report: session
+# counts, click/purchase presence, click→purchase conversions, and
+# the conversion rate among sessions that clicked. Reuses the
+# sessionize operator; the per-session min-click-ts / max-purchase-ts
+# comparison avoids any pair join inside the session.
+_SESSCONV_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR datediff('microsecond', lag(ts) OVER w, ts)
+                        >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS session_num
+    FROM e
+),
+per AS (
+    SELECT user_id, session_num,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+           max(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS last_purchase
+    FROM s
+    GROUP BY user_id, session_num
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       count(first_click)::BIGINT AS n_with_click,
+       count(last_purchase)::BIGINT AS n_with_purchase,
+       count(*) FILTER (last_purchase > first_click)::BIGINT
+           AS n_converted,
+       round(count(*) FILTER (last_purchase > first_click) * 10000.0
+             / count(first_click)) / 10000 + 0.0 AS conv_rate
+FROM per
+"""
+
+
+@register("session_conversion_rate", oracle=_SESSCONV_ORACLE)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    sess = sessionize(
+        events, key="user_id", ts="ts", gap_seconds=1800,
+        order_cols=["ts", "event_id"],
+    )
+    per = sess.groupBy("user_id", "session_num").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase"),
+    )
+    converted = F.sum(
+        F.when(
+            F.col("last_purchase") > F.col("first_click"), 1
+        ).otherwise(0)
+    )
+    n_click = F.count("first_click")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        n_click.alias("n_with_click"),
+        F.count("last_purchase").alias("n_with_purchase"),
+        converted.cast("long").alias("n_converted"),
+        (
+            F.round(converted * 10000.0 / n_click) / 10000.0 + 0.0
+        ).alias("conv_rate"),
+    )
