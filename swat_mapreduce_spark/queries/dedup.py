@@ -509,3 +509,110 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- LSH recall / precision evaluation -------------------------------------
+# Quantifies the recall trade every LSH docstring references: ground
+# truth = exact shingle-Jaccard pairs >= 0.5 (the capped inverted-
+# index path), prediction = the MinHash band/bucket CANDIDATE set
+# (pre-verification). recall = how many true near-dup pairs the
+# bucketing surfaces; precision = how much of the candidate volume is
+# real. This is the number that justifies the 4x4 band layout — rerun
+# it when retuning bands/rows.
+def _lsh_recall_oracle() -> str:
+    h = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    sig_cols = ",\n           ".join(
+        f"min(({D.MH_A[k]} * {h} + {D.MH_B[k]}) % {D.MERSENNE61}) AS h{k}"
+        for k in range(D.NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(D.BANDS):
+        cols = ", ".join(
+            f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS bucket"
+            " FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_SH_DUCK},
+capped AS (
+    SELECT doc_id, lang, shingle FROM (
+        SELECT s.*, count(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM sh s
+    ) WHERE df <= {D.MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM capped a JOIN capped b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) >= 0.5
+),
+sigs AS (
+    SELECT doc_id, {sig_cols}
+    FROM sh GROUP BY doc_id
+),
+bands AS ({bands_sql}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hit AS (
+    SELECT t.doc_a FROM truth t
+    JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       round((SELECT count(*) FROM hit) * 10000.0
+             / (SELECT count(*) FROM truth)) / 10000 + 0.0 AS recall,
+       round((SELECT count(*) FROM hit) * 10000.0
+             / (SELECT count(*) FROM cand)) / 10000 + 0.0 AS precision
+"""
+
+
+@register("lsh_recall_eval", oracle=_lsh_recall_oracle())
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    docsh = D.doc_shingle_arrays(docs, 3)
+    cand = D.candidate_pairs(
+        D.lsh_bands(D.minhash_signatures_from_arrays(docsh))
+    )
+    truth = truth.persist()
+    cand = cand.persist()
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (
+                F.round(F.col("n_hit") * 10000.0 / F.col("n_truth"))
+                / 10000.0
+                + 0.0
+            ).alias("recall"),
+            (
+                F.round(F.col("n_hit") * 10000.0 / F.col("n_candidates"))
+                / 10000.0
+                + 0.0
+            ).alias("precision"),
+        )
+    )

@@ -941,3 +941,91 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("recall_vs_full"),
     )
+
+
+# --- embedding centering / anisotropy audit --------------------------------
+# The preprocessing check run before cosine retrieval is trusted:
+# embedding spaces are notoriously anisotropic (variance concentrated
+# in a few dims), which centering exposes. One element-wise aggregate
+# computes per-dim mean and raw second moment; variance follows as
+# E[x²]−E[x]² per dim (decimal-exact sums), reported as total
+# variance, the top variance dims, and the anisotropy ratio
+# max/mean — all O(dim) output at any corpus size.
+_ANISO_ORACLE = f"""
+WITH {_DIMS_DUCK},
+m AS (
+    SELECT i,
+           sum(CAST(x AS DECIMAL(30,8)))::DOUBLE / count(*) AS mu,
+           sum(CAST(x * x AS DECIMAL(30,8)))::DOUBLE / count(*) AS m2
+    FROM dims GROUP BY i
+),
+v AS (SELECT i, m2 - mu * mu AS var FROM m),
+tot AS (
+    SELECT sum(var) AS total_var, max(var) AS max_var,
+           avg(var) AS mean_var
+    FROM v
+)
+SELECT v.i AS dim,
+       round(v.var * 1000000) / 1000000 + 0.0 AS variance,
+       round(t.total_var * 1000000) / 1000000 + 0.0 AS total_variance,
+       round(t.max_var / t.mean_var * 10000) / 10000 + 0.0
+           AS anisotropy
+FROM v CROSS JOIN tot t
+ORDER BY v.var DESC, v.i
+LIMIT 5
+"""
+
+
+@register("embedding_anisotropy_audit", oracle=_ANISO_ORACLE)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = A.as_double_array(F.col("embedding"))
+    aggs = []
+    for i in range(DIM):
+        x = F.element_at(vec, i + 1)
+        aggs.append(
+            F.sum(x.cast("decimal(30,8)")).cast("double").alias(f"s{i}")
+        )
+        aggs.append(
+            F.sum((x * x).cast("decimal(30,8)"))
+            .cast("double")
+            .alias(f"q{i}")
+        )
+    row = emb.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("dim"),
+                (
+                    F.col(f"q{i}") / F.col("n")
+                    - (F.col(f"s{i}") / F.col("n"))
+                    * (F.col(f"s{i}") / F.col("n"))
+                ).alias("var"),
+            )
+            for i in range(DIM)
+        ]
+    )
+    v = row.select(F.explode(pairs).alias("p")).select(
+        F.col("p.dim").alias("dim"), F.col("p.var").alias("var")
+    )
+    tot = v.agg(
+        F.sum("var").alias("total_var"),
+        F.max("var").alias("max_var"),
+        F.avg("var").alias("mean_var"),
+    )
+    r6 = lambda c: F.round(c * 1000000.0) / 1000000.0 + 0.0  # noqa: E731
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            r6(F.col("var")).alias("variance"),
+            r6(F.col("total_var")).alias("total_variance"),
+            (
+                F.round(F.col("max_var") / F.col("mean_var") * 10000.0)
+                / 10000.0
+                + 0.0
+            ).alias("anisotropy"),
+        )
+        .orderBy(F.desc("variance"), F.asc("dim"))
+        .limit(5)
+    )
