@@ -997,3 +997,94 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(converted * 10000.0 / n_click) / 10000.0 + 0.0
         ).alias("conv_rate"),
     )
+
+
+# --- supplier reliability scorecard ----------------------------------------
+# The composite entity-scorecard shape BI teams publish: per supplier,
+# volume, return rate, decimal-exact revenue, average ship delay, and
+# a within-nation revenue rank — one fact scan, one agg shuffle, one
+# dim broadcast, and a window bounded by the nation group (never a
+# global unpartitioned rank).
+_SCORECARD_ORACLE = """
+WITH f AS (
+    SELECT l.l_suppkey,
+           count(*) AS n_items,
+           count(*) FILTER (l.l_returnflag = 'R') AS n_returned,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(30,8))), 2)::DOUBLE AS revenue,
+           round(avg(datediff('day', o.o_orderdate::DATE,
+                              l.l_shipdate::DATE)) * 10000) / 10000
+               + 0.0 AS avg_ship_delay
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_name, n.n_name,
+       f.n_items::BIGINT AS n_items,
+       round(f.n_returned * 10000.0 / f.n_items) / 10000 + 0.0
+           AS return_rate,
+       f.revenue, f.avg_ship_delay,
+       rank() OVER (PARTITION BY n.n_name
+                    ORDER BY f.revenue DESC, s.s_suppkey)
+           ::BIGINT AS nation_revenue_rank
+FROM f
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+@register("supplier_scorecard", oracle=_SCORECARD_ORACLE)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    f = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+            R.money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            (
+                F.round(
+                    F.avg(
+                        F.datediff(
+                            F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate").cast("date"),
+                        )
+                    )
+                    * 10000.0
+                )
+                / 10000.0
+                + 0.0
+            ).alias("avg_ship_delay"),
+        )
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = f.join(
+        F.broadcast(supp), f["l_suppkey"] == supp["s_suppkey"]
+    ).join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return joined.select(
+        "s_name",
+        "n_name",
+        "n_items",
+        (
+            F.round(F.col("n_returned") * 10000.0 / F.col("n_items"))
+            / 10000.0
+            + 0.0
+        ).alias("return_rate"),
+        "revenue",
+        "avg_ship_delay",
+        F.rank().over(w).cast("long").alias("nation_revenue_rank"),
+    )
