@@ -40,6 +40,7 @@ def load_all() -> dict[str, QueryEntry]:
     from swat_mapreduce_spark.queries import (  # noqa: F401
         curation,
         dedup,
+        engine_observability,
         formats,
         lakehouse,
         llm_text,

@@ -1,0 +1,188 @@
+"""Pipeline-observability and mergeable-sketch surfaces.
+
+Three production patterns a 100 TB deployment leans on:
+
+* ``DataFrame.observe`` (Spark 3.3+) — data-quality counters collected
+  as accumulator metrics DURING a real job, zero extra passes. At
+  100 TB a separate validation scan doubles the read; observe rides
+  the existing one.
+* ``hll_union_agg`` (Spark 3.5+ Datasketches) — HLL sketches are a
+  commutative monoid, so per-partition (here: per-day) sketches merge
+  to any coarser rollup WITHOUT rescanning raw events. This is the
+  incremental-cube pattern: store k bytes per (type, day), answer
+  distinct-count queries over arbitrary date ranges by union.
+* Python UDTF ``analyze()`` (Spark 4) — polymorphic table function
+  whose OUTPUT SCHEMA is computed at plan time from a constant
+  argument; the planner sees real typed columns, so downstream
+  pruning/codegen work as if the schema were declared statically.
+
+All three carry full DuckDB value oracles (sketch estimates are pinned
+via within-tolerance booleans, the pattern established in
+scale_patterns.sketch_cardinality_pack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- observe(): DQ metrics piggybacked on a real aggregation ---------------
+# The metrics are computed by accumulators inside the SAME scan that
+# feeds the per-status aggregate — .explain shows one FileScan, zero
+# extra jobs. The returned row is the metrics record a pipeline would
+# ship to its monitoring sink.
+
+_OBSERVE_ORACLE = """
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE o_totalprice <= 0) AS n_bad_price,
+       min(CAST(o_orderdate AS DATE)) AS min_date,
+       max(CAST(o_orderdate AS DATE)) AS max_date,
+       count(DISTINCT o_orderstatus) AS n_status_groups
+FROM orders
+"""
+
+
+@register("observed_metrics_orders", oracle=_OBSERVE_ORACLE)
+def observed_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    obs = Observation("orders_dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1)), F.lit(0)
+        ).alias("n_bad_price"),
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+    )
+    # The "real" job whose scan the metrics ride on.
+    n_status_groups = (
+        observed.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    ).count()
+    m = dict(obs.get)
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("n_bad_price", LongType()),
+            StructField("min_date", DateType()),
+            StructField("max_date", DateType()),
+            StructField("n_status_groups", LongType()),
+        ]
+    )
+    row = [
+        (
+            m.get("n_rows", 0),
+            m.get("n_bad_price", 0),
+            m.get("min_date"),
+            m.get("max_date"),
+            n_status_groups,
+        )
+    ]
+    return spark.createDataFrame(row, schema)
+
+
+# --- mergeable HLL rollup: daily sketches → per-type distincts -------------
+# Estimates are pinned as within-5% booleans (default lgConfigK=12 →
+# ~1.6% standard error; deterministic registers, so the boolean is
+# stable). The oracle computes the exact distincts and pins TRUE.
+
+_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS merged_ok,
+       TRUE AS direct_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sketch_union_rollup", oracle=_SKETCH_ROLLUP_ORACLE)
+def sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_est"
+        ),
+    )
+
+    def ok(est: str):
+        return (
+            F.abs(F.col(est) - F.col("n_exact")) / F.col("n_exact") <= 0.05
+        )
+
+    return (
+        rolled.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_exact",
+            ok("merged_est").alias("merged_ok"),
+            ok("direct_est").alias("direct_ok"),
+        )
+    )
+
+
+# --- polymorphic UDTF: schema computed by analyze() ------------------------
+# The column NAMES (and arity) come from a constant argument the
+# planner folds; analyze() returns the typed schema before execution.
+
+_UDTF_DYN_ORACLE = """
+SELECT doc_id,
+       split_part(text, ' ', 1) AS w1,
+       split_part(text, ' ', 2) AS w2,
+       split_part(text, ' ', 3) AS w3
+FROM documents
+"""
+
+
+@register("udtf_dynamic_schema", oracle=_UDTF_DYN_ORACLE)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadToks:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, names: AnalyzeArgument
+        ) -> AnalyzeResult:
+            st = StructType()
+            for nm in str(names.value).split(","):
+                st = st.add(nm, StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, names: str):
+            cols = names.split(",")
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else "" for i in range(len(cols))
+            )
+
+    spark.udtf.register("swat_lead_toks", udtf(LeadToks))
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_dyn_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.* FROM _udtf_dyn_docs d, "
+        "LATERAL swat_lead_toks(d.text, 'w1,w2,w3') t"
+    )
