@@ -441,3 +441,80 @@ if _tws_runtime_available():  # pragma: no cover - env-dependent
     register("stream_tws_attribution", oracle=_TWS_ATTRIB_ORACLE)(
         stream_tws_attribution
     )
+
+
+# Streaming dedup via dropDuplicatesWithinWatermark (Spark 3.5+).
+# availableNow drains the bounded table before the watermark can
+# expire any key's suppression window, so the result equals global
+# exact dedup — the oracle keeps one row per event_id. (In production
+# the operator's contract is weaker: duplicates separated by more
+# than the delay re-emit; the bounded replay can't exhibit that.)
+_SDEDUP_WW_ORACLE = """
+SELECT event_id, min(ts) AS ts,
+       min(user_id) AS user_id, min(event_type) AS event_type,
+       round(min(value), 4) AS value
+FROM events
+GROUP BY event_id
+"""
+
+
+@register("stream_dedup_within_watermark", oracle=_SDEDUP_WW_ORACLE)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.functions import rounding as R
+
+    stream = jobs.events_stream(spark, sf_dir)
+    out = jobs.run_available_now(
+        jobs.stream_dedup_within_watermark(stream), "sdedup_ww",
+        output_mode="append",
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "event_type",
+        R.r("value", 4).alias("value"),
+    )
+
+
+# Stream-stream LEFT OUTER interval join. Unmatched-click emission
+# requires the watermark to pass each click's join horizon, which the
+# flush sentinels guarantee (see jobs.staged_events_with_flush_sentinels)
+# — so the drained result equals the batch left join the oracle runs.
+_LEFT_OUTER_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       p.event_id IS NOT NULL AS matched
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+"""
+
+
+@register("stream_left_outer_join", oracle=_LEFT_OUTER_JOIN_ORACLE)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="swat_louter_")
+    try:
+        stream = jobs.staged_events_with_flush_sentinels(
+            spark, sf_dir, stage + "/in"
+        )
+        out = jobs.run_available_now(
+            jobs.interval_join_left_outer(stream, "1 hour"),
+            "louter",
+            output_mode="append",
+        )
+        # Memory-sink rows are materialized; the staging dir can go.
+        out = out.filter(F.col("c_user") >= 0).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "matched",
+        )
+        out.count()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out

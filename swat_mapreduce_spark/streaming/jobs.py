@@ -477,3 +477,120 @@ def interval_join_clicks_purchases(
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("delay_us"),
     )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, key: str = "event_id"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` (Spark
+    3.5+): unlike ``dropDuplicates``, state for a key is dropped as
+    soon as the watermark passes the FIRST event's time + delay, so
+    the state bound is the watermark horizon rather than the distinct
+    key count — the right operator when duplicates arrive close
+    together (at-least-once sources re-delivering within seconds) but
+    key cardinality is unbounded at 100 TB/day."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark([key])
+        .select(key, "ts", "user_id", "event_type", "value")
+    )
+
+
+def staged_events_with_flush_sentinels(
+    spark: SparkSession, sf_dir: str, stage_dir: str
+) -> DataFrame:
+    """Stage events.parquet into ``stage_dir`` as THREE files — the
+    real data, then two far-future sentinel files (one 'click' + one
+    'purchase' row each, user_id < 0) — and return a
+    maxFilesPerTrigger=1 file stream over them.
+
+    Why sentinels: outer stream-stream join results for UNMATCHED rows
+    are only emitted when the watermark passes the row's join horizon,
+    and the watermark only advances between micro-batches from data
+    actually seen. A bounded replay therefore needs (a) ≥2 batches
+    after the real data and (b) sentinel events on BOTH join inputs —
+    the global watermark is the MIN across watermarked branches, so a
+    sentinel on one side leaves the other side's watermark (and the
+    min) pinned at the real data's max. The second sentinel batch
+    applies the watermark the first one established; both sentinels
+    carry user_id < 0 so the caller can drop them from the result.
+
+    Files are discovered in mtime order; the writes are spaced >1s so
+    the sentinel files sort after the data on filesystems with coarse
+    mtimes.
+    """
+    import time as _time
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    ev.write.parquet(stage_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    if mx is not None:
+        for days in (30, 60):
+            _time.sleep(1.1)
+            spark.createDataFrame(
+                [
+                    (-1, mx, -1, "click", 0.0, "{}"),
+                    (-2, mx, -2, "purchase", 0.0, "{}"),
+                ],
+                ev.schema,
+            ).withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+            ).coalesce(1).write.mode("append").parquet(stage_dir)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+
+
+def interval_join_left_outer(
+    stream: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits —
+    matched rows immediately, unmatched rows with NULL purchase
+    columns once the watermark proves no qualifying purchase can
+    still arrive. Same bounded-state eviction as the inner variant;
+    the outer semantics additionally turn each eviction into a result
+    row.
+
+    CAUTION (pinned by tests/test_temporal_streaming.py): do NOT
+    attach a sentinel-dropping filter (e.g. ``c_user >= 0``) to the
+    streaming plan — Catalyst pushes it through the join into BOTH
+    parquet scans, the sentinel rows die at the source, the watermark
+    never advances past the real data, and the last clicks are
+    silently never emitted. Filter the materialized result instead.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        F.col("c_user"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )

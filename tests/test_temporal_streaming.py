@@ -589,3 +589,44 @@ def test_tws_attribution_replay_converges_across_batches(
         for r in truth_df.collect()
     }
     assert {u: v for u, v in summed.items() if v != (0, 0)} == truth
+
+
+def test_stream_left_outer_join_emits_all_clicks(spark, sf_dir):
+    """Every click must appear exactly once per batch-join multiplicity
+    — including the LAST click, whose unmatched emission depends on
+    the flush sentinels advancing BOTH sides' watermarks (a sentinel
+    on one side leaves the min-watermark pinned; a sentinel-dropping
+    filter in the streaming plan gets pushed into the scans and kills
+    the sentinels entirely — both failure modes leave the final
+    clicks stuck in state)."""
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.queries.streaming_queries import (
+        stream_left_outer_join,
+    )
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    out = stream_left_outer_join(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    # every distinct click id is present (outer semantics)
+    assert (
+        out.select("click_id").distinct().count() == clicks.count()
+    )
+    # the chronologically last click made it out (the sentinel-flush
+    # regression fires exactly here)
+    last_click = (
+        clicks.orderBy(F.desc("ts")).select("event_id").first().event_id
+    )
+    assert out.filter(F.col("click_id") == last_click).count() >= 1
+
+
+def test_stream_dedup_within_watermark_exact(spark, sf_dir):
+    from swat_mapreduce_spark.queries.streaming_queries import (
+        stream_dedup_within_watermark,
+    )
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    out = stream_dedup_within_watermark(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    assert out.count() == ev.select("event_id").distinct().count()
