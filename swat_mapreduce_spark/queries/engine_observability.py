@@ -186,3 +186,79 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.* FROM _udtf_dyn_docs d, "
         "LATERAL swat_lead_toks(d.text, 'w1,w2,w3') t"
     )
+
+
+# --- state-store reader: offline audit of streaming checkpoints ------------
+# Spark 4's `statestore` / `state-metadata` batch sources read a
+# structured-streaming checkpoint WITHOUT the streaming query running
+# — the ops story for debugging stuck stateful jobs at scale (inspect
+# hot keys, count state rows per partition, verify eviction) with a
+# plain batch query instead of instrumenting the live stream.
+
+_STATESTORE_ORACLE = """
+SELECT event_type, count(*) AS n_state,
+       'stateStoreSave' AS operator_name,
+       8 AS num_partitions
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("statestore_reader_audit", oracle=_STATESTORE_ORACLE)
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from swat_mapreduce_spark.streaming import jobs
+
+    chk = tempfile.mkdtemp(prefix="swat_sschk_")
+    qn = "ss_audit_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = jobs.events_stream(spark, sf_dir)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        meta_row = (
+            spark.read.format("state-metadata").load(chk).collect()[0]
+        )
+        state = (
+            spark.read.format("statestore")
+            .load(chk)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("n_state"),
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(chk, ignore_errors=True)
+    # Materialize before deleting the checkpoint the lazy scan reads.
+    rows = [
+        (
+            r.event_type,
+            r.n_state,
+            meta_row.operatorName,
+            meta_row.numPartitions,
+        )
+        for r in state
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_state long, operator_name string, "
+        "num_partitions int",
+    )
