@@ -95,6 +95,12 @@ HEADLINE = [
     "source_overlap_matrix",
     "minhash_estimate_accuracy",
     "crossmodal_retrieval_eval",
+    # round-3 observability / sketch / UDTF surfaces
+    "observed_metrics_orders",
+    "sketch_union_rollup",
+    "udtf_dynamic_schema",
+    "statestore_reader_audit",
+    "stream_dedup_within_watermark",
 ]
 
 REPEATS = 2
