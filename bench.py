@@ -101,6 +101,8 @@ HEADLINE = [
     "udtf_dynamic_schema",
     "statestore_reader_audit",
     "stream_dedup_within_watermark",
+    "theta_set_algebra_audit",
+    "kll_quantile_rollup",
 ]
 
 REPEATS = 2
@@ -143,10 +145,11 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             # repeats exist to strip first-run plan-compile noise,
-            # which dominates only FAST queries; for slow ones the
-            # first run is already steady-state-dominated, and
-            # re-running them would double the harness wall time
-            if dt > 2.5:
+            # which can dominate even multi-second queries (flagship's
+            # cold run is ~2.5x its warm run); only the slowest
+            # state-store-init-bound queries (>8 s) skip the repeat,
+            # where the first run is already steady-state-dominated
+            if dt > 8.0:
                 break
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s (best of {REPEATS})", file=sys.stderr)

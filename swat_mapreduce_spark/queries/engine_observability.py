@@ -262,3 +262,125 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_state long, operator_name string, "
         "num_partitions int",
     )
+
+
+# --- theta-sketch set algebra: audience overlap without a join -------------
+# Theta sketches (unlike HLL) support INTERSECTION and DIFFERENCE
+# estimates: |users(click) ∩ users(purchase)| at 100 TB without
+# shuffling user_ids into a join — two sketch aggregates and a
+# driver-side combine of KB-sized summaries. Below the default 4096
+# nominal entries the sketch is in exact mode, so the 5% gate is
+# conservative at every test SF.
+
+_THETA_ALGEBRA_ORACLE = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+           AS n_both_exact,
+       TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+"""
+
+
+@register("theta_set_algebra_audit", oracle=_THETA_ALGEBRA_ORACLE)
+def theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    csk = clicks.agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_click"),
+    )
+    psk = purchases.agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_purchase"),
+    )
+    both = csk.crossJoin(
+        psk.select(
+            F.col("sk").alias("psk"), "n_purchase"
+        )  # 1×1 rows: driver-size combine
+    )
+    exact_both = (
+        clicks.select("user_id")
+        .distinct()
+        .join(purchases.select("user_id").distinct(), "user_id", "left_semi")
+        .count()
+    )
+    est = both.select(
+        "n_click",
+        "n_purchase",
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk"), F.col("psk"))
+        ).alias("inter_est"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk"), F.col("psk"))
+        ).alias("union_est"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk"), F.col("psk"))
+        ).alias("diff_est"),
+    )
+
+    def within(est_col, truth_col):
+        return (
+            F.abs(F.col(est_col) - truth_col)
+            <= F.greatest(0.05 * truth_col, F.lit(1.0))
+        )
+
+    n_both = F.lit(exact_both).cast("double")
+    return est.select(
+        "n_click",
+        "n_purchase",
+        F.lit(exact_both).cast("long").alias("n_both_exact"),
+        within("inter_est", n_both).alias("inter_ok"),
+        within(
+            "union_est",
+            (F.col("n_click") + F.col("n_purchase") - n_both).cast("double"),
+        ).alias("union_ok"),
+        within("diff_est", (F.col("n_click") - n_both).cast("double")).alias(
+            "diff_ok"
+        ),
+    )
+
+
+# --- mergeable KLL quantile rollup -----------------------------------------
+# Same two-level shape as sketch_union_rollup but for QUANTILES:
+# per-day KLL sketches of `value` merged with kll_merge_agg_double to
+# a per-type sketch. k=200 default → ±1.65% rank error at 99%
+# confidence; the audit pins the merged median between the exact p40
+# and p60 (rank gate ±0.10, same convention as
+# scale_patterns.sketch_cardinality_pack).
+
+_KLL_ROLLUP_ORACLE = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       TRUE AS median_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("kll_quantile_rollup", oracle=_KLL_ROLLUP_ORACLE)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("sk"), F.lit(0.5)
+        ).alias("merged_median"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.40)").alias("p40"),
+        F.expr("percentile(value, 0.60)").alias("p60"),
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        (
+            (F.col("merged_median") >= F.col("p40"))
+            & (F.col("merged_median") <= F.col("p60"))
+        ).alias("median_ok"),
+    )

@@ -36,6 +36,9 @@ _DEFAULTS = {
     # runtime, so it's also safe under an externally-created session
     # (the correctness driver's default would otherwise be 200).
     "spark.sql.shuffle.partitions": "32",
+    # Keep stderr clean for harnesses that capture output tails (the
+    # stage progress bar interleaves carriage returns into logs).
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
