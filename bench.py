@@ -103,6 +103,8 @@ HEADLINE = [
     "stream_dedup_within_watermark",
     "theta_set_algebra_audit",
     "kll_quantile_rollup",
+    "incremental_join_delta",
+    "search_inverted_index",
 ]
 
 REPEATS = 2

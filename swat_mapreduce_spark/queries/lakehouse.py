@@ -735,3 +735,67 @@ def delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("sort_gain"),
     )
+
+
+# --- incremental JOIN maintenance (delta join) -----------------------------
+# The join analogue of incremental_agg_merge: with deltas on BOTH
+# inputs, Δ(A ⋈ B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — the refresh
+# touches only delta-sized join inputs (each term has a delta side
+# driving the probe), never re-joins history against history. The
+# query computes the maintained view (old materialization + the three
+# delta terms) and proves it equals the full recompute the oracle
+# runs. Sums in DECIMAL so term boundaries can't flip roundings.
+_INCR_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(30,8))), 2)::DOUBLE AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+_INCR_JOIN_SPLIT_O = "1996-01-01"
+_INCR_JOIN_SPLIT_L = "1996-06-01"
+
+
+@register("incremental_join_delta", oracle=_INCR_JOIN_ORACLE)
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    so = F.lit(_INCR_JOIN_SPLIT_O).cast("timestamp")
+    sl = F.lit(_INCR_JOIN_SPLIT_L).cast("timestamp")
+    o_old, o_new = (
+        orders.filter(F.col("o_orderdate") < so),
+        orders.filter(F.col("o_orderdate") >= so),
+    )
+    l_old, l_new = (
+        li.filter(F.col("l_shipdate") < sl),
+        li.filter(F.col("l_shipdate") >= sl),
+    )
+
+    def term(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+        return o_side.join(
+            l_side, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            "o_orderpriority",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(30,8)").alias("rev"),
+        )
+
+    # old⋈old is the stored materialization; the three delta terms are
+    # the refresh work (each bounded by a delta input).
+    view = (
+        term(o_old, l_old)
+        .unionByName(term(o_new, l_old))
+        .unionByName(term(o_old, l_new))
+        .unionByName(term(o_new, l_new))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+    )

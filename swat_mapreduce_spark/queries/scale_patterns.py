@@ -961,3 +961,35 @@ def bfs_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_seeds.crossJoin(n_h1).crossJoin(n_h2).crossJoin(n_new)
     )
+
+
+# --- inverted-index conjunctive search -------------------------------------
+# The index-once / query-many shape: a postings table (token, doc_id)
+# replaces full-corpus text scans for keyword queries. A conjunctive
+# (AND) query is a semi-join chain over the per-token posting lists —
+# work proportional to the posting lists touched, not corpus bytes.
+# At 100 TB the postings table is partitioned by token (the query key)
+# and each lookup prunes to the partitions of its terms; the oracle
+# rescans the raw text the way a non-indexed engine would have to.
+_INVERTED_ORACLE = """
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE list_contains(string_split(d.text, ' '), 'spark')
+  AND list_contains(string_split(d.text, ' '), 'window')
+"""
+
+
+@register("search_inverted_index", oracle=_INVERTED_ORACLE)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("token"),
+    )
+    hits = None
+    for term in ("spark", "window"):
+        plist = postings.filter(F.col("token") == term).select("doc_id")
+        hits = plist if hits is None else hits.join(plist, "doc_id", "left_semi")
+    return hits.join(docs.select("doc_id", "n_chars"), "doc_id")
