@@ -248,6 +248,9 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(chk, ignore_errors=True)
     # Materialize before deleting the checkpoint the lazy scan reads.
+    # Bounded: state rows = |event_type| groups (the agg's key), not
+    # input rows; a production audit keeps the DataFrame lazy over a
+    # retained checkpoint instead.
     rows = [
         (
             r.event_type,
