@@ -298,8 +298,16 @@ def ngram_jaccard_pairs(
     quadratic in df, and a stop-shingle would otherwise dominate the
     stage at scale. The df filter is a window over (lang, shingle) —
     the exact partitioning the self-join shuffles on — so the cap
-    costs no extra read of the shingle table and its exchange is
-    reusable by the join."""
+    costs no extra read of the shingle table.
+
+    The capped postings table is PERSISTED (memory-and-disk): the plan
+    consumes it four times (both self-join sides + both per-doc size
+    joins), and without materialization Spark recomputes the
+    tokenize→explode→window pipeline — the CPU hot path — per
+    consumer. At production scale this materialization IS the design:
+    the postings/index table is written once and every downstream pass
+    reads it (same index-once economics as search_inverted_index)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     sh = doc_shingle_arrays(docs, n, extra_cols=("lang",)).select(
@@ -310,6 +318,7 @@ def ngram_jaccard_pairs(
         sh.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= max_df)
         .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
