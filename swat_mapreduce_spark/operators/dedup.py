@@ -245,8 +245,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Shuffle census: the ONLY shuffles are the (band, bucket) candidate
     equi-join and the two verify joins — signature computation is
-    narrow (array fold per row, no explode/groupBy)."""
-    docsh = doc_shingle_arrays(docs, 3)
+    narrow (array fold per row, no explode/groupBy).
+
+    The per-doc shingle-array table is persisted: it feeds signature
+    computation plus both verify-join sides, and each consumer would
+    otherwise re-run the tokenize+shingle pipeline (same
+    index-once materialization as ngram_jaccard_pairs)."""
+    from pyspark import StorageLevel
+
+    docsh = doc_shingle_arrays(docs, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = candidate_pairs(lsh_bands(minhash_signatures_from_arrays(docsh)))
     return jaccard_verify_arrays(pairs, docsh, threshold)
 
