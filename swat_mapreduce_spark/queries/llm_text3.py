@@ -242,22 +242,37 @@ def charlm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "i -> substring(text, i, 2))")
         ).alias("b"),
     )
-    model = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # Aggregate to per-doc bigram COUNTS first: the exploded stream is
+    # O(corpus chars) but the counted table is charset²-bounded per doc
+    # (~1e3 rows/doc), and it feeds BOTH the model build and the
+    # scoring join — persisted so the explode runs once. Scoring
+    # weights each distinct bigram's log-prob by its multiplicity;
+    # decimal lp × integer count is exactly the per-occurrence sum.
+    from pyspark import StorageLevel
+
+    bgc = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = bgc.groupBy("b").agg(F.sum("cd").alias("c"))
     tot = model.agg(F.sum("c").cast("double").alias("t"))
     scored = (
-        bg.join(F.broadcast(model), "b")
+        bgc.join(F.broadcast(model), "b")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.log(F.col("c") / F.col("t"))
-            .cast("decimal(30,8)")
-            .alias("lp"),
+            "cd",
+            (
+                F.log(F.col("c") / F.col("t")).cast("decimal(30,8)")
+                * F.col("cd")
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cd").alias("n_bigrams"),
         R.r(
-            (-F.sum("lp").cast("double")) / F.count(F.lit(1)), 4
+            (-F.sum("lp").cast("double")) / F.sum("cd"), 4
         ).alias("avg_nll"),
     )
 
