@@ -472,7 +472,12 @@ GROUP BY 1
 @register("simhash_hamming_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sims = D.simhash(docs)
+    # One long per doc; consumed three times (banding + both verify
+    # sides), and the 32 per-token bit-folds behind it are the CPU hot
+    # path — materialize once.
+    from pyspark import StorageLevel
+
+    sims = D.simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     band_arr = F.array(
         *[
             F.struct(
