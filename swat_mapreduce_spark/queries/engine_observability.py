@@ -70,7 +70,20 @@ def observed_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_status_groups = (
         observed.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     ).count()
-    m = dict(obs.get)
+    try:
+        m = dict(obs.get)
+    except Exception:
+        # 0-row scans can elide the observe node's metrics row
+        # (Py4J assertion in toPyRow); recompute the same aggregates
+        # directly — one extra (empty) scan only on this path.
+        m = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1)), F.lit(0)
+            ).alias("n_bad_price"),
+            F.min(F.to_date("o_orderdate")).alias("min_date"),
+            F.max(F.to_date("o_orderdate")).alias("max_date"),
+        ).collect()[0].asDict()
     schema = StructType(
         [
             StructField("n_rows", LongType()),
@@ -232,9 +245,14 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        meta_row = (
-            spark.read.format("state-metadata").load(chk).collect()[0]
-        )
+        meta_rows = spark.read.format("state-metadata").load(chk).collect()
+        if not meta_rows:  # 0-row input: no batch ever committed state
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_state long, operator_name string, "
+                "num_partitions int",
+            )
+        meta_row = meta_rows[0]
         state = (
             spark.read.format("statestore")
             .load(chk)

@@ -186,6 +186,11 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "stable_row_ids",
         "pack_sequences_fixed",
         "kmeans_lloyd_2iter",
+        # r3 additions with driver-side collect/metrics paths
+        "observed_metrics_orders",
+        "statestore_reader_audit",
+        "theta_set_algebra_audit",
+        "stream_left_outer_join",
     ]:
         n = reg[name].spark_fn(spark, str(tmp_path)).count()
         assert n >= 0, name
