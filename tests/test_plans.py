@@ -313,3 +313,50 @@ def test_jsonl_sink_commit_protocol(tmp_path):
     w.abort([_JsonlCommit(str(t3), 1)])
     assert not t3.exists()
     w.abort([_JsonlCommit(str(t3), 1)])  # idempotent on missing files
+
+
+def test_inverted_index_prunes_text_from_final_join(spark, sf_dir):
+    """The conjunctive search must resolve via posting lists: the final
+    result join reads only (doc_id, n_chars) from the docs side — the
+    text column stays out of the last scan's ReadSchema — and the
+    posting-list lookups are filter-pushed on the token."""
+    from swat_mapreduce_spark.queries.scale_patterns import (
+        search_inverted_index,
+    )
+
+    plan = formatted_plan(search_inverted_index(spark, sf_dir))
+    # every scan that feeds the final projection join must be pruned;
+    # at least one scan reads only the two output columns
+    assert "doc_id" in plan
+    read_schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert any(
+        "n_chars" in rs and "text" not in rs for rs in read_schemas
+    ), read_schemas
+
+
+def test_incremental_join_single_aggregate_exchange(spark, sf_dir):
+    """The delta-join maintenance terms union BEFORE the aggregate, so
+    the plan carries exactly one hash-aggregate exchange (on the
+    5-value priority key) — the four join terms must not each
+    introduce their own aggregation shuffle."""
+    from swat_mapreduce_spark.queries.lakehouse import incremental_join_delta
+
+    plan = formatted_plan(incremental_join_delta(spark, sf_dir))
+    n_agg_exchanges = plan.count("Exchange hashpartitioning(o_orderpriority")
+    assert n_agg_exchanges <= 1, plan[:2000]
+
+
+def test_sketch_rollup_shuffles_sketch_bytes_not_rows(spark, sf_dir):
+    """The two-level HLL rollup's second aggregate consumes the daily
+    sketch table — its exchange moves (type, day) sketch rows, and no
+    Python stage appears anywhere (pure JVM Datasketches)."""
+    from swat_mapreduce_spark.queries.engine_observability import (
+        sketch_union_rollup,
+    )
+
+    plan = formatted_plan(sketch_union_rollup(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "hll_union_agg" in plan or "hll_union" in plan.lower()

@@ -630,3 +630,93 @@ def test_stream_dedup_within_watermark_exact(spark, sf_dir):
     out = stream_dedup_within_watermark(spark, sf_dir)
     ev = read_table(spark, sf_dir, "events")
     assert out.count() == ev.select("event_id").distinct().count()
+
+
+def test_stream_left_outer_join_recovers_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """Unmatched-click state must survive a query restart: run 1
+    drains only the real data (no watermark progress → nothing
+    evicted except what the in-run watermark allows), then the flush
+    sentinels arrive and run 2 restarts from the SAME checkpoint —
+    the union of both runs' outputs must equal the batch left join."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+    from swat_mapreduce_spark.streaming import jobs
+
+    ev = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    ev.coalesce(1).write.parquet(src)
+
+    outdir = str(tmp_path / "out")
+
+    def run():
+        # memory sink doesn't support checkpoint recovery; the file
+        # sink does (idempotent via the sink's own commit log)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            jobs.interval_join_left_outer(stream, "1 hour")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outdir)
+
+    out1 = run()
+    n1 = out1.count()
+
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    for days in (30, 60):
+        _time.sleep(1.1)
+        spark.createDataFrame(
+            [
+                (-1, mx, -1, "click", 0.0, "{}"),
+                (-2, mx, -2, "purchase", 0.0, "{}"),
+            ],
+            ev.schema,
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    all_out = run()
+    combined = all_out.filter(F.col("c_user") >= 0).select(
+        "c_user", "click_id", "purchase_id"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    expected = c.join(p, cond, "left_outer").select(
+        "c_user", "click_id", "purchase_id"
+    )
+    assert combined.exceptAll(expected).count() == 0
+    assert expected.exceptAll(combined).count() == 0
+    # run 2 must have emitted something (the recovery actually flushed
+    # restored state, not just re-read files)
+    assert n1 < expected.count() <= all_out.count()
