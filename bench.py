@@ -105,6 +105,7 @@ HEADLINE = [
     "kll_quantile_rollup",
     "incremental_join_delta",
     "search_inverted_index",
+    "python_datasource_pushdown",
 ]
 
 REPEATS = 2

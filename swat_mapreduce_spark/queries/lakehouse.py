@@ -799,3 +799,47 @@ def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
     )
+
+
+# --- Python data source FILTER PUSHDOWN (Spark 4.1) ------------------------
+# The idx-range predicate reaches the source's pushFilters hook and
+# narrows generation BEFORE partition planning; supported filters are
+# claimed as handled, so if the source ignored the range the extra
+# rows would fail this oracle (see ManifestReader docstring).
+_PD_LO, _PD_HI, _PD_TOTAL = 120, 260, 2000
+_PYSOURCE_PD_ORACLE = f"""
+WITH g AS (SELECT unnest(generate_series({_PD_LO}, {_PD_HI - 1})) AS i),
+p AS (
+    SELECT i,
+           'src' || (('0x' || substr(md5('manifest:' || i), 1, 2))::INT % 20)
+               AS src
+    FROM g
+)
+SELECT src, count(*) AS n, min(i) AS min_idx, max(i) AS max_idx
+FROM p GROUP BY src
+"""
+
+
+@register("python_datasource_pushdown", oracle=_PYSOURCE_PD_ORACLE)
+def python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.sources.manifest_source import (
+        ManifestDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    df = (
+        spark.read.format("swat_manifest")
+        .option("rows", _PD_TOTAL)
+        .option("partitions", 8)
+        .load()
+        .filter((F.col("idx") >= _PD_LO) & (F.col("idx") < _PD_HI))
+    )
+    src = F.regexp_extract("image_path", r"/img/(src\d+)/", 1)
+    return df.groupBy(src.alias("src")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("idx").alias("min_idx"),
+        F.max("idx").alias("max_idx"),
+    )

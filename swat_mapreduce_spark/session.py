@@ -39,6 +39,9 @@ _DEFAULTS = {
     # Keep stderr clean for harnesses that capture output tails (the
     # stage progress bar interleaves carriage returns into logs).
     "spark.ui.showConsoleProgress": "false",
+    # Let custom Python data sources receive pushFilters() (Spark 4.1;
+    # runtime-settable, off by default).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -51,15 +51,59 @@ def _path_for(i: int) -> str:
 
 
 class ManifestReader(DataSourceReader):
+    """Index-range FILTER PUSHDOWN (Spark 4.1 ``pushFilters``):
+    comparison predicates on ``idx`` narrow the generated range BEFORE
+    partition planning, so filtered reads plan fewer/smaller
+    partitions and never generate skipped rows — the Python-source
+    analogue of parquet row-group pruning. Supported filters are
+    claimed as fully handled (NOT returned), so Spark does not
+    re-apply them: a reader that ignored the pushed range would
+    surface extra rows and fail the oracle, keeping the contract
+    honest. All other filters are returned for Spark to evaluate."""
+
     def __init__(self, options):
         self.rows = int(options.get("rows", 100))
         self.num_partitions = int(options.get("partitions", 4))
+        self.lo = 0
+        self.hi = self.rows
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col != ("idx",):
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
 
     def partitions(self) -> Sequence[InputPartition]:
-        per = max(1, -(-self.rows // self.num_partitions))  # ceil div
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        if span == 0:
+            return [_RangePartition(lo, lo)]
+        per = max(1, -(-span // self.num_partitions))  # ceil div
         return [
-            _RangePartition(lo, min(lo + per, self.rows))
-            for lo in range(0, self.rows, per)
+            _RangePartition(s, min(s + per, hi))
+            for s in range(lo, hi, per)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:

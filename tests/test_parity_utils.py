@@ -308,3 +308,48 @@ def test_catalog_managed_table_roundtrip(spark, sf_dir, tmp_path):
     parts = spark.sql(f"SHOW PARTITIONS {tbl}").count()
     assert parts == 5  # one per event_type
     spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_manifest_reader_pushdown_narrows_partitions():
+    """pushFilters must narrow the planned index range (fewer rows
+    generated), claim supported idx filters (not re-yield them), and
+    pass through unsupported ones."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from swat_mapreduce_spark.sources.manifest_source import ManifestReader
+
+    r = ManifestReader({"rows": "1000", "partitions": "4"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("idx",), 100),
+                LessThan(("idx",), 150),
+                StringStartsWith(("image_path",), "/data"),
+            ]
+        )
+    )
+    # only the string filter comes back for Spark to evaluate
+    assert len(residual) == 1 and isinstance(residual[0], StringStartsWith)
+    parts = r.partitions()
+    spans = [(p.start, p.end) for p in parts]
+    assert min(s for s, _ in spans) == 100
+    assert max(e for _, e in spans) == 150
+    assert sum(e - s for s, e in spans) == 50  # only 50 rows generated
+
+    # EqualTo pins a single row; contradictory bounds yield zero rows
+    r2 = ManifestReader({"rows": "1000"})
+    list(r2.pushFilters([EqualTo(("idx",), 7)]))
+    assert sum(e - s for s, e in (
+
+        (p.start, p.end) for p in r2.partitions()
+    )) == 1
+    r3 = ManifestReader({"rows": "1000"})
+    list(r3.pushFilters([EqualTo(("idx",), 7), LessThan(("idx",), 3)]))
+    assert sum(
+        e - s for s, e in ((p.start, p.end) for p in r3.partitions())
+    ) == 0
