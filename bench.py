@@ -106,6 +106,7 @@ HEADLINE = [
     "incremental_join_delta",
     "search_inverted_index",
     "python_datasource_pushdown",
+    "declarative_pipeline_mv",
 ]
 
 REPEATS = 2

@@ -843,3 +843,70 @@ def python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("idx").alias("min_idx"),
         F.max("idx").alias("max_idx"),
     )
+
+
+# --- Spark 4.1 Declarative Pipelines (batch subset, local runner) ----------
+# The dataflow graph is DECLARED with the public pyspark.pipelines
+# decorators (bronze→silver→gold, registered gold-first to prove the
+# runner resolves dependency order, not declaration order) and
+# executed by plans/pipeline_runner.run_pipeline — the engine-side
+# batch runner for the SDP definition API (the upstream runner ships
+# only on Spark Connect).
+_DP_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS gross
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity > 10
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("declarative_pipeline_mv", oracle=_DP_ORACLE)
+def declarative_pipeline_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pipelines as dp
+
+    from swat_mapreduce_spark.plans.pipeline_runner import run_pipeline
+
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_dp_orders"
+    )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_dp_lineitem"
+    )
+
+    def define() -> None:
+        @dp.materialized_view(name="dp_gold_priority_revenue")
+        def gold():  # depends on silver — declared first on purpose
+            s = spark.read.table("dp_silver_enriched")
+            return s.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("price_dec"), 2)
+                .cast("double")
+                .alias("gross"),
+            )
+
+        @dp.materialized_view(name="dp_silver_enriched")
+        def silver():  # depends on bronze + the source view
+            o = spark.read.table("_dp_orders")
+            b = spark.read.table("dp_bronze_items")
+            return b.join(
+                o, b["l_orderkey"] == o["o_orderkey"]
+            ).select(
+                "o_orderpriority",
+                F.col("l_extendedprice")
+                .cast("decimal(30,8)")
+                .alias("price_dec"),
+            )
+
+        @dp.materialized_view(name="dp_bronze_items")
+        def bronze():
+            return (
+                spark.read.table("_dp_lineitem")
+                .filter(F.col("l_quantity") > 10)
+                .select("l_orderkey", "l_extendedprice")
+            )
+
+    out = run_pipeline(spark, define)
+    return out["dp_gold_priority_revenue"]

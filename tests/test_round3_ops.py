@@ -194,3 +194,31 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     ]:
         n = reg[name].spark_fn(spark, str(tmp_path)).count()
         assert n >= 0, name
+
+
+def test_pipeline_runner_resolves_declaration_order(spark, sf_dir):
+    """Gold is declared before its upstream; the fixed-point runner
+    must still materialize bronze→silver→gold."""
+    from swat_mapreduce_spark.queries.lakehouse import (
+        declarative_pipeline_mv,
+    )
+
+    out = declarative_pipeline_mv(spark, sf_dir)
+    assert out.count() == 5
+    assert set(out.columns) == {"o_orderpriority", "n_items", "gross"}
+
+
+def test_pipeline_runner_reports_stuck_flows(spark):
+    import pytest as _pytest
+
+    import pyspark.pipelines as dp
+
+    from swat_mapreduce_spark.plans.pipeline_runner import run_pipeline
+
+    def define():
+        @dp.materialized_view(name="dp_orphan")
+        def orphan():
+            return spark.read.table("_dp_no_such_table_anywhere")
+
+    with _pytest.raises(RuntimeError, match="dp_orphan"):
+        run_pipeline(spark, define)
