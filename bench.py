@@ -107,6 +107,7 @@ HEADLINE = [
     "search_inverted_index",
     "python_datasource_pushdown",
     "declarative_pipeline_mv",
+    "arrow_scalar_udf",
 ]
 
 REPEATS = 2

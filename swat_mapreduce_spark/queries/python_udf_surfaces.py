@@ -306,3 +306,49 @@ def sql_registered_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_udf_v
         """
     )
+
+
+# --- Spark 4.1 scalar Arrow UDF (pandas-free vectorized Python) ------------
+# @arrow_udf hands the worker pyarrow.Array batches directly — no
+# pandas materialization at all (vs pandas_udf's Arrow→pandas→Arrow
+# round trip). pyarrow.compute kernels are C++ vectorized, so the
+# Python layer only dispatches. The UDF normalizes document text the
+# way a C4-style cleaner would (lowercase + collapse whitespace) and
+# measures the result; the oracle reproduces both in SQL.
+_ARROW_UDF_ORACLE = """
+SELECT doc_id,
+       length(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           AS norm_len,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+FROM documents
+"""
+
+
+@register("arrow_scalar_udf", oracle=_ARROW_UDF_ORACLE)
+def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies the
+    # pa.Array type hints arrow_udf would otherwise introspect.
+    @arrow_udf("long", ArrowUDFType.SCALAR)
+    def norm_len(text):
+        lowered = pc.utf8_lower(text)
+        collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
+        return pc.cast(pc.utf8_length(collapsed), pa.int64())
+
+    @arrow_udf("long", ArrowUDFType.SCALAR)
+    def word_count(text):
+        return pc.cast(
+            pc.add(pc.count_substring(text, " "), 1), pa.int64()
+        )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        norm_len(F.col("text")).alias("norm_len"),
+        word_count(F.col("text")).alias("n_words"),
+    )
