@@ -108,6 +108,7 @@ HEADLINE = [
     "python_datasource_pushdown",
     "declarative_pipeline_mv",
     "arrow_scalar_udf",
+    "udtf_table_argument",
 ]
 
 REPEATS = 2

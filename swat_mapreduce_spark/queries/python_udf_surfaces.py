@@ -352,3 +352,71 @@ def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_len(F.col("text")).alias("norm_len"),
         word_count(F.col("text")).alias("n_words"),
     )
+
+
+# --- UDTF with a TABLE argument (PARTITION BY / ORDER BY) ------------------
+# The polymorphic-table-function calling convention (SQL:2016 PTF):
+# the UDTF receives WHOLE PARTITIONS of a table argument — Spark
+# shuffles on the PARTITION BY key, streams each partition's rows
+# (ORDER BY ts) through eval(), and terminate() emits the per-
+# partition summary. Distinct from LATERAL row-UDTFs (one call per
+# row) and from applyInPandas (no pandas here — plain Row streaming).
+_UDTF_TABLE_ARG_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       datediff('microsecond', min(ts), max(ts)) AS span_us,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("udtf_table_argument", oracle=_UDTF_TABLE_ARG_ORACLE)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, n_events bigint, span_us bigint, "
+            "n_purchases bigint"
+        )
+    )
+    class UserSummary:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.first_ts = None
+            self.last_ts = None
+            self.purchases = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            # rows arrive in ORDER BY ts within the partition
+            if self.first_ts is None:
+                self.first_ts = row["ts"]
+            self.last_ts = row["ts"]
+            if row["event_type"] == "purchase":
+                self.purchases += 1
+
+        def terminate(self):
+            if self.user is not None:
+                d = self.last_ts - self.first_ts
+                # exact integer micros (total_seconds() is float and
+                # can drop a microsecond at month-long spans)
+                span = (
+                    d.days * 86_400_000_000
+                    + d.seconds * 1_000_000
+                    + d.microseconds
+                )
+                yield (self.user, self.n, span, self.purchases)
+
+    spark.udtf.register("swat_user_summary", UserSummary)
+    read_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_udtf_tbl_events"
+    )
+    return spark.sql(
+        "SELECT s.* FROM swat_user_summary("
+        "TABLE(SELECT user_id, ts, event_type FROM _udtf_tbl_events) "
+        "PARTITION BY user_id ORDER BY ts) s"
+    )
