@@ -109,6 +109,7 @@ HEADLINE = [
     "declarative_pipeline_mv",
     "arrow_scalar_udf",
     "udtf_table_argument",
+    "drift_psi_events",
 ]
 
 REPEATS = 2

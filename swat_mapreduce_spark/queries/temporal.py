@@ -1088,3 +1088,149 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_ship_delay",
         F.rank().over(w).cast("long").alias("nation_revenue_rank"),
     )
+
+
+# --- distribution drift: population stability index ------------------------
+# The ML-ops drift monitor: bin the REFERENCE window's value range
+# into 10 equal-width bins, histogram both windows, PSI =
+# Σ (p−q)·ln(p/q) with Laplace smoothing (+0.5 per bin) so empty bins
+# stay finite. All-JVM (two scans + two tiny aggregates); per-term
+# DECIMAL(30,8) truncation before the sum kills last-ulp ln()
+# differences between JVM Math.log and libm (the charlm convention).
+# At 100 TB: histogramming is a map-side-combined count per
+# (type, bin) — 50 rows of state; the PSI math runs on the driver-
+# sized aggregate.
+_PSI_SPLIT = "2024-01-16"
+_PSI_ORACLE = f"""
+WITH stats AS (
+    SELECT event_type, min(value) AS mn, max(value) AS mx,
+           count(*) AS n_ref
+    FROM events WHERE ts < '{_PSI_SPLIT}' GROUP BY event_type
+),
+cur_n AS (
+    SELECT event_type, count(*) AS n_cur
+    FROM events WHERE ts >= '{_PSI_SPLIT}' GROUP BY event_type
+),
+binned_ref AS (
+    SELECT e.event_type,
+           least(9, greatest(0, floor((e.value - s.mn)
+               / (((s.mx - s.mn) + 1e-9) / 10))))::BIGINT AS bin,
+           count(*) AS c
+    FROM events e JOIN stats s USING (event_type)
+    WHERE e.ts < '{_PSI_SPLIT}' GROUP BY 1, 2
+),
+binned_cur AS (
+    SELECT e.event_type,
+           least(9, greatest(0, floor((e.value - s.mn)
+               / (((s.mx - s.mn) + 1e-9) / 10))))::BIGINT AS bin,
+           count(*) AS c
+    FROM events e JOIN stats s USING (event_type)
+    WHERE e.ts >= '{_PSI_SPLIT}' GROUP BY 1, 2
+),
+frame AS (
+    SELECT s.event_type, s.n_ref, c.n_cur, g.bin
+    FROM stats s
+    JOIN cur_n c USING (event_type)
+    CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+),
+terms AS (
+    SELECT f.event_type, f.n_ref, f.n_cur,
+           (coalesce(r.c, 0) + 0.5) / (f.n_ref + 5.0) AS p,
+           (coalesce(cu.c, 0) + 0.5) / (f.n_cur + 5.0) AS q
+    FROM frame f
+    LEFT JOIN binned_ref r ON r.event_type = f.event_type AND r.bin = f.bin
+    LEFT JOIN binned_cur cu ON cu.event_type = f.event_type AND cu.bin = f.bin
+)
+SELECT event_type, n_ref, n_cur,
+       round(sum(CAST((p - q) * ln(p / q) AS DECIMAL(30,8)))::DOUBLE * 10000)
+           / 10000 + 0.0 AS psi
+FROM terms
+GROUP BY event_type, n_ref, n_cur
+"""
+
+
+@register("drift_psi_events", oracle=_PSI_ORACLE)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    stats = ref.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n_ref"),
+    )
+    cur_n = cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cur"))
+
+    def binned(side: DataFrame) -> DataFrame:
+        b = F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn") + F.lit(1e-9)) / 10)
+                ),
+            ),
+        ).cast("bigint")
+        return (
+            side.join(F.broadcast(stats.select("event_type", "mn", "mx")),
+                      "event_type")
+            .select("event_type", b.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    binned_ref = binned(ref)
+    binned_cur = binned(cur)
+    frame = (
+        stats.select("event_type", "n_ref")
+        .join(cur_n, "event_type")
+        .crossJoin(
+            F.broadcast(
+                stats.sparkSession.range(10).select(
+                    F.col("id").alias("bin")
+                )
+            )
+        )
+    )
+    terms = (
+        frame.join(
+            binned_ref.withColumnRenamed("c", "c_ref"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(
+            binned_cur.withColumnRenamed("c", "c_cur"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (
+                (F.coalesce(F.col("c_ref"), F.lit(0)) + 0.5)
+                / (F.col("n_ref") + 5.0)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("c_cur"), F.lit(0)) + 0.5)
+                / (F.col("n_cur") + 5.0)
+            ).alias("q"),
+        )
+    )
+    p4 = F.lit(10000.0)
+    return terms.groupBy("event_type", "n_ref", "n_cur").agg(
+        (
+            F.round(
+                F.sum(
+                    (
+                        (F.col("p") - F.col("q"))
+                        * F.log(F.col("p") / F.col("q"))
+                    ).cast("decimal(30,8)")
+                ).cast("double")
+                * p4
+            )
+            / p4
+            + 0.0
+        ).alias("psi")
+    )
