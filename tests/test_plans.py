@@ -225,6 +225,10 @@ def test_headline_plans_no_cartesian_bounded_python(spark, sf_dir):
         "infer_mapinpandas",
         "multimodal_frame_sample",
         "binary_inference_e2e",
+        # r3 Python-surface queries: the Python stage IS the feature
+        "udtf_dynamic_schema",
+        "udtf_table_argument",
+        "arrow_scalar_udf",
     }
     reg = load_all()
     offenders, cartesians = [], []
