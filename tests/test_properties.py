@@ -221,3 +221,31 @@ def test_linear_interpolation_bounded_by_brackets(v0, v1, frac):
     observations (resample_interpolate_linear's invariant)."""
     v = v0 + (v1 - v0) * frac
     assert min(v0, v1) - 1e-9 <= v <= max(v0, v1) + 1e-9
+
+
+@given(
+    rows=st.integers(min_value=0, max_value=5000),
+    lo=st.integers(min_value=-100, max_value=6000),
+    hi=st.integers(min_value=-100, max_value=6000),
+    parts=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_manifest_pushdown_equals_post_filter(rows, lo, hi, parts):
+    """Pushing [lo, hi) into the manifest reader must generate exactly
+    the rows a full scan + filter would keep — for every range shape
+    (empty, clipped, inverted, superset)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from swat_mapreduce_spark.sources.manifest_source import ManifestReader
+
+    r = ManifestReader({"rows": str(rows), "partitions": str(parts)})
+    list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("idx",), lo), LessThan(("idx",), hi)]
+        )
+    )
+    got = sorted(
+        i for p in r.partitions() for (i, _path) in r.read(p)
+    )
+    expected = [i for i in range(rows) if lo <= i < hi]
+    assert got == expected
