@@ -154,9 +154,9 @@ def main() -> None:
             # repeats exist to strip first-run plan-compile noise,
             # which can dominate even multi-second queries (flagship's
             # cold run is ~2.5x its warm run); only the slowest
-            # state-store-init-bound queries (>8 s) skip the repeat,
+            # state-store-init-bound queries (>12 s) skip the repeat,
             # where the first run is already steady-state-dominated
-            if dt > 8.0:
+            if dt > 12.0:
                 break
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s (best of {REPEATS})", file=sys.stderr)
