@@ -110,6 +110,7 @@ HEADLINE = [
     "arrow_scalar_udf",
     "udtf_table_argument",
     "drift_psi_events",
+    "file_metadata_audit",
 ]
 
 REPEATS = 2

@@ -910,3 +910,54 @@ def declarative_pipeline_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_pipeline(spark, define)
     return out["dp_gold_priority_revenue"]
+
+
+# --- hidden file-metadata columns (_metadata struct) -----------------------
+# Spark's `_metadata` struct surfaces file provenance (name, row
+# index) without any extra scan — the lineage/debugging hook for
+# lakehouse tables. The XOR checksum over (row_index : l_orderkey)
+# pins PHYSICAL row order agreement with DuckDB's file_row_number —
+# i.e. both engines see the same row at the same position in the same
+# file, which is what makes file+offset row provenance portable.
+# The oracle sees lineitem only as a VIEW (no filename/file_row_number
+# virtual columns), so it reconstructs the per-file row index with
+# row_number() over the bare scan — DuckDB preserves physical insertion
+# order on parquet scans (preserve_insertion_order defaults to true),
+# and the testdata tables are single-file, so the reconstructed index
+# equals Spark's _metadata.row_index. The XOR checksum then pins that
+# BOTH engines see the same row at the same offset.
+_FILE_META_ORACLE = """
+WITH r AS (
+    SELECT l_orderkey, row_number() OVER () - 1 AS row_index
+    FROM lineitem
+)
+SELECT 'lineitem.parquet' AS file_name,
+       count(*) AS n_rows,
+       min(row_index) AS min_idx,
+       max(row_index) AS max_idx,
+       bit_xor(('0x' || substr(md5(row_index || ':' || l_orderkey),
+                               1, 15))::BIGINT) AS order_checksum
+FROM r
+GROUP BY 1
+"""
+
+
+@register(
+    "file_metadata_audit",
+    oracle=_FILE_META_ORACLE,
+)
+def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return li.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_index").alias("min_idx"),
+        F.max("row_index").alias("max_idx"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat_ws(':', row_index, "
+            "l_orderkey)), 1, 15), 16, 10) as bigint))"
+        ).alias("order_checksum"),
+    )
