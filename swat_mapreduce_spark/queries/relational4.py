@@ -1051,3 +1051,52 @@ def binary_crypto_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dec.cast("string") == F.col("text")).alias("aes_roundtrip_ok"),
     )
+
+
+# --- URL scalar functions ---------------------------------------------------
+# parse_url component extraction (HOST/PATH/QUERY + keyed query param)
+# over URLs synthesized from events, plus an url_encode→url_decode
+# identity check. The roundtrip boolean is computed Spark-side and
+# pinned TRUE by the oracle (this DuckDB build ships no url_encode/
+# url_decode, and Spark's form-style '+' encoding wouldn't byte-match
+# percent-style anyway — the identity is the portable contract).
+_URL_ORACLE = """
+WITH u AS (
+    SELECT event_id,
+           'https://cdn.example.com/e/' || event_type
+               || '?uid=' || user_id || '&t=' || event_type AS url,
+           event_type, user_id
+    FROM events
+)
+SELECT event_id,
+       'cdn.example.com' AS host,
+       '/e/' || event_type AS path,
+       'uid=' || user_id || '&t=' || event_type AS query,
+       user_id::VARCHAR AS uid_param,
+       TRUE AS enc_roundtrip_ok
+FROM u
+"""
+
+
+@register("url_funcs", oracle=_URL_ORACLE)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://cdn.example.com/e/"),
+        F.col("event_type"),
+        F.lit("?uid="),
+        F.col("user_id"),
+        F.lit("&t="),
+        F.col("event_type"),
+    )
+    withu = ev.select("event_id", "event_type", "user_id", url.alias("url"))
+    return withu.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("uid")).alias("uid_param"),
+        (
+            F.url_decode(F.url_encode("url")) == F.col("url")
+        ).alias("enc_roundtrip_ok"),
+    )
