@@ -111,6 +111,11 @@ HEADLINE = [
     "udtf_table_argument",
     "drift_psi_events",
     "file_metadata_audit",
+    "url_funcs",
+    "regr_agg_funcs",
+    "agg_argmax_moments",
+    "bitmap_builtin_distinct",
+    "arrow_udtf_batch_filter",
 ]
 
 REPEATS = 2

@@ -420,3 +420,39 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TABLE(SELECT user_id, ts, event_type FROM _udtf_tbl_events) "
         "PARTITION BY user_id ORDER BY ts) s"
     )
+
+
+# --- Spark 4.1 Arrow-native UDTF (vectorized table function) ---------------
+# @arrow_udtf's eval receives whole pyarrow RecordBatches of the table
+# argument and yields pyarrow Tables — a table-in/table-out function
+# with zero per-row Python and zero pandas. Here: a vectorized
+# quality gate (length filter computed with pyarrow.compute) — the
+# batch-level form of a corpus filter stage.
+_ARROW_UDTF_ORACLE = """
+SELECT doc_id, length(text) AS text_len
+FROM documents
+WHERE length(text) >= 500
+"""
+
+
+@register("arrow_udtf_batch_filter", oracle=_ARROW_UDTF_ORACLE)
+def arrow_udtf_batch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id bigint, text_len int")
+    class LengthGate:
+        def eval(self, batch: "pa.RecordBatch"):
+            lens = pc.cast(
+                pc.utf8_length(batch.column("text")), pa.int32()
+            )
+            keep = pc.greater_equal(lens, 500)
+            tbl = pa.table(
+                {"doc_id": batch.column("doc_id"), "text_len": lens}
+            )
+            yield tbl.filter(keep)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return LengthGate(docs.asTable())

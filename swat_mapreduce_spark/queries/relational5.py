@@ -11,6 +11,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.sources.readers import read_table
 
@@ -454,4 +455,100 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         LIMIT 5 OFFSET 10
         """
+    )
+
+
+# --- SQL:2003 linear-regression aggregates ---------------------------------
+# The regr_* family computes OLS per group in ONE streaming aggregate
+# (co-moment accumulation; partial+merge automatic) — the built-in
+# counterpart to linreg_normal_equations' hand-rolled normal
+# equations. Engine agreement is ~1e-13 relative; pinned at 4dp.
+_REGR_ORACLE = """
+SELECT event_type,
+       regr_count(value, user_id) AS n,
+       round(regr_slope(value, user_id) * 10000) / 10000 + 0.0 AS slope,
+       round(regr_intercept(value, user_id) * 10000) / 10000 + 0.0
+           AS intercept,
+       round(regr_r2(value, user_id) * 10000) / 10000 + 0.0 AS r2,
+       round(regr_avgx(value, user_id) * 10000) / 10000 + 0.0 AS avg_x,
+       round(regr_avgy(value, user_id) * 10000) / 10000 + 0.0 AS avg_y
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("regr_agg_funcs", oracle=_REGR_ORACLE)
+def regr_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.regr_count("value", "user_id").alias("n"),
+        R.r(F.regr_slope("value", "user_id"), 4).alias("slope"),
+        R.r(F.regr_intercept("value", "user_id"), 4).alias("intercept"),
+        R.r(F.regr_r2("value", "user_id"), 4).alias("r2"),
+        R.r(F.regr_avgx("value", "user_id"), 4).alias("avg_x"),
+        R.r(F.regr_avgy("value", "user_id"), 4).alias("avg_y"),
+    )
+
+
+# --- argmax/argmin + higher moments ----------------------------------------
+# max_by/min_by are the one-pass argmax aggregates (no self-join-on-
+# the-max antipattern); skewness/kurtosis are Spark's POPULATION
+# moments — DuckDB's builtins are sample-adjusted, so the oracle
+# derives the population form from raw moments (agreement ~1e-13).
+_ARGMAX_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           max_by(event_id, value) AS argmax_event,
+           min_by(event_id, value) AS argmin_event,
+           avg(value) AS mu, avg(value*value) AS m2r,
+           avg(value*value*value) AS m3r,
+           avg(value*value*value*value) AS m4r
+    FROM events GROUP BY event_type
+)
+SELECT event_type, argmax_event, argmin_event,
+       round(((m3r - 3*mu*m2r + 2*mu*mu*mu)
+              / pow(m2r - mu*mu, 1.5)) * 10000) / 10000 + 0.0 AS skew,
+       round(((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*mu*mu*mu*mu)
+              / pow(m2r - mu*mu, 2) - 3) * 10000) / 10000 + 0.0 AS kurt
+FROM s
+"""
+
+
+@register("agg_argmax_moments", oracle=_ARGMAX_ORACLE)
+def agg_argmax_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "value").alias("argmax_event"),
+        F.min_by("event_id", "value").alias("argmin_event"),
+        R.r(F.skewness("value"), 4).alias("skew"),
+        R.r(F.kurtosis("value"), 4).alias("kurt"),
+    )
+
+
+# --- exact distinct via roaring-style bitmaps ------------------------------
+# Spark 3.5 bitmap aggregates: bucket each key with
+# bitmap_bucket_number, OR per-bucket bitmaps (bitmap_construct_agg of
+# bit positions), count bits, sum buckets. Exact distinct with
+# mergeable fixed-size state per bucket — the dense-ID counterpart to
+# HLL (exact, and unionable across partitions/days like any monoid).
+_BITMAP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("bitmap_builtin_distinct", oracle=_BITMAP_ORACLE)
+def bitmap_builtin_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id")))
+        ).alias("c")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("c").alias("n_distinct")
     )
