@@ -552,3 +552,75 @@ def bitmap_builtin_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("c").alias("n_distinct")
     )
+
+
+# --- timezone / interval / calendar scalar functions -----------------------
+# convert_timezone (→ TIMESTAMP_NTZ, cast back under the UTC session),
+# timestampadd/timestampdiff units, next_day calendar hop,
+# dayname/monthname abbreviations, unix_millis. Oracle: ICU
+# AT TIME ZONE, interval arithmetic, isodow math, strftime.
+_TZ_ORACLE = """
+SELECT event_id,
+       (ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS ny_ts,
+       ts + INTERVAL 3 HOUR AS plus3h,
+       date_diff('minute', ts, ts + INTERVAL 2 HOUR) AS diff_min,
+       (CAST(ts AS DATE)
+        + CAST(((7 + 1 - isodow(ts)) % 7
+                + CASE WHEN (7 + 1 - isodow(ts)) % 7 = 0 THEN 7 ELSE 0 END)
+               AS INTEGER)) AS next_monday,
+       strftime(ts, '%a') AS day_abbrev,
+       strftime(ts, '%b') AS month_abbrev,
+       epoch_ms(ts) AS ms
+FROM events
+"""
+
+
+@register("timezone_funcs", oracle=_TZ_ORACLE)
+def timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.convert_timezone(
+            F.lit("UTC"), F.lit("America/New_York"), "ts"
+        ).cast("timestamp").alias("ny_ts"),
+        F.expr("timestampadd(HOUR, 3, ts)").alias("plus3h"),
+        F.expr("timestampdiff(MINUTE, ts, timestampadd(HOUR, 2, ts))")
+        .alias("diff_min"),
+        F.next_day("ts", "Mon").alias("next_monday"),
+        F.expr("dayname(ts)").alias("day_abbrev"),
+        F.monthname("ts").alias("month_abbrev"),
+        F.unix_millis("ts").alias("ms"),
+    )
+
+
+# --- JSON function pack #2 --------------------------------------------------
+# json_tuple (multi-field LATERAL extraction), json_object_keys,
+# json_array_length, schema_of_json (plan-time inference surface).
+_JSON2_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       json_keys(props) AS prop_keys,
+       json_array_length('[' || json_extract_string(props, '$.k') || ','
+                         || json_extract_string(props, '$.k') || ']')::INT
+           AS arr_len,
+       'STRUCT<k: BIGINT>' AS inferred_schema
+FROM events
+"""
+
+
+@register("json_funcs2", oracle=_JSON2_ORACLE)
+def json_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_json2_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_id,
+               jt.k_str,
+               json_object_keys(props) AS prop_keys,
+               json_array_length(
+                   concat('[', jt.k_str, ',', jt.k_str, ']')) AS arr_len,
+               schema_of_json('{"k": 42}') AS inferred_schema
+        FROM _json2_events
+        LATERAL VIEW json_tuple(props, 'k') jt AS k_str
+        """
+    )
