@@ -624,3 +624,42 @@ def json_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW json_tuple(props, 'k') jt AS k_str
         """
     )
+
+
+# --- string function pack #3 (MySQL-lineage helpers) -----------------------
+# substring_index / overlay / elt / find_in_set, which DuckDB lacks as
+# builtins — the oracle reconstructs each from primitives, pinning the
+# exact semantics (1-based elt, 0-for-missing find_in_set, overlay's
+# replace-span rule, substring_index's first-N-separators contract).
+_STR3_ORACLE = """
+SELECT doc_id,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+       substr(text, 1, 4) || 'XXX' || substr(text, 8) AS overlaid,
+       CASE ((doc_id % 3) + 1)
+           WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta' WHEN 3 THEN 'gamma'
+       END AS elt_pick,
+       coalesce(list_position(string_split('en,de,fr,ja', ','), lang), 0)
+           AS lang_pos
+FROM documents
+"""
+
+
+@register("string_funcs3", oracle=_STR3_ORACLE)
+def string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring_index("text", " ", 3).alias("first3"),
+        F.overlay("text", F.lit("XXX"), F.lit(5), F.lit(3)).alias(
+            "overlaid"
+        ),
+        F.elt(
+            (F.col("doc_id") % 3 + 1).cast("int"),
+            F.lit("alpha"),
+            F.lit("beta"),
+            F.lit("gamma"),
+        ).alias("elt_pick"),
+        F.find_in_set(F.col("lang"), F.lit("en,de,fr,ja")).alias(
+            "lang_pos"
+        ),
+    )
