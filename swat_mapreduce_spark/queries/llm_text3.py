@@ -205,6 +205,14 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction; scoring is a narrow broadcast join + one per-doc
 # regroup. Per-doc log-prob sums go through DECIMAL(30,8) so
 # accumulation order cannot move the 4dp rounding (CLAUDE.md gotcha 2).
+# Cross-engine decimal shape (sf0.1 lesson): per-term log-probs are
+# rounded to DECIMAL(20,6) and multiplied by DECIMAL(10,0) counts —
+# product precision 31, scale 6, exact in BOTH engines. The earlier
+# DECIMAL(30,8) x BIGINT product overflowed Spark's 38-digit cap,
+# which silently *reduces the result scale*, de-synchronizing the sum
+# from the oracle by just enough to flip one doc's 4dp rounding. The
+# 1e-6 grid also gives JVM-vs-libm ln() ulp differences 100x more
+# margin than 1e-8 did.
 _CHARLM_ORACLE = """
 WITH bg AS (
     SELECT doc_id,
@@ -212,18 +220,22 @@ WITH bg AS (
                                  i -> substring(text, i, 2))) AS b
     FROM documents
 ),
+bgc AS (
+    SELECT doc_id, b, count(*) AS cd FROM bg GROUP BY doc_id, b
+),
 model AS (
-    SELECT b, count(*) AS c FROM bg GROUP BY b
+    SELECT b, sum(cd) AS c FROM bgc GROUP BY b
 ),
 tot AS (SELECT sum(c)::DOUBLE AS t FROM model),
 scored AS (
-    SELECT bg.doc_id,
-           CAST(ln(model.c / tot.t) AS DECIMAL(30,8)) AS lp
-    FROM bg JOIN model ON model.b = bg.b CROSS JOIN tot
+    SELECT bgc.doc_id, bgc.cd,
+           CAST(ln(model.c / tot.t) AS DECIMAL(20,6))
+               * CAST(bgc.cd AS DECIMAL(10,0)) AS lp
+    FROM bgc JOIN model ON model.b = bgc.b CROSS JOIN tot
 )
 SELECT doc_id,
-       count(*) AS n_bigrams,
-       round((-sum(lp)::DOUBLE / count(*)) * 10000) / 10000 + 0.0
+       sum(cd)::BIGINT AS n_bigrams,
+       round((-sum(lp)::DOUBLE / sum(cd)) * 10000) / 10000 + 0.0
            AS avg_nll
 FROM scored
 GROUP BY doc_id
@@ -264,8 +276,8 @@ def charlm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "cd",
             (
-                F.log(F.col("c") / F.col("t")).cast("decimal(30,8)")
-                * F.col("cd")
+                F.log(F.col("c") / F.col("t")).cast("decimal(20,6)")
+                * F.col("cd").cast("decimal(10,0)")
             ).alias("lp"),
         )
     )

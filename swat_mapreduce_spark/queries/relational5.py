@@ -498,8 +498,8 @@ def regr_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARGMAX_ORACLE = """
 WITH s AS (
     SELECT event_type,
-           max_by(event_id, value) AS argmax_event,
-           min_by(event_id, value) AS argmin_event,
+           max_by(event_id, value * 1e10 + event_id) AS argmax_event,
+           min_by(event_id, value * 1e10 + event_id) AS argmin_event,
            avg(value) AS mu, avg(value*value) AS m2r,
            avg(value*value*value) AS m3r,
            avg(value*value*value*value) AS m4r
@@ -518,8 +518,17 @@ FROM s
 def agg_argmax_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.max_by("event_id", "value").alias("argmax_event"),
-        F.min_by("event_id", "value").alias("argmin_event"),
+        # composite ordering key: duplicate values exist at sf0.1, and a
+        # bare max_by tie is engine-nondeterministic — tie-break on
+        # event_id, encoded into one double (value*1e10 + id stays
+        # exact below 2^53 and both engines run identical IEEE ops;
+        # DuckDB's max_by accepts only scalar ordering keys)
+        F.max_by(
+            "event_id", F.col("value") * 1e10 + F.col("event_id")
+        ).alias("argmax_event"),
+        F.min_by(
+            "event_id", F.col("value") * 1e10 + F.col("event_id")
+        ).alias("argmin_event"),
         R.r(F.skewness("value"), 4).alias("skew"),
         R.r(F.kurtosis("value"), 4).alias("kurt"),
     )
