@@ -672,3 +672,56 @@ def string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_pos"
         ),
     )
+
+
+# --- array function pack #3 (editing / zipping / set algebra) --------------
+# flatten, array_repeat, arrays_overlap, array_union/except (order-
+# normalized via array_sort: Spark preserves left-operand order,
+# DuckDB reconstructs from list primitives), array_insert and
+# array_remove (reconstructed with slicing/filtering in the oracle).
+_ARR3_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           string_split(text, ' ')[1:5] AS toks
+    FROM documents
+)
+SELECT doc_id,
+       flatten([toks[1:2], toks[4:5]]) AS flat_pick,
+       [doc_id, doc_id, doc_id] AS id_x3,
+       len(list_filter(toks, x -> list_contains(['the', 'a'], x))) > 0
+           AS has_article,
+       list_sort(list_distinct(list_concat(toks, ['the', 'a'])))
+           AS union_sorted,
+       list_sort(list_distinct(
+           list_filter(toks, x -> NOT list_contains(['the', 'a'], x))))
+           AS except_sorted,
+       toks[1:2] || ['INS'] || toks[3:] AS inserted,
+       list_filter(toks, x -> x <> 'the') AS removed
+FROM t
+"""
+
+
+@register("array_funcs3", oracle=_ARR3_ORACLE)
+def array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    t = docs.select("doc_id", toks.alias("toks"))
+    articles = F.array(F.lit("the"), F.lit("a"))
+    return t.select(
+        "doc_id",
+        F.flatten(
+            F.array(
+                F.slice(F.col("toks"), 1, 2), F.slice(F.col("toks"), 4, 2)
+            )
+        ).alias("flat_pick"),
+        F.array_repeat(F.col("doc_id"), 3).alias("id_x3"),
+        F.arrays_overlap(F.col("toks"), articles).alias("has_article"),
+        F.array_sort(F.array_union(F.col("toks"), articles)).alias(
+            "union_sorted"
+        ),
+        F.array_sort(F.array_except(F.col("toks"), articles)).alias(
+            "except_sorted"
+        ),
+        F.array_insert(F.col("toks"), 3, F.lit("INS")).alias("inserted"),
+        F.array_remove(F.col("toks"), "the").alias("removed"),
+    )
