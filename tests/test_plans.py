@@ -229,6 +229,7 @@ def test_headline_plans_no_cartesian_bounded_python(spark, sf_dir):
         "udtf_dynamic_schema",
         "udtf_table_argument",
         "arrow_scalar_udf",
+        "arrow_udtf_batch_filter",
     }
     reg = load_all()
     offenders, cartesians = [], []
