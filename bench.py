@@ -116,6 +116,8 @@ HEADLINE = [
     "agg_argmax_moments",
     "bitmap_builtin_distinct",
     "arrow_udtf_batch_filter",
+    "pandas_api_groupby",
+    "stream_observed_metrics",
 ]
 
 REPEATS = 2

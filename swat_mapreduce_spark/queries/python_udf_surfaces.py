@@ -456,3 +456,50 @@ def arrow_udtf_batch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return LengthGate(docs.asTable())
+
+
+# --- Pandas API on Spark (pyspark.pandas) ----------------------------------
+# The pandas-dataframe dialect compiled onto the same engine: ops
+# declare Spark plans (Catalyst-optimized, distributed), not local
+# pandas — the migration surface for pandas codebases. Aggregates
+# chosen to be float-safe cross-engine: count/min/max are exact, and
+# the mean's accumulation error (~1e-7 relative at sf0.1) sits far
+# inside the 4dp pin; a raw double SUM of 1e9-magnitude money is NOT
+# pinned here (CLAUDE.md gotcha 2 — that contract lives with the
+# decimal money_sum queries).
+_PS_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(min(o_totalprice) * 10000) / 10000 + 0.0 AS min_price,
+       round(max(o_totalprice) * 10000) / 10000 + 0.0 AS max_price,
+       round(avg(o_totalprice) * 10000) / 10000 + 0.0 AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("pandas_api_groupby", oracle=_PS_ORACLE)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+        agg = psdf.groupby("o_orderstatus").agg(
+            n=("o_orderkey", "count"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+            avg_price=("o_totalprice", "mean"),
+        )
+        sdf = agg.reset_index().to_spark()
+    from swat_mapreduce_spark.functions import rounding as R
+
+    return sdf.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        R.r("min_price", 4).alias("min_price"),
+        R.r("max_price", 4).alias("max_price"),
+        R.r("avg_price", 4).alias("avg_price"),
+    )

@@ -725,3 +725,27 @@ def array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_insert(F.col("toks"), 3, F.lit("INS")).alias("inserted"),
         F.array_remove(F.col("toks"), "the").alias("removed"),
     )
+
+
+# --- DataFrame.transpose (Spark 4.0) ---------------------------------------
+# Row/column pivot of a bounded aggregate: columns become the former
+# event_type values (first column is the transpose key). Only sane on
+# driver-bounded frames — the input here is the 5-row per-type
+# aggregate, never raw data. Oracle reconstructs the transposed row
+# with conditional aggregation.
+_TRANSPOSE_ORACLE = """
+SELECT 'n' AS key,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+"""
+
+
+@register("transpose_agg_row", oracle=_TRANSPOSE_ORACLE)
+def transpose_agg_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return agg.transpose()

@@ -518,3 +518,53 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return out
+
+
+# Streaming observe(): per-batch data-quality metrics emitted through
+# StreamingQueryProgress.observedMetrics — the streaming face of
+# observed_metrics_orders (no extra pass; accumulators ride the
+# micro-batch). Metrics are folded across batches driver-side.
+_STREAM_OBSERVE_ORACLE = """
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE value < 0) AS n_neg,
+       round(sum(value) * 10000) / 10000 + 0.0 AS sum_value
+FROM events
+"""
+
+
+@register("stream_observed_metrics", oracle=_STREAM_OBSERVE_ORACLE)
+def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, sf_dir)
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_neg"),
+        F.sum("value").alias("sum_value"),
+    )
+    qname = "obs_" + uuid.uuid4().hex[:8]
+    q = (
+        observed.writeStream.format("noop")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_rows = n_neg = 0
+    sum_value = 0.0
+    for prog in q.recentProgress:
+        m = (prog.get("observedMetrics") or {}).get("dq")
+        if m:
+            n_rows += m["n_rows"]
+            n_neg += m["n_neg"]
+            sum_value += m["sum_value"] or 0.0
+    from swat_mapreduce_spark.functions import rounding as R
+
+    return spark.createDataFrame(
+        [(n_rows, n_neg, sum_value)],
+        "n_rows long, n_neg long, sum_value double",
+    ).select("n_rows", "n_neg", R.r("sum_value", 4).alias("sum_value"))
