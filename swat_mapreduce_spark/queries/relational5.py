@@ -749,3 +749,125 @@ def transpose_agg_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return agg.transpose()
+
+
+# --- map function pack #2 ---------------------------------------------------
+# create_map / map_concat / map_contains_key / cardinality /
+# transform_keys / map_entries. Map values are order-normalized to a
+# sorted "k=v" string before comparison (map entry order is undefined
+# in both engines).
+_MAP2_ORACLE = """
+WITH m AS (
+    SELECT event_id,
+           MAP(['uid', 'eid'], [user_id, event_id]) AS m1,
+           MAP(['t'], [user_id + event_id]) AS m2
+    FROM events
+)
+SELECT event_id,
+       array_to_string(list_sort(list_transform(
+           map_entries(map_concat(m1, m2)),
+           e -> e.key || '=' || e.value)), ',') AS merged_kv,
+       array_to_string(list_sort(list_transform(
+           map_entries(m1), e -> upper(e.key) || '=' || e.value)), ',')
+           AS upper_kv,
+       cardinality(map_concat(m1, m2)) = 3 AS card3,
+       len(map_extract(m1, 'uid')) > 0 AS has_uid
+FROM m
+"""
+
+
+@register("map_funcs2", oracle=_MAP2_ORACLE)
+def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    m1 = F.create_map(
+        F.lit("uid"), F.col("user_id"), F.lit("eid"), F.col("event_id")
+    )
+    m2 = F.create_map(F.lit("t"), F.col("user_id") + F.col("event_id"))
+
+    def kv_string(m):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat_ws(
+                        "=", e["key"], e["value"].cast("string")
+                    ),
+                )
+            ),
+            ",",
+        )
+
+    withm = ev.select(
+        "event_id", m1.alias("m1"), m2.alias("m2")
+    )
+    return withm.select(
+        "event_id",
+        kv_string(F.map_concat(F.col("m1"), F.col("m2"))).alias(
+            "merged_kv"
+        ),
+        kv_string(
+            F.transform_keys(F.col("m1"), lambda k, v: F.upper(k))
+        ).alias("upper_kv"),
+        (
+            F.map_concat(F.col("m1"), F.col("m2")).getField("t").isNotNull()
+            & (F.size(F.map_entries(F.map_concat(F.col("m1"), F.col("m2")))) == 3)
+        ).alias("card3"),
+        F.map_contains_key(F.col("m1"), "uid").alias("has_uid"),
+    )
+
+
+# --- try_* arithmetic (overflow → NULL, never an error) --------------------
+# ANSI-adjacent safety surface: Long.MAX multiplications/additions
+# overflow for every event except the planted safe row. DuckDB's
+# BIGINT math errors on overflow (and its sums widen to HUGEINT), so
+# the oracle states the expected NULL/value with CASE — which is the
+# point: the oracle pins WHICH rows survive.
+_TRY2_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id = 0 THEN 9223372036854775807 END AS mul_max,
+       CASE WHEN event_id = 0 THEN 9223372036854775807 END AS add_max,
+       CASE WHEN event_id % 7 <> 0
+            THEN CAST(value / (event_id % 7) AS DOUBLE) END AS div7,
+       CASE WHEN event_id % 7 <> 0
+            THEN event_id % (event_id % 7) END AS mod7
+FROM events
+"""
+
+
+@register("try_arith_funcs", oracle=_TRY2_ORACLE)
+def try_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    lmax = F.lit(9223372036854775807).cast("long")
+    return ev.select(
+        "event_id",
+        F.try_multiply(lmax, F.col("event_id") + 1).alias("mul_max"),
+        F.try_add(lmax, F.col("event_id")).alias("add_max"),
+        F.try_divide(F.col("value"), F.col("event_id") % 7).alias("div7"),
+        F.try_mod(F.col("event_id"), F.expr("nullif(event_id % 7, 0)"))
+        .alias("mod7"),
+    )
+
+
+# --- inline: array-of-struct → rows+columns in one step --------------------
+_INLINE_ORACLE = """
+SELECT event_id, round(value * 10000) / 10000 + 0.0 AS v, 'orig' AS tag
+FROM events
+UNION ALL
+SELECT event_id, round(value * 2 * 10000) / 10000 + 0.0 AS v, 'dbl' AS tag
+FROM events
+"""
+
+
+@register("inline_structs", oracle=_INLINE_ORACLE)
+def inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    arr = F.array(
+        F.struct(
+            R.r("value", 4).alias("v"), F.lit("orig").alias("tag")
+        ),
+        F.struct(
+            R.r(F.col("value") * 2, 4).alias("v"),
+            F.lit("dbl").alias("tag"),
+        ),
+    )
+    return ev.select("event_id", F.inline(arr))
