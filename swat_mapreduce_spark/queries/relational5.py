@@ -871,3 +871,72 @@ def inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ev.select("event_id", F.inline(arr))
+
+
+# --- batch session_window (built-in gap sessionization) --------------------
+# The same session semantics the streaming jobs use, as a BATCH
+# groupBy(session_window(ts, gap)) — Catalyst turns it into a sort +
+# running merge per user partition. Oracle: the established
+# lag+cumsum sessionization (end-exclusive 30-minute gap).
+_BATCH_SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR datediff('microsecond', lag(ts) OVER w, ts)
+                        >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_num
+    FROM e
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s
+GROUP BY user_id, session_num
+"""
+
+
+@register("batch_session_window", oracle=_BATCH_SESSION_ORACLE)
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("mn"))
+        .select(
+            "user_id",
+            F.col("mn").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --- lateral column alias (Spark 3.4 SELECT-list reference) ----------------
+_LCA_ORACLE = """
+SELECT doc_id,
+       length(text) AS text_len,
+       length(text) * 2 AS double_len,
+       length(text) * 2 + n_chars AS plus_chars
+FROM documents
+"""
+
+
+@register("lateral_column_alias", oracle=_LCA_ORACLE)
+def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_lca_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               length(text) AS text_len,
+               text_len * 2 AS double_len,
+               double_len + n_chars AS plus_chars
+        FROM _lca_docs
+        """
+    )
