@@ -118,6 +118,8 @@ HEADLINE = [
     "arrow_udtf_batch_filter",
     "pandas_api_groupby",
     "stream_observed_metrics",
+    "batch_session_window",
+    "dynamic_partition_overwrite",
 ]
 
 REPEATS = 2

@@ -961,3 +961,56 @@ def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey)), 1, 15), 16, 10) as bigint))"
         ).alias("order_checksum"),
     )
+
+
+# --- dynamic partition overwrite (idempotent backfill) ---------------------
+# THE batch-reprocess primitive: rewriting one day's partition must
+# replace exactly that partition and leave every other untouched —
+# partitionOverwriteMode=dynamic scopes INSERT OVERWRITE to the
+# partitions present in the incoming frame (static mode would drop
+# the whole table). The query backfills 2024-01-05 with doubled
+# values and returns per-day aggregates of the final table; the
+# oracle states the expected post-backfill content.
+_DYN_OVERWRITE_ORACLE = """
+SELECT CAST(ts AS DATE) AS d,
+       count(*) AS n,
+       round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                      THEN value * 2 ELSE value END) * 100) / 100 + 0.0
+           AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("dynamic_partition_overwrite", oracle=_DYN_OVERWRITE_ORACLE)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    base = tempfile.mkdtemp(prefix="swat_dynow_")
+    path = base + "/t"
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        ev.write.partitionBy("d").parquet(path)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        backfill = (
+            ev.filter(F.col("d") == F.lit("2024-01-05").cast("date"))
+            .withColumn("value", F.col("value") * 2)
+        )
+        backfill.write.mode("overwrite").partitionBy("d").parquet(path)
+        out = (
+            spark.read.parquet(path)
+            .groupBy("d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                R.r(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        rows = out.collect()  # bounded: one row per day (~30)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
