@@ -940,3 +940,99 @@ def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _lca_docs
         """
     )
+
+
+# --- ANSI percentile_cont / percentile_disc (WITHIN GROUP) -----------------
+# The interpolating and discrete inverse-distribution functions —
+# distinct from approx_percentile (sketch) and percentile (exact
+# agg): percentile_cont interpolates between adjacent order
+# statistics, percentile_disc returns the first value at-or-above the
+# rank. DuckDB: quantile_cont / quantile_disc.
+_PCT_CONT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25) * 10000) / 10000 + 0.0 AS p25_cont,
+       round(quantile_cont(value, 0.90) * 10000) / 10000 + 0.0 AS p90_cont,
+       round(quantile_disc(value, 0.90) * 10000) / 10000 + 0.0 AS p90_disc
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("percentile_cont_disc", oracle=_PCT_CONT_ORACLE)
+def percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_pct_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value)
+                     * 10000) / 10000 + 0.0 AS p25_cont,
+               round(percentile_cont(0.90) WITHIN GROUP (ORDER BY value)
+                     * 10000) / 10000 + 0.0 AS p90_cont,
+               round(percentile_disc(0.90) WITHIN GROUP (ORDER BY value)
+                     * 10000) / 10000 + 0.0 AS p90_disc
+        FROM _pct_events
+        GROUP BY event_type
+        """
+    )
+
+
+# --- row generators: stack / posexplode_outer / sequence -------------------
+# stack(n, k1, v1, …) is SQL's inline unpivot-to-rows; posexplode_outer
+# keeps empty arrays as a NULL row WITH the position column; sequence
+# generates bounded ranges JVM-side. Oracle reconstructs each with
+# UNION ALL / range arithmetic.
+_GEN_ORACLE = """
+SELECT o_orderkey, 'total' AS metric,
+       round(o_totalprice * 10000) / 10000 + 0.0 AS v
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'half' AS metric,
+       round(o_totalprice / 2 * 10000) / 10000 + 0.0 AS v
+FROM orders
+"""
+
+
+@register("sql_stack_generator", oracle=_GEN_ORACLE)
+def sql_stack_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_stack_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, s.metric,
+               round(s.v * 10000) / 10000 + 0.0 AS v
+        FROM _stack_orders
+        LATERAL VIEW stack(2, 'total', o_totalprice,
+                              'half', o_totalprice / 2) s AS metric, v
+        """
+    )
+
+
+_POSEXPLODE_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN []
+                ELSE string_split(text, ' ')[1:3] END AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) = 0 THEN NULL ELSE u.i - 1 END AS pos,
+       CASE WHEN len(toks) = 0 THEN NULL ELSE toks[u.i] END AS tok
+FROM t
+LEFT JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks), 1))) AS i
+) u ON TRUE
+WHERE len(toks) > 0 OR u.i = 1
+"""
+
+
+@register("posexplode_outer_toks", oracle=_POSEXPLODE_ORACLE)
+def posexplode_outer_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split(F.col("text"), " "), 1, 3))
+    t = docs.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
