@@ -1036,3 +1036,56 @@ def posexplode_outer_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     )
+
+
+# --- null-handling pack #2 --------------------------------------------------
+# equal_null (null-safe equality as a FUNCTION, not <=>), nvl/nvl2,
+# nanvl (NaN-aware fallback), zeroifnull/nullifzero. Planted NULLs /
+# NaNs via modular conditions so every branch is exercised.
+_NULL2_ORACLE = """
+WITH t AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS a,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS b,
+           CASE WHEN event_id % 4 = 0 THEN 'NaN'::DOUBLE
+                ELSE value END AS v
+    FROM events
+)
+SELECT event_id,
+       (a IS NOT DISTINCT FROM b) AS ab_equal_null,
+       coalesce(a, -1) AS a_nvl,
+       CASE WHEN a IS NOT NULL THEN 'set' ELSE 'unset' END AS a_nvl2,
+       round((CASE WHEN isnan(v) THEN 0.0 ELSE v END) * 10000) / 10000
+           + 0.0 AS v_nanvl,
+       coalesce(a, 0) AS a_zeroifnull,
+       CASE WHEN user_id % 7 = 0 THEN NULL
+            ELSE user_id % 7 END AS mod_nullifzero
+FROM t
+"""
+
+
+@register("null_funcs2", oracle=_NULL2_ORACLE)
+def null_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("a"),
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("b"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return t.select(
+        "event_id",
+        F.equal_null(F.col("a"), F.col("b")).alias("ab_equal_null"),
+        F.nvl(F.col("a"), F.lit(-1)).alias("a_nvl"),
+        F.nvl2(F.col("a"), F.lit("set"), F.lit("unset")).alias("a_nvl2"),
+        R.r(F.nanvl(F.col("v"), F.lit(0.0)), 4).alias("v_nanvl"),
+        F.zeroifnull(F.col("a")).alias("a_zeroifnull"),
+        F.nullifzero(F.col("user_id") % 7).alias("mod_nullifzero"),
+    )
