@@ -250,7 +250,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     The per-doc shingle-array table is persisted: it feeds signature
     computation plus both verify-join sides, and each consumer would
     otherwise re-run the tokenize+shingle pipeline (same
-    index-once materialization as ngram_jaccard_pairs)."""
+    index-once materialization as ngram_jaccard_pairs).
+
+    Cache lifetime (deliberate): the returned DataFrame is lazy, so
+    there is no in-function point to unpersist — blocks live until
+    the process exits or the harness clears them. MEMORY_AND_DISK
+    blocks are LRU-evictable under memory pressure; the long-lived
+    multi-query harnesses (tools/selfcheck.py, bench.py) call
+    ``spark.catalog.clearCache()`` after each query so spilled disk
+    blocks cannot accumulate across the 281-query session."""
     from pyspark import StorageLevel
 
     docsh = doc_shingle_arrays(docs, 3).persist(

@@ -71,22 +71,34 @@ def run_pipeline(
         define()
     pending = list(reg.flows)
     done: dict[str, DataFrame] = {}
+    last_err: dict[str, Exception] = {}
     while pending:
         progressed = False
         deferred = []
         for flow in pending:
             try:
                 df = flow.func()
-            except Exception:  # upstream view not materialized yet
+            except Exception as e:  # upstream view not materialized yet
+                last_err[flow.name] = e
                 deferred.append(flow)
                 continue
             df.createOrReplaceTempView(view_prefix + flow.target)
             done[flow.target] = df
             progressed = True
         if not progressed:
+            # Chain the first deferred flow's real exception so a
+            # genuine bug inside a flow fn (TypeError, bad column)
+            # surfaces with its root cause instead of being swallowed
+            # as "cannot make progress".
+            detail = "; ".join(
+                f"{f.name}: {type(last_err[f.name]).__name__}: "
+                f"{last_err[f.name]}"
+                for f in deferred
+                if f.name in last_err
+            )
             raise RuntimeError(
                 "pipeline cannot make progress; unresolved flows: "
-                + ", ".join(f.name for f in deferred)
-            )
+                + detail
+            ) from (last_err.get(deferred[0].name) if deferred else None)
         pending = deferred
     return done

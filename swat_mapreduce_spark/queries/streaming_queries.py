@@ -444,35 +444,66 @@ if _tws_runtime_available():  # pragma: no cover - env-dependent
 
 
 # Streaming dedup via dropDuplicatesWithinWatermark (Spark 3.5+).
-# availableNow drains the bounded table before the watermark can
-# expire any key's suppression window, so the result equals global
-# exact dedup — the oracle keeps one row per event_id. (In production
-# the operator's contract is weaker: duplicates separated by more
-# than the delay re-emit; the bounded replay can't exhibit that.)
+# The staged replay PLANTS duplicates (exact copies of every
+# event_id % 97 == 0 row, arriving as a later micro-batch) so the
+# operator demonstrably drops rows — event_id is unique in the
+# testdata, so an unstaged run would be vacuous (a dedup that never
+# dedups hash-matches trivially, CLAUDE.md gotcha 5). The planted
+# rows are either suppressed by live dedup state (recent ts) or
+# dropped as late data (ts below the batch-1 watermark) — both paths
+# remove them, so the drained result equals the original table, which
+# is what the oracle selects. (In production the contract is weaker:
+# duplicates separated by more than the delay re-emit; the bounded
+# replay can't exhibit that.)
 _SDEDUP_WW_ORACLE = """
-SELECT event_id, min(ts) AS ts,
-       min(user_id) AS user_id, min(event_type) AS event_type,
-       round(min(value), 4) AS value
+SELECT event_id, ts, user_id, event_type,
+       round(value * 10000) / 10000 + 0.0 AS value
 FROM events
-GROUP BY event_id
 """
 
 
 @register("stream_dedup_within_watermark", oracle=_SDEDUP_WW_ORACLE)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from swat_mapreduce_spark.functions import rounding as R
+    from swat_mapreduce_spark.sources.readers import read_table
 
-    stream = jobs.events_stream(spark, sf_dir)
-    out = jobs.run_available_now(
-        jobs.stream_dedup_within_watermark(stream), "sdedup_ww",
-        output_mode="append",
-    )
-    return out.select(
-        "event_id", "ts", "user_id", "event_type",
-        R.r("value", 4).alias("value"),
-    )
+    stage = tempfile.mkdtemp(prefix="swat_sdedup_")
+    try:
+        ev = read_table(spark, sf_dir, "events")
+        ev.write.parquet(stage + "/in")
+        # second file (later mtime → later micro-batch under
+        # maxFilesPerTrigger=1): exact copies of ~1% of rows
+        dups = ev.filter(F.col("event_id") % 97 == 0)
+        n_planted = dups.count()
+        assert n_planted > 0, "planted-duplicate set must be non-empty"
+        _time.sleep(1.1)
+        dups.coalesce(1).write.mode("append").parquet(stage + "/in")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage + "/in")
+        )
+        out = jobs.run_available_now(
+            jobs.stream_dedup_within_watermark(stream), "sdedup_ww",
+            output_mode="append",
+        )
+        out = out.select(
+            "event_id", "ts", "user_id", "event_type",
+            R.r("value", 4).alias("value"),
+        )
+        n_out = out.count()  # memory-sink rows are materialized
+        assert n_out == ev.count(), (
+            f"dedup must drop exactly the {n_planted} planted rows"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
 
 
 # Stream-stream LEFT OUTER interval join. Unmatched-click emission
@@ -527,7 +558,8 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_OBSERVE_ORACLE = """
 SELECT count(*) AS n_rows,
        count(*) FILTER (WHERE value < 0) AS n_neg,
-       round(sum(value) * 10000) / 10000 + 0.0 AS sum_value
+       round(sum(CAST(value AS DECIMAL(30,8)))::DOUBLE * 10000) / 10000
+           + 0.0 AS sum_value
 FROM events
 """
 
@@ -535,15 +567,21 @@ FROM events
 @register("stream_observed_metrics", oracle=_STREAM_OBSERVE_ORACLE)
 def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
+    from decimal import Decimal
 
     from pyspark.sql import functions as F
 
     stream = jobs.events_stream(spark, sf_dir)
+    # sum(value) is ~5e6 at sf0.1 — above the 1e6 magnitude where a
+    # double sum's accumulation-order noise can flip a pinned 4dp
+    # rounding (CLAUDE.md gotcha 2), and per-batch fold order here is
+    # micro-batch-planning-dependent. Sum as decimal(30,8) inside the
+    # observe aggregate and fold exactly; convert to double only after.
     observed = stream.observe(
         "dq",
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("value") < 0, 1)).alias("n_neg"),
-        F.sum("value").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value"),
     )
     qname = "obs_" + uuid.uuid4().hex[:8]
     q = (
@@ -554,17 +592,31 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    progress = q.recentProgress
+    # recentProgress retains only the latest ~100 entries
+    # (spark.sql.streaming.numRecentProgressUpdates); a source that
+    # produced more micro-batches than that would silently drop
+    # batches from the fold and undercount. Fail loudly instead.
+    assert len(progress) < 100, (
+        "micro-batch count reached the recentProgress retention limit;"
+        " fold would undercount — collect via a StreamingQueryListener"
+    )
     n_rows = n_neg = 0
-    sum_value = 0.0
-    for prog in q.recentProgress:
+    sum_value = Decimal(0)
+    for prog in progress:
         m = (prog.get("observedMetrics") or {}).get("dq")
         if m:
             n_rows += m["n_rows"]
             n_neg += m["n_neg"]
-            sum_value += m["sum_value"] or 0.0
+            # progress entries are JSON round-tripped, so the decimal
+            # aggregate arrives as a float; Decimal(str(x)) recovers
+            # the exact per-batch value (shortest-repr) and the fold
+            # stays order-independent across batches
+            if m["sum_value"] is not None:
+                sum_value += Decimal(str(m["sum_value"]))
     from swat_mapreduce_spark.functions import rounding as R
 
     return spark.createDataFrame(
-        [(n_rows, n_neg, sum_value)],
+        [(n_rows, n_neg, float(sum_value))],
         "n_rows long, n_neg long, sum_value double",
     ).select("n_rows", "n_neg", R.r("sum_value", 4).alias("sum_value"))

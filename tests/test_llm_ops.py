@@ -159,3 +159,41 @@ def test_quantize_int8_zero_vector_and_clamp(spark):
     assert out[0].max_abs_err == 0.0 and out[0].q_self_dot == 0
     assert out[1].q_self_dot == 64 * 127 * 127  # every dim exactly ±127
     assert out[1].max_abs_err == 0.0
+
+
+def test_lsh_planes_formula_matches_duck():
+    """lsh_planes_for (Python) and duck_lsh_planes (oracle SQL) must
+    agree at every corpus size — they parameterize the same bucket
+    assignment on both sides of the correctness gate."""
+    import duckdb
+
+    for n in [1, 31, 32, 33, 64, 500, 2000, 2048, 10**6, 10**9, 10**12]:
+        cte = S.duck_lsh_planes(tbl=f"(SELECT * FROM range({n}))")
+        p = duckdb.sql(f"WITH {cte} SELECT p FROM np").fetchone()[0]
+        assert p == S.lsh_planes_for(n), n
+
+
+def test_lsh_cap_drops_planted_mega_bucket(spark):
+    """A planted degenerate bucket (300 identical vectors) must be
+    dropped by lsh_tagged_capped's max_bucket cap, bounding downstream
+    pair candidates at n_buckets * cap^2 instead of |bucket|^2."""
+    import random
+
+    base = [0.5] * 64
+    rnd = random.Random(7)
+    rows = [(i, 0, base) for i in range(300)]
+    rows += [
+        (1000 + i, 1, [rnd.uniform(-1.0, 1.0) for _ in range(64)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    capped = S.lsh_tagged_capped(emb, planes=8, max_bucket=100)
+    try:
+        got = capped.collect()
+    finally:
+        capped.unpersist()
+    ids = {r.vec_id for r in got}
+    assert not any(i < 300 for i in ids), "mega bucket must be dropped"
+    assert len(got) <= 20

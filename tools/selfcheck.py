@@ -97,6 +97,10 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL  {name:28s} spark error: {str(e).splitlines()[0][:160]}")
             failures += 1
             continue
+        finally:
+            # per-query persist() blocks (LSH/minhash/charlm) would
+            # otherwise accumulate for the 281-query session lifetime
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"rows  {name:28s} {sn:6d} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
