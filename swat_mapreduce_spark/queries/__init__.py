@@ -46,6 +46,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text,
         llm_text2,
         llm_text3,
+        llm_text4,
         multimodal,
         python_udf_surfaces,
         reference_pipeline,

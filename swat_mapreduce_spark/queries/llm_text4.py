@@ -1,0 +1,340 @@
+"""Corpus-analytics pack 4: novelty decay, domain-mix drift,
+tokenizer fertility, dedup yield — the reporting layer a training-data
+pipeline runs continuously over its corpus. All pure JVM DataFrame
+ops; every aggregate output is bounded (deciles / sources / langs),
+so driver and downstream state are constant at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.functions import text as T
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# Shared DuckDB CTE: distinct 3-word shingles per doc (same convention
+# as queries/dedup.py's _SH_DUCK, without the lang column).
+_SH4_DUCK = r"""
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+tok_idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+    FROM tok_idx
+)
+"""
+
+
+# --- corpus novelty decay --------------------------------------------------
+# "How fast does a crawl stop contributing new content?" — for docs in
+# doc_id (ingestion) order, bucket into 10 deciles and report the
+# fraction of each decile's distinct shingles whose FIRST corpus
+# occurrence falls in that decile's own docs. A healthy fresh crawl
+# stays high; a saturated/duplicated one decays toward 0 — the curve
+# that decides when to stop crawling a source.
+# Shape: one explode→distinct (shuffle on (doc, shingle)), one
+# min-aggregate on shingle, one join back on shingle (AQE skew-join
+# handles hot boilerplate shingles), then a 10-row rollup. All
+# shingle-keyed — no corpus-squared term anywhere.
+_NOVELTY_ORACLE = f"""
+WITH {_SH4_DUCK},
+mx AS (SELECT max(doc_id) AS m FROM documents),
+firsts AS (
+    SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+    SELECT s.doc_id,
+           count(*) AS n_sh,
+           count(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_novel
+    FROM sh s JOIN firsts f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+)
+SELECT (p.doc_id * 10 // (mx.m + 1))::INT AS decile,
+       count(*)::BIGINT AS n_docs,
+       sum(n_sh)::BIGINT AS n_shingles,
+       sum(n_novel)::BIGINT AS n_novel,
+       round(sum(n_novel) * 10000.0 / sum(n_sh)) / 10000 + 0.0
+           AS novelty_rate
+FROM per_doc p CROSS JOIN mx
+GROUP BY 1
+"""
+
+
+@register("ngram_novelty_decay", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(T.word_shingles(F.col("text"))).alias("shingle")
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(
+            (F.col("doc_id") * 10 / (F.col("m") + 1))
+            .cast("long")
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            (
+                F.round(F.sum("n_novel") * 10000.0 / F.sum("n_sh"))
+                / 10000.0
+                + 0.0
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+# --- domain-mix drift (KL / total variation) -------------------------------
+# Mix governance: has the source distribution drifted between the
+# first and second half of the corpus (by ingestion order)? Reports
+# per-source Laplace-smoothed shares p (first half) and q (second
+# half) plus the per-source KL contribution, and the corpus-level
+# KL(p‖q) and total-variation distance on every row (bounded
+# |sources|-row output; the totals ride a broadcast 1-row aggregate).
+_KL_ORACLE = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+halves AS (
+    SELECT source, doc_id * 2 < (SELECT m + 1 FROM mx) AS first_half
+    FROM documents
+),
+c AS (
+    SELECT source,
+           count(*) FILTER (WHERE first_half) AS c1,
+           count(*) FILTER (WHERE NOT first_half) AS c2
+    FROM halves GROUP BY source
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2, count(*) AS s FROM c),
+pq AS (
+    SELECT c.source, c.c1, c.c2,
+           (c.c1 + 1.0) / (t.n1 + t.s) AS p,
+           (c.c2 + 1.0) / (t.n2 + t.s) AS q
+    FROM c CROSS JOIN tot t
+),
+terms AS (
+    SELECT source, c1, c2, p, q,
+           p * ln(p / q) AS kl_term,
+           abs(p - q) / 2 AS tv_term
+    FROM pq
+),
+g AS (SELECT sum(kl_term) AS kl, sum(tv_term) AS tv FROM terms)
+SELECT t.source,
+       t.c1::BIGINT AS n_first, t.c2::BIGINT AS n_second,
+       round(t.p * 1000000) / 1000000 + 0.0 AS p,
+       round(t.q * 1000000) / 1000000 + 0.0 AS q,
+       round(t.kl_term * 1000000) / 1000000 + 0.0 AS kl_term,
+       round(g.kl * 1000000) / 1000000 + 0.0 AS total_kl,
+       round(g.tv * 1000000) / 1000000 + 0.0 AS total_tv
+FROM terms t CROSS JOIN g
+"""
+
+
+@register("domain_mix_kl_drift", oracle=_KL_ORACLE)
+def domain_mix_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    halves = docs.crossJoin(F.broadcast(mx)).select(
+        "source", (F.col("doc_id") * 2 < F.col("m") + 1).alias("first_half")
+    )
+    c = halves.groupBy("source").agg(
+        F.count(F.when(F.col("first_half"), 1)).alias("c1"),
+        F.count(F.when(~F.col("first_half"), 1)).alias("c2"),
+    )
+    tot = c.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    pq = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c1",
+        "c2",
+        ((F.col("c1") + 1.0) / (F.col("n1") + F.col("s"))).alias("p"),
+        ((F.col("c2") + 1.0) / (F.col("n2") + F.col("s"))).alias("q"),
+    )
+    terms = pq.select(
+        "source",
+        "c1",
+        "c2",
+        "p",
+        "q",
+        (F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl_term"),
+        (F.abs(F.col("p") - F.col("q")) / 2).alias("tv_term"),
+    )
+    g = terms.agg(
+        F.sum("kl_term").alias("kl"), F.sum("tv_term").alias("tv")
+    )
+    return terms.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("c1").cast("long").alias("n_first"),
+        F.col("c2").cast("long").alias("n_second"),
+        R.r("p", 6).alias("p"),
+        R.r("q", 6).alias("q"),
+        R.r("kl_term", 6).alias("kl_term"),
+        R.r("kl", 6).alias("total_kl"),
+        R.r("tv", 6).alias("total_tv"),
+    )
+
+
+# --- tokenizer fertility audit ---------------------------------------------
+# Tokenizer-selection staple: per language, how many BPE-ish subword
+# tokens per whitespace word (fertility), characters per subword
+# token, and the signed error of the industry "chars/4" estimate —
+# the numbers that decide whether a vocab underserves a language.
+# One aggregation shuffle on lang; all token math is narrow JVM regex.
+_FERTILITY_ORACLE = r"""
+WITH m AS (
+    SELECT lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+           length(text) AS n_chars,
+           ceil(length(text) / 4.0)::BIGINT AS est
+    FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_ws)::BIGINT AS ws_tokens,
+       sum(n_bpe)::BIGINT AS bpe_tokens,
+       round(sum(n_bpe) * 10000.0 / sum(n_ws)) / 10000 + 0.0
+           AS fertility,
+       round(sum(n_chars) * 10000.0 / sum(n_bpe)) / 10000 + 0.0
+           AS chars_per_token,
+       round((sum(est) - sum(n_bpe)) * 10000.0 / sum(n_bpe)) / 10000
+           + 0.0 AS est_rel_err
+FROM m GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_audit", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        F.size(T.ws_tokens(F.col("text"))).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+                0,  # whole-match group (Spark defaults to group 1)
+            )
+        ).alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        (
+            F.round(F.sum("n_bpe") * 10000.0 / F.sum("n_ws")) / 10000.0
+            + 0.0
+        ).alias("fertility"),
+        (
+            F.round(F.sum("n_chars") * 10000.0 / F.sum("n_bpe")) / 10000.0
+            + 0.0
+        ).alias("chars_per_token"),
+        (
+            F.round(
+                (F.sum("est") - F.sum("n_bpe")) * 10000.0 / F.sum("n_bpe")
+            )
+            / 10000.0
+            + 0.0
+        ).alias("est_rel_err"),
+    )
+
+
+# --- dedup yield report ----------------------------------------------------
+# The report a dedup pass publishes: per source, how many docs share a
+# 5-token PREFIX with an earlier doc (keeper = min doc_id per prefix —
+# title/boilerplate-prefix dedup, the cheap first pass crawl pipelines
+# run before any fuzzy matching; exact-text dups are a strict subset)
+# and how much character mass dedup reclaims. Prefix granularity keeps
+# the report non-vacuous at every testdata scale (exact-text dups only
+# exist at sf0.1 — CLAUDE.md gotcha 5). The keeper join runs on
+# md5(prefix) — a fixed-width shuffle key instead of document bodies
+# (at 100 TB the text column never moves through the exchange; md5
+# agrees across both engines on the UTF-8 bytes).
+_YIELD_PREFIX = 5
+_YIELD_ORACLE = rf"""
+WITH pre AS (
+    SELECT doc_id, source, n_chars,
+           md5(array_to_string(
+               (string_split_regex(trim(text), '\s+'))[1:{_YIELD_PREFIX}],
+               ' ')) AS h
+    FROM documents
+),
+k AS (SELECT h, min(doc_id) AS keeper FROM pre GROUP BY h),
+j AS (
+    SELECT d.source, d.n_chars, d.doc_id <> k.keeper AS dropped
+    FROM pre d JOIN k ON k.h = d.h
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE dropped)::BIGINT AS n_dropped,
+       coalesce(sum(n_chars) FILTER (WHERE dropped), 0)::BIGINT
+           AS chars_reclaimed,
+       round(count(*) FILTER (WHERE dropped) * 10000.0 / count(*))
+           / 10000 + 0.0 AS dup_pct
+FROM j GROUP BY source
+"""
+
+
+@register("dedup_yield_report", oracle=_YIELD_ORACLE)
+def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(T.ws_tokens(F.col("text")), 1, _YIELD_PREFIX), " "
+    )
+    hashed = docs.select(
+        "source", "n_chars", "doc_id", F.md5(prefix).alias("h")
+    )
+    k = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = hashed.join(k, "h").select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") != F.col("keeper")).alias("dropped"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("dropped"), 1)).cast("long").alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("dropped"), F.col("n_chars"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("chars_reclaimed"),
+        (
+            F.round(
+                F.count(F.when(F.col("dropped"), 1))
+                * 10000.0
+                / F.count(F.lit(1))
+            )
+            / 10000.0
+            + 0.0
+        ).alias("dup_pct"),
+    )

@@ -924,6 +924,121 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- two-stage ANN: int8 coarse scan → exact rerank ------------------------
+# The standard serving trade for vector search at scale: scan the
+# corpus with CHEAP quantized integer dot products (4x less memory
+# traffic, SIMD-friendly), keep a generous coarse top-C, then re-score
+# only those C candidates in full double precision for the final
+# top-k. Both stages are TakeOrderedAndProject (per-partition heaps +
+# driver merge, no global sort); the second stage's input is C rows —
+# constant — so the exact cosine math never touches the corpus. The
+# int8 coarse dot is integer-exact in both engines (shared
+# half-away-from-zero quantization, embedding_quantize_int8), so the
+# candidate set is deterministic; no float-tie hazard at the cut.
+_RERANK_COARSE = 50
+_RERANK_K = 10
+
+_RERANK_ORACLE = f"""
+WITH {_DIMS_DUCK},
+s AS (SELECT vec_id, max(abs(x)) AS mx FROM dims GROUP BY vec_id),
+q8 AS (
+    SELECT d.vec_id, d.i, d.x,
+           CASE WHEN s.mx = 0 THEN 0
+                ELSE greatest(-127, least(127,
+                    (CASE WHEN d.x >= 0
+                          THEN floor(abs(d.x) * 127.0 / s.mx + 0.5)
+                          ELSE -floor(abs(d.x) * 127.0 / s.mx + 0.5)
+                     END)::BIGINT))
+           END AS qi
+    FROM dims d JOIN s USING (vec_id)
+),
+qv AS (SELECT i, qi, x FROM q8 WHERE vec_id = {QUERY_VEC_ID}),
+coarse AS (
+    SELECT d.vec_id, sum(d.qi * qv.qi)::BIGINT AS coarse_dot
+    FROM q8 d JOIN qv ON d.i = qv.i
+    WHERE d.vec_id <> {QUERY_VEC_ID}
+    GROUP BY d.vec_id
+    ORDER BY coarse_dot DESC, d.vec_id
+    LIMIT {_RERANK_COARSE}
+),
+exact AS (
+    SELECT c.vec_id, c.coarse_dot,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0
+               AS cosine
+    FROM coarse c
+    JOIN dims d ON d.vec_id = c.vec_id
+    JOIN qv qd ON qd.i = d.i
+    GROUP BY c.vec_id, c.coarse_dot
+)
+SELECT e.vec_id, emb.label, e.coarse_dot, e.cosine
+FROM exact e JOIN embeddings emb ON emb.vec_id = e.vec_id
+ORDER BY e.cosine DESC, e.vec_id
+LIMIT {_RERANK_K}
+"""
+
+
+def _int8_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, e: array<double>, q: array<long>) — the shared
+    half-away-from-zero per-vector symmetric quantization (same
+    formula as embedding_quantize_int8 / its oracle)."""
+    sel = emb.select(
+        "vec_id", "label", A.as_double_array(F.col("embedding")).alias("e")
+    )
+    mx = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    with_mx = sel.select("vec_id", "label", "e", mx.alias("mx"))
+    qarr = F.when(
+        F.col("mx") == 0,
+        F.transform(F.col("e"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("e"),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    (
+                        F.signum(x)
+                        * F.floor(F.abs(x) * 127.0 / F.col("mx") + 0.5)
+                    ).cast("long"),
+                ),
+            ),
+        )
+    )
+    return with_mx.select("vec_id", "label", "e", qarr.alias("q"))
+
+
+@register("ann_rerank_twostage", oracle=_RERANK_ORACLE)
+def ann_rerank_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    quant = _int8_quantized(emb)
+    qside = quant.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe"), F.col("q").alias("qq")
+    )
+    coarse_dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        quant.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qside))
+        .select("vec_id", "label", "e", "qe", coarse_dot.alias("coarse_dot"))
+        .orderBy(F.desc("coarse_dot"), F.asc("vec_id"))
+        .limit(_RERANK_COARSE)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            "label",
+            "coarse_dot",
+            R.r(A.cosine(F.col("e"), F.col("qe")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_RERANK_K)
+    )
+
+
 # --- embedding centering / anisotropy audit --------------------------------
 # The preprocessing check run before cosine retrieval is trusted:
 # embedding spaces are notoriously anisotropic (variance concentrated

@@ -242,6 +242,66 @@ def source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-source document caps, two-level rank (the mega-source form) -------
+# Same semantics and SAME ORACLE as source_domain_cap — but the rank
+# is computed without ever putting a whole source in one window
+# partition, which is exactly the shape a 100 TB mega-source breaks
+# (SCALING.md previously documented this as the family's known
+# weakness; this operator is the fix, pinned equal to the
+# single-window form by tests/test_training_prep.py).
+#
+# Trick: range-bucket each row by the FIRST HEX NIBBLE of its cap key
+# (buckets are ordered by key prefix, so in-bucket rank + count of
+# lower buckets == the single-window rank in identical order), then:
+#   1. one tiny aggregate → |sources| × 16 bucket counts,
+#   2. prefix-sum offsets over that bounded table (broadcast back),
+#   3. PRUNE buckets whose offset already exceeds the cap — a
+#      mega-source's millions of rows die before any window runs,
+#   4. row_number within (source, bucket) — partitions are 1/16th of
+#      a source at worst (use 2+ nibbles = 256+ buckets at real
+#      scale; 16 keeps the test-scale oracle exercise non-vacuous).
+
+_CAP_BUCKET_NIBBLES = 1
+
+
+@register("source_domain_cap_scaled", oracle=_CAP_ORACLE)
+def source_domain_cap_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(H.salted(F.col("doc_id"), "cap"))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        key.alias("key"),
+        F.conv(F.substring(key, 1, _CAP_BUCKET_NIBBLES), 16, 10)
+        .cast("int")
+        .alias("bkt"),
+    )
+    counts = keyed.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    woff = Window.partitionBy("source").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
+    )
+    pruned = keyed.join(F.broadcast(offsets), ["source", "bkt"]).filter(
+        F.col("off") < _CAP
+    )
+    w = Window.partitionBy("source", "bkt").orderBy("key", "doc_id")
+    return (
+        pruned.withColumn("rn", F.col("off") + F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("rn").cast("long").alias("rank_in_source"),
+        )
+    )
+
+
 # --- OOV rate vs a top-K vocabulary ----------------------------------------
 # Tokenizer-design staple: build the top-K vocab by corpus frequency
 # (ties → lexicographic), then measure per-language OOV token rate

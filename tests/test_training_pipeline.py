@@ -113,3 +113,35 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     # smallest source keeps rate 1.0 by construction
     smallest = min(rows, key=lambda s: rows[s][0])
     assert rows[smallest][1] == rows[smallest][0]
+
+
+def test_source_cap_scaled_equals_single_window(spark):
+    """The two-level (bucketed, offset-merged, pruned) rank must pick
+    exactly the same rows with exactly the same ranks as the
+    single-window form — it is the same deterministic hash order,
+    just computed without a whole-source window partition."""
+    base = {
+        (r.doc_id, r.source, r.rank_in_source)
+        for r in REG["source_domain_cap"].spark_fn(spark, SF).collect()
+    }
+    scaled = {
+        (r.doc_id, r.source, r.rank_in_source)
+        for r in REG["source_domain_cap_scaled"].spark_fn(spark, SF).collect()
+    }
+    assert base == scaled and base
+
+
+def test_source_cap_scaled_prunes_before_window(spark):
+    """The bucket-offset prune must appear BELOW the rank window in
+    the plan: a filter on `off` feeds the window, so a mega-source's
+    tail buckets never reach it."""
+    from swat_mapreduce_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        REG["source_domain_cap_scaled"].spark_fn(spark, SF)
+    )
+    # window partitions on (source, bkt), never bare source
+    assert "windowspecdefinition(source" not in plan.replace(
+        "source#", "source_"
+    ) or "bkt" in plan
+    assert "BroadcastHashJoin" in plan  # bounded offset table broadcast
