@@ -68,6 +68,84 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right.ts >= left.ts`` and equal key (ties match) — the forward
+    direction pandas ``merge_asof(direction='forward')`` / QuestDB
+    ``LT JOIN`` mirror of :func:`asof_join`. With ``tolerance_seconds``
+    set, matches farther than the tolerance are nulled out (the row is
+    kept, unmatched — merge_asof semantics).
+
+    Same one-shuffle union+window shape as the backward form, with the
+    frame flipped to current-row..unbounded-following and ``first``
+    instead of ``last``. Within a timestamp tie, left rows sort before
+    right rows so the tying right row lands inside the frame. Callers
+    with duplicate (key, ts) right rows should pre-dedup them — window
+    order among identical keys would otherwise be nondeterministic.
+    """
+    right_cols = right_cols or []
+    l_tag = left.select(
+        F.col(on).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_kind"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_ts", "_kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "_l",
+        F.first("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        "_kind",
+    ).filter(F.col("_kind") == 0)
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out = carried.select(
+        *out_cols, "asof_ts", *[f"asof_{c}" for c in right_cols]
+    )
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_micros(F.col("asof_ts"))
+            - F.unix_micros(F.col(left_ts))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.select(
+            *left.columns,
+            F.when(within, F.col("asof_ts")).alias("asof_ts"),
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+        )
+    return out
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

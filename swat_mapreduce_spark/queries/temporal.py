@@ -1234,3 +1234,225 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("psi")
     )
+
+
+# --- forward as-of with tolerance: time-to-conversion ----------------------
+# For each click, the NEXT purchase by the same user within 2 hours
+# (else unmatched-but-kept) — pandas merge_asof(direction='forward',
+# tolerance=...) semantics, the canonical time-to-conversion query.
+# Right side is pre-deduped to one purchase per (user, ts) (min
+# event_id) so both engines pick a deterministic match. DuckDB's
+# native forward ASOF (p.ts >= c.ts flipped) is the independent
+# oracle for the union+window Spark formulation.
+_ASOF_FWD_TOL_S = 7200
+
+_ASOF_FWD_ORACLE = f"""
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts, min(event_id) AS p_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+m AS (
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS asof_ts, p.p_id
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN datediff('microsecond', ts, asof_ts)
+                 <= {_ASOF_FWD_TOL_S * 1000000}
+            THEN asof_ts END AS next_purchase_ts,
+       CASE WHEN datediff('microsecond', ts, asof_ts)
+                 <= {_ASOF_FWD_TOL_S * 1000000}
+            THEN p_id END AS next_purchase_id,
+       CASE WHEN datediff('microsecond', ts, asof_ts)
+                 <= {_ASOF_FWD_TOL_S * 1000000}
+            THEN datediff('microsecond', ts, asof_ts) END AS delay_us
+FROM m
+"""
+
+
+@register("asof_forward_next_purchase", oracle=_ASOF_FWD_ORACLE)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.operators.asof import asof_join_forward
+
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("p_id"))
+    )
+    j = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["p_id"],
+        tolerance_seconds=_ASOF_FWD_TOL_S,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("next_purchase_ts"),
+        F.col("asof_p_id").alias("next_purchase_id"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("delay_us"),
+    )
+
+
+# --- pro-rated revenue recognition -----------------------------------------
+# Accrual accounting over intervals: each lineitem's discounted
+# revenue is earned uniformly per day from order date to ship date
+# (inclusive) and recognized pro-rata into the calendar months the
+# interval touches. The month explode is bounded by interval length
+# (order→ship spans a few months), so row growth is a small constant —
+# never a cross join; the rollup is one shuffle on month. Per-row
+# proration is double math (deterministic, no accumulation); the month
+# sums cast to decimal BEFORE summing (1e6+ magnitudes, CLAUDE.md
+# gotcha 2). The synthetic testdata contains lineitems whose shipdate
+# PRECEDES the order date, so the recognition interval is normalized
+# to [least, greatest] in both engines.
+_PRORATE_ORACLE = """
+WITH li AS (
+    SELECT l.l_orderkey,
+           least(o.o_orderdate::DATE, l.l_shipdate::DATE) AS d0,
+           greatest(o.o_orderdate::DATE, l.l_shipdate::DATE) AS d1,
+           l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+m AS (
+    SELECT l_orderkey, d0, d1, rev,
+           unnest(generate_series(date_trunc('month', d0),
+                                  date_trunc('month', d1),
+                                  INTERVAL 1 MONTH))::DATE AS month
+    FROM li
+),
+ov AS (
+    SELECT month,
+           rev * (datediff('day', greatest(month, d0),
+                           least(last_day(month), d1)) + 1)
+               / (datediff('day', d0, d1) + 1) AS part,
+           l_orderkey
+    FROM m
+)
+SELECT month,
+       round(sum(CAST(part AS DECIMAL(30,8))), 2)::DOUBLE AS revenue,
+       count(DISTINCT l_orderkey)::BIGINT AS n_orders
+FROM ov GROUP BY month
+"""
+
+
+@register("prorate_revenue_monthly", oracle=_PRORATE_ORACLE)
+def prorate_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    base = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        F.least(
+            F.col("o_orderdate").cast("date"),
+            F.col("l_shipdate").cast("date"),
+        ).alias("d0"),
+        F.greatest(
+            F.col("o_orderdate").cast("date"),
+            F.col("l_shipdate").cast("date"),
+        ).alias("d1"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    months = base.select(
+        "l_orderkey",
+        "d0",
+        "d1",
+        "rev",
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "month"),
+                F.trunc("d1", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    part = (
+        F.col("rev")
+        * (
+            F.datediff(
+                F.least(F.last_day("month"), F.col("d1")),
+                F.greatest(F.col("month"), F.col("d0")),
+            )
+            + 1
+        )
+        / (F.datediff("d1", "d0") + 1)
+    )
+    return (
+        months.select("month", part.alias("part"), "l_orderkey")
+        .groupBy("month")
+        .agg(
+            F.round(F.sum(F.col("part").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --- cumulative distinct users (first-seen trick) --------------------------
+# Daily active/new/cumulative-distinct users. The naive form —
+# count(DISTINCT user) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) —
+# re-scans history per day and Spark refuses DISTINCT in windows
+# anyway. The scale form: mark each user's FIRST day (one aggregate),
+# count firsts per day, running-sum the bounded daily table. The
+# expensive shuffle is user-keyed once; the window runs over ~365
+# rows/year, never over events.
+_CUMDIST_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', ts)::DATE AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+),
+firsts AS (
+    SELECT user_id, min(date_trunc('day', ts)::DATE) AS first_day
+    FROM events GROUP BY user_id
+),
+new_by_day AS (
+    SELECT first_day AS day, count(*) AS new_users
+    FROM firsts GROUP BY first_day
+)
+SELECT d.day, d.dau::BIGINT AS dau,
+       coalesce(n.new_users, 0)::BIGINT AS new_users,
+       sum(coalesce(n.new_users, 0))
+           OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)::BIGINT AS cumulative_users
+FROM daily d LEFT JOIN new_by_day n ON n.day = d.day
+"""
+
+
+@register("cumulative_distinct_users", oracle=_CUMDIST_ORACLE)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = events.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    new_by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users",
+            F.sum("new_users").over(w).cast("long"),
+        )
+    )
