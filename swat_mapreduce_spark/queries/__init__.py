@@ -56,6 +56,7 @@ def load_all() -> dict[str, QueryEntry]:
         relational4,
         relational5,
         scale_patterns,
+        spatial,
         similarity,
         streaming_queries,
         temporal,

@@ -1014,3 +1014,77 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- dynamic partition pruning ---------------------------------------------
+# The Catalyst feature that makes star-schema joins viable on
+# partitioned 100 TB facts: when the fact scan is partitioned on the
+# join key and the dim side carries a selective filter, Spark injects
+# a runtime subquery (dynamicpruningexpression) that reads ONLY the
+# fact partitions matching the filtered dim — partition pruning
+# decided at execution, not plan, time. Here: orders staged
+# partitioned by order month, joined to a month dimension filtered to
+# Q2 — the scan must touch ~1/4 of the partitions. The plan assertion
+# lives in tests/test_plans.py; the value oracle recomputes the same
+# Q2 revenue from the raw view.
+_DPP_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+           AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders
+WHERE quarter(o_orderdate) = 2
+GROUP BY 1
+"""
+
+
+def _dpp_query(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Stage orders partitioned by month under ``path`` and return the
+    DPP-shaped join (fact partition column = filtered dim key)."""
+    orders = read_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    fact.write.partitionBy("month").parquet(path)
+    staged = spark.read.parquet(path)
+    # month dimension with a quarter attribute, filtered to Q2; built
+    # as an aggregate so the filter cannot constant-fold into a static
+    # IN-list — the pruning must happen at runtime
+    dim = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("d_month"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .groupBy("d_month", "qtr")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("qtr") == 2)
+        .select("d_month")
+    )
+    return (
+        staged.join(dim, staged["month"] == dim["d_month"])
+        .groupBy("month")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("dynamic_partition_pruning_join", oracle=_DPP_ORACLE)
+def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="swat_dpp_")
+    try:
+        out = _dpp_query(spark, sf_dir, base + "/t")
+        rows = out.collect()  # bounded: one row per Q2 month
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

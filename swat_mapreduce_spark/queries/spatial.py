@@ -1,0 +1,191 @@
+"""Spatial ops: grid-cell-blocked radius join over synthetic
+coordinates derived deterministically from the embeddings table
+(dims 1-2 scaled to lat/lon — the testdata has no native geo columns;
+the *blocking machinery* is the operator under test and is real).
+
+Neighbor-cell blocking is the spatial sibling of LSH bucketing: pair
+candidates must share a grid cell OR touch one of its 8 neighbors, so
+the candidate volume is Σ|cell|·|neighborhood| — density-bounded,
+never N². Cell size is chosen ≥ the radius in degrees at every
+latitude in range, which makes the blocking EXACT (no missed pairs),
+unlike LSH's probabilistic recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+_LAT_SCALE = 100.0  # dim1 (±0.4) → ±40°
+_LON_SCALE = 150.0  # dim2 (±0.41) → ±62°
+_RADIUS_KM = 100.0
+_CELL_DEG = 2.0  # ≥ 100 km in degrees at |lat| ≤ 62° (lon: 1.85°)
+_EARTH_KM = 6371.0
+
+_POINTS_DUCK = f"""
+pts AS (
+    SELECT vec_id,
+           embedding[1]::DOUBLE * {_LAT_SCALE} AS lat,
+           embedding[2]::DOUBLE * {_LON_SCALE} AS lon
+    FROM embeddings
+)
+"""
+
+# haversine(a, b) in km; same double formula in both engines
+_HAV_DUCK = (
+    f"2 * {_EARTH_KM} * asin(sqrt("
+    "pow(sin(radians(b.lat - a.lat) / 2), 2)"
+    " + cos(radians(a.lat)) * cos(radians(b.lat))"
+    " * pow(sin(radians(b.lon - a.lon) / 2), 2)))"
+)
+
+_GRID_JOIN_ORACLE = f"""
+WITH {_POINTS_DUCK},
+cells AS (
+    SELECT vec_id, lat, lon,
+           floor(lat / {_CELL_DEG})::BIGINT AS cy,
+           floor(lon / {_CELL_DEG})::BIGINT AS cx
+    FROM pts
+),
+probe AS (
+    SELECT c.vec_id, c.lat, c.lon,
+           c.cy + dy.d AS py, c.cx + dx.d AS px
+    FROM cells c,
+         generate_series(-1, 1) AS dy(d),
+         generate_series(-1, 1) AS dx(d)
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_HAV_DUCK} * 100) / 100 + 0.0 AS dist_km
+    FROM probe a
+    JOIN cells b ON b.cy = a.py AND b.cx = a.px
+                AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, dist_km
+FROM pairs WHERE dist_km <= {_RADIUS_KM}
+"""
+
+
+@register("spatial_grid_radius_join", oracle=_GRID_JOIN_ORACLE)
+def spatial_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        (F.element_at(F.col("embedding"), 1).cast("double") * _LAT_SCALE)
+        .alias("lat"),
+        (F.element_at(F.col("embedding"), 2).cast("double") * _LON_SCALE)
+        .alias("lon"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL_DEG).alias("cy"),
+        F.floor(F.col("lon") / _CELL_DEG).alias("cx"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dy ->"
+        " transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
+    )
+    probe = cells.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        "cy",
+        "cx",
+        offsets.alias("o"),
+    ).select(
+        "vec_a",
+        "a_lat",
+        "a_lon",
+        (F.col("cy") + F.col("o.dy")).alias("py"),
+        (F.col("cx") + F.col("o.dx")).alias("px"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        "cy",
+        "cx",
+    )
+    hav = (
+        2
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("b_lat") - F.col("a_lat")) / 2), 2)
+                + F.cos(F.radians("a_lat"))
+                * F.cos(F.radians("b_lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("b_lon") - F.col("a_lon")) / 2), 2
+                )
+            )
+        )
+    )
+    return (
+        probe.join(
+            b,
+            (F.col("py") == F.col("cy"))
+            & (F.col("px") == F.col("cx"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", R.r(hav, 2).alias("dist_km"))
+        .filter(F.col("dist_km") <= _RADIUS_KM)
+    )
+
+
+# --- per-cell density stats (the "geohash aggregation" shape) --------------
+# The other standard spatial primitive: bucket points into grid cells
+# and aggregate per cell — one shuffle on the cell key, |cells|-row
+# output, the spatial analog of a groupBy day. Reports the densest
+# cells (top 20 by count, tie-broken by cell coords).
+_CELL_STATS_ORACLE = f"""
+WITH {_POINTS_DUCK},
+cells AS (
+    SELECT floor(lat / {_CELL_DEG})::BIGINT AS cy,
+           floor(lon / {_CELL_DEG})::BIGINT AS cx,
+           lat, lon
+    FROM pts
+)
+SELECT cy, cx, count(*)::BIGINT AS n_points,
+       round(avg(lat) * 10000) / 10000 + 0.0 AS centroid_lat,
+       round(avg(lon) * 10000) / 10000 + 0.0 AS centroid_lon
+FROM cells GROUP BY cy, cx
+ORDER BY n_points DESC, cy, cx
+LIMIT 20
+"""
+
+
+@register("spatial_cell_density", oracle=_CELL_STATS_ORACLE)
+def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        (F.element_at(F.col("embedding"), 1).cast("double") * _LAT_SCALE)
+        .alias("lat"),
+        (F.element_at(F.col("embedding"), 2).cast("double") * _LON_SCALE)
+        .alias("lon"),
+    )
+    return (
+        pts.select(
+            F.floor(F.col("lat") / _CELL_DEG).alias("cy"),
+            F.floor(F.col("lon") / _CELL_DEG).alias("cx"),
+            "lat",
+            "lon",
+        )
+        .groupBy("cy", "cx")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.round(F.avg("lat") * 10000.0) / 10000.0 + 0.0).alias(
+                "centroid_lat"
+            ),
+            (F.round(F.avg("lon") * 10000.0) / 10000.0 + 0.0).alias(
+                "centroid_lon"
+            ),
+        )
+        .orderBy(F.desc("n_points"), "cy", "cx")
+        .limit(20)
+    )

@@ -382,3 +382,20 @@ def test_retrieval_evals_broadcast_fixed_query_set(spark, sf_dir):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" in plan, fn.__name__
         assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """The staged fact scan must carry a dynamicpruningexpression on
+    its partition column — runtime partition pruning driven by the
+    filtered month dimension, not a full fact scan."""
+    import shutil
+    import tempfile
+
+    from swat_mapreduce_spark.queries.lakehouse import _dpp_query
+
+    base = tempfile.mkdtemp(prefix="swat_dpp_test_")
+    try:
+        plan = formatted_plan(_dpp_query(spark, sf_dir, base + "/t"))
+        assert "dynamicpruning" in plan.lower(), plan[:3000]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
