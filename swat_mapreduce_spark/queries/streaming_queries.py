@@ -620,3 +620,70 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, n_neg, float(sum_value))],
         "n_rows long, n_neg long, sum_value double",
     ).select("n_rows", "n_neg", R.r("sum_value", 4).alias("sum_value"))
+
+
+# --- transactional parquet file sink + checkpoint --------------------------
+# The production streaming sink surface: writeStream → parquet with a
+# checkpoint. The file sink is exactly-once via the _spark_metadata
+# commit log (readers only see files listed in committed manifests),
+# and the checkpoint makes restarts idempotent. The query drains the
+# events stream into files, RESTARTS the stream against the same
+# checkpoint (must be a no-op — no new data), then aggregates the
+# sink directory; the oracle aggregates the source table, so any
+# duplicate or lost file would hash-fail.
+_PARQUET_SINK_ORACLE = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(CAST(value AS DECIMAL(30,8)))::DOUBLE * 10000) / 10000
+           + 0.0 AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_parquet_sink_checkpoint", oracle=_PARQUET_SINK_ORACLE)
+def stream_parquet_sink_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="swat_psink_")
+    out_dir, ckpt = base + "/out", base + "/ckpt"
+    try:
+        def start_once():
+            stream = jobs.events_stream(spark, sf_dir)
+            q = (
+                stream.select(
+                    "event_id", "ts", "user_id", "event_type", "value"
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        start_once()
+        start_once()  # restart on same checkpoint: must add nothing
+        sink = spark.read.parquet(out_dir)
+        out = sink.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,8)"))
+                    .cast("double")
+                    * 10000.0
+                )
+                / 10000.0
+                + 0.0
+            ).alias("sum_value"),
+        )
+        rows = out.collect()  # bounded: one row per event_type
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

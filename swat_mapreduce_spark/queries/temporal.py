@@ -1456,3 +1456,136 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_users").over(w).cast("long"),
         )
     )
+
+
+# --- winsorization ---------------------------------------------------------
+# Robust-stats curation: clamp values to the [p1, p99] band per
+# event_type and report how much mass moved — the standard outlier
+# treatment before training on numeric features. Two passes: one
+# exact-percentile aggregate (|types|-row broadcast), one clamp+stats
+# scan. Spark's exact `percentile` interpolates identically to
+# DuckDB's quantile_cont. Means are decimal-summed (value sums are
+# ~5e6 at sf0.1 — CLAUDE.md gotcha 2).
+_WINSOR_ORACLE = """
+WITH p AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS p01,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+),
+c AS (
+    SELECT e.event_type, e.value, p.p01, p.p99,
+           least(greatest(e.value, p.p01), p.p99) AS clamped
+    FROM events e JOIN p USING (event_type)
+)
+SELECT event_type,
+       round(any_value(p01) * 10000) / 10000 + 0.0 AS p01,
+       round(any_value(p99) * 10000) / 10000 + 0.0 AS p99,
+       count(*) FILTER (WHERE value < p01)::BIGINT AS n_low,
+       count(*) FILTER (WHERE value > p99)::BIGINT AS n_high,
+       round(sum(CAST(value AS DECIMAL(30,8)))::DOUBLE / count(*)
+             * 10000) / 10000 + 0.0 AS mean_before,
+       round(sum(CAST(clamped AS DECIMAL(30,8)))::DOUBLE / count(*)
+             * 10000) / 10000 + 0.0 AS mean_after
+FROM c GROUP BY event_type
+"""
+
+
+@register("winsorize_values", oracle=_WINSOR_ORACLE)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    p = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    c = events.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        "value",
+        "p01",
+        "p99",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "clamped"
+        ),
+    )
+    n = F.count(F.lit(1))
+    return c.groupBy("event_type").agg(
+        R.r(F.any_value("p01"), 4).alias("p01"),
+        R.r(F.any_value("p99"), 4).alias("p99"),
+        F.count(F.when(F.col("value") < F.col("p01"), 1)).alias("n_low"),
+        F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_high"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                / n
+                * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("mean_before"),
+        (
+            F.round(
+                F.sum(F.col("clamped").cast("decimal(30,8)")).cast("double")
+                / n
+                * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("mean_after"),
+    )
+
+
+# --- truncated EWMA (16-event lookback) ------------------------------------
+# The streaming-friendly exponentially weighted moving average: the
+# recursive s_t = a*v_t + (1-a)*s_{t-1} is inherently sequential, but
+# truncating the memory to the last K events (weights below
+# (1-a)^K ≈ 0.3% of mass at K=16, a=0.3) turns it into a bounded
+# window fold — per-key ROWS frames of ≤16 values, no sequential
+# dependency, which is the shape that parallelizes at 100 TB. Both
+# engines fold the identical explicit weight formula over the
+# frame-ordered value list.
+_EWMA_A = 0.3
+_EWMA_K = 16
+
+_EWMA_ORACLE = f"""
+WITH w AS (
+    SELECT event_id, user_id, value,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {_EWMA_K - 1} PRECEDING
+                             AND CURRENT ROW) AS vs
+    FROM events
+)
+SELECT event_id, user_id,
+       round(list_sum(list_transform(generate_series(1, len(vs)),
+             i -> vs[i] * (CASE WHEN i = 1
+                                THEN pow({1 - _EWMA_A}, len(vs) - 1)
+                                ELSE {_EWMA_A}
+                                     * pow({1 - _EWMA_A}, len(vs) - i)
+                           END))) * 10000) / 10000 + 0.0 AS ewma
+FROM w
+"""
+
+
+@register("ewma_lookback", oracle=_EWMA_ORACLE)
+def ewma_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    with_list = events.select(
+        "event_id",
+        "user_id",
+        F.collect_list("value").over(w).alias("vs"),
+    ).withColumn("k", F.size("vs"))
+    weighted = F.transform(
+        F.sequence(F.lit(1), F.col("k")),
+        lambda i: F.element_at(F.col("vs"), i)
+        * F.when(i == 1, F.pow(F.lit(1 - _EWMA_A), F.col("k") - 1)).otherwise(
+            F.lit(_EWMA_A) * F.pow(F.lit(1 - _EWMA_A), F.col("k") - i)
+        ),
+    )
+    ewma = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return with_list.select(
+        "event_id", "user_id", R.r(ewma, 4).alias("ewma")
+    )
