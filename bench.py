@@ -120,6 +120,15 @@ HEADLINE = [
     "stream_observed_metrics",
     "batch_session_window",
     "dynamic_partition_overwrite",
+    # round-4 additions
+    "ann_rerank_twostage",
+    "source_domain_cap_scaled",
+    "ngram_novelty_decay",
+    "spatial_grid_radius_join",
+    "dynamic_partition_pruning_join",
+    "stream_parquet_sink_checkpoint",
+    "prorate_revenue_monthly",
+    "ewma_lookback",
 ]
 
 REPEATS = 2

@@ -338,3 +338,119 @@ def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("dup_pct"),
     )
+
+
+# --- corpus datacard -------------------------------------------------------
+# The one-row summary a dataset release ships (datasheet/datacard):
+# volume, diversity, token mass, length distribution, prefix-dup rate,
+# dominant language and its share. Each statistic is a bounded
+# aggregate; the composition is one wide single-row join of broadcast
+# 1-row/`|langs|`-row subaggregates — the whole corpus is scanned a
+# fixed small number of times and nothing unbounded ever reaches the
+# driver.
+_DATACARD_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, lang, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_toks,
+           md5(array_to_string(
+               (string_split_regex(trim(text), '\s+'))[1:{_YIELD_PREFIX}],
+               ' ')) AS pre_h
+    FROM documents
+),
+base AS (
+    SELECT count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           sum(n_toks) AS total_tokens,
+           round(quantile_cont(n_toks, 0.5) * 10000) / 10000 + 0.0
+               AS p50_tokens
+    FROM t
+),
+dup AS (
+    SELECT count(*) - count(DISTINCT pre_h) AS n_prefix_dups FROM t
+),
+toplang AS (
+    SELECT lang AS top_lang, count(*) AS c
+    FROM t GROUP BY lang ORDER BY c DESC, lang LIMIT 1
+)
+SELECT b.n_docs::BIGINT AS n_docs,
+       b.n_sources::BIGINT AS n_sources,
+       b.n_langs::BIGINT AS n_langs,
+       b.total_tokens::BIGINT AS total_tokens,
+       round(b.total_tokens * 10000.0 / b.n_docs) / 10000 + 0.0
+           AS mean_doc_tokens,
+       b.p50_tokens,
+       d.n_prefix_dups::BIGINT AS n_prefix_dups,
+       round(d.n_prefix_dups * 10000.0 / b.n_docs) / 10000 + 0.0
+           AS prefix_dup_rate,
+       tl.top_lang,
+       round(tl.c * 10000.0 / b.n_docs) / 10000 + 0.0 AS top_lang_share
+FROM base b CROSS JOIN dup d CROSS JOIN toplang tl
+"""
+
+
+@register("corpus_datacard", oracle=_DATACARD_ORACLE)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pre = F.md5(
+        F.array_join(
+            F.slice(T.ws_tokens(F.col("text")), 1, _YIELD_PREFIX), " "
+        )
+    )
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(T.ws_tokens(F.col("text"))).alias("n_toks"),
+        pre.alias("pre_h"),
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (
+            F.round(F.expr("percentile(n_toks, 0.5)") * 10000.0) / 10000.0
+            + 0.0
+        ).alias("p50_tokens"),
+    )
+    dup = t.agg(
+        (F.count(F.lit(1)) - F.count_distinct("pre_h")).alias(
+            "n_prefix_dups"
+        )
+    )
+    toplang = (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "c")
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(toplang))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            (
+                F.round(F.col("total_tokens") * 10000.0 / F.col("n_docs"))
+                / 10000.0
+                + 0.0
+            ).alias("mean_doc_tokens"),
+            "p50_tokens",
+            F.col("n_prefix_dups").cast("long").alias("n_prefix_dups"),
+            (
+                F.round(
+                    F.col("n_prefix_dups") * 10000.0 / F.col("n_docs")
+                )
+                / 10000.0
+                + 0.0
+            ).alias("prefix_dup_rate"),
+            "top_lang",
+            (
+                F.round(F.col("c") * 10000.0 / F.col("n_docs")) / 10000.0
+                + 0.0
+            ).alias("top_lang_share"),
+        )
+    )
