@@ -454,3 +454,148 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_lang_share"),
         )
     )
+
+
+# --- BM25 ranked search ----------------------------------------------------
+# The IR ranking layer over an inverted index (search_inverted_index
+# is the boolean retrieval half): Okapi BM25 with the Lucene idf
+# variant, k1=1.2, b=0.75, for a fixed 3-term query. Corpus stats
+# (N, avgdl, per-term df) are 1-row / |terms|-row broadcast
+# aggregates; per-doc tf is a narrow JVM array filter; the final
+# top-10 is TakeOrderedAndProject. At 100 TB tf would come from the
+# postings table (term-partitioned) instead of re-tokenizing — the
+# scoring formula and plan shape are identical.
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf_{i}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1)"
+        f" * tf_{i} * ({_BM25_K1} + 1)"
+        f" / (tf_{i} + {_BM25_K1} * (1 - {_BM25_B}"
+        f" + {_BM25_B} * dl / s.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+m AS (
+    SELECT doc_id, len(t) AS dl, {tf_cols} FROM toks
+),
+s AS (
+    SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM m
+)
+SELECT doc_id,
+       round(({score}) * 10000) / 10000 + 0.0 AS bm25
+FROM m CROSS JOIN s
+ORDER BY round(({score}) * 10000) / 10000 + 0.0 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("bm25_search_topk", oracle=_bm25_oracle())
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    # closure factory binds each term (never a default-arg lambda in a
+    # higher-order function — CLAUDE.md gotcha 1)
+    def tf_of(word: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+    tf_exprs = [
+        tf_of(w).alias(f"tf_{i}") for i, w in enumerate(_BM25_TERMS)
+    ]
+    m = docs.select("doc_id", F.size(toks).alias("dl"), *tf_exprs)
+    s = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1
+        )
+        part = (
+            idf
+            * F.col(f"tf_{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf_{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        m.crossJoin(F.broadcast(s))
+        .select("doc_id", R.r(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# --- positional phrase search ----------------------------------------------
+# Exact-phrase retrieval needs token POSITIONS, not just membership —
+# the positional-index operation ("window join" as adjacent tokens).
+# Positions are a per-row JVM lambda over the token array (at 100 TB
+# they'd be read from a positional postings table, term-partitioned);
+# output is matching docs with occurrence count and first position.
+_PHRASE = ("window", "join")
+
+
+def _phrase_oracle() -> str:
+    w1, w2 = _PHRASE
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           list_filter(generate_series(1, len(t) - 1),
+                       i -> t[i] = '{w1}' AND t[i + 1] = '{w2}') AS pos
+    FROM toks
+)
+SELECT doc_id,
+       len(pos)::BIGINT AS n_occurrences,
+       pos[1]::BIGINT AS first_pos
+FROM hits WHERE len(pos) > 0
+"""
+
+
+@register("phrase_search_positions", oracle=_phrase_oracle())
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1, w2 = _PHRASE
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+    with_t = docs.select("doc_id", toks.alias("t"))
+    pos = F.filter(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: (F.element_at(F.col("t"), i) == w1)
+        & (F.element_at(F.col("t"), i + 1) == w2),
+    )
+    return (
+        with_t.select(
+            "doc_id",
+            F.size(pos).cast("long").alias("n_occurrences"),
+            F.element_at(pos, 1).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
