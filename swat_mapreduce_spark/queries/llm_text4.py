@@ -605,3 +605,120 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+# --- HTML tag stripping ----------------------------------------------------
+# Boilerplate removal, the first step of every web-corpus cleaning
+# pipeline. The testdata is plain text, so markup is PLANTED
+# deterministically (wrap in <p>, inject a <script> block on every
+# third doc) and then stripped: script/style blocks WITH their content
+# first, then remaining tags — order matters, and the audit proves
+# the planted markup is gone. All JVM regexp_replace, no shuffle
+# before the final projection; both engines run the same patterns.
+_HTML_SCRIPT_RE = "<script>[^<]*</script>"
+_HTML_TAG_RE = "<[^>]*>"
+
+_HTML_STRIP_ORACLE = f"""
+WITH staged AS (
+    SELECT doc_id,
+           '<p>' || text || '</p>' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '<script>var tracker=1;</script>' ELSE '' END AS html
+    FROM documents
+),
+clean AS (
+    SELECT doc_id, html,
+           regexp_replace(regexp_replace(html, '{_HTML_SCRIPT_RE}', '', 'g'),
+                          '{_HTML_TAG_RE}', '', 'g') AS text_clean
+    FROM staged
+)
+SELECT c.doc_id,
+       length(c.html)::BIGINT AS n_html_chars,
+       length(c.text_clean)::BIGINT AS n_clean_chars,
+       (c.text_clean = d.text) AS roundtrip_exact,
+       md5(c.text_clean) AS clean_md5
+FROM clean c JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+
+@register("html_tag_strip_clean", oracle=_HTML_STRIP_ORACLE)
+def html_tag_strip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<script>var tracker=1;</script>"),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", "text", html.alias("html"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("html"), _HTML_SCRIPT_RE, ""),
+        _HTML_TAG_RE,
+        "",
+    )
+    return staged.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_html_chars"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
+        (clean == F.col("text")).alias("roundtrip_exact"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# --- label balance audit ---------------------------------------------------
+# Class-balance diagnostics over the embeddings labels: per-label
+# share plus corpus-level Gini impurity (1 - Σp²), Shannon entropy
+# (-Σ p ln p, nats), and max/min imbalance ratio — the numbers that
+# decide whether training needs reweighting. One |labels|-row
+# aggregate; totals ride a broadcast 1-row join.
+_LABEL_BALANCE_ORACLE = """
+WITH c AS (
+    SELECT label, count(*) AS n FROM embeddings GROUP BY label
+),
+t AS (SELECT sum(n) AS tot, max(n) AS mx, min(n) AS mn FROM c),
+p AS (SELECT c.label, c.n, c.n::DOUBLE / t.tot AS share FROM c CROSS JOIN t),
+g AS (
+    SELECT 1 - sum(share * share) AS gini,
+           -sum(share * ln(share)) AS entropy
+    FROM p
+)
+SELECT p.label, p.n::BIGINT AS n,
+       round(p.share * 1000000) / 1000000 + 0.0 AS share,
+       round(g.gini * 1000000) / 1000000 + 0.0 AS gini,
+       round(g.entropy * 1000000) / 1000000 + 0.0 AS entropy,
+       round(t.mx * 10000.0 / t.mn) / 10000 + 0.0 AS imbalance
+FROM p CROSS JOIN g CROSS JOIN t
+"""
+
+
+@register("label_balance_audit", oracle=_LABEL_BALANCE_ORACLE)
+def label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("tot"), F.max("n").alias("mx"), F.min("n").alias("mn")
+    )
+    p = c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("share"),
+        "mx",
+        "mn",
+    )
+    g = p.agg(
+        (1 - F.sum(F.col("share") * F.col("share"))).alias("gini"),
+        (-F.sum(F.col("share") * F.log(F.col("share")))).alias("entropy"),
+    )
+    return p.crossJoin(F.broadcast(g)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        R.r("share", 6).alias("share"),
+        R.r("gini", 6).alias("gini"),
+        R.r("entropy", 6).alias("entropy"),
+        (F.round(F.col("mx") * 10000.0 / F.col("mn")) / 10000.0 + 0.0).alias(
+            "imbalance"
+        ),
+    )
