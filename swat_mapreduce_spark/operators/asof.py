@@ -31,21 +31,29 @@ def asof_join(
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` and equal key. Ties (equal ts) match."""
     right_cols = right_cols or []
+    # Carry ALL right-side values in ONE struct so last(..., ignorenulls)
+    # picks every asof_* value from the SAME right row — per-column
+    # last(ignorenulls) could mix rows when the matched row holds a NULL
+    # in one right_col (ADVICE r4). The struct is NULL (as a whole) on
+    # left rows, so ignorenulls skips exactly the non-right rows.
+    r_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_struct_t = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         F.col(on).alias("_key"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_kind"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast("timestamp").alias("_rts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(on).alias("_key"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_kind"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        r_struct.alias("_r"),
     )
     u = l_tag.unionByName(r_tag)
     w = (
@@ -55,16 +63,14 @@ def asof_join(
     )
     carried = u.select(
         "_l",
-        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_asof"),
         "_kind",
     ).filter(F.col("_kind") == 1)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     return carried.select(
-        *out_cols, "asof_ts", *[f"asof_{c}" for c in right_cols]
+        *out_cols,
+        F.col("_asof._rts").alias("asof_ts"),
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_cols],
     )
 
 
@@ -92,24 +98,27 @@ def asof_join_forward(
     order among identical keys would otherwise be nondeterministic.
     """
     right_cols = right_cols or []
+    # Single-struct carry: see asof_join — guarantees all asof_* values
+    # come from the one matched (earliest) right row even when some of
+    # its right_cols are NULL (ADVICE r4).
+    r_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_struct_t = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         F.col(on).alias("_key"),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_kind"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast("timestamp").alias("_rts"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-            for c in right_cols
-        ],
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tag = right.select(
         F.col(on).alias("_key"),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_kind"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        r_struct.alias("_r"),
     )
     u = l_tag.unionByName(r_tag)
     w = (
@@ -119,16 +128,14 @@ def asof_join_forward(
     )
     carried = u.select(
         "_l",
-        F.first("_rts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        F.first("_r", ignorenulls=True).over(w).alias("_asof"),
         "_kind",
     ).filter(F.col("_kind") == 0)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out = carried.select(
-        *out_cols, "asof_ts", *[f"asof_{c}" for c in right_cols]
+        *out_cols,
+        F.col("_asof._rts").alias("asof_ts"),
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_cols],
     )
     if tolerance_seconds is not None:
         within = (

@@ -592,11 +592,18 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = T.ws_tokens(F.col("text"))
     with_t = docs.select("doc_id", toks.alias("t"))
-    pos = F.filter(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: (F.element_at(F.col("t"), i) == w1)
-        & (F.element_at(F.col("t"), i + 1) == w2),
-    )
+    # Guard the <2-token case: Spark's sequence(1, 0) defaults step to -1
+    # and yields DESCENDING [1, 0], whose element_at(t, 0) throws
+    # INVALID_INDEX_OF_ZERO; DuckDB's generate_series(1, 0) is empty, so
+    # the engines would also diverge semantically (ADVICE r4, medium).
+    pos = F.when(
+        F.size("t") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: (F.element_at(F.col("t"), i) == w1)
+            & (F.element_at(F.col("t"), i + 1) == w2),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         with_t.select(
             "doc_id",

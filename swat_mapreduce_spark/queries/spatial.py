@@ -23,8 +23,34 @@ from swat_mapreduce_spark.sources.readers import read_table
 _LAT_SCALE = 100.0  # dim1 (±0.4) → ±40°
 _LON_SCALE = 150.0  # dim2 (±0.41) → ±62°
 _RADIUS_KM = 100.0
-_CELL_DEG = 2.0  # ≥ 100 km in degrees at |lat| ≤ 62° (lon: 1.85°)
+# Cell must cover the radius in BOTH axes for neighbor-cell blocking to
+# be exact: 100 km of latitude ≈ 0.90°, and 100 km of longitude at the
+# LATITUDE bound (it is latitude, via cos(lat), that shrinks longitude
+# degrees — longitude's own ±62° span is irrelevant to cell width).
+# Testdata latitude (embedding[1]·100, gaussian-ish) peaks ≈ ±41°
+# (0.90/cos 41° ≈ 1.19°); we enforce exactness up to _LAT_EXACT_BOUND
+# = 60° (0.90/cos 60° ≈ 1.80° ≤ 2.0°) via _assert_blocking_exact below
+# and pin the data premise in tests/test_llm_ops.py.
+_CELL_DEG = 2.0
+_LAT_EXACT_BOUND = 60.0
 _EARTH_KM = 6371.0
+
+import math as _math
+
+def _assert_blocking_exact() -> None:
+    deg_per_km_lat = 360.0 / (2 * _math.pi * _EARTH_KM)
+    lon_deg = (
+        _RADIUS_KM * deg_per_km_lat
+        / _math.cos(_math.radians(_LAT_EXACT_BOUND))
+    )
+    lat_deg = _RADIUS_KM * deg_per_km_lat
+    assert max(lon_deg, lat_deg) <= _CELL_DEG, (
+        f"cell {_CELL_DEG}° < radius in degrees ({lon_deg:.3f}) at "
+        f"|lat| = {_LAT_EXACT_BOUND}° — neighbor-cell blocking would "
+        "MISS pairs; widen _CELL_DEG or lower _LAT_EXACT_BOUND"
+    )
+
+_assert_blocking_exact()
 
 _POINTS_DUCK = f"""
 pts AS (

@@ -609,9 +609,12 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows += m["n_rows"]
             n_neg += m["n_neg"]
             # progress entries are JSON round-tripped, so the decimal
-            # aggregate arrives as a float; Decimal(str(x)) recovers
-            # the exact per-batch value (shortest-repr) and the fold
-            # stays order-independent across batches
+            # aggregate arrives as a float; Decimal(str(x)) recovers it
+            # only up to double precision (~15-16 significant digits) —
+            # exact at this SF's magnitudes, but a per-batch sum above
+            # ~1e7 with 8 fractional digits would round-trip lossily.
+            # For exactness at larger scale, read the Java BigDecimal
+            # via a StreamingQueryListener instead of progress JSON.
             if m["sum_value"] is not None:
                 sum_value += Decimal(str(m["sum_value"]))
     from swat_mapreduce_spark.functions import rounding as R

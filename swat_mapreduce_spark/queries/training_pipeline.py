@@ -646,7 +646,7 @@ def curriculum_order_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split leaks train content into eval. The grouped split assigns every
 # doc of a source to the same side via the shared md5-unit hash OF THE
 # SOURCE (not the doc) — deterministic, rerun-stable, and
-# leakage-safe by construction. ~90/10 by source count; the report
+# leakage-safe by construction. ~75/25 by source count; the report
 # also proves no source straddles (n_sides per source == 1 — the
 # invariant a reviewer checks).
 _GSPLIT_RATE = 0.75

@@ -197,3 +197,48 @@ def test_lsh_cap_drops_planted_mega_bucket(spark):
     ids = {r.vec_id for r in got}
     assert not any(i < 300 for i in ids), "mega bucket must be dropped"
     assert len(got) <= 20
+
+
+def test_phrase_search_survives_short_docs(spark, tmp_path):
+    """Docs with 0 or 1 tokens must yield zero hits, not crash:
+    Spark's sequence(1, size-1) with size<2 descends through index 0
+    and element_at(t, 0) throws INVALID_INDEX_OF_ZERO unless guarded
+    (ADVICE r4, medium). DuckDB's generate_series(1, 0) is empty, so
+    the guard also keeps the engines semantically aligned."""
+    from swat_mapreduce_spark.queries.llm_text4 import phrase_search_positions
+
+    rows = [
+        (1, "word", "en", "s", 4),          # one token
+        (2, "", "en", "s", 0),              # empty text
+        (3, "   ", "en", "s", 3),           # whitespace only
+        (4, "window join now", "en", "s", 15),  # one real hit
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+    import os, glob, shutil
+    f = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    shutil.move(f, os.path.join(str(tmp_path), "documents.parquet"))
+    got = phrase_search_positions(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].doc_id == 4 and got[0].n_occurrences == 1 and got[0].first_pos == 1
+
+
+def test_spatial_blocking_premise_holds_on_data(spark, sf_dir):
+    """The spatial grid's 'blocking is EXACT' claim rests on
+    |embedding[1]|·100 ≤ _LAT_EXACT_BOUND (spatial._assert_blocking_exact).
+    Enforce the premise against the actual testdata rather than assume it."""
+    from swat_mapreduce_spark.queries import spatial as SP
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    (row,) = (
+        emb.select(
+            (F.abs(F.element_at("embedding", 1)) * SP._LAT_SCALE).alias("lat")
+        )
+        .agg(F.max("lat").alias("max_lat"))
+        .collect()
+    )
+    assert row.max_lat <= SP._LAT_EXACT_BOUND, f"lat bound premise violated: {row.max_lat}"

@@ -720,3 +720,32 @@ def test_stream_left_outer_join_recovers_across_restart(
     # run 2 must have emitted something (the recovery actually flushed
     # restored state, not just re-read files)
     assert n1 < expected.count() <= all_out.count()
+
+
+def test_asof_null_right_col_stays_on_matched_row(spark):
+    """When the matched right row carries a NULL in one right_col, the
+    asof_* values must ALL come from that one row — per-column
+    first/last(ignorenulls) would pull the null column from a different
+    row (ADVICE r4). Pinned for both directions."""
+    from swat_mapreduce_spark.operators.asof import asof_join_forward
+
+    df_l = spark.createDataFrame([(1, 100, 7)], "k int, t int, id int").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "id"
+    )
+    # backward: latest right at/below 100 is t=90 with v NULL; an older
+    # row t=50 has v=5 which must NOT leak in.
+    df_r = spark.createDataFrame(
+        [(1, 50, 5), (1, 90, None)], "k int, t int, v int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    (row,) = asof_join(df_l, df_r, on="k", right_cols=["v"]).collect()
+    assert row.asof_ts.second == 30 and row.asof_ts.minute == 1  # t=90
+    assert row.asof_v is None, "null must stay null — same-row guarantee"
+
+    # forward: earliest right at/after 100 is t=110 with v NULL; a later
+    # row t=200 has v=9 which must NOT leak in.
+    df_r2 = spark.createDataFrame(
+        [(1, 110, None), (1, 200, 9)], "k int, t int, v int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    (row2,) = asof_join_forward(df_l, df_r2, on="k", right_cols=["v"]).collect()
+    assert row2.asof_ts.second == 50  # t=110
+    assert row2.asof_v is None, "null must stay null — same-row guarantee"
