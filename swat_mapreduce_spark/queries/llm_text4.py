@@ -40,22 +40,27 @@ sh AS (
 # occurrence falls in that decile's own docs. A healthy fresh crawl
 # stays high; a saturated/duplicated one decays toward 0 — the curve
 # that decides when to stop crawling a source.
-# Shape: one explode→distinct (shuffle on (doc, shingle)), one
-# min-aggregate on shingle, one join back on shingle (AQE skew-join
-# handles hot boilerplate shingles), then a 10-row rollup. All
-# shingle-keyed — no corpus-squared term anywhere.
+# Shape (r5 rewrite): ONE explode→distinct (shuffle on (doc,
+# shingle)), ONE window — novel := doc_id = min(doc_id) OVER
+# (PARTITION BY shingle) — on a shingle shuffle, then a per-doc
+# aggregate and a 10-row rollup. Replaces the r4 agg+join-back form,
+# which computed the shingle subtree TWICE (once per join leg);
+# measured 4.5 s → ~3 s at sf0.1. All shingle-keyed — no
+# corpus-squared term anywhere.
 _NOVELTY_ORACLE = f"""
 WITH {_SH4_DUCK},
 mx AS (SELECT max(doc_id) AS m FROM documents),
-firsts AS (
-    SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+nov AS (
+    SELECT doc_id,
+           (doc_id = min(doc_id) OVER (PARTITION BY shingle)) AS novel
+    FROM sh
 ),
 per_doc AS (
-    SELECT s.doc_id,
+    SELECT doc_id,
            count(*) AS n_sh,
-           count(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_novel
-    FROM sh s JOIN firsts f ON f.shingle = s.shingle
-    GROUP BY s.doc_id
+           count(*) FILTER (WHERE novel) AS n_novel
+    FROM nov
+    GROUP BY doc_id
 )
 SELECT (p.doc_id * 10 // (mx.m + 1))::INT AS decile,
        count(*)::BIGINT AS n_docs,
@@ -70,28 +75,28 @@ GROUP BY 1
 
 @register("ngram_novelty_decay", oracle=_NOVELTY_ORACLE)
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents")
-    # sh feeds both the first-occurrence aggregate and the join-back
-    # probe. Deliberately NOT persisted: measured at sf0.1, the
-    # md5-free shingle explode recomputes in less time than a
-    # MEMORY_AND_DISK round trip of the 1.5M-row pair table costs
-    # (4.2 s vs 5.4 s warmed) — unlike the minhash path, whose
-    # per-shingle md5 signatures make recompute the expensive side.
+    # Single-scan form: the r4 agg+join-back computed this explode→
+    # distinct subtree twice (once per join leg); the window evaluates
+    # min(doc_id) per shingle partition in-place, so the subtree runs
+    # ONCE and persist-vs-recompute stops being a question at all.
     sh = (
         docs.select(
             "doc_id", F.explode(T.word_shingles(F.col("text"))).alias("shingle")
         )
         .distinct()
     )
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("shingle")
+    )
     per_doc = (
-        sh.join(firsts, "shingle")
+        sh.select("doc_id", novel.alias("novel"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
-                "n_novel"
-            ),
+            F.count(F.when(F.col("novel"), 1)).alias("n_novel"),
         )
     )
     mx = docs.agg(F.max("doc_id").alias("m"))

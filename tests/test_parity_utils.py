@@ -353,3 +353,25 @@ def test_manifest_reader_pushdown_narrows_partitions():
     assert sum(
         e - s for s, e in ((p.start, p.end) for p in r3.partitions())
     ) == 0
+
+
+def test_plans_census_covers_full_registry(spark):
+    """PLANS.md is the shuffle-audit contract: a registered query with
+    no census row is a query whose physical plan was never
+    machine-checked (r4 verdict: html_tag_strip_clean and
+    label_balance_audit shipped un-audited). Every batch query must
+    have a census row; every stream_* query is explicitly skipped;
+    no census row may cite an unknown query."""
+    import re
+
+    from swat_mapreduce_spark.queries import load_all
+
+    reg = load_all()
+    text = open("PLANS.md").read()
+    census = set(re.findall(r"^\| ([a-z0-9_]+) \|", text, re.M))
+    census.discard("query")  # header row
+    batch = {q for q in reg if not q.startswith("stream_")}
+    missing = sorted(batch - census)
+    unknown = sorted(census - set(reg))
+    assert not missing, f"registered queries with no PLANS.md census row: {missing}"
+    assert not unknown, f"PLANS.md cites unregistered queries: {unknown}"
