@@ -574,6 +574,147 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- iterative BPE training (K merges) -------------------------------------
+# Real tokenizer training iterates merge→re-pair: per iteration, count
+# adjacent SYMBOL pairs over the word-frequency table, adopt the most
+# frequent pair (lexicographic tie-break) as a merge, apply it to every
+# word, repeat. K=3 here. Driver-side state is ONE (pair, count) row
+# per iteration — constant in corpus size (the kmeans_lloyd_2iter
+# pattern); the merge application itself is a distributed literal
+# string replace over the vocab table.
+#
+# Words are held as space-joined symbol strings (" h e l l o ").
+# Applying a merge is replace(' a b ' → ' ab ') run TWICE: a literal
+# non-overlapping left-to-right scan merges the 1st, 3rd, … occurrence
+# of each adjacency chain (the 2nd, 4th, … lose their shared boundary
+# space to the preceding match); the second pass merges exactly those
+# leftovers. Two passes therefore equal greedy left-to-right BPE, and
+# Spark's replace() and DuckDB's replace() share the scan semantics —
+# verified side-by-side on ' a b a b '.
+#
+# Per-iteration cost: one narrow char-explode over the (persisted)
+# vocab table + one shuffle on pair + a 1-row TakeOrdered — the same
+# shape at any corpus size, since the vocab table is |distinct words|,
+# not |corpus|. Output: K rows (merge_rank, pair, merged, pair_count,
+# symbols_after), symbols_after computed distributively AFTER each
+# merge — pinning that the replace actually happened on every word.
+_BPE_K = 3
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        r"""
+WITH w AS (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS word
+    FROM documents
+),
+vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+s0 AS (
+    SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sp,
+           cnt
+    FROM vocab
+)"""
+    ]
+    for k in range(1, _BPE_K + 1):
+        parts.append(f""",
+t{k} AS (SELECT string_split(trim(sp), ' ') AS t, cnt FROM s{k - 1}),
+i{k} AS (
+    SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM t{k} WHERE len(t) >= 2
+),
+p{k} AS (
+    SELECT t[i] || ' ' || t[i + 1] AS pair, sum(cnt)::BIGINT AS n
+    FROM i{k} GROUP BY 1
+),
+b{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair ASC LIMIT 1),
+s{k} AS (
+    SELECT replace(replace(sp,
+               ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+               ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
+               AS sp,
+           cnt
+    FROM s{k - 1} CROSS JOIN b{k} b
+)""")
+    selects = [
+        f"""
+SELECT {k} AS merge_rank, b{k}.pair AS pair,
+       replace(b{k}.pair, ' ', '') AS merged, b{k}.n AS pair_count,
+       (SELECT sum(cnt * len(string_split(trim(sp), ' ')))::BIGINT
+        FROM s{k}) AS symbols_after
+FROM b{k}"""
+        for k in range(1, _BPE_K + 1)
+    ]
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
+@register("bpe_train_kmerges", oracle=_bpe_train_oracle())
+def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the vocab table feeds every iteration (pair counts AND merge
+    # application) — persist once; |distinct words| << |corpus|
+    spaced = vocab.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+        ).alias("sp"),
+        "cnt",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = spaced
+    per_merge = []
+    for k in range(1, _BPE_K + 1):
+        pairs = (
+            cur.select(F.split(F.trim(F.col("sp")), " ").alias("t"), "cnt")
+            .filter(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> concat(element_at(t, i), ' ', "
+                        "element_at(t, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        # 1-row TakeOrderedAndProject → constant driver state per iter
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()[0]
+        pair, n = best["pair"], int(best["n"])
+        merged = pair.replace(" ", "")
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        cur = cur.select(
+            F.replace(F.replace(F.col("sp"), pat, rep), pat, rep).alias("sp"),
+            "cnt",
+        )
+        per_merge.append(
+            cur.agg(
+                F.sum(
+                    F.col("cnt") * F.size(F.split(F.trim(F.col("sp")), " "))
+                )
+                .cast("long")
+                .alias("symbols_after")
+            ).select(
+                F.lit(k).alias("merge_rank"),
+                F.lit(pair).alias("pair"),
+                F.lit(merged).alias("merged"),
+                F.lit(n).cast("long").alias("pair_count"),
+                "symbols_after",
+            )
+        )
+    out = per_merge[0]
+    for df in per_merge[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # --- per-document token entropy --------------------------------------------
 # Shannon entropy of the within-doc token distribution — the
 # information-theoretic repetition signal (a doc stuck on 3 tokens has

@@ -242,3 +242,21 @@ def test_spatial_blocking_premise_holds_on_data(spark, sf_dir):
         .collect()
     )
     assert row.max_lat <= SP._LAT_EXACT_BOUND, f"lat bound premise violated: {row.max_lat}"
+
+
+def test_bpe_train_merge_invariants(spark, sf_dir):
+    """Each adopted merge removes exactly one symbol per occurrence, so
+    symbols_after must decrease by pair_count step over step, and merge
+    counts must be non-increasing (a later merge can never beat an
+    earlier one — it was available then)."""
+    from swat_mapreduce_spark.queries.llm_text3 import bpe_train_kmerges
+
+    rows = sorted(
+        bpe_train_kmerges(spark, sf_dir).collect(), key=lambda r: r.merge_rank
+    )
+    assert [r.merge_rank for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.symbols_after == a.symbols_after - b.pair_count
+        assert b.pair_count <= a.pair_count
+    for r in rows:
+        assert r.merged == r.pair.replace(" ", "")
