@@ -551,6 +551,60 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Stream-stream FULL OUTER interval join — the join-completeness
+# capstone: unmatched rows from BOTH inputs must surface, which
+# exercises state eviction on both sides (left-outer only ever evicts
+# the click buffer into results). Both sentinel events matter here:
+# each side's unmatched rows flush only when the OTHER side's
+# watermark (and hence the global minimum) passes their horizon.
+_FULL_OUTER_JOIN_ORACLE = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       (c.event_id IS NOT NULL AND p.event_id IS NOT NULL) AS matched
+FROM c
+FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_full_outer_join", oracle=_FULL_OUTER_JOIN_ORACLE)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="swat_fouter_")
+    try:
+        stream = jobs.staged_events_with_flush_sentinels(
+            spark, sf_dir, stage + "/in"
+        )
+        out = jobs.run_available_now(
+            jobs.interval_join_full_outer(stream, "1 hour"),
+            "fouter",
+            output_mode="append",
+        )
+        # Sentinels (user_id < 0 on either side) are dropped from the
+        # MATERIALIZED memory-sink rows — never inside the streaming
+        # plan (see interval_join_full_outer's CAUTION).
+        out = out.filter(
+            F.coalesce(F.col("c_user"), F.col("user_id")) >= 0
+        ).select(
+            F.coalesce(F.col("c_user"), F.col("user_id")).alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "matched",
+        )
+        out.count()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 # Streaming observe(): per-batch data-quality metrics emitted through
 # StreamingQueryProgress.observedMetrics — the streaming face of
 # observed_metrics_orders (no extra pass; accumulators ride the

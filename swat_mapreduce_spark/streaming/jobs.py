@@ -594,3 +594,56 @@ def interval_join_left_outer(
         "purchase_id",
         F.col("purchase_id").isNotNull().alias("matched"),
     )
+
+
+def interval_join_full_outer(
+    stream: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched pairs emit
+    immediately; unmatched CLICKS and unmatched PURCHASES each emit
+    with NULLs for the other side once the watermark proves no
+    qualifying partner can still arrive. Exercises state eviction on
+    BOTH join inputs — each side's state is dropped (and its
+    unmatched rows emitted) when the global watermark passes that
+    row's join horizon.
+
+    Same sentinel CAUTION as the left-outer form: never attach a
+    sentinel-dropping filter to the streaming plan (it pushes into
+    both scans and pins the watermark); filter the materialized
+    result on ``coalesce(c_user, user_id) >= 0`` instead.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return clicks.join(purchases, cond, "full_outer").select(
+        "c_user",
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+        ).alias("matched"),
+    )

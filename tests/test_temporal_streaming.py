@@ -749,3 +749,51 @@ def test_asof_null_right_col_stays_on_matched_row(spark):
     (row2,) = asof_join_forward(df_l, df_r2, on="k", right_cols=["v"]).collect()
     assert row2.asof_ts.second == 50  # t=110
     assert row2.asof_v is None, "null must stay null — same-row guarantee"
+
+
+def test_stream_full_outer_join_emits_unmatched_from_both_sides(spark, sf_dir):
+    """The full-outer capstone invariant: the drained streaming replay
+    must emit unmatched rows from BOTH inputs (clicks with NULL
+    purchase, purchases with NULL click) AND match the batch full join
+    exactly — proving state eviction fires on both sides, not just the
+    left buffer."""
+    from swat_mapreduce_spark.queries.streaming_queries import (
+        stream_full_outer_join,
+    )
+
+    got = stream_full_outer_join(spark, sf_dir).collect()
+    unmatched_clicks = sum(
+        1 for r in got if r.click_id is not None and r.purchase_id is None
+    )
+    unmatched_purch = sum(
+        1 for r in got if r.purchase_id is not None and r.click_id is None
+    )
+    matched = sum(1 for r in got if r.matched)
+    assert unmatched_clicks > 0, "no unmatched clicks emitted"
+    assert unmatched_purch > 0, "no unmatched purchases emitted"
+    assert matched > 0, "no matched pairs emitted"
+
+    # equality with the batch full join (the oracle's shape)
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = c.join(p, cond, "full_outer")
+    b_uc = batch.filter(
+        F.col("cid").isNotNull() & F.col("pid").isNull()
+    ).count()
+    b_up = batch.filter(
+        F.col("pid").isNotNull() & F.col("cid").isNull()
+    ).count()
+    b_m = batch.filter(F.col("cid").isNotNull() & F.col("pid").isNotNull()).count()
+    assert (unmatched_clicks, unmatched_purch, matched) == (b_uc, b_up, b_m)
