@@ -601,7 +601,12 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 3
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_cte() -> str:
+    """Shared DuckDB WITH-body replaying the K-merge BPE training:
+    s0 (char-spaced vocab) → per-iteration pair counts p{k}, adopted
+    merge b{k}, merged vocab s{k}. ``word`` is carried through every
+    s{k} so consumers (bpe_encode_corpus) can join encoded lengths
+    back to the corpus."""
     parts = [
         r"""
 WITH w AS (
@@ -611,7 +616,8 @@ WITH w AS (
 ),
 vocab AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
 s0 AS (
-    SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sp,
+    SELECT word,
+           ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sp,
            cnt
     FROM vocab
 )"""
@@ -629,13 +635,18 @@ p{k} AS (
 ),
 b{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair ASC LIMIT 1),
 s{k} AS (
-    SELECT replace(replace(sp,
+    SELECT word,
+           replace(replace(sp,
                ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
                ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
                AS sp,
            cnt
     FROM s{k - 1} CROSS JOIN b{k} b
 )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     selects = [
         f"""
 SELECT {k} AS merge_rank, b{k}.pair AS pair,
@@ -645,11 +656,15 @@ SELECT {k} AS merge_rank, b{k}.pair AS pair,
 FROM b{k}"""
         for k in range(1, _BPE_K + 1)
     ]
-    return "".join(parts) + " UNION ALL ".join(selects)
+    return _bpe_cte() + " UNION ALL ".join(selects)
 
 
-@register("bpe_train_kmerges", oracle=_bpe_train_oracle())
-def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """Run the K-merge BPE training loop. Returns
+    ``(steps, final)`` where ``steps`` is a list of
+    ``(pair, count, merged_vocab_df)`` per iteration (driver state:
+    one pair+count per round — constant in corpus size) and ``final``
+    is the fully merged vocab DataFrame ``(word, sp, cnt)``."""
     from pyspark import StorageLevel
 
     docs = read_table(spark, sf_dir, "documents")
@@ -661,14 +676,15 @@ def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vocab table feeds every iteration (pair counts AND merge
     # application) — persist once; |distinct words| << |corpus|
     spaced = vocab.select(
+        "word",
         F.concat(
             F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
         ).alias("sp"),
         "cnt",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cur = spaced
-    per_merge = []
-    for k in range(1, _BPE_K + 1):
+    steps = []
+    for _k in range(1, _BPE_K + 1):
         pairs = (
             cur.select(F.split(F.trim(F.col("sp")), " ").alias("t"), "cnt")
             .filter(F.size("t") >= 2)
@@ -691,9 +707,19 @@ def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = pair.replace(" ", "")
         pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
         cur = cur.select(
+            "word",
             F.replace(F.replace(F.col("sp"), pat, rep), pat, rep).alias("sp"),
             "cnt",
         )
+        steps.append((pair, n, cur))
+    return steps, cur
+
+
+@register("bpe_train_kmerges", oracle=_bpe_train_oracle())
+def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    steps, _final = _learn_bpe(spark, sf_dir)
+    per_merge = []
+    for k, (pair, n, cur) in enumerate(steps, start=1):
         per_merge.append(
             cur.agg(
                 F.sum(
@@ -704,7 +730,7 @@ def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(
                 F.lit(k).alias("merge_rank"),
                 F.lit(pair).alias("pair"),
-                F.lit(merged).alias("merged"),
+                F.lit(pair.replace(" ", "")).alias("merged"),
                 F.lit(n).cast("long").alias("pair_count"),
                 "symbols_after",
             )
@@ -713,6 +739,84 @@ def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_merge[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --- BPE corpus encoding (fertility report) --------------------------------
+# The train loop's downstream half: apply the K learned merges to the
+# WHOLE corpus and report per-language tokenizer fertility — BPE
+# symbols per word, chars per BPE symbol — the numbers that decide
+# whether a tokenizer is fit for a language mix. The corpus is touched
+# once (per-(lang, word) counts); encoded symbol lengths come from the
+# vocab-sized merged table via a word-keyed join, so everything after
+# the corpus scan scales with |vocabulary|, not corpus bytes.
+_BPE_ENCODE_ORACLE = (
+    _bpe_cte()
+    + f""",
+wl AS (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> len(x) > 0)) AS word
+    FROM documents
+),
+lw AS (SELECT lang, word, count(*) AS c FROM wl GROUP BY 1, 2),
+enc AS (
+    SELECT word, len(string_split(trim(sp), ' ')) AS n_sym
+    FROM s{_BPE_K}
+)
+SELECT lang,
+       sum(c)::BIGINT AS n_tokens,
+       sum(c * length(word))::BIGINT AS n_chars,
+       sum(c * n_sym)::BIGINT AS n_bpe_symbols,
+       round((sum(c * n_sym)::DOUBLE / sum(c)) * 10000) / 10000 + 0.0
+           AS fertility,
+       round((sum(c * length(word))::DOUBLE / sum(c * n_sym)) * 10000)
+           / 10000 + 0.0 AS chars_per_symbol
+FROM lw JOIN enc USING (word)
+GROUP BY lang
+"""
+)
+
+
+@register("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _steps, final = _learn_bpe(spark, sf_dir)
+    enc = final.select(
+        "word", F.size(F.split(F.trim(F.col("sp")), " ")).alias("n_sym")
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = lw.join(enc, "word")
+    return j.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.col("c") * F.col("n_sym")).cast("long").alias("n_bpe_symbols"),
+        (
+            F.round(
+                (
+                    F.sum(F.col("c") * F.col("n_sym")).cast("double")
+                    / F.sum("c")
+                )
+                * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("fertility"),
+        (
+            F.round(
+                (
+                    F.sum(F.col("c") * F.length("word")).cast("double")
+                    / F.sum(F.col("c") * F.col("n_sym"))
+                )
+                * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("chars_per_symbol"),
+    )
 
 
 # --- per-document token entropy --------------------------------------------

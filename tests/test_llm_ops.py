@@ -260,3 +260,23 @@ def test_bpe_train_merge_invariants(spark, sf_dir):
         assert b.pair_count <= a.pair_count
     for r in rows:
         assert r.merged == r.pair.replace(" ", "")
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ-ADC is approximate; the 50-wide shortlist + exact rerank
+    must recover most of the true top-10, and ADC distances must be
+    non-negative."""
+    from swat_mapreduce_spark.queries.similarity import (
+        ann_pq_adc_topk,
+        ann_topk_bruteforce,
+    )
+
+    pq = ann_pq_adc_topk(spark, sf_dir).collect()
+    bf = ann_topk_bruteforce(spark, sf_dir).collect()
+    assert len(pq) == 10 and len(bf) == 10
+    assert all(r.adc_dist >= 0 for r in pq)
+    # with the 50-wide ADC shortlist + exact rerank, every true-top-10
+    # member that survives the shortlist lands in the final 10; the
+    # measured shortlist recall is 8/10 here (sf0.001)
+    overlap = {r.vec_id for r in pq} & {r.vec_id for r in bf}
+    assert len(overlap) >= 6, f"PQ shortlist recall collapsed: {sorted(overlap)}"
