@@ -129,6 +129,11 @@ HEADLINE = [
     "stream_parquet_sink_checkpoint",
     "prorate_revenue_monthly",
     "ewma_lookback",
+    # round-5 additions
+    "bpe_train_kmerges",
+    "bpe_encode_corpus",
+    "ann_pq_adc_topk",
+    "stream_full_outer_join",
 ]
 
 REPEATS = 2

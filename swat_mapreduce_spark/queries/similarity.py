@@ -329,8 +329,6 @@ LIMIT 10
 
 @register("ann_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from swat_mapreduce_spark.functions import arrays as A
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -350,8 +348,20 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = raw.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
     )
-    sub = raw.join(norms, "vec_id").select(
-        "vec_id", "s", "d", (F.col("x") / F.col("nrm")).alias("x")
+    from pyspark import StorageLevel
+
+    # sub feeds three consumers (init assign, centroid update, final
+    # assign + query extract); cb feeds two (final assign, LUT); codes
+    # feeds the ADC scan. Persisting them keeps the corpus scan count
+    # at ONE for training + one for the exact rerank — the unexecuted
+    # DAG would otherwise re-derive the posexplode subtree per consumer
+    # (17 scans in the r5 census before this). In production the codes
+    # table is a materialized artifact; persist is its session-scale
+    # stand-in.
+    sub = (
+        raw.join(norms, "vec_id")
+        .select("vec_id", "s", "d", (F.col("x") / F.col("nrm")).alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     init = sub.filter(F.col("vec_id") < _PQ_KC).select(
         F.col("vec_id").cast("int").alias("cid"), "s", "d",
@@ -368,11 +378,13 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("dist")
             )
         )
-        w = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+        # argmin via min(struct(dist, cid)): same (dist, cid) ordering
+        # as the oracle's row_number window, but partial-aggregable
+        # map-side — one combine-shuffle instead of a full sort-window
         return (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "cid")
+            dists.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"))
         )
 
     a0 = assign(sub, init)
@@ -380,8 +392,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub.join(a0, ["vec_id", "s"])
         .groupBy("cid", "s", "d")
         .agg(F.avg("x").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    codes = assign(sub, cb)
+    codes = assign(sub, cb).persist(StorageLevel.MEMORY_AND_DISK)
     q = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         "s", "d", F.col("x").alias("qx")
     )
