@@ -476,14 +476,17 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     stage = tempfile.mkdtemp(prefix="swat_sdedup_")
     try:
         ev = read_table(spark, sf_dir, "events")
-        ev.write.parquet(stage + "/in")
+        # 4 files, not the session's 32 write partitions: each extra
+        # micro-batch pays a fixed state-store round trip (see
+        # jobs.staged_events_with_flush_sentinels)
+        ev.coalesce(4).write.parquet(stage + "/in")
         # second file (later mtime → later micro-batch under
         # maxFilesPerTrigger=1): exact copies of ~1% of rows
         dups = ev.filter(F.col("event_id") % 97 == 0)
         n_planted = dups.count()
         assert n_planted > 0, "planted-duplicate set must be non-empty"
         _time.sleep(1.1)
-        dups.coalesce(1).write.mode("append").parquet(stage + "/in")
+        dups.repartition(1).write.mode("append").parquet(stage + "/in")
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")

@@ -499,10 +499,17 @@ def stream_dedup_within_watermark(
 def staged_events_with_flush_sentinels(
     spark: SparkSession, sf_dir: str, stage_dir: str
 ) -> DataFrame:
-    """Stage events.parquet into ``stage_dir`` as THREE files — the
-    real data, then two far-future sentinel files (one 'click' + one
-    'purchase' row each, user_id < 0) — and return a
+    """Stage events.parquet into ``stage_dir`` as SIX files — the
+    real data in four files, then two far-future sentinel files (one
+    'click' + one 'purchase' row each, user_id < 0) — and return a
     maxFilesPerTrigger=1 file stream over them.
+
+    Four data files (not the session's 32 write partitions): each
+    micro-batch of a stateful outer join pays a fixed state-store
+    round-trip cost that dominates at replay scale — 34 batches ran
+    ~19 s where 6 run ~4 s — while four batches still exercise
+    cross-batch watermark progression (state carried, watermark
+    advancing between real-data batches), which one batch would not.
 
     Why sentinels: outer stream-stream join results for UNMATCHED rows
     are only emitted when the watermark passes the row's join horizon,
@@ -515,20 +522,26 @@ def staged_events_with_flush_sentinels(
     applies the watermark the first one established; both sentinels
     carry user_id < 0 so the caller can drop them from the result.
 
-    Files are discovered in mtime order; the writes are spaced >1s so
-    the sentinel files sort after the data on filesystems with coarse
-    mtimes.
+    Files are discovered in mtime order; the sentinel files get
+    explicit os.utime bumps (+10 s, +20 s past the data files) so they
+    sort after the data deterministically on any filesystem, with no
+    wall-clock sleeps in the staging path. The sentinels use repartition(1), NOT coalesce(1): a
+    coalesce on a 2-row local relation takes ~3.7 s per write in this
+    Spark build (measured r5) where repartition(1) takes ~0.5 s, and
+    both yield the single file the one-batch-per-file replay needs.
     """
-    import time as _time
+    import glob
+    import os
 
     from swat_mapreduce_spark.sources.readers import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    ev.write.parquet(stage_dir)
+    ev.coalesce(4).write.parquet(stage_dir)
     mx = ev.agg(F.max("ts")).collect()[0][0]
     if mx is not None:
-        for days in (30, 60):
-            _time.sleep(1.1)
+        seen = set(glob.glob(stage_dir + "/part-*"))
+        base_m = max(os.path.getmtime(f) for f in seen)
+        for j, days in enumerate((30, 60), start=1):
             spark.createDataFrame(
                 [
                     (-1, mx, -1, "click", 0.0, "{}"),
@@ -537,7 +550,14 @@ def staged_events_with_flush_sentinels(
                 ev.schema,
             ).withColumn(
                 "ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
-            ).coalesce(1).write.mode("append").parquet(stage_dir)
+            ).repartition(1).write.mode("append").parquet(stage_dir)
+            # explicit mtime bump instead of >1s sleeps: the file
+            # source orders by modification time, and setting it
+            # directly is deterministic on any filesystem
+            new = set(glob.glob(stage_dir + "/part-*")) - seen
+            for f in new:
+                os.utime(f, (base_m + 10 * j, base_m + 10 * j))
+            seen |= new
     return (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
