@@ -169,6 +169,65 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+# NOT IN vs NOT EXISTS under NULLs — SQL's classic 3VL trap, and a
+# distinct physical join: a NOT IN whose subquery can yield NULL plans
+# as a null-aware anti join (BroadcastNestedLoopJoin in Spark), because
+# one NULL in the probe set makes EVERY `x NOT IN (...)` UNKNOWN and
+# the result empty. The query PLANTS a NULL (every o_orderkey % 7 = 0
+# probe row) and reports all three semantics side by side, so the 3VL
+# collapse is pinned non-vacuously (n_notin_with_nulls = 0 while the
+# other two counts are positive and equal).
+_NULL_AWARE_ANTI_ORACLE = """
+WITH probe AS (
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+    FROM orders WHERE o_totalprice > 300000
+),
+a AS (
+    SELECT count(*) AS n_notin_with_nulls FROM customer
+    WHERE c_custkey NOT IN (SELECT k FROM probe)
+),
+b AS (
+    SELECT count(*) AS n_notin_nulls_filtered FROM customer
+    WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+),
+c AS (
+    SELECT count(*) AS n_not_exists FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c_custkey)
+)
+SELECT a.n_notin_with_nulls, b.n_notin_nulls_filtered, c.n_not_exists
+FROM a, b, c
+"""
+
+
+@register("null_aware_anti_join", oracle=_NULL_AWARE_ANTI_ORACLE)
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    cust.createOrReplaceTempView("naaj_customer")
+    orders.createOrReplaceTempView("naaj_orders")
+    return spark.sql(
+        """
+WITH probe AS (
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+    FROM naaj_orders WHERE o_totalprice > 300000
+),
+a AS (
+    SELECT count(*) AS n_notin_with_nulls FROM naaj_customer
+    WHERE c_custkey NOT IN (SELECT k FROM probe)
+),
+b AS (
+    SELECT count(*) AS n_notin_nulls_filtered FROM naaj_customer
+    WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+),
+c AS (
+    SELECT count(*) AS n_not_exists FROM naaj_customer
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c_custkey)
+)
+SELECT a.n_notin_with_nulls, b.n_notin_nulls_filtered, c.n_not_exists
+FROM a, b, c
+"""
+    )
+
+
 _SEMI_ORACLE = """
 SELECT c_custkey, c_acctbal FROM customer
 WHERE EXISTS (

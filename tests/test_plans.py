@@ -399,3 +399,18 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
         assert "dynamicpruning" in plan.lower(), plan[:3000]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_null_aware_anti_join_plan_and_3vl(spark, sf_dir):
+    """The NOT-IN-with-nullable-probe branch must plan as Spark's
+    null-aware anti join (BroadcastNestedLoopJoin) and return 0 under
+    3VL, while the null-filtered NOT IN and NOT EXISTS branches agree
+    on a positive count."""
+    from swat_mapreduce_spark.queries.relational import null_aware_anti_join
+
+    df = null_aware_anti_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    (row,) = df.collect()
+    assert row.n_notin_with_nulls == 0
+    assert row.n_notin_nulls_filtered == row.n_not_exists > 0
