@@ -134,6 +134,8 @@ HEADLINE = [
     "bpe_encode_corpus",
     "ann_pq_adc_topk",
     "stream_full_outer_join",
+    "dedup_jaccard_prefix_filter",
+    "null_aware_anti_join",
 ]
 
 REPEATS = 2

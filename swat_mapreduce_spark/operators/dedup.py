@@ -368,6 +368,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame, threshold: float = 0.3, n: int = 3
+) -> DataFrame:
+    """EXACT Jaccard pair join via prefix filtering (AllPairs/PPJoin
+    family, Bayardo et al.) — the scalable alternative to
+    :func:`ngram_jaccard_pairs`' MAX_DF cap, with NO approximation.
+
+    Each doc's shingles are ordered by the GLOBAL (df, shingle) key —
+    rarest first — and only the first ``|s| - ceil(t·|s|) + 1`` tokens
+    (the prefix) enter the candidate self-join. Correctness: for any
+    pair with Jaccard ≥ t, the globally smallest shared token must lie
+    inside BOTH prefixes (if it didn't for side a, every shared token
+    would sit among a's last ceil(t·|a|) - 1 tokens, giving overlap
+    < t·|a| ≤ t·|a∪b| — pigeonhole), so prefix⋈prefix candidates are a
+    superset of true pairs and exact verification restores equality.
+
+    Scale: hot/stop shingles sort LAST under rare-first order, so they
+    never enter prefixes of non-tiny docs — the df-cap problem solves
+    itself without dropping information. Shuffles: one (lang, shingle)
+    df aggregate + join-back, one per-doc window, the prefix equi
+    self-join, and doc-keyed verification joins — candidate volume is
+    Σ_token df_prefix(token)², driven by RARE tokens only.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = (
+        doc_shingle_arrays(docs, n, extra_cols=("lang",))
+        .select("doc_id", "lang", F.explode("sh_arr").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = sh.groupBy("lang", "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_n = Window.partitionBy("doc_id")
+    ordered = (
+        sh.join(dfreq, ["lang", "shingle"])
+        .select(
+            "doc_id",
+            "lang",
+            "shingle",
+            F.row_number().over(w_pos).alias("pos"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "lang", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            R.r(
+                F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

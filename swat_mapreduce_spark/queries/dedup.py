@@ -162,6 +162,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+# --- EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin) ------------
+# The no-approximation alternative to the MAX_DF cap: shingles sorted
+# rarest-first globally; only each doc's |s| - ceil(t|s|) + 1 prefix
+# enters the candidate self-join (the globally smallest shared token
+# of any qualifying pair provably lies in both prefixes), then exact
+# verification. Hot shingles sort last and never reach a prefix — the
+# stop-shingle blowup solves itself without dropping candidates.
+_PREFIX_JACCARD_T = 0.3
+_PREFIX_ORACLE = f"""
+WITH {_SH_DUCK},
+dfq AS (SELECT lang, shingle, count(*) AS df FROM sh GROUP BY 1, 2),
+ordered AS (
+    SELECT s.doc_id, s.lang, s.shingle,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY f.df, s.shingle) AS pos,
+           count(*) OVER (PARTITION BY s.doc_id) AS n
+    FROM sh s JOIN dfq f ON f.lang = s.lang AND f.shingle = s.shingle
+),
+pre AS (
+    SELECT doc_id, lang, shingle FROM ordered
+    WHERE pos <= n - ceil({_PREFIX_JACCARD_T} * n) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b
+      ON a.lang = b.lang AND a.shingle = b.shingle
+     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS c
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.c::DOUBLE / (na.n + nb.n - i.c) * 10000) / 10000 + 0.0
+           AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.c::DOUBLE / (na.n + nb.n - i.c) * 10000) / 10000
+      >= {_PREFIX_JACCARD_T}
+"""
+
+
+@register("dedup_jaccard_prefix_filter", oracle=_PREFIX_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_filter_pairs(
+        docs, threshold=_PREFIX_JACCARD_T
+    )
+
+
 # --- decontamination vs a benchmark slice --------------------------------
 # Benchmark = the src0 documents; flag any OTHER document sharing >=20%
 # of its distinct 3-gram shingles with the benchmark shingle set.

@@ -280,3 +280,49 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     # measured shortlist recall is 8/10 here (sf0.001)
     overlap = {r.vec_id for r in pq} & {r.vec_id for r in bf}
     assert len(overlap) >= 6, f"PQ shortlist recall collapsed: {sorted(overlap)}"
+
+
+def test_prefix_filter_jaccard_is_exact_superset_of_capped(spark, sf_dir):
+    """The prefix-filtered join is EXACT: every pair the MAX_DF-capped
+    join finds must appear with >= the capped jaccard (the cap removes
+    shingles from sets and intersections; the exact join sees them
+    all), and the exact result must contain every brute-force pair."""
+    from swat_mapreduce_spark.operators import dedup as DD
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.jaccard_prefix_filter_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert exact, "exact join returned no pairs — vacuous test"
+    # brute-force ground truth over the (small) doc set
+    sh = {
+        r.doc_id: (set(r.sh_arr), r.lang)
+        for r in DD.doc_shingle_arrays(docs, 3, extra_cols=("lang",)).collect()
+    }
+    truth = {}
+    ids = sorted(sh)
+    for i, da in enumerate(ids):
+        sa, la = sh[da]
+        if not sa:
+            continue
+        for db in ids[i + 1:]:
+            sb, lb = sh[db]
+            if la != lb or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter:
+                j = inter / (len(sa) + len(sb) - inter)
+                if round(j * 10000) / 10000 >= 0.3:
+                    truth[(da, db)] = j
+    assert set(exact) == set(truth), (
+        f"exact-join pairs disagree with brute force: "
+        f"missing={set(truth) - set(exact)} extra={set(exact) - set(truth)}"
+    )
+    for pair, j_capped in capped.items():
+        assert pair in exact, f"capped pair {pair} missing from exact join"
