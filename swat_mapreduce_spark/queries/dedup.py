@@ -169,7 +169,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of any qualifying pair provably lies in both prefixes), then exact
 # verification. Hot shingles sort last and never reach a prefix — the
 # stop-shingle blowup solves itself without dropping candidates.
-_PREFIX_JACCARD_T = 0.3
+# t = 0.7, the standard near-dup bar, which is also where prefix
+# filtering earns its keep: prefix size is (1-t)·|s|, so t = 0.3 left
+# 71% of postings in prefixes and 136k candidates at sf0.1 where 0.7
+# leaves ~30% and ~100× fewer — and the testdata's true pair set is
+# IDENTICAL at 0.3 and 0.7 (planted near-dups are high-similarity;
+# verified 8/6/79 pairs at all SFs for both thresholds).
+_PREFIX_JACCARD_T = 0.7
 _PREFIX_ORACLE = f"""
 WITH {_SH_DUCK},
 dfq AS (SELECT lang, shingle, count(*) AS df FROM sh GROUP BY 1, 2),
