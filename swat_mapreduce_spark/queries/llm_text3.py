@@ -588,7 +588,10 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-overlapping left-to-right scan merges the 1st, 3rd, … occurrence
 # of each adjacency chain (the 2nd, 4th, … lose their shared boundary
 # space to the preceding match); the second pass merges exactly those
-# leftovers. Two passes therefore equal greedy left-to-right BPE, and
+# leftovers. For DISTINCT-symbol pairs two passes equal greedy
+# left-to-right BPE (exhaustively property-tested,
+# tests/test_properties.py); same-symbol pairs (x, x) under-merge long
+# runs and are therefore excluded from merge adoption in both engines.
 # Spark's replace() and DuckDB's replace() share the scan semantics —
 # verified side-by-side on ' a b a b '.
 #
@@ -633,7 +636,11 @@ p{k} AS (
     SELECT t[i] || ' ' || t[i + 1] AS pair, sum(cnt)::BIGINT AS n
     FROM i{k} GROUP BY 1
 ),
-b{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair ASC LIMIT 1),
+b{k} AS (
+    SELECT pair, n FROM p{k}
+    WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+    ORDER BY n DESC, pair ASC LIMIT 1
+),
 s{k} AS (
     SELECT word,
            replace(replace(sp,
@@ -701,8 +708,24 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
             .groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("n"))
         )
+        # Same-symbol pairs (x, x) are EXCLUDED from adoption in both
+        # engines: the two-pass literal replace realizes greedy BPE
+        # exactly for distinct-symbol pairs (property-tested,
+        # tests/test_properties.py) but under-merges same-symbol runs
+        # ('a a a a a a' → aa a aa a instead of aa aa aa) — rather
+        # than ship a silently-wrong corner, the trainer restricts its
+        # candidate set and documents it. pair stats (bpe_pair_stats)
+        # still COUNT same-symbol pairs; they just cannot win a merge.
         # 1-row TakeOrderedAndProject → constant driver state per iter
-        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()[0]
+        distinct_pair = F.element_at(F.split("pair", " "), 1) != F.element_at(
+            F.split("pair", " "), 2
+        )
+        best = (
+            pairs.filter(distinct_pair)
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
         pair, n = best["pair"], int(best["n"])
         merged = pair.replace(" ", "")
         pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")

@@ -249,3 +249,95 @@ def test_manifest_pushdown_equals_post_filter(rows, lo, hi, parts):
     )
     expected = [i for i in range(rows) if lo <= i < hi]
     assert got == expected
+
+
+def _greedy_bpe_merge(tokens: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right BPE merge of adjacent pair (a, b)."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    tokens=st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab"]),
+        st.sampled_from(["a", "b", "c", "ab"]),
+    ),
+)
+def test_bpe_two_pass_replace_equals_greedy_for_distinct_pairs(tokens, pair):
+    """The engine applies a BPE merge as TWO passes of a literal
+    non-overlapping left-to-right string replace over the
+    space-joined symbol string (queries/llm_text3._learn_bpe). For
+    DISTINCT-symbol pairs this must equal greedy left-to-right BPE
+    for every token sequence, including tokens that are
+    concatenations of other tokens. Same-symbol pairs (x, x) are a
+    known divergence — two-pass UNDER-merges runs ('a'×6 → aa a aa a
+    where greedy gives aa aa aa) — which is why _learn_bpe excludes
+    them from merge adoption; this test pins that boundary exactly:
+    equality for a != b, and for a == b the divergence is tolerated
+    but the output must still be a valid partial merge (token
+    multiset reachable by undoing some merges)."""
+    a, b = pair
+    s = " " + " ".join(tokens) + " " if tokens else "  "
+    pat, rep = f" {a} {b} ", f" {a + b} "
+    two_pass = s.replace(pat, rep).replace(pat, rep)
+    got = two_pass.split()
+    want = _greedy_bpe_merge(tokens, a, b)
+    if a != b:
+        assert got == want, (tokens, pair, got, want)
+    else:
+        # same-symbol: may under-merge, but must never invent or drop
+        # symbol mass and never merge MORE than greedy
+        def mass(toks):
+            return "".join(toks)
+        assert mass(got) == mass(want)
+        assert len(got) >= len(want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    docs=st.lists(
+        st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_filter_candidates_are_complete(docs, t):
+    """The prefix-filter pigeonhole (operators/dedup.
+    jaccard_prefix_filter_pairs): under the global rarest-first
+    (df, token) order, every pair with Jaccard >= t must share at
+    least one token inside BOTH prefixes of length
+    |s| - ceil(t*|s|) + 1 — i.e. prefix-join candidates are a
+    superset of true pairs, for every corpus and threshold."""
+    import math as m
+
+    df = {}
+    for s in docs:
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    order = lambda tok: (df[tok], tok)
+    prefixes = []
+    for s in docs:
+        toks = sorted(s, key=order)
+        p = len(toks) - m.ceil(t * len(toks)) + 1
+        prefixes.append(set(toks[:p]))
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(docs[i] & docs[j])
+            if not inter:
+                continue
+            jac = inter / (len(docs[i]) + len(docs[j]) - inter)
+            if jac >= t:
+                assert prefixes[i] & prefixes[j], (
+                    f"qualifying pair ({i},{j}) jac={jac} shares no "
+                    f"prefix token: {docs[i]} {docs[j]} t={t}"
+                )
