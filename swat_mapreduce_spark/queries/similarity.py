@@ -306,7 +306,10 @@ adc AS (
     WHERE c.vec_id <> {QUERY_VEC_ID}
     GROUP BY c.vec_id
 ),
-top AS (SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT {_PQ_SHORTLIST}),
+top AS (
+    SELECT vec_id, adc_dist FROM adc
+    ORDER BY round(adc_dist * 10000) / 10000, vec_id LIMIT {_PQ_SHORTLIST}
+),
 qf AS (SELECT i, x AS qx FROM dims WHERE vec_id = {QUERY_VEC_ID}),
 ex AS (
     SELECT d.vec_id,
@@ -413,7 +416,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("ld").alias("adc_dist"))
     )
-    top = adc.orderBy("adc_dist", "vec_id").limit(_PQ_SHORTLIST)
+    # shortlist cut on the ROUNDED distance (+ vec_id tie-break), like
+    # ann_topk's rounded-cosine ordering: sub-1e-4 accumulation-order
+    # drift between engines then cannot move a vector across the
+    # rank-50 boundary unless it sits exactly on a rounding tie
+    top = adc.orderBy(R.r("adc_dist", 4), "vec_id").limit(_PQ_SHORTLIST)
     qrow = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
     )
@@ -426,8 +433,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = emb.join(F.broadcast(top), "vec_id").select(
         "vec_id",
         "label",
-        F.round(F.col("adc_dist"), 4).alias("adc_dist"),
-        F.round(A.cosine(A.as_double_array(F.col("embedding")), qv), 4).alias(
+        # R.r, never bare F.round (CLAUDE.md gotcha 3): Java HALF_UP on
+        # the double's decimal expansion and C round(x*1e4)/1e4 disagree
+        # exactly on 4dp ties, and the oracle rounds C-style
+        R.r("adc_dist", 4).alias("adc_dist"),
+        R.r(A.cosine(A.as_double_array(F.col("embedding")), qv), 4).alias(
             "cosine"
         ),
     )

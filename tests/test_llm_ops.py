@@ -283,10 +283,11 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_prefix_filter_jaccard_is_exact_superset_of_capped(spark, sf_dir):
-    """The prefix-filtered join is EXACT: every pair the MAX_DF-capped
-    join finds must appear with >= the capped jaccard (the cap removes
-    shingles from sets and intersections; the exact join sees them
-    all), and the exact result must contain every brute-force pair."""
+    """The prefix-filtered join is EXACT: it must equal brute-force
+    ground truth, and every capped-join pair whose TRUE jaccard meets
+    the exact join's threshold must appear (the capped jaccard itself
+    can land on either side of the true value, so it is not the
+    gate)."""
     from swat_mapreduce_spark.operators import dedup as DD
     from swat_mapreduce_spark.sources.readers import read_table
 
@@ -324,9 +325,11 @@ def test_prefix_filter_jaccard_is_exact_superset_of_capped(spark, sf_dir):
         f"exact-join pairs disagree with brute force: "
         f"missing={set(truth) - set(exact)} extra={set(exact) - set(truth)}"
     )
-    for pair, j_capped in capped.items():
-        # capped runs at t=0.3; only its pairs meeting the exact join's
-        # 0.7 bar must appear there (on this testdata that is all of
-        # them, but the assertion states the true invariant)
-        if j_capped >= 0.7:
+    for pair in capped:
+        # The capped jaccard can sit ABOVE the true value (dropping a
+        # hot shingle present in only one doc of the pair shrinks the
+        # union but not the intersection), so gate on the TRUE jaccard,
+        # not the capped one: only capped pairs whose true similarity
+        # meets the exact join's 0.7 bar must appear there.
+        if pair in truth:
             assert pair in exact, f"capped pair {pair} missing from exact join"
