@@ -257,7 +257,9 @@ _PQ_SHORTLIST = 50  # ADC candidates kept for the exact rerank
 _PQ_ADC_ORACLE = f"""
 WITH {_DIMS_DUCK},
 norms AS (
-    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id
+    SELECT vec_id,
+           sqrt(sum(CAST(x * x AS DECIMAL(30,8)))::DOUBLE) AS nrm
+    FROM dims GROUP BY vec_id
 ),
 sub AS (
     SELECT dims.vec_id, ((i - 1) // {_PQ_DSUB})::INT AS s,
@@ -266,7 +268,7 @@ sub AS (
 ),
 init AS (SELECT vec_id::INT AS cid, s, d, x AS c FROM sub WHERE vec_id < {_PQ_KC}),
 a0d AS (
-    SELECT v.vec_id, v.s, i.cid, sum((v.x - i.c) * (v.x - i.c)) AS dist
+    SELECT v.vec_id, v.s, i.cid, sum(CAST((v.x - i.c) * (v.x - i.c) AS DECIMAL(30,8))) AS dist
     FROM sub v JOIN init i ON i.s = v.s AND i.d = v.d
     GROUP BY v.vec_id, v.s, i.cid
 ),
@@ -278,12 +280,13 @@ a0 AS (
         FROM a0d) WHERE rn = 1
 ),
 cb AS (
-    SELECT a0.cid, v.s, v.d, avg(v.x) AS c
+    SELECT a0.cid, v.s, v.d,
+           sum(CAST(v.x AS DECIMAL(30,8)))::DOUBLE / count(*) AS c
     FROM sub v JOIN a0 ON a0.vec_id = v.vec_id AND a0.s = v.s
     GROUP BY a0.cid, v.s, v.d
 ),
 a1d AS (
-    SELECT v.vec_id, v.s, cb.cid, sum((v.x - cb.c) * (v.x - cb.c)) AS dist
+    SELECT v.vec_id, v.s, cb.cid, sum(CAST((v.x - cb.c) * (v.x - cb.c) AS DECIMAL(30,8))) AS dist
     FROM sub v JOIN cb ON cb.s = v.s AND cb.d = v.d
     GROUP BY v.vec_id, v.s, cb.cid
 ),
@@ -296,19 +299,19 @@ codes AS (
 ),
 q AS (SELECT s, d, x AS qx FROM sub WHERE vec_id = {QUERY_VEC_ID}),
 lut AS (
-    SELECT cb.s, cb.cid, sum((cb.c - q.qx) * (cb.c - q.qx)) AS ld
+    SELECT cb.s, cb.cid, sum(CAST((cb.c - q.qx) * (cb.c - q.qx) AS DECIMAL(30,8))) AS ld
     FROM cb JOIN q ON q.s = cb.s AND q.d = cb.d
     GROUP BY cb.s, cb.cid
 ),
 adc AS (
-    SELECT c.vec_id, sum(l.ld) AS adc_dist
+    SELECT c.vec_id, sum(l.ld) AS adc_dist  -- decimal sum: exact
     FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
     WHERE c.vec_id <> {QUERY_VEC_ID}
     GROUP BY c.vec_id
 ),
 top AS (
     SELECT vec_id, adc_dist FROM adc
-    ORDER BY round(adc_dist * 10000) / 10000, vec_id LIMIT {_PQ_SHORTLIST}
+    ORDER BY round(adc_dist::DOUBLE * 10000) / 10000, vec_id LIMIT {_PQ_SHORTLIST}
 ),
 qf AS (SELECT i, x AS qx FROM dims WHERE vec_id = {QUERY_VEC_ID}),
 ex AS (
@@ -320,7 +323,7 @@ ex AS (
     GROUP BY d.vec_id
 )
 SELECT t.vec_id, e.label,
-       round(t.adc_dist, 4) AS adc_dist,
+       round(t.adc_dist::DOUBLE * 10000) / 10000 + 0.0 AS adc_dist,
        round(ex.cos_raw, 4) AS cosine
 FROM top t
 JOIN ex ON ex.vec_id = t.vec_id
@@ -348,8 +351,18 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this, PQ would rank by raw L2 while the exact rerank and the
     # brute-force twin rank by cosine, and recall comparisons would
     # measure metric mismatch, not quantization loss.
+    dec = "decimal(30,8)"
+    # every accumulation in the training chain goes through
+    # DECIMAL(30,8) terms (the repo's order-independent cross-engine
+    # sum pattern): norms, assignment distances, centroid means, the
+    # LUT, and ADC itself. Double group-sums depend on accumulation
+    # order, and a last-ulp centroid difference between engines could
+    # assign a near-equidistant vector different codes — decimal sums
+    # make codes, shortlist, and distances deterministic on both sides.
     norms = raw.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+        ).alias("nrm")
     )
     from pyspark import StorageLevel
 
@@ -377,7 +390,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "s", "cid")
             .agg(
                 F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    (
+                        (F.col("x") - F.col("c"))
+                        * (F.col("x") - F.col("c"))
+                    ).cast("decimal(30,8)")
                 ).alias("dist")
             )
         )
@@ -394,7 +410,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = (
         sub.join(a0, ["vec_id", "s"])
         .groupBy("cid", "s", "d")
-        .agg(F.avg("x").alias("c"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     codes = assign(sub, cb).persist(StorageLevel.MEMORY_AND_DISK)
@@ -406,7 +427,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "cid")
         .agg(
             F.sum(
-                (F.col("c") - F.col("qx")) * (F.col("c") - F.col("qx"))
+                (
+                    (F.col("c") - F.col("qx"))
+                    * (F.col("c") - F.col("qx"))
+                ).cast("decimal(30,8)")
             ).alias("ld")
         )
     )
@@ -414,13 +438,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(lut), ["s", "cid"])
         .groupBy("vec_id")
-        .agg(F.sum("ld").alias("adc_dist"))
+        .agg(F.sum("ld").cast("decimal(30,8)").alias("adc_dist"))
     )
     # shortlist cut on the ROUNDED distance (+ vec_id tie-break), like
     # ann_topk's rounded-cosine ordering: sub-1e-4 accumulation-order
     # drift between engines then cannot move a vector across the
     # rank-50 boundary unless it sits exactly on a rounding tie
-    top = adc.orderBy(R.r("adc_dist", 4), "vec_id").limit(_PQ_SHORTLIST)
+    top = adc.orderBy(
+        R.r(F.col("adc_dist").cast("double"), 4), "vec_id"
+    ).limit(_PQ_SHORTLIST)
     qrow = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
     )
@@ -436,7 +462,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # R.r, never bare F.round (CLAUDE.md gotcha 3): Java HALF_UP on
         # the double's decimal expansion and C round(x*1e4)/1e4 disagree
         # exactly on 4dp ties, and the oracle rounds C-style
-        R.r("adc_dist", 4).alias("adc_dist"),
+        R.r(F.col("adc_dist").cast("double"), 4).alias("adc_dist"),
         R.r(A.cosine(A.as_double_array(F.col("embedding")), qv), 4).alias(
             "cosine"
         ),
