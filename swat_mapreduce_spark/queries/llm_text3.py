@@ -720,12 +720,15 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
         distinct_pair = F.element_at(F.split("pair", " "), 1) != F.element_at(
             F.split("pair", " "), 2
         )
-        best = (
+        best_rows = (
             pairs.filter(distinct_pair)
             .orderBy(F.desc("n"), F.asc("pair"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:  # empty/degenerate corpus: no adoptable pair
+            break
+        best = best_rows[0]
         pair, n = best["pair"], int(best["n"])
         merged = pair.replace(" ", "")
         pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
@@ -741,6 +744,14 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
 @register("bpe_train_kmerges", oracle=_bpe_train_oracle())
 def bpe_train_kmerges(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps, _final = _learn_bpe(spark, sf_dir)
+    if not steps:  # empty/degenerate corpus: schema-correct 0 rows
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS merge_rank,"
+            " CAST(NULL AS STRING) AS pair,"
+            " CAST(NULL AS STRING) AS merged,"
+            " CAST(NULL AS BIGINT) AS pair_count,"
+            " CAST(NULL AS BIGINT) AS symbols_after"
+        ).limit(0)
     per_merge = []
     for k, (pair, n, cur) in enumerate(steps, start=1):
         per_merge.append(

@@ -333,3 +333,27 @@ def test_prefix_filter_jaccard_is_exact_superset_of_capped(spark, sf_dir):
         # meets the exact join's 0.7 bar must appear there.
         if pair in truth:
             assert pair in exact, f"capped pair {pair} missing from exact join"
+
+
+def test_bpe_train_survives_empty_corpus(spark, tmp_path):
+    """An empty documents table must yield a schema-correct empty
+    result, not an IndexError on the driver-side argmax collect."""
+    from swat_mapreduce_spark.queries.llm_text3 import (
+        bpe_encode_corpus,
+        bpe_train_kmerges,
+    )
+
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+    import glob, os, shutil
+    f = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    shutil.move(f, os.path.join(str(tmp_path), "documents.parquet"))
+    out = bpe_train_kmerges(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "merge_rank", "pair", "merged", "pair_count", "symbols_after",
+    ]
+    assert bpe_encode_corpus(spark, str(tmp_path)).count() == 0
