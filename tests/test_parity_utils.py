@@ -375,3 +375,29 @@ def test_plans_census_covers_full_registry(spark):
     unknown = sorted(census - set(reg))
     assert not missing, f"registered queries with no PLANS.md census row: {missing}"
     assert not unknown, f"PLANS.md cites unregistered queries: {unknown}"
+
+
+def test_census_has_no_cartesian_products():
+    """Registry-wide no-cartesian contract: the pytest guardrail walks
+    only the headline set; the census walks EVERY batch query, so its
+    cartesian column being all-zero extends the guarantee to the full
+    registry at zero pytest cost."""
+    import re
+
+    text = open("PLANS.md").read()
+    header = next(
+        l for l in text.splitlines() if l.startswith("| query |")
+    )
+    cols = [c.strip() for c in header.strip("|").split("|")]
+    assert "cartesian" in cols, "census missing the cartesian column"
+    idx = cols.index("cartesian")
+    bad = []
+    for line in text.splitlines():
+        m = re.match(r"\| (\w+) \|", line)
+        if not m or m.group(1) == "query":
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) == len(cols) and cells[idx].isdigit():
+            if int(cells[idx]) != 0:
+                bad.append((m.group(1), cells[idx]))
+    assert not bad, f"queries with CartesianProduct in their plan: {bad}"
