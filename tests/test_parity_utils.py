@@ -401,3 +401,62 @@ def test_census_has_no_cartesian_products():
             if int(cells[idx]) != 0:
                 bad.append((m.group(1), cells[idx]))
     assert not bad, f"queries with CartesianProduct in their plan: {bad}"
+
+
+# Queries whose physical plan is ALLOWED to contain Python/Arrow eval
+# stages — each is a deliberate Python surface (mapInPandas inference,
+# multimodal decode, UDTF/UDF demonstrations). Everything else in the
+# registry must stay whole-stage-codegen JVM.
+_PYTHON_STAGE_ALLOWLIST = {
+    "applyinpandas_zscore",
+    "arrow_scalar_udf",
+    "binary_inference_e2e",
+    "infer_mapinpandas",
+    "multimodal_audio_energy",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_scene_cuts",
+    "sql_registered_udfs",
+    "udtf_dynamic_schema",
+    "udtf_table_argument",
+    "udtf_tokenize",
+    # Arrow surfaces whose python-stage count can read 0 in the census
+    # when the stage hides inside a cached/persisted segment:
+    "token_count_arrow",
+    "applyinarrow_source_stats",
+    "arrow_udtf_batch_filter",
+    "cogroup_click_purchase",
+    "pandas_udaf_weighted_mean",
+    "pandas_api_groupby",
+    "python_datasource_scan",
+    "python_datasource_pushdown",
+    "python_datasource_write",
+    "multimodal_meta",
+    "crossmodal_retrieval_eval",
+    "modality_coverage_join",
+}
+
+
+def test_census_python_stages_only_on_deliberate_surfaces():
+    """Registry-wide Python-stage contract: any census row with a
+    Python/Arrow eval stage must be on the deliberate-surface
+    allowlist — a Python stage appearing in a relational/dedup/ANN
+    query is a hot-path regression (UDFs are the slow path)."""
+    import re
+
+    text = open("PLANS.md").read()
+    header = next(l for l in text.splitlines() if l.startswith("| query |"))
+    cols = [c.strip() for c in header.strip("|").split("|")]
+    idx = cols.index("python")
+    offenders = []
+    for line in text.splitlines():
+        m = re.match(r"\| (\w+) \|", line)
+        if not m or m.group(1) == "query":
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) == len(cols) and cells[idx].isdigit():
+            if int(cells[idx]) > 0 and m.group(1) not in _PYTHON_STAGE_ALLOWLIST:
+                offenders.append((m.group(1), cells[idx]))
+    assert not offenders, (
+        f"Python eval stages outside the deliberate surfaces: {offenders}"
+    )
