@@ -1589,3 +1589,100 @@ def ewma_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_list.select(
         "event_id", "user_id", R.r(ewma, 4).alias("ewma")
     )
+
+
+# --- nearest-direction as-of: closest error around each purchase -----------
+# pandas merge_asof(direction='nearest') semantics — the incident-
+# correlation query ("was there an error NEAR this purchase?"): for
+# each purchase, the same user's closest error event in EITHER
+# direction within 30 minutes; equidistant ties take the backward
+# (earlier) error, pandas' convention. Errors are pre-deduped to one
+# per (user, ts) (min event_id) for a deterministic match. Spark runs
+# the one-shuffle union + dual-frame window (operators/asof.py
+# asof_join_nearest: backward last() and forward first() share one
+# WindowExec); the oracle composes DuckDB's NATIVE backward and
+# forward ASOF joins and picks the closer — two independent
+# formulations of the same semantics.
+_ASOF_NEAR_TOL_S = 1800
+
+_ASOF_NEAR_ORACLE = f"""
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+errors AS (
+    SELECT user_id, ts, min(event_id) AS e_id
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id, ts
+),
+b AS (
+    SELECT p.event_id, p.user_id, p.ts, e.ts AS b_ts, e.e_id AS b_id
+    FROM purchases p
+    ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts >= e.ts
+),
+f AS (
+    SELECT p.event_id, e.ts AS f_ts, e.e_id AS f_id
+    FROM purchases p
+    ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts <= e.ts
+),
+m AS (
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR datediff('microsecond', b.ts, f.f_ts)
+                        >= datediff('microsecond', b.b_ts, b.ts))
+                THEN b.b_ts ELSE f.f_ts END AS n_ts,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR datediff('microsecond', b.ts, f.f_ts)
+                        >= datediff('microsecond', b.b_ts, b.ts))
+                THEN b.b_id ELSE f.f_id END AS n_id,
+           CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+                WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR datediff('microsecond', b.ts, f.f_ts)
+                        >= datediff('microsecond', b.b_ts, b.ts))
+                THEN 'backward' ELSE 'forward' END AS dir
+    FROM b JOIN f ON f.event_id = b.event_id
+)
+SELECT event_id, user_id,
+       CASE WHEN abs(datediff('microsecond', ts, n_ts))
+                 <= {_ASOF_NEAR_TOL_S * 1000000}
+            THEN n_ts END AS nearest_error_ts,
+       CASE WHEN abs(datediff('microsecond', ts, n_ts))
+                 <= {_ASOF_NEAR_TOL_S * 1000000}
+            THEN n_id END AS nearest_error_id,
+       CASE WHEN abs(datediff('microsecond', ts, n_ts))
+                 <= {_ASOF_NEAR_TOL_S * 1000000}
+            THEN dir END AS dir,
+       CASE WHEN abs(datediff('microsecond', ts, n_ts))
+                 <= {_ASOF_NEAR_TOL_S * 1000000}
+            THEN datediff('microsecond', ts, n_ts) END AS gap_us
+FROM m
+"""
+
+
+@register("asof_nearest_error_purchase", oracle=_ASOF_NEAR_ORACLE)
+def asof_nearest_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.operators.asof import asof_join_nearest
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("e_id"))
+    )
+    j = asof_join_nearest(
+        purchases,
+        errors,
+        on="user_id",
+        right_cols=["e_id"],
+        tolerance_seconds=_ASOF_NEAR_TOL_S,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("nearest_error_ts"),
+        F.col("asof_e_id").alias("nearest_error_id"),
+        F.col("asof_dir").alias("dir"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )

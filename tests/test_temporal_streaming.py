@@ -797,3 +797,50 @@ def test_stream_full_outer_join_emits_unmatched_from_both_sides(spark, sf_dir):
     ).count()
     b_m = batch.filter(F.col("cid").isNotNull() & F.col("pid").isNotNull()).count()
     assert (unmatched_clicks, unmatched_purch, matched) == (b_uc, b_up, b_m)
+
+
+def test_asof_nearest_semantics(spark):
+    """direction='nearest' contract: closer side wins, equidistant
+    ties take the BACKWARD row (pandas convention), one-sided
+    candidates still match, tolerance nulls far matches (row kept),
+    and both window carries resolve in ONE Exchange (single shuffle)."""
+    from swat_mapreduce_spark.operators.asof import asof_join_nearest
+
+    df_l = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 300), (2, 50), (3, 10)], "k int, t int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), F.col("t").alias("id"))
+    # k=1: rights at 90 and 210 → id=100 nearer 90 (backward);
+    #      id=205 nearer 210 (forward); id=300 nearer 210 (backward).
+    # k=2: right at 40 and 60 → EQUIDISTANT from 50 → backward (40).
+    # k=3: no right rows → unmatched.
+    df_r = spark.createDataFrame(
+        [(1, 90, 9), (1, 210, 21), (2, 40, 4), (2, 60, 6)],
+        "k int, t int, rid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    out = asof_join_nearest(df_l, df_r, on="k", right_cols=["rid"])
+    # plan BEFORE execution (a collected AQE plan prints the reused
+    # ShuffleQueryStage AND its inner Exchange — the same node twice):
+    # both frames must share one WindowExec → exactly one shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, (
+        "backward+forward carries must share a single hash exchange"
+    )
+    assert plan.count("Window") == 1, "dual frames must fuse into one WindowExec"
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 5, "left rows preserved"
+    assert rows[100].asof_rid == 9 and rows[100].asof_dir == "backward"
+    assert rows[205].asof_rid == 21 and rows[205].asof_dir == "forward"
+    assert rows[300].asof_rid == 21 and rows[300].asof_dir == "backward"
+    assert rows[50].asof_rid == 4 and rows[50].asof_dir == "backward", (
+        "equidistant tie must take the backward row"
+    )
+    assert rows[10].asof_rid is None and rows[10].asof_dir is None
+
+    # tolerance: id=100 is 10s from its match; 5s tolerance unmatches it
+    tol = asof_join_nearest(
+        df_l, df_r, on="k", right_cols=["rid"], tolerance_seconds=5
+    )
+    trows = {r.id: r for r in tol.collect()}
+    assert len(trows) == 5, "tolerance keeps unmatched rows"
+    assert trows[100].asof_rid is None and trows[100].asof_dir is None
+    assert trows[205].asof_rid == 21, "5s-away match survives tolerance"
