@@ -136,6 +136,9 @@ HEADLINE = [
     "stream_full_outer_join",
     "dedup_jaccard_prefix_filter",
     "null_aware_anti_join",
+    "asof_nearest_error_purchase",
+    "heaps_vocab_growth",
+    "zipf_rank_frequency",
 ]
 
 REPEATS = 2

@@ -47,6 +47,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text2,
         llm_text3,
         llm_text4,
+        llm_text5,
         multimodal,
         python_udf_surfaces,
         reference_pipeline,
