@@ -139,6 +139,7 @@ HEADLINE = [
     "asof_nearest_error_purchase",
     "heaps_vocab_growth",
     "zipf_rank_frequency",
+    "downsample_lttb_daily",
 ]
 
 REPEATS = 2

@@ -1686,3 +1686,123 @@ def asof_nearest_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_dir").alias("dir"),
         (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+# --- LTTB-style time-series downsampling ------------------------------------
+# Largest-Triangle-Three-Buckets (Steinarsson 2013), the standard
+# plot-100TB-of-metrics downsampler: per (series, day) keep the ONE
+# point forming the largest triangle with the neighboring buckets'
+# mean points. This is the bucketed-parallel LTTB variant — the exact
+# algorithm anchors on the previously SELECTED point (inherently
+# sequential); anchoring on the neighbor bucket MEANS (the paper's
+# own right-anchor approximation, applied symmetrically) makes every
+# bucket independent: one narrow per-bucket aggregate, lag/lead over
+# the small bucket table, then a per-bucket argmax window. Boundary
+# buckets (no neighbor on one side) are dropped.
+#
+# Cross-engine determinism: bucket means are built from EXACT integer
+# sums only — sum(epoch_us) and sum(round(value*1e6)) (values
+# µ-quantized at 1e-6) — so each engine performs the same two IEEE
+# divisions on identical integers; the triangle cross-product then
+# sees bit-identical inputs, and the argmax orders by the 4dp-rounded
+# score with event_id as tie-break (CLAUDE.md gotchas 2/9: no
+# accumulation-order doubles, no bare max_by keys).
+_LTTB_ORACLE = """
+WITH ds AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
+           sum(epoch_us(ts)) AS sx,
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS sy6
+    FROM events GROUP BY 1, 2
+),
+nb AS (
+    SELECT event_type, day,
+           lag(sx::DOUBLE / cnt) OVER w AS x_prev,
+           lag((sy6::DOUBLE / cnt) / 1000000) OVER w AS y_prev,
+           lead(sx::DOUBLE / cnt) OVER w AS x_next,
+           lead((sy6::DOUBLE / cnt) / 1000000) OVER w AS y_next
+    FROM ds
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+cand AS (
+    SELECT e.event_type, CAST(e.ts AS DATE) AS day, e.event_id, e.ts,
+           e.value,
+           round(abs((n.x_prev - n.x_next) * (e.value - n.y_prev)
+                     - (n.x_prev - epoch_us(e.ts)::DOUBLE)
+                       * (n.y_next - n.y_prev))
+                 / 1000000000 * 10000) / 10000 + 0.0 AS tri_score
+    FROM events e
+    JOIN nb n ON n.event_type = e.event_type AND n.day = CAST(e.ts AS DATE)
+    WHERE n.x_prev IS NOT NULL AND n.x_next IS NOT NULL
+)
+SELECT event_type, day, event_id, ts,
+       round(value * 10000) / 10000 + 0.0 AS value,
+       tri_score
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY event_type, day
+          ORDER BY tri_score DESC, event_id) AS rn
+      FROM cand)
+WHERE rn = 1
+"""
+
+
+@register("downsample_lttb_daily", oracle=_LTTB_ORACLE)
+def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed LTTB: one narrow (event_type, day) aggregate, lag/lead
+    over the |days|-bounded bucket table (broadcast back onto the
+    facts — no fact shuffle for the join), one per-bucket argmax
+    window. At 100 TB the only fact-sized shuffle is the argmax
+    window's (event_type, day) partition; everything else moves
+    |series|x|days| rows."""
+    events = read_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    ds = events.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.unix_micros("ts")).alias("sx"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sy6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ax = F.col("sx").cast("double") / F.col("cnt")
+    ay = (F.col("sy6").cast("double") / F.col("cnt")) / 1000000
+    nb = ds.select(
+        F.col("event_type").alias("n_type"),
+        F.col("day").alias("n_day"),
+        F.lag(ax).over(w).alias("x_prev"),
+        F.lag(ay).over(w).alias("y_prev"),
+        F.lead(ax).over(w).alias("x_next"),
+        F.lead(ay).over(w).alias("y_next"),
+    ).filter(F.col("x_prev").isNotNull() & F.col("x_next").isNotNull())
+    xi = F.unix_micros("ts").cast("double")
+    tri = (
+        F.abs(
+            (F.col("x_prev") - F.col("x_next"))
+            * (F.col("value") - F.col("y_prev"))
+            - (F.col("x_prev") - xi) * (F.col("y_next") - F.col("y_prev"))
+        )
+        / 1000000000
+    )
+    cand = events.join(
+        F.broadcast(nb),
+        (F.col("n_type") == F.col("event_type")) & (F.col("n_day") == day),
+    ).select(
+        "event_type",
+        day.alias("day"),
+        "event_id",
+        "ts",
+        "value",
+        R.r(tri, 4).alias("tri_score"),
+    )
+    w_pick = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("tri_score"), F.asc("event_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "day",
+            "event_id",
+            "ts",
+            R.r("value", 4).alias("value"),
+            "tri_score",
+        )
+    )
