@@ -574,6 +574,54 @@ FULL JOIN p
 """
 
 
+# Stream-stream RIGHT OUTER interval join — the left-outer mirror:
+# unmatched PURCHASES surface (with NULL click columns) while the
+# click buffer evicts silently. Completes the streaming join matrix
+# (inner / left / right / full).
+_RIGHT_OUTER_JOIN_ORACLE = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       (c.event_id IS NOT NULL) AS matched
+FROM c
+RIGHT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_right_outer_join", oracle=_RIGHT_OUTER_JOIN_ORACLE)
+def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="swat_router_")
+    try:
+        stream = jobs.staged_events_with_flush_sentinels(
+            spark, sf_dir, stage + "/in"
+        )
+        out = jobs.run_available_now(
+            jobs.interval_join_right_outer(stream, "1 hour"),
+            "router",
+            output_mode="append",
+        )
+        # Sentinels dropped from the MATERIALIZED memory-sink rows only
+        # (the purchase side is always present in right-outer output) —
+        # never inside the streaming plan (interval_join_right_outer's
+        # CAUTION).
+        out = out.filter(F.col("user_id") >= 0).select(
+            "user_id", "click_id", "purchase_id", "matched"
+        )
+        out.count()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 @register("stream_full_outer_join", oracle=_FULL_OUTER_JOIN_ORACLE)
 def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

@@ -667,3 +667,53 @@ def interval_join_full_outer(
             F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
         ).alias("matched"),
     )
+
+
+def interval_join_right_outer(
+    stream: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join: every purchase emits —
+    matched pairs immediately, unmatched purchases with NULL click
+    columns once the watermark proves no qualifying click can still
+    arrive. The mirror of :func:`interval_join_left_outer`: here it is
+    the LEFT (click) buffer that evicts silently while every RIGHT
+    (purchase) eviction becomes a result row.
+
+    Same sentinel CAUTION as the other outer forms: never attach a
+    sentinel-dropping filter to the streaming plan (it pushes into
+    both scans and pins the watermark); filter the materialized
+    result on ``user_id >= 0`` (the purchase side is always present
+    in right-outer output) instead.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return clicks.join(purchases, cond, "right_outer").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_id").isNotNull().alias("matched"),
+    )

@@ -844,3 +844,41 @@ def test_asof_nearest_semantics(spark):
     assert len(trows) == 5, "tolerance keeps unmatched rows"
     assert trows[100].asof_rid is None and trows[100].asof_dir is None
     assert trows[205].asof_rid == 21, "5s-away match survives tolerance"
+
+
+def test_stream_right_outer_join_emits_unmatched_purchases_only(spark, sf_dir):
+    """Right-outer mirror invariant: the drained replay must emit
+    unmatched PURCHASES (NULL click columns) and matched pairs, but
+    never a click-only row (the click buffer evicts silently) — and
+    match the batch right join's counts exactly."""
+    from swat_mapreduce_spark.queries.streaming_queries import (
+        stream_right_outer_join,
+    )
+
+    got = stream_right_outer_join(spark, sf_dir).collect()
+    assert all(r.purchase_id is not None for r in got), (
+        "right-outer output must always carry the purchase side"
+    )
+    unmatched_purch = sum(1 for r in got if r.click_id is None)
+    matched = sum(1 for r in got if r.matched)
+    assert unmatched_purch > 0, "no unmatched purchases emitted"
+    assert matched > 0, "no matched pairs emitted"
+
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = c.join(p, cond, "right_outer")
+    b_up = batch.filter(F.col("cid").isNull()).count()
+    b_m = batch.filter(F.col("cid").isNotNull()).count()
+    assert (unmatched_purch, matched) == (b_up, b_m)
