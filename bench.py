@@ -140,6 +140,7 @@ HEADLINE = [
     "heaps_vocab_growth",
     "zipf_rank_frequency",
     "downsample_lttb_daily",
+    "jl_projection_distortion",
 ]
 
 REPEATS = 2

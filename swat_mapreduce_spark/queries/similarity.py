@@ -1363,3 +1363,156 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("variance"), F.asc("dim"))
         .limit(5)
     )
+
+
+# --- Johnson-Lindenstrauss random-projection distortion audit ---------------
+# The dimensionality-reduction scale path: project 64-dim embeddings
+# to 16 dims with a deterministic ±1 sign matrix (Achlioptas 2003 —
+# database-friendly random projections) and measure how well pairwise
+# squared distances survive, the JL lemma's guarantee. The sign matrix
+# is md5-derived, so BOTH engines (and this module at import time)
+# reconstruct the identical matrix with no shipped state. Projection
+# is row-local (a per-row fold against plan literals — at 100 TB the
+# full corpus projects in one narrow map, no shuffle); the distortion
+# AUDIT pairs only a fixed 32-vector hash-ordered sample (496 pairs,
+# bounded at any corpus size — same sampling contract as the
+# retrieval evals above).
+_JL_K = 16
+_JL_Q = 32
+
+
+def _jl_sign(j: int, i: int) -> float:
+    """+1/-1 from the first md5 hex nibble of 'j_i' — the same
+    high-bit parity test simhash uses (operators/dedup.py)."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+    return 1.0 if h[0] in "89abcdef" else -1.0
+
+
+_JL_SIGNS = [
+    [_jl_sign(j, i) for i in range(1, DIM + 1)] for j in range(1, _JL_K + 1)
+]
+
+_JL_HASH_DUCK = _H.duck_hash_uint(_H.sql_salted("vec_id", "'jl'"), 8)
+
+_JL_ORACLE = f"""
+WITH signs AS (
+    SELECT j.j, i.i,
+           CASE WHEN strpos('89abcdef',
+                     substr(md5(j.j::VARCHAR || '_' || i.i::VARCHAR), 1, 1))
+                     > 0
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM generate_series(1, {_JL_K}) AS j(j),
+         generate_series(1, {DIM}) AS i(i)
+),
+q AS (SELECT vec_id, embedding FROM embeddings
+      ORDER BY {_JL_HASH_DUCK}, vec_id LIMIT {_JL_Q}),
+dims AS (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM q, generate_series(1, {DIM}) AS g(i)
+),
+proj AS (
+    SELECT d.vec_id, s.j, sum(s.s * d.x) / sqrt({_JL_K}.0) AS y
+    FROM dims d JOIN signs s ON s.i = d.i
+    GROUP BY d.vec_id, s.j
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM q a JOIN q b ON a.vec_id < b.vec_id
+),
+o2 AS (
+    SELECT p.vec_a, p.vec_b,
+           sum((da.x - db.x) * (da.x - db.x)) AS d2o
+    FROM pairs p
+    JOIN dims da ON da.vec_id = p.vec_a
+    JOIN dims db ON db.vec_id = p.vec_b AND db.i = da.i
+    GROUP BY 1, 2
+),
+p2 AS (
+    SELECT p.vec_a, p.vec_b,
+           sum((pa.y - pb.y) * (pa.y - pb.y)) AS d2p
+    FROM pairs p
+    JOIN proj pa ON pa.vec_id = p.vec_a
+    JOIN proj pb ON pb.vec_id = p.vec_b AND pb.j = pa.j
+    GROUP BY 1, 2
+)
+SELECT o2.vec_a, o2.vec_b,
+       round(o2.d2o * 10000) / 10000 + 0.0 AS d2_orig,
+       round(p2.d2p * 10000) / 10000 + 0.0 AS d2_proj,
+       CASE WHEN o2.d2o <> 0
+            THEN round(p2.d2p / o2.d2o * 10000) / 10000 + 0.0
+       END AS ratio
+FROM o2 JOIN p2 ON p2.vec_a = o2.vec_a AND p2.vec_b = o2.vec_b
+"""
+
+
+@register("jl_projection_distortion", oracle=_JL_ORACLE)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distortion report: (vec_a, vec_b, d2_orig, d2_proj, ratio)
+    over the 496 sample pairs. The projection fold runs against the
+    md5-derived ±1 matrix embedded as plan literals — row-local,
+    whole-stage-codegen, zero shuffle; the pair join is a broadcast
+    self-join of the 32-row sample."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.select(
+            "vec_id", A.as_double_array(F.col("embedding")).alias("e")
+        )
+        .orderBy(_H.hash_uint(F.col("vec_id"), "jl", 8), F.asc("vec_id"))
+        .limit(_JL_Q)
+    )
+    k_sqrt = float(_JL_K) ** 0.5
+    proj = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.array(*[F.lit(v) for v in row]),
+                        F.col("e"),
+                        lambda s, x: s * x,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / k_sqrt
+            )
+            for row in _JL_SIGNS
+        ]
+    )
+    projected = sample.select("vec_id", "e", proj.alias("y"))
+    a = projected.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("y").alias("ya"),
+    )
+    b = projected.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("y").alias("yb"),
+    )
+    sq_dist = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    d2o = sq_dist(F.col("ea"), F.col("eb"))
+    d2p = sq_dist(F.col("ya"), F.col("yb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            d2o.alias("_d2o"),
+            d2p.alias("_d2p"),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            R.r("_d2o", 4).alias("d2_orig"),
+            R.r("_d2p", 4).alias("d2_proj"),
+            F.when(
+                F.col("_d2o") != 0, R.r(F.col("_d2p") / F.col("_d2o"), 4)
+            ).alias("ratio"),
+        )
+    )
