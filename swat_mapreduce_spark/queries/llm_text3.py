@@ -642,13 +642,21 @@ b{k} AS (
     ORDER BY n DESC, pair ASC LIMIT 1
 ),
 s{k} AS (
+    -- LEFT JOIN ON TRUE (not CROSS JOIN): when a round has no
+    -- adoptable distinct-symbol pair, b{{k}} is empty and a cross
+    -- join would collapse the whole vocab to 0 rows; the identity
+    -- CASE carries s{{k-1}} through, matching the Spark trainer's
+    -- early-break semantics (ADVICE r5).
     SELECT word,
-           replace(replace(sp,
-               ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-               ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
-               AS sp,
+           CASE WHEN b.pair IS NULL THEN sp
+                ELSE replace(replace(sp,
+                    ' ' || b.pair || ' ',
+                    ' ' || replace(b.pair, ' ', '') || ' '),
+                    ' ' || b.pair || ' ',
+                    ' ' || replace(b.pair, ' ', '') || ' ')
+           END AS sp,
            cnt
-    FROM s{k - 1} CROSS JOIN b{k} b
+    FROM s{k - 1} LEFT JOIN b{k} b ON TRUE
 )""")
     return "".join(parts)
 

@@ -1710,8 +1710,8 @@ def asof_nearest_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTTB_ORACLE = """
 WITH ds AS (
     SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
-           sum(epoch_us(ts)) AS sx,
-           sum(CAST(round(value * 1000000) AS BIGINT)) AS sy6
+           sum(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS sx,
+           sum(CAST(round(value * 1000000) AS DECIMAL(38,0))) AS sy6
     FROM events GROUP BY 1, 2
 ),
 nb AS (
@@ -1757,8 +1757,15 @@ def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.col("ts").cast("date")
     ds = events.groupBy("event_type", day.alias("day")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.unix_micros("ts")).alias("sx"),
-        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sy6"),
+        # DECIMAL(38,0) sums: a bucket's sum(epoch_us) reaches 1.26e18
+        # at sf0.1 (~7x headroom to int64 max) — a >~5.4k-event bucket
+        # would overflow LongType while DuckDB's sum(BIGINT) promotes
+        # to HUGEINT. Decimal accumulation is exact and overflow-free
+        # on both engines at any bucket size (ADVICE r5, gotcha 2).
+        F.sum(F.unix_micros("ts").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+        ).alias("sy6"),
     )
     w = Window.partitionBy("event_type").orderBy("day")
     ax = F.col("sx").cast("double") / F.col("cnt")
