@@ -172,6 +172,15 @@ def main() -> None:
 
     spark.range(10_000).mapInPandas(_pd_identity, "id long").count()
 
+    # Session pre-warm on a REAL query (untimed): the generic warmups
+    # above don't touch the parquet scan path / committer / larger
+    # codegen shapes, so the first timed query historically absorbed
+    # 0.5-2.5 s of residual session warmup (flagship_classify in
+    # r1/r2/r5 — BASELINE.md pins, VERDICT r5 #1). One throwaway run
+    # of the first headline query retires that cost before timing.
+    reg[HEADLINE[0]].spark_fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]

@@ -526,31 +526,29 @@ WHERE c.event_type = 'click'
 
 @register("stream_left_outer_join", oracle=_LEFT_OUTER_JOIN_ORACLE)
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    stage = tempfile.mkdtemp(prefix="swat_louter_")
-    try:
-        stream = jobs.staged_events_with_flush_sentinels(
-            spark, sf_dir, stage + "/in"
-        )
-        out = jobs.run_available_now(
-            jobs.interval_join_left_outer(stream, "1 hour"),
-            "louter",
-            output_mode="append",
-        )
-        # Memory-sink rows are materialized; the staging dir can go.
-        out = out.filter(F.col("c_user") >= 0).select(
-            F.col("c_user").alias("user_id"),
-            "click_id",
-            "purchase_id",
-            "matched",
-        )
-        out.count()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    # process-cached shared fixture (see staged_events_with_flush_sentinels)
+    stream = jobs.staged_events_with_flush_sentinels(spark, sf_dir)
+    out = jobs.run_available_now(
+        jobs.interval_join_left_outer(stream, "1 hour"),
+        "louter",
+        output_mode="append",
+        # 4 shuffle partitions: a stream-stream join instantiates FOUR
+        # state stores per partition per micro-batch (keyToNumValues +
+        # keyWithIndexToValue per side); at replay scale the store
+        # round trips dominate, and the r6 A/B (2 data files, sf0.1)
+        # measured shuf=4 ~1 s faster than shuf=8 with an identical
+        # drained-result hash.
+        shuffle_partitions=4,
+    )
+    out = out.filter(F.col("c_user") >= 0).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "matched",
+    )
+    out.count()  # memory-sink rows are materialized
     return out
 
 
@@ -594,65 +592,61 @@ RIGHT JOIN p
 
 @register("stream_right_outer_join", oracle=_RIGHT_OUTER_JOIN_ORACLE)
 def stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    stage = tempfile.mkdtemp(prefix="swat_router_")
-    try:
-        stream = jobs.staged_events_with_flush_sentinels(
-            spark, sf_dir, stage + "/in"
-        )
-        out = jobs.run_available_now(
-            jobs.interval_join_right_outer(stream, "1 hour"),
-            "router",
-            output_mode="append",
-        )
-        # Sentinels dropped from the MATERIALIZED memory-sink rows only
-        # (the purchase side is always present in right-outer output) —
-        # never inside the streaming plan (interval_join_right_outer's
-        # CAUTION).
-        out = out.filter(F.col("user_id") >= 0).select(
-            "user_id", "click_id", "purchase_id", "matched"
-        )
-        out.count()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    stream = jobs.staged_events_with_flush_sentinels(spark, sf_dir)
+    out = jobs.run_available_now(
+        jobs.interval_join_right_outer(stream, "1 hour"),
+        "router",
+        output_mode="append",
+        # 4 shuffle partitions: a stream-stream join instantiates FOUR
+        # state stores per partition per micro-batch (keyToNumValues +
+        # keyWithIndexToValue per side); at replay scale the store
+        # round trips dominate, and the r6 A/B (2 data files, sf0.1)
+        # measured shuf=4 ~1 s faster than shuf=8 with an identical
+        # drained-result hash.
+        shuffle_partitions=4,
+    )
+    # Sentinels dropped from the MATERIALIZED memory-sink rows only
+    # (the purchase side is always present in right-outer output) —
+    # never inside the streaming plan (interval_join_right_outer's
+    # CAUTION).
+    out = out.filter(F.col("user_id") >= 0).select(
+        "user_id", "click_id", "purchase_id", "matched"
+    )
+    out.count()
     return out
 
 
 @register("stream_full_outer_join", oracle=_FULL_OUTER_JOIN_ORACLE)
 def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    stage = tempfile.mkdtemp(prefix="swat_fouter_")
-    try:
-        stream = jobs.staged_events_with_flush_sentinels(
-            spark, sf_dir, stage + "/in"
-        )
-        out = jobs.run_available_now(
-            jobs.interval_join_full_outer(stream, "1 hour"),
-            "fouter",
-            output_mode="append",
-        )
-        # Sentinels (user_id < 0 on either side) are dropped from the
-        # MATERIALIZED memory-sink rows — never inside the streaming
-        # plan (see interval_join_full_outer's CAUTION).
-        out = out.filter(
-            F.coalesce(F.col("c_user"), F.col("user_id")) >= 0
-        ).select(
-            F.coalesce(F.col("c_user"), F.col("user_id")).alias("user_id"),
-            "click_id",
-            "purchase_id",
-            "matched",
-        )
-        out.count()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    stream = jobs.staged_events_with_flush_sentinels(spark, sf_dir)
+    out = jobs.run_available_now(
+        jobs.interval_join_full_outer(stream, "1 hour"),
+        "fouter",
+        output_mode="append",
+        # 4 shuffle partitions: a stream-stream join instantiates FOUR
+        # state stores per partition per micro-batch (keyToNumValues +
+        # keyWithIndexToValue per side); at replay scale the store
+        # round trips dominate, and the r6 A/B (2 data files, sf0.1)
+        # measured shuf=4 ~1 s faster than shuf=8 with an identical
+        # drained-result hash.
+        shuffle_partitions=4,
+    )
+    # Sentinels (user_id < 0 on either side) are dropped from the
+    # MATERIALIZED memory-sink rows — never inside the streaming
+    # plan (see interval_join_full_outer's CAUTION).
+    out = out.filter(
+        F.coalesce(F.col("c_user"), F.col("user_id")) >= 0
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("user_id")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "matched",
+    )
+    out.count()
     return out
 
 

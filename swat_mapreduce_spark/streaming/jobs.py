@@ -496,20 +496,34 @@ def stream_dedup_within_watermark(
     )
 
 
+_SENTINEL_STAGE_CACHE: dict[str, str] = {}
+
+
 def staged_events_with_flush_sentinels(
-    spark: SparkSession, sf_dir: str, stage_dir: str
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
 ) -> DataFrame:
-    """Stage events.parquet into ``stage_dir`` as SIX files — the
-    real data in four files, then two far-future sentinel files (one
-    'click' + one 'purchase' row each, user_id < 0) — and return a
+    """Stage events.parquet as FOUR files — the real data in two
+    files, then two far-future sentinel files (one 'click' + one
+    'purchase' row each, user_id < 0) — and return a
     maxFilesPerTrigger=1 file stream over them.
 
-    Four data files (not the session's 32 write partitions): each
+    With ``stage_dir=None`` (the normal path) the staged directory is
+    CACHED per (sf_dir) for the process lifetime and shared by every
+    replay over it — the fixture is deterministic and read-only once
+    written, so the three outer-join queries (left/right/full) stage
+    it once instead of re-writing identical parquet per query
+    (index-once/probe-many; ~2 s saved per subsequent query). Each
+    replay still gets its own fresh checkpoint, so results are
+    independent. The cache directory is removed atexit.
+
+    Two data files (not the session's 32 write partitions): each
     micro-batch of a stateful outer join pays a fixed state-store
     round-trip cost that dominates at replay scale — 34 batches ran
-    ~19 s where 6 run ~4 s — while four batches still exercise
-    cross-batch watermark progression (state carried, watermark
-    advancing between real-data batches), which one batch would not.
+    ~19 s where 6 ran ~4 s (r5), and the r6 re-measure showed the
+    drained result hash is invariant from 2 through 32 data files —
+    while two batches still exercise cross-batch watermark
+    progression (state carried, watermark advancing between real-data
+    batches), which one batch would not.
 
     Why sentinels: outer stream-stream join results for UNMATCHED rows
     are only emitted when the watermark passes the row's join horizon,
@@ -536,7 +550,23 @@ def staged_events_with_flush_sentinels(
     from swat_mapreduce_spark.sources.readers import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    ev.coalesce(4).write.parquet(stage_dir)
+    if stage_dir is None:
+        cached = _SENTINEL_STAGE_CACHE.get(sf_dir)
+        if cached is not None and os.path.isdir(cached):
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(cached)
+            )
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="swat_sentinel_stage_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        stage_dir = root + "/in"
+        _SENTINEL_STAGE_CACHE[sf_dir] = stage_dir
+    ev.coalesce(2).write.parquet(stage_dir)
     mx = ev.agg(F.max("ts")).collect()[0][0]
     if mx is not None:
         seen = set(glob.glob(stage_dir + "/part-*"))

@@ -1,0 +1,115 @@
+"""Mechanically adjudicate two bench captures (VERDICT r5 #1).
+
+Compares the per-query timings of two BENCH_full-style JSON captures
+(``{"queries": {name: sec, ...}, ...}`` — the file bench.py writes, or
+a driver BENCH_r*.json's ``parsed`` object) and classifies every mover
+whose new reading exceeds ``ratio_threshold`` x the old reading:
+
+- ``subsecond-jitter``   — both readings under ``jitter_floor_sec``;
+  sub-second deltas on local[32] are scheduler/GC noise, not plans.
+- ``pinned-noise:<kind>`` — the query is pinned in BENCH_PINS.json and
+  the new reading is still under its measured ``noise_ceiling_sec``
+  (the band session crowding produces WITHOUT code changes; each pin
+  carries its isolation-run evidence).
+- ``UNEXPLAINED``        — everything else: needs a commit explaining
+  it or a new isolation measurement extending BENCH_PINS.json.
+
+Exit code 0 iff no UNEXPLAINED mover. Usage:
+
+    python tools/benchdiff.py OLD.json NEW.json [--pins BENCH_PINS.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        d = json.load(f)
+    # driver BENCH_r*.json wraps the bench line under "parsed"
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    q = d.get("queries")
+    if not isinstance(q, dict) or not q:
+        raise SystemExit(f"{path}: no per-query timings found")
+    return {k: float(v) for k, v in q.items()}
+
+
+def classify(
+    old: dict[str, float], new: dict[str, float], pins_doc: dict
+) -> list[dict]:
+    """Return one record per >threshold mover on the common query set."""
+    thr = float(pins_doc.get("ratio_threshold", 1.3))
+    floor = float(pins_doc.get("jitter_floor_sec", 1.0))
+    pins = pins_doc.get("pins", {})
+    out = []
+    for name in sorted(set(old) & set(new)):
+        a, b = old[name], new[name]
+        if a <= 0 or b <= thr * a:
+            continue
+        rec = {"query": name, "old_sec": a, "new_sec": b,
+               "ratio": round(b / a, 2)}
+        pin = pins.get(name)
+        if max(a, b) < floor:
+            rec["class"] = "subsecond-jitter"
+            rec["why"] = (
+                f"both readings < {floor}s jitter floor; "
+                f"delta {b - a:+.2f}s is scheduler noise"
+            )
+        elif pin is not None and b <= float(pin["noise_ceiling_sec"]):
+            rec["class"] = f"pinned-noise:{pin.get('kind', 'pinned')}"
+            rec["why"] = (
+                f"<= pinned noise ceiling {pin['noise_ceiling_sec']}s "
+                f"(steady {pin['steady_sec']}s); {pin.get('evidence', '')}"
+            )
+        else:
+            rec["class"] = "UNEXPLAINED"
+            rec["why"] = (
+                "exceeds pinned ceiling" if pin is not None
+                else "no pin and above jitter floor"
+            ) + " - needs a commit explanation or a new isolation pin"
+        out.append(rec)
+    return out
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    pins_path = os.path.join(_HERE, "BENCH_PINS.json")
+    if "--pins" in argv:
+        i = argv.index("--pins")
+        pins_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    old, new = _load_queries(argv[0]), _load_queries(argv[1])
+    with open(pins_path) as f:
+        pins_doc = json.load(f)
+    movers = classify(old, new, pins_doc)
+    common = set(old) & set(new)
+    so, sn = sum(old[q] for q in common), sum(new[q] for q in common)
+    print(
+        f"common queries: {len(common)}  old {so:.1f}s  new {sn:.1f}s  "
+        f"ratio {sn / so:.2f}x"
+    )
+    unexplained = 0
+    for m in movers:
+        flag = "!!" if m["class"] == "UNEXPLAINED" else "ok"
+        unexplained += m["class"] == "UNEXPLAINED"
+        print(
+            f"{flag} {m['query']:35s} {m['old_sec']:7.2f} -> "
+            f"{m['new_sec']:7.2f}  ({m['ratio']}x)  [{m['class']}]"
+        )
+        print(f"     {m['why']}")
+    if not movers:
+        print(f"no movers > {pins_doc.get('ratio_threshold', 1.3)}x")
+    print(f"\n{len(movers)} movers, {unexplained} UNEXPLAINED")
+    return 1 if unexplained else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
