@@ -141,6 +141,8 @@ HEADLINE = [
     "zipf_rank_frequency",
     "downsample_lttb_daily",
     "jl_projection_distortion",
+    # round-6 additions
+    "ann_ivfpq_topk",
 ]
 
 REPEATS = 2

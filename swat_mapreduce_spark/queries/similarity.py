@@ -1516,3 +1516,314 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+# --- IVF-PQ residual ANN (the production 100 TB composition) ---------------
+# ann_ivf_topk prunes with coarse cells; ann_pq_adc_topk compresses
+# with codebooks. The architecture real billion-scale indexes ship
+# (FAISS IVFPQ, SCANN) COMPOSES them: a coarse quantizer picks nprobe
+# cells, PQ is trained on the RESIDUAL (vector - its cell centroid)
+# so the codebook spends its 4 bits/subspace on the within-cell
+# spread instead of re-encoding cell positions, and ADC runs only
+# inside the probed cells with a PER-CELL lookup table built from the
+# query's residual against that cell's centroid. At 100 TB: centroids
+# and codebook are broadcast-tiny, the codes table is 8 bytes/vector,
+# and query cost is |probed cells| / |cells| of the corpus — the
+# candidate volume is probe-bounded, never corpus-linear (SCALING.md).
+# Determinism: every accumulation is a DECIMAL(30,8) term sum (the
+# ann_pq_adc_topk pattern); probe and shortlist cuts order by rounded
+# scores with cell/vec_id tie-breaks.
+_IVFPQ_NPROBE = 2
+
+_IVFPQ_ORACLE = f"""
+WITH {_DIMS_DUCK},
+norms AS (
+    SELECT vec_id,
+           sqrt(sum(CAST(x * x AS DECIMAL(30,8)))::DOUBLE) AS nrm
+    FROM dims GROUP BY vec_id
+),
+unitv AS (
+    SELECT dims.vec_id, dims.i, dims.x / n.nrm AS x
+    FROM dims JOIN norms n ON n.vec_id = dims.vec_id
+),
+cellmap AS (SELECT vec_id, label AS cell FROM embeddings),
+cent AS (
+    SELECT cm.cell, u.i,
+           sum(CAST(u.x AS DECIMAL(30,8)))::DOUBLE / count(*) AS m
+    FROM unitv u JOIN cellmap cm ON cm.vec_id = u.vec_id
+    GROUP BY cm.cell, u.i
+),
+qu AS (SELECT i, x AS qx FROM unitv WHERE vec_id = {QUERY_VEC_ID}),
+cq AS (
+    SELECT c.cell,
+           sum(c.m * q.qx) / (sqrt(sum(c.m * c.m)) * sqrt(sum(q.qx * q.qx)))
+               AS cqs
+    FROM cent c JOIN qu q ON c.i = q.i
+    GROUP BY c.cell
+),
+probe AS (
+    SELECT cell FROM cq
+    ORDER BY round(cqs * 10000) / 10000 DESC, cell LIMIT {_IVFPQ_NPROBE}
+),
+resid AS (
+    SELECT u.vec_id, ((u.i - 1) // {_PQ_DSUB})::INT AS s,
+           ((u.i - 1) % {_PQ_DSUB})::INT AS d, u.x - c.m AS r
+    FROM unitv u
+    JOIN cellmap cm ON cm.vec_id = u.vec_id
+    JOIN cent c ON c.cell = cm.cell AND c.i = u.i
+),
+init AS (SELECT vec_id::INT AS cid, s, d, r AS c FROM resid WHERE vec_id < {_PQ_KC}),
+a0d AS (
+    SELECT v.vec_id, v.s, i.cid,
+           sum(CAST((v.r - i.c) * (v.r - i.c) AS DECIMAL(30,8))) AS dist
+    FROM resid v JOIN init i ON i.s = v.s AND i.d = v.d
+    GROUP BY v.vec_id, v.s, i.cid
+),
+a0 AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rn
+        FROM a0d) WHERE rn = 1
+),
+cb AS (
+    SELECT a0.cid, v.s, v.d,
+           sum(CAST(v.r AS DECIMAL(30,8)))::DOUBLE / count(*) AS c
+    FROM resid v JOIN a0 ON a0.vec_id = v.vec_id AND a0.s = v.s
+    GROUP BY a0.cid, v.s, v.d
+),
+a1d AS (
+    SELECT v.vec_id, v.s, cb.cid,
+           sum(CAST((v.r - cb.c) * (v.r - cb.c) AS DECIMAL(30,8))) AS dist
+    FROM resid v JOIN cb ON cb.s = v.s AND cb.d = v.d
+    GROUP BY v.vec_id, v.s, cb.cid
+),
+codes AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rn
+        FROM a1d) WHERE rn = 1
+),
+qres AS (
+    SELECT p.cell, ((qu.i - 1) // {_PQ_DSUB})::INT AS s,
+           ((qu.i - 1) % {_PQ_DSUB})::INT AS d, qu.qx - c.m AS qr
+    FROM qu
+    JOIN probe p ON TRUE
+    JOIN cent c ON c.cell = p.cell AND c.i = qu.i
+),
+lut AS (
+    SELECT qr.cell, cb.s, cb.cid,
+           sum(CAST((cb.c - qr.qr) * (cb.c - qr.qr) AS DECIMAL(30,8))) AS ld
+    FROM cb JOIN qres qr ON qr.s = cb.s AND qr.d = cb.d
+    GROUP BY qr.cell, cb.s, cb.cid
+),
+adc AS (
+    SELECT c.vec_id, sum(l.ld) AS adc_dist
+    FROM codes c
+    JOIN cellmap cm ON cm.vec_id = c.vec_id
+    JOIN lut l ON l.cell = cm.cell AND l.s = c.s AND l.cid = c.cid
+    WHERE c.vec_id <> {QUERY_VEC_ID}
+    GROUP BY c.vec_id
+),
+top AS (
+    SELECT vec_id, adc_dist FROM adc
+    ORDER BY round(adc_dist::DOUBLE * 10000) / 10000, vec_id
+    LIMIT {_PQ_SHORTLIST}
+),
+qf AS (SELECT i, x AS qx FROM dims WHERE vec_id = {QUERY_VEC_ID}),
+ex AS (
+    SELECT d.vec_id,
+           sum(d.x * qf.qx) / (sqrt(sum(d.x * d.x)) * sqrt(sum(qf.qx * qf.qx)))
+               AS cos_raw
+    FROM dims d JOIN qf ON qf.i = d.i
+    JOIN top t ON t.vec_id = d.vec_id
+    GROUP BY d.vec_id
+)
+SELECT t.vec_id, e.label,
+       round(t.adc_dist::DOUBLE * 10000) / 10000 + 0.0 AS adc_dist,
+       round(ex.cos_raw, 4) AS cosine
+FROM top t
+JOIN ex ON ex.vec_id = t.vec_id
+JOIN embeddings e ON e.vec_id = t.vec_id
+ORDER BY round(ex.cos_raw, 4) DESC, t.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    )
+    if qrow is None:  # query vector absent (empty/regenerated data)
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS label,"
+            " CAST(NULL AS DOUBLE) AS adc_dist, CAST(NULL AS DOUBLE) AS cosine"
+        ).limit(0)
+    dec = "decimal(30,8)"
+    raw = emb.select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select("vec_id", "cell", "i", F.col("xf").cast("double").alias("x"))
+    norms = raw.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+        ).alias("nrm")
+    )
+    # unit vectors -> squared-L2 ADC ranking is monotone with cosine
+    # (same normalization argument as ann_pq_adc_topk). unitv feeds
+    # three consumers (cent, qu, resid) and cent feeds three (cq,
+    # resid, qres) -- persist both so the corpus is scanned ONCE for
+    # training (the unexecuted DAG would re-derive the posexplode +
+    # norm-join subtree per consumer; see the r5 ann_pq_adc_topk
+    # census fix, 17 scans -> 4)
+    unitv = (
+        raw.join(norms, "vec_id")
+        .select("vec_id", "cell", "i", (F.col("x") / F.col("nrm")).alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # coarse centroids: decimal-exact mean per (cell, dim) -> both
+    # engines divide identical exact sums by identical counts
+    cent = (
+        unitv.groupBy("cell", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qu = unitv.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "i", F.col("x").alias("qx")
+    )
+    cq = (
+        cent.join(F.broadcast(qu), "i")
+        .groupBy("cell")
+        .agg(
+            (
+                F.sum(F.col("m") * F.col("qx"))
+                / (
+                    F.sqrt(F.sum(F.col("m") * F.col("m")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("cqs")
+        )
+    )
+    probe = cq.orderBy(F.desc(R.r("cqs", 4)), F.asc("cell")).limit(
+        _IVFPQ_NPROBE
+    )
+    # residuals: PQ spends its 16 codes/subspace on the WITHIN-cell
+    # spread; resid feeds four consumers (init, both assigns, centroid
+    # update), so persist the subtree once (codes table = production
+    # materialized artifact; see ann_pq_adc_topk)
+    resid = (
+        unitv.join(
+            F.broadcast(cent.withColumnRenamed("m", "m_")),
+            ["cell", "i"],
+        )
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("i") / _PQ_DSUB).cast("int").alias("s"),
+            (F.col("i") % _PQ_DSUB).cast("int").alias("d"),
+            (F.col("x") - F.col("m_")).alias("r"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    init = resid.filter(F.col("vec_id") < _PQ_KC).select(
+        F.col("vec_id").cast("int").alias("cid"), "s", "d",
+        F.col("r").alias("c"),
+    )
+
+    def assign(points: DataFrame, codebook: DataFrame) -> DataFrame:
+        # argmin via min(struct(dist, cid)): partial-aggregable
+        # map-side combine, same (dist, cid) order as the oracle window
+        dists = (
+            points.join(F.broadcast(codebook), ["s", "d"])
+            .groupBy("vec_id", "s", "cid")
+            .agg(
+                F.sum(
+                    (
+                        (F.col("r") - F.col("c")) * (F.col("r") - F.col("c"))
+                    ).cast(dec)
+                ).alias("dist")
+            )
+        )
+        return (
+            dists.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"))
+        )
+
+    a0 = assign(resid, init)
+    cb = (
+        resid.join(a0, ["vec_id", "s"])
+        .groupBy("cid", "s", "d")
+        .agg(
+            (
+                F.sum(F.col("r").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # codes persisted like ann_pq_adc_topk's: the 4-bit code table is
+    # the materialized production artifact, and the decimal-exact
+    # assign behind it is the priciest stage -- without this a repeat
+    # query re-pays it even though resid/cb are cached
+    codes = assign(resid, cb).persist(StorageLevel.MEMORY_AND_DISK)
+    # per-probed-cell query residual -> per-cell ADC lookup table
+    qres = (
+        F.broadcast(qu)
+        .join(F.broadcast(probe.select("cell")), F.lit(True))
+        .join(
+            F.broadcast(cent.withColumnRenamed("m", "m_")), ["cell", "i"]
+        )
+        .select(
+            "cell",
+            (F.col("i") / _PQ_DSUB).cast("int").alias("s"),
+            (F.col("i") % _PQ_DSUB).cast("int").alias("d"),
+            (F.col("qx") - F.col("m_")).alias("qr"),
+        )
+    )
+    lut = (
+        cb.join(F.broadcast(qres), ["s", "d"])
+        .groupBy("cell", "s", "cid")
+        .agg(
+            F.sum(
+                ((F.col("c") - F.col("qr")) * (F.col("c") - F.col("qr"))).cast(
+                    dec
+                )
+            ).alias("ld")
+        )
+    )
+    # ADC inside probed cells only: the lut join on (cell, s, cid)
+    # drops every vector outside the probe set -> candidate volume is
+    # probe-bounded, not corpus-linear
+    cellmap = emb.select("vec_id", F.col("label").alias("cell"))
+    adc = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(cellmap, "vec_id")
+        .join(F.broadcast(lut), ["cell", "s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("ld").cast(dec).alias("adc_dist"))
+    )
+    top = adc.orderBy(
+        R.r(F.col("adc_dist").cast("double"), 4), "vec_id"
+    ).limit(_PQ_SHORTLIST)
+    qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    exact = emb.join(F.broadcast(top), "vec_id").select(
+        "vec_id",
+        "label",
+        R.r(F.col("adc_dist").cast("double"), 4).alias("adc_dist"),
+        R.r(A.cosine(A.as_double_array(F.col("embedding")), qv), 4).alias(
+            "cosine"
+        ),
+    )
+    return exact.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
