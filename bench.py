@@ -143,6 +143,8 @@ HEADLINE = [
     "jl_projection_distortion",
     # round-6 additions
     "ann_ivfpq_topk",
+    "dedup_index_build",
+    "dedup_probe_incremental",
 ]
 
 REPEATS = 2

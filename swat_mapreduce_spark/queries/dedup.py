@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.operators import dedup as D
 from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.sources.readers import read_table
@@ -680,5 +681,216 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000.0
                 + 0.0
             ).alias("precision"),
+        )
+    )
+
+
+# --- persisted LSH index: build once, probe incrementally ------------------
+# Production dedup is index-once/probe-many: the corpus's MinHash
+# signatures and band-bucket postings are written to parquet ONCE;
+# each NEW document batch then computes signatures for ITS OWN docs
+# only and equi-joins its bands against the persisted index — the
+# corpus text is never re-shingled, so probe cost is O(new batch) +
+# one index join, with the corpus touched zero times
+# (incremental_dedup_vs_corpus, by contrast, re-derives corpus
+# shingles on every run). Candidate pairs are scored by SIGNATURE
+# AGREEMENT (matching minhashes / 16 — the standard unbiased Jaccard
+# estimator), which is exactly what makes the index self-contained:
+# verification needs only the 128-byte signature row, not the
+# document text. The corpus split (doc_id % 10 < 8) and batch split
+# (>= 8) mirror incremental_dedup_vs_corpus. At 100 TB the index is
+# |corpus| × (16 longs + 4 band postings) — ~1% of corpus bytes —
+# bucketed by (band, bucket) on write so probes co-locate without a
+# corpus-side shuffle (SCALING.md).
+#
+# The oracles cannot read the index parquet (driver oracles see only
+# the pre-registered views — CLAUDE.md gotcha 9a); they recompute the
+# same signatures from the documents view, which checks exactly the
+# CONTENT the index must contain.
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _sigs_sql(where: str) -> str:
+    h = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    sig_cols = ",\n           ".join(
+        f"min(({D.MH_A[k]} * {h} + {D.MH_B[k]}) % {D.MERSENNE61}) AS h{k}"
+        for k in range(D.NUM_HASHES)
+    )
+    return f"SELECT doc_id, {sig_cols} FROM sh WHERE {where} GROUP BY doc_id"
+
+
+def _bands_sql(sigs_cte: str) -> str:
+    rows = []
+    for b in range(D.BANDS):
+        cols = ", ".join(
+            f"h{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+        )
+        rows.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS bucket "
+            f"FROM {sigs_cte}"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the corpus LSH index parquet exists for ``sf_dir``;
+    build it on first call (one corpus pass: shingle → signatures →
+    bands), reuse it afterwards — the probe query's 'corpus touched
+    zero times' contract. Two artifacts: ``sigs`` (doc_id, h0..h15)
+    and ``bands`` (doc_id, band, bucket)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    cached = _LSH_INDEX_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="swat_lsh_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 < 8
+    )
+    docsh = D.doc_shingle_arrays(docs, 3).filter(F.size("sh_arr") >= 1)
+    sigs = D.minhash_signatures_from_arrays(docsh)
+    # repartition(4), never coalesce(1) (CLAUDE.md gotcha 11); a real
+    # deployment would bucketBy (band, bucket) here — the tmp-dir
+    # index keeps plain parquet so the probe join stays readable
+    sigs.repartition(4).write.parquet(root + "/sigs")
+    bands = D.lsh_bands(spark.read.parquet(root + "/sigs"))
+    bands.repartition(4).write.parquet(root + "/bands")
+    _LSH_INDEX_CACHE[sf_dir] = root
+    return root
+
+
+def _index_build_oracle() -> str:
+    return f"""
+WITH {_SH_DUCK},
+sigs AS ({_sigs_sql("doc_id % 10 < 8")}),
+bands AS ({_bands_sql("sigs")})
+SELECT doc_id, band, bucket FROM bands
+"""
+
+
+@register("dedup_index_build", oracle=_index_build_oracle())
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or reuse) the persisted corpus LSH index and return its
+    band-postings table — read back FROM THE PARQUET ARTIFACT, so the
+    oracle checks what was actually written, not a live recompute."""
+    root = _lsh_index_dir(spark, sf_dir)
+    return spark.read.parquet(root + "/bands").select(
+        "doc_id", "band", "bucket"
+    )
+
+
+def _probe_oracle() -> str:
+    m_expr = " + ".join(
+        f"(bs.h{k} = cs.h{k})::INT" for k in range(D.NUM_HASHES)
+    )
+    return f"""
+WITH {_SH_DUCK},
+csigs AS ({_sigs_sql("doc_id % 10 < 8")}),
+bsigs AS ({_sigs_sql("doc_id % 10 >= 8")}),
+cbands AS ({_bands_sql("csigs")}),
+bbands AS ({_bands_sql("bsigs")}),
+cand AS (
+    SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+    FROM bbands b JOIN cbands c
+      ON b.band = c.band AND b.bucket = c.bucket
+),
+est AS (
+    SELECT cand.batch_id, cand.corpus_id, ({m_expr}) AS m
+    FROM cand
+    JOIN bsigs bs ON bs.doc_id = cand.batch_id
+    JOIN csigs cs ON cs.doc_id = cand.corpus_id
+),
+best AS (
+    -- unique tie-broken scalar key (CLAUDE.md gotcha 9): corpus_id is
+    -- distinct per batch_id, so m*1e7 - corpus_id never ties
+    SELECT batch_id, count(*) AS n_candidates,
+           max_by(corpus_id, m * 10000000 - corpus_id) AS best_match,
+           max_by(m, m * 10000000 - corpus_id) AS best_m
+    FROM est GROUP BY batch_id
+)
+SELECT s.doc_id, coalesce(b.n_candidates, 0) AS n_candidates,
+       b.best_match,
+       round(b.best_m / 16.0, 4) AS best_est_jaccard,
+       coalesce(b.best_m / 16.0 < 0.5, true) AS keep
+FROM bsigs s LEFT JOIN best b ON b.batch_id = s.doc_id
+"""
+
+
+@register("dedup_probe_incremental", oracle=_probe_oracle())
+def dedup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a NEW batch (doc_id % 10 >= 8) against the persisted
+    corpus LSH index: batch-only shingling, band equi-join against the
+    index postings, signature-agreement Jaccard estimate, per-doc keep
+    decision. Every batch doc is emitted (n_candidates=0 rows
+    included) so the result can never be vacuously empty."""
+    root = _lsh_index_dir(spark, sf_dir)
+    csigs = spark.read.parquet(root + "/sigs")
+    cbands = spark.read.parquet(root + "/bands")
+    batch = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    from pyspark import StorageLevel
+
+    # bsigs feeds three consumers (bands, the est join, the all-docs
+    # left join) — persist the 1-row-per-doc signature table, not the
+    # corpus (which is only reached through the parquet index)
+    bsigs = (
+        D.minhash_signatures_from_arrays(
+            D.doc_shingle_arrays(batch, 3).filter(F.size("sh_arr") >= 1)
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bbands = D.lsh_bands(bsigs)
+    cand = (
+        bbands.select(
+            F.col("doc_id").alias("batch_id"), "band", "bucket"
+        )
+        .join(
+            cbands.select(
+                F.col("doc_id").alias("corpus_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bs = bsigs.select(
+        F.col("doc_id").alias("batch_id"),
+        *[F.col(f"h{k}").alias(f"b_h{k}") for k in range(D.NUM_HASHES)],
+    )
+    cs = csigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"h{k}").alias(f"c_h{k}") for k in range(D.NUM_HASHES)],
+    )
+    m = None
+    for k in range(D.NUM_HASHES):
+        t = F.when(F.col(f"b_h{k}") == F.col(f"c_h{k}"), 1).otherwise(0)
+        m = t if m is None else m + t
+    est = (
+        cand.join(bs, "batch_id")
+        .join(cs, "corpus_id")
+        .select("batch_id", "corpus_id", m.alias("m"))
+    )
+    key = F.col("m") * 10000000 - F.col("corpus_id")
+    best = est.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by("corpus_id", key).alias("best_match"),
+        F.max_by("m", key).alias("best_m"),
+    )
+    ratio = F.col("best_m") / 16.0
+    return (
+        bsigs.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias(
+                "n_candidates"
+            ),
+            "best_match",
+            R.r(ratio, 4).alias("best_est_jaccard"),
+            F.coalesce(ratio < 0.5, F.lit(True)).alias("keep"),
         )
     )

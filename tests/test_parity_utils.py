@@ -460,3 +460,58 @@ def test_census_python_stages_only_on_deliberate_surfaces():
     assert not offenders, (
         f"Python eval stages outside the deliberate surfaces: {offenders}"
     )
+
+
+# Queries whose physical plan is ALLOWED a partition-less WindowExec —
+# each window runs over a table already cut to a bounded row count, so
+# the single task it forces is correct by construction (r6, VERDICT r5
+# #6). Everything else must partition its windows: an unlisted global
+# window funnels the full input through one task at 100 TB.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # running sum over the per-day aggregate (|days| rows)
+    "cumulative_distinct_users",
+    # cumulative attrition over the pipeline-stage table (|stages| rows)
+    "filter_attrition_funnel",
+    # argmin + growth windows over the 10-row decile table
+    "heaps_vocab_growth",
+    # global max over the per-source aggregate (|sources| rows)
+    "temperature_mix_sources",
+    # rank/max windows over the TakeOrdered top-100 cut
+    "zipf_rank_frequency",
+}
+
+
+def test_census_global_windows_only_on_bounded_inputs():
+    """Registry-wide single-task-window contract: any census row with a
+    partition-less WindowExec must be on the bounded-input allowlist —
+    a global window in an unlisted query means the full input flows
+    through ONE task, the classic silent scale killer."""
+    import re
+
+    text = open("PLANS.md").read()
+    header = next(l for l in text.splitlines() if l.startswith("| query |"))
+    cols = [c.strip() for c in header.strip("|").split("|")]
+    assert "global_windows" in cols, "census missing global_windows column"
+    idx = cols.index("global_windows")
+    offenders = []
+    listed_but_clean = set(_GLOBAL_WINDOW_ALLOWLIST)
+    for line in text.splitlines():
+        m = re.match(r"\| (\w+) \|", line)
+        if not m or m.group(1) == "query":
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) == len(cols) and cells[idx].isdigit():
+            if int(cells[idx]) > 0:
+                if m.group(1) not in _GLOBAL_WINDOW_ALLOWLIST:
+                    offenders.append((m.group(1), cells[idx]))
+                listed_but_clean.discard(m.group(1))
+    assert not offenders, (
+        f"partition-less WindowExec outside the bounded-input "
+        f"allowlist: {offenders}"
+    )
+    # keep the allowlist honest: stale entries must be pruned so the
+    # list stays a faithful census of single-task windows
+    assert not listed_but_clean, (
+        f"allowlist entries with no global window anymore: "
+        f"{sorted(listed_but_clean)}"
+    )

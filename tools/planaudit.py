@@ -59,7 +59,51 @@ def audit_one(name: str, df) -> dict:
     }
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     counts["pushed_filters"] = sum(1 for p in pushed if p.strip())
+    counts["global_windows"] = _count_global_windows(plan)
     return counts
+
+
+def _count_global_windows(plan: str) -> int:
+    """WindowExec nodes with NO partition spec — every row flows
+    through ONE task ("No Partition Defined" at runtime), so each
+    occurrence must be provably bounded-input (the allowlist test in
+    tests/test_parity_utils.py enforces the documentation).
+
+    Window detail blocks print ``Arguments: [exprs], [partition],
+    [order]`` with EMPTY TRAILING GROUPS OMITTED, so the grouping is
+    reconstructed from content: order-spec groups contain ASC/DESC,
+    partition groups are bare column lists."""
+    n = 0
+    for block in re.split(r"\n\n", plan):
+        first = block.lstrip().split("\n", 1)[0].strip()
+        m = re.match(r"\(\d+\)\s+(Window|WindowGroupLimit)$", first)
+        if not m:
+            continue
+        arg_lines = [
+            line for line in block.split("\n")
+            if line.startswith("Arguments:")
+        ]
+        if not arg_lines:
+            continue
+        body = arg_lines[0][len("Arguments:"):].strip()
+        groups = body.split("], [")
+        if m.group(1) == "WindowGroupLimit":
+            # Arguments: [partition], [order], rankFn, limit, mode —
+            # the partition spec LEADS; global iff it is "[" + empty
+            if not groups[0].strip().lstrip("[").strip():
+                n += 1
+        elif len(groups) >= 3:
+            # Window: [exprs], [partition], [order] — global iff
+            # partition empty
+            if not groups[1].strip():
+                n += 1
+        elif len(groups) == 2:
+            # order-only (global) vs partition-only (partitioned)
+            if re.search(r"\b(ASC|DESC) NULLS", groups[1]):
+                n += 1
+        else:
+            n += 1  # exprs only: no partition, no order
+    return n
 
 
 def main() -> None:
@@ -91,7 +135,8 @@ def main() -> None:
             rows.append((name, {"error": str(e)[:80]}))
 
     cols = ["shuffles", "broadcasts", "bcast_joins", "smj", "python",
-            "scans", "sorts", "pushed_filters", "cartesian"]
+            "scans", "sorts", "pushed_filters", "cartesian",
+            "global_windows"]
     lines = [
         "# PLANS — physical-plan census (generated by tools/planaudit.py)",
         "",
@@ -121,6 +166,13 @@ def main() -> None:
         "relation, hiding the exchanges inside the cached segment.",
         "The pre-persist shuffle census for those queries is recorded",
         "in SCALING.md's dedup-family notes.",
+        "",
+        "`global_windows` counts WindowExec nodes with NO partition",
+        "spec (single-task at runtime). Every nonzero entry must sit",
+        "on the bounded-input allowlist in tests/test_parity_utils.py",
+        "— windows over tables already cut to a constant row count",
+        "(top-k limits, decile tables, fixed query samples), where a",
+        "one-task window is correct by construction.",
         "",
         "| query | " + " | ".join(cols) + " |",
         "|---|" + "---|" * len(cols),
