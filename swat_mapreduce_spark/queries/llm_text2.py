@@ -261,15 +261,28 @@ FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
 
 @register("incremental_dedup_vs_corpus", oracle=_INCR_DEDUP_ORACLE)
 def incremental_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import shingles_from_tokens
+
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # tokens materialized in their own projection first — the inline
+    # word_shingles(text) form re-evaluates the split per shingle
+    # element (functions/text.py PERF note; found via the r6
+    # ngram_novelty_decay profile, ~3x scan cost)
+    toked = docs.select(
         "doc_id",
         "lang",
         "source",
         (F.col("doc_id") % 10 >= 8).alias("is_batch"),
-        F.explode(F.array_distinct(word_shingles(F.col("text")))).alias(
-            "shingle"
-        ),
+        ws_tokens(F.col("text")).alias("toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        "lang",
+        "source",
+        "is_batch",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("toks")))
+        ).alias("shingle"),
     )
     batch = sh.filter("is_batch")
     corpus = sh.filter(~F.col("is_batch")).select("shingle").distinct()

@@ -47,13 +47,28 @@ sh AS (
 # which computed the shingle subtree TWICE (once per join leg);
 # measured 4.5 s → ~3 s at sf0.1. All shingle-keyed — no
 # corpus-squared term anywhere.
+#
+# r6 (VERDICT r5 #8): shingles are hashed to a 60-bit int (15 md5
+# nibbles, the shared cross-engine hash) BEFORE the distinct + window,
+# so both shuffles move 8-byte keys instead of ~20-byte strings —
+# ~5x fewer shuffle bytes for long shingles. 60 bits keep the
+# collision expectation ~n²/2^61 ≈ 4e-8 at a 10M-shingle corpus
+# (and a collision would only merge two shingles' first-seen docs —
+# a 1-ulp novelty_rate perturbation, identical on both engines since
+# the hash is shared). Output verified bit-identical to the string
+# form at sf0.01 AND sf0.1.
 _NOVELTY_ORACLE = f"""
 WITH {_SH4_DUCK},
+shh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+    FROM sh
+),
 mx AS (SELECT max(doc_id) AS m FROM documents),
 nov AS (
     SELECT doc_id,
-           (doc_id = min(doc_id) OVER (PARTITION BY shingle)) AS novel
-    FROM sh
+           (doc_id = min(doc_id) OVER (PARTITION BY sh_h)) AS novel
+    FROM shh
 ),
 per_doc AS (
     SELECT doc_id,
@@ -77,19 +92,40 @@ GROUP BY 1
 def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from swat_mapreduce_spark.functions import hashing as _H
+
     docs = read_table(spark, sf_dir, "documents")
     # Single-scan form: the r4 agg+join-back computed this explode→
     # distinct subtree twice (once per join leg); the window evaluates
     # min(doc_id) per shingle partition in-place, so the subtree runs
     # ONCE and persist-vs-recompute stops being a question at all.
-    sh = (
-        docs.select(
-            "doc_id", F.explode(T.word_shingles(F.col("text"))).alias("shingle")
-        )
-        .distinct()
+    # Shingles hashed to 60-bit ints BEFORE the distinct so both the
+    # distinct and window shuffles move 8-byte keys (r6, header note).
+    # per-doc dedup happens NARROWLY via array_distinct before the
+    # explode, so the post-explode rows are already (doc, shingle)-
+    # distinct and no global distinct shuffle is needed — the window's
+    # sh_h shuffle is the query's only shingle-volume exchange.
+    # Hash inside the array (single-param lambda — safe per CLAUDE.md
+    # gotcha 1; generators cannot nest in expressions so the hash
+    # cannot wrap the explode directly).
+    # tokens materialized in their own projection first: the inline
+    # word_shingles(text) form re-evaluates the split per shingle
+    # element (functions/text.py PERF note) — measured 4.4 s for the
+    # bare scan at sf0.1 vs ~1 s with tokens materialized.
+    toked = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    T.shingles_from_tokens(F.col("toks")),
+                    lambda s: _H.hash_uint(s, nibbles=15),
+                )
+            )
+        ).alias("sh_h"),
     )
     novel = F.col("doc_id") == F.min("doc_id").over(
-        Window.partitionBy("shingle")
+        Window.partitionBy("sh_h")
     )
     per_doc = (
         sh.select("doc_id", novel.alias("novel"))
