@@ -145,6 +145,12 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "dedup_index_build",
     "dedup_probe_incremental",
+    "approx_topk_sketch_tokens",
+    "token_budget_fill",
+    "attribution_position_based",
+    "woe_iv_length_feature",
+    "embedding_centroid_drift",
+    "stream_probe_dedup_index",
 ]
 
 REPEATS = 2

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.functions.text import ws_tokens
 from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.sources.readers import read_table
@@ -406,4 +407,147 @@ def mask_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("name_token") == F.countDistinct("c_name")
         ).alias("tokens_consistent"),
         F.countDistinct("acct_band").alias("n_acct_bands"),
+    )
+
+
+# --- WOE / IV feature audit ------------------------------------------------
+# Quality-classifier feature engineering: bin a candidate feature
+# (document length deciles) against the binary keep label the Gopher
+# repetition rule produces, and report per-bin Weight of Evidence
+# plus the feature's total Information Value — the standard screen
+# for "is this feature worth giving the classifier?" (IV < 0.02 =
+# useless, > 0.3 = strong). Laplace-smoothed (+0.5/cell) so empty
+# cells stay finite. Plan: one doc-keyed token aggregate for the
+# label, one ntile decile window over... NO — deciles come from
+# row-local integer arithmetic against broadcast corpus min/max
+# (ntile would be a global window; the arithmetic decile matches the
+# oracle exactly and shuffles nothing). Output: 10 bins + the total
+# IV repeated per row (bounded report).
+#
+# WOE_b = ln( (pos_b / pos_tot) / (neg_b / neg_tot) ) with +0.5
+# smoothing; IV = Σ_b (pos_share - neg_share) * WOE_b. Every
+# division/log runs on doubles derived from identical exact integer
+# counts, so both engines compute bit-identical doubles.
+_WOE_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, n_chars,
+           string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+tc AS (
+    SELECT doc_id, n_chars, unnest(t) AS tokn FROM tok
+),
+lab AS (
+    SELECT doc_id, any_value(n_chars) AS n_chars,
+           (max(cnt)::DOUBLE / sum(cnt) <= 0.12
+            AND sum(cnt * length(tokn))::DOUBLE / sum(cnt)
+                BETWEEN 4.0 AND 5.0) AS keep
+    FROM (SELECT doc_id, n_chars, tokn, count(*) AS cnt
+          FROM tc GROUP BY doc_id, n_chars, tokn)
+    GROUP BY doc_id
+),
+mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM lab),
+binned AS (
+    SELECT least(((n_chars - mn) * 10) // (mx - mn + 1), 9)::INT AS bin,
+           keep
+    FROM lab CROSS JOIN mm
+),
+cells AS (
+    SELECT bin,
+           count(*) FILTER (WHERE keep)::BIGINT AS n_pos,
+           count(*) FILTER (WHERE NOT keep)::BIGINT AS n_neg
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cells),
+woe AS (
+    SELECT bin, n_pos, n_neg,
+           ((n_pos + 0.5) / (tp + 0.5)) AS ps,
+           ((n_neg + 0.5) / (tn + 0.5)) AS ns
+    FROM cells CROSS JOIN tot
+)
+SELECT bin, n_pos, n_neg,
+       round(ln(ps / ns), 4) AS woe,
+       round((SELECT sum(CAST((ps - ns) * ln(ps / ns)
+                               AS DECIMAL(30,12)))::DOUBLE
+              FROM woe), 4) AS total_iv
+FROM woe
+"""
+
+
+@register("woe_iv_length_feature", oracle=_WOE_ORACLE)
+def woe_iv_length_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "n_chars", ws_tokens(F.col("text")).alias("toks")
+    )
+    tc = toked.select(
+        "doc_id", "n_chars", F.explode("toks").alias("tokn")
+    ).groupBy("doc_id", "n_chars", "tokn").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark import StorageLevel
+
+    # lab feeds mm + binned, cells feeds tot + woe (and woe feeds the
+    # iv agg + the final projection) — persist both shared subtrees so
+    # the tokenize+label pipeline runs ONCE (16 shuffles / 8 scans in
+    # the unpersisted census)
+    lab = tc.groupBy("doc_id").agg(
+        F.any_value("n_chars").alias("n_chars"),
+        (
+            (F.max("cnt").cast("double") / F.sum("cnt") <= 0.12)
+            & (
+                F.sum(F.col("cnt") * F.length("tokn")).cast("double")
+                / F.sum("cnt")
+            ).between(4.0, 5.0)
+        ).alias("keep"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mm = lab.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = lab.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                ((F.col("n_chars") - F.col("mn")) * 10)
+                / (F.col("mx") - F.col("mn") + 1)
+            ),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bin"),
+        "keep",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("keep"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_neg"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = cells.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    woe = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        ((F.col("n_pos") + 0.5) / (F.col("tp") + 0.5)).alias("ps"),
+        ((F.col("n_neg") + 0.5) / (F.col("tn") + 0.5)).alias("ns"),
+    )
+    # per-term DECIMAL(30,12) quantization before the sum: a 10-term
+    # double sum is accumulation-order-dependent across engines
+    # (gotcha 2 class); identical double terms -> identical decimals
+    # -> order-independent exact sum on both sides
+    iv = woe.agg(
+        F.sum(
+            (
+                (F.col("ps") - F.col("ns"))
+                * F.log(F.col("ps") / F.col("ns"))
+            ).cast("decimal(30,12)")
+        )
+        .cast("double")
+        .alias("iv")
+    )
+    return woe.crossJoin(F.broadcast(iv)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        R.r(F.log(F.col("ps") / F.col("ns")), 4).alias("woe"),
+        R.r("iv", 4).alias("total_iv"),
     )

@@ -820,29 +820,29 @@ FROM bsigs s LEFT JOIN best b ON b.batch_id = s.doc_id
 """
 
 
-@register("dedup_probe_incremental", oracle=_probe_oracle())
-def dedup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe a NEW batch (doc_id % 10 >= 8) against the persisted
-    corpus LSH index: batch-only shingling, band equi-join against the
-    index postings, signature-agreement Jaccard estimate, per-doc keep
+def probe_docs_against_index(
+    spark: SparkSession, batch, root: str, persist: bool = True
+) -> DataFrame:
+    """Probe a docs DataFrame against the persisted LSH index at
+    ``root``: batch-only shingling, band equi-join against the index
+    postings, signature-agreement Jaccard estimate, per-doc keep
     decision. Every batch doc is emitted (n_candidates=0 rows
-    included) so the result can never be vacuously empty."""
-    root = _lsh_index_dir(spark, sf_dir)
+    included) so the result can never be vacuously empty. Shared by
+    the batch probe query and the foreachBatch streaming-ingest
+    probe (``persist=False`` there — micro-batches are small and the
+    sink drains immediately)."""
     csigs = spark.read.parquet(root + "/sigs")
     cbands = spark.read.parquet(root + "/bands")
-    batch = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 10 >= 8
-    )
     from pyspark import StorageLevel
 
     # bsigs feeds three consumers (bands, the est join, the all-docs
     # left join) — persist the 1-row-per-doc signature table, not the
     # corpus (which is only reached through the parquet index)
-    bsigs = (
-        D.minhash_signatures_from_arrays(
-            D.doc_shingle_arrays(batch, 3).filter(F.size("sh_arr") >= 1)
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bsigs = D.minhash_signatures_from_arrays(
+        D.doc_shingle_arrays(batch, 3).filter(F.size("sh_arr") >= 1)
+    )
+    if persist:
+        bsigs = bsigs.persist(StorageLevel.MEMORY_AND_DISK)
     bbands = D.lsh_bands(bsigs)
     cand = (
         bbands.select(
@@ -894,3 +894,12 @@ def dedup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(ratio < 0.5, F.lit(True)).alias("keep"),
         )
     )
+
+
+@register("dedup_probe_incremental", oracle=_probe_oracle())
+def dedup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _lsh_index_dir(spark, sf_dir)
+    batch = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    return probe_docs_against_index(spark, batch, root)

@@ -231,3 +231,64 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_score"),
     )
+
+
+# --- approx_top_k sketch family (Spark 4.1) --------------------------------
+# The mergeable heavy-hitter path: per-source token sketches
+# (approx_top_k_accumulate — each shard tracks its own bounded-size
+# frequency state), combined into one corpus sketch
+# (approx_top_k_combine), then estimated (approx_top_k_estimate).
+# This is THE 100 TB heavy-hitter architecture: per-partition state is
+# capacity-bounded (here 10000 tracked items), merge is associative,
+# and no raw token stream crosses the shuffle — only sketches.
+# Determinism: the testdata vocabulary (31 distinct tokens) sits far
+# under the tracked capacity, so sketch counts are EXACT and the
+# DuckDB exact-count oracle matches; the estimate is pulled at full
+# width and the top-10 cut is applied OURSELVES with a (count DESC,
+# token ASC) row_number — the sketch's own k-cut has sketch-internal
+# tie order. (At real scale the same plan is approximate for the
+# tail but exact for true heavy hitters.) Complements
+# countmin_heavy_hitters (DIY d×w CM sketch) with the built-in
+# engine-native sketch aggregate.
+_APPROX_TOPK_ORACLE = r"""
+WITH w AS (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS tok
+    FROM documents
+),
+c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok)
+SELECT tok, cnt::BIGINT AS cnt, rank
+FROM (SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM c)
+WHERE rank <= 10
+"""
+
+
+@register("approx_topk_sketch_tokens", oracle=_APPROX_TOPK_ORACLE)
+def approx_topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", ws_tokens(F.col("text")).alias("toks")
+    ).select("source", F.explode("toks").alias("tok"))
+    # per-source sketches -> one combined sketch -> full-width estimate
+    per_source = toks.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(tok, 50)").alias("sk")
+    )
+    est = per_source.agg(
+        F.expr(
+            "approx_top_k_estimate(approx_top_k_combine(sk), 50)"
+        ).alias("items")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        est.select(F.explode("items").alias("it"))
+        .select(
+            F.col("it.item").alias("tok"),
+            F.col("it.count").cast("bigint").alias("cnt"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

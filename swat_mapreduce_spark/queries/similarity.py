@@ -1827,3 +1827,99 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return exact.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+# --- embedding centroid drift (snapshot monitor) ---------------------------
+# Model/data drift guard for a continuously re-embedded corpus: per
+# label, compare the centroid of the FIRST half of vec_ids (ingestion
+# order) against the SECOND half — centroid cosine near 1 and a norm
+# ratio near 1 mean the embedding distribution is stable; a dropping
+# cosine is the classic silent re-embedding / upstream-model-change
+# signal. Two element-wise aggregates (per (label, half, dim)) with
+# decimal-exact sums, then a |labels|-row rollup — no pairwise math,
+# no corpus-sized shuffle beyond the one groupBy. Both engines divide
+# identical exact decimal sums by identical counts, so the centroid
+# doubles (and everything derived) are bit-identical.
+_CENTROID_DRIFT_ORACLE = f"""
+WITH {_DIMS_DUCK},
+mx AS (SELECT max(vec_id) AS m FROM embeddings),
+halves AS (
+    SELECT e.label, d.vec_id, d.i, d.x,
+           (d.vec_id * 2 < (SELECT m + 1 FROM mx)) AS first_half
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+),
+cent AS (
+    SELECT label, first_half, i,
+           sum(CAST(x AS DECIMAL(30,8)))::DOUBLE / count(*) AS m
+    FROM halves GROUP BY label, first_half, i
+),
+paired AS (
+    SELECT a.label, a.i, a.m AS ma, b.m AS mb
+    FROM cent a JOIN cent b
+      ON a.label = b.label AND a.i = b.i
+    WHERE a.first_half AND NOT b.first_half
+)
+SELECT label,
+       round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 4)
+           AS centroid_cosine,
+       round(sqrt(sum(ma * ma)), 4) AS norm_first,
+       round(sqrt(sum(mb * mb)), 4) AS norm_second,
+       round(sqrt(sum((ma - mb) * (ma - mb))), 4) AS centroid_l2_shift
+FROM paired
+GROUP BY label
+"""
+
+
+@register("embedding_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id").alias("m"))
+    halves = (
+        emb.crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            (F.col("vec_id") * 2 < F.col("m") + 1).alias("first_half"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "x"
+            ),
+        )
+        .select("label", "first_half", (F.col("i0") + 1).alias("i"), "x")
+    )
+    cent = halves.groupBy("label", "first_half", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    a = cent.filter(F.col("first_half")).select(
+        "label", "i", F.col("m").alias("ma")
+    )
+    b = cent.filter(~F.col("first_half")).select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"),
+        F.col("m").alias("mb"),
+    )
+    paired = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("i") == F.col("ib"))
+    )
+    return paired.groupBy("label").agg(
+        R.r(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            4,
+        ).alias("centroid_cosine"),
+        R.r(F.sqrt(F.sum(F.col("ma") * F.col("ma"))), 4).alias("norm_first"),
+        R.r(F.sqrt(F.sum(F.col("mb") * F.col("mb"))), 4).alias(
+            "norm_second"
+        ),
+        R.r(
+            F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+                )
+            ),
+            4,
+        ).alias("centroid_l2_shift"),
+    )

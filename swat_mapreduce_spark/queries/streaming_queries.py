@@ -789,3 +789,79 @@ def stream_parquet_sink_checkpoint(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- streaming ingest dedup: probe arriving docs vs the persisted index ----
+# The production ingest gate: new documents ARRIVE as a stream, and
+# each micro-batch is probed against the persisted corpus LSH index
+# (queries/dedup.py dedup_index_build) before admission — foreachBatch
+# runs the same band-join + signature-agreement probe per batch, so
+# probe cost per batch is O(batch) + one index join and the corpus is
+# never re-read. Per-doc decisions are INDEPENDENT (each doc compares
+# only against the static index, never against other stream docs), so
+# the drained union across micro-batches equals the one-shot batch
+# probe bit-for-bit — which is exactly what the shared oracle checks.
+def _stream_probe_oracle() -> str:
+    from swat_mapreduce_spark.queries.dedup import _probe_oracle
+
+    return _probe_oracle()
+
+
+@register("stream_probe_dedup_index", oracle=_stream_probe_oracle())
+def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.queries.dedup import (
+        _lsh_index_dir,
+        probe_docs_against_index,
+    )
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    root = _lsh_index_dir(spark, sf_dir)
+    batch_docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    stage = tempfile.mkdtemp(prefix="swat_probe_stream_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    # 2 files -> 2 micro-batches (maxFilesPerTrigger=1): enough to
+    # prove per-batch probing without paying per-batch fixed costs
+    # 32 times (CLAUDE.md gotcha 12)
+    batch_docs.coalesce(2).write.parquet(stage + "/in")
+    schema = batch_docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage + "/in")
+    )
+    acc: dict[str, list] = {"rows": []}
+
+    def probe_batch(batch_df, _batch_id):
+        acc["rows"].extend(
+            probe_docs_against_index(
+                spark, batch_df, root, persist=False
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not acc["rows"]:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS doc_id,"
+            " CAST(NULL AS BIGINT) AS n_candidates,"
+            " CAST(NULL AS BIGINT) AS best_match,"
+            " CAST(NULL AS DOUBLE) AS best_est_jaccard,"
+            " CAST(NULL AS BOOLEAN) AS keep"
+        ).limit(0)
+    return spark.createDataFrame(
+        acc["rows"],
+        "doc_id long, n_candidates long, best_match long,"
+        " best_est_jaccard double, keep boolean",
+    )

@@ -1813,3 +1813,110 @@ def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tri_score",
         )
     )
+
+
+# --- position-based (U-shaped) multi-touch attribution ---------------------
+# attribution_last_touch credits one click; the position-based model
+# marketing stacks actually run splits each purchase's value across
+# ALL clicks in its 7-day lookback: 100% to a lone touch, 50/50 for
+# two, else 40% first + 40% last + 20% spread over the middles.
+# Purchases with no prior click credit 'organic' in full (the LEFT
+# join's null touch row flows through the same n=1 formula).
+# Plan shape: one user-keyed equi-join with a range predicate (each
+# user's touches are bounded), per-PURCHASE rank/count windows
+# (partition = one purchase's touch list — bounded), then a
+# |channels|-row rollup. Credited amounts are quantized to
+# DECIMAL(30,8) per term before the money sum, so the rollup is
+# accumulation-order-independent (CLAUDE.md gotcha 2).
+_POSITION_ATTRIB_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, event_id AS t_id, ts AS t_ts,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE event_type = 'click'
+),
+j AS (
+    SELECT p.p_id, p.value, t.t_id, t.t_ts, t.k
+    FROM p LEFT JOIN t
+      ON t.user_id = p.user_id
+     AND t.t_ts < p.p_ts
+     AND t.t_ts >= p.p_ts - INTERVAL 7 DAYS
+),
+r AS (
+    SELECT p_id, value, k, t_id,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY p_id) AS n
+    FROM j
+    WINDOW w AS (PARTITION BY p_id ORDER BY t_ts, t_id)
+),
+credited AS (
+    SELECT coalesce('ch_' || (k % 4), 'organic') AS channel, p_id,
+           CAST(value * (CASE WHEN n = 1 THEN 1.0
+                              WHEN n = 2 THEN 0.5
+                              WHEN rn = 1 OR rn = n THEN 0.4
+                              ELSE 0.2 / (n - 2) END)
+                AS DECIMAL(30,8)) AS credit
+    FROM r
+)
+SELECT channel,
+       count(*)::BIGINT AS n_credits,
+       count(DISTINCT p_id)::BIGINT AS n_purchases,
+       round(sum(credit), 2)::DOUBLE AS attributed_value
+FROM credited
+GROUP BY channel
+"""
+
+
+@register("attribution_position_based", oracle=_POSITION_ATTRIB_ORACLE)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wn = Window.partitionBy("p_id")
+    r = j.select(
+        "p_id",
+        "value",
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit_frac = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = r.select(
+        F.coalesce(
+            F.concat(F.lit("ch_"), (F.col("k") % 4).cast("string")),
+            F.lit("organic"),
+        ).alias("channel"),
+        "p_id",
+        (F.col("value") * credit_frac).cast("decimal(30,8)").alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.count_distinct(F.col("p_id")).alias("n_purchases"),
+        R.r(F.sum("credit").cast("double"), 2).alias("attributed_value"),
+    )

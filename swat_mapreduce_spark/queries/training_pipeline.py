@@ -688,3 +688,111 @@ def grouped_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.size(F.collect_set("split").over(w)).cast("long").alias("n_sides"),
     )
+
+
+# --- token-budget corpus fill ---------------------------------------------
+# "Fill a B-token training budget in priority order" — the op that
+# turns a curated corpus into an actual training mix: docs are taken
+# in (source ASC, doc_id ASC) priority order until the cumulative
+# token count exceeds the budget; everything after the boundary is
+# deferred. Budget = floor(0.6 × total corpus tokens) — RELATIVE to
+# the corpus so the boundary lands mid-corpus at every scale factor
+# (an absolute budget would keep everything at sf0.001 and the keep
+# filter would be vacuous — CLAUDE.md gotcha 5); the 6·total//10 form
+# is pure integer math, identical on both engines.
+#
+# Scale shape: NO global window. Cumulative tokens in priority order
+# decompose as offset(source) + within-source running sum — the
+# within-source window partitions by source (distributed), and the
+# offsets are a |sources|-row driver fold (same bounded-collect
+# pattern as pack_sequences_fixed's bucket offsets). Output is one
+# row per source.
+_BUDGET_ORACLE = r"""
+WITH n AS (
+    SELECT source, doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> len(x) > 0))::BIGINT AS n_tokens
+    FROM documents
+),
+b AS (SELECT (sum(n_tokens) * 6) // 10 AS budget FROM n),
+c AS (
+    SELECT source, doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY source, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+    FROM n
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       count(*) FILTER (WHERE cum <= budget)::BIGINT AS n_docs_kept,
+       coalesce(sum(n_tokens) FILTER (WHERE cum <= budget), 0)::BIGINT
+           AS n_tokens_kept,
+       (count(*) FILTER (WHERE cum <= budget) = count(*)) AS fully_kept,
+       any_value(budget)::BIGINT AS budget
+FROM c CROSS JOIN b
+GROUP BY source
+"""
+
+
+@register("token_budget_fill", oracle=_BUDGET_ORACLE)
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "source",
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    # bounded driver fold: one row per source -> priority-order offsets
+    # + the relative budget, no global window anywhere
+    totals = sorted(
+        (r["source"], r["t"])
+        for r in with_n.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    grand = sum(t for _, t in totals)
+    budget = (grand * 6) // 10
+    offsets, acc = {}, 0
+    for src, t in totals:
+        offsets[src] = acc
+        acc += t
+    if not offsets:  # empty corpus: schema-correct empty result
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS source,"
+            " CAST(NULL AS BIGINT) AS n_docs,"
+            " CAST(NULL AS BIGINT) AS n_tokens,"
+            " CAST(NULL AS BIGINT) AS n_docs_kept,"
+            " CAST(NULL AS BIGINT) AS n_tokens_kept,"
+            " CAST(NULL AS BOOLEAN) AS fully_kept,"
+            " CAST(NULL AS BIGINT) AS budget"
+        ).limit(0)
+    offset_map = F.create_map(
+        *[F.lit(x) for src, _ in totals for x in (src, offsets[src])]
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        F.element_at(offset_map, F.col("source"))
+        + F.sum("n_tokens").over(w)
+    ).cast("long")
+    kept = cum <= F.lit(budget)
+    return (
+        with_n.select("source", "n_tokens", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+            ).alias("n_tokens_kept"),
+            (
+                F.count(F.when(F.col("kept"), 1)) == F.count(F.lit(1))
+            ).alias("fully_kept"),
+            F.lit(budget).cast("long").alias("budget"),
+        )
+    )

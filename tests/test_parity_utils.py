@@ -478,6 +478,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "temperature_mix_sources",
     # rank/max windows over the TakeOrdered top-100 cut
     "zipf_rank_frequency",
+    # deterministic top-10 cut over the <=50-row sketch estimate
+    "approx_topk_sketch_tokens",
 }
 
 
