@@ -196,13 +196,25 @@ GROUP BY doc_id
 
 @register("doc_fingerprint", oracle=_FP_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import char_shingles_from
+
     docs = read_table(spark, sf_dir, "documents")
-    hashes = F.transform(char_shingles(F.col("text"), 5), F.md5)
-    fp = F.array_min(hashes)
-    return docs.select(
+    # lowercased text materialized first: the inline char_shingles
+    # form re-evaluates lower(text) per shingle element (functions/
+    # text.py PERF note — same trap fixed in ngram_novelty_decay r6);
+    # fp likewise materialized so the array_min fold runs once, not
+    # once per referencing column
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("t"))
+    fp_t = lowered.select(
         "doc_id",
-        fp.alias("fingerprint"),
-        F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fp64"),
+        F.array_min(
+            F.transform(char_shingles_from(F.col("t"), 5), F.md5)
+        ).alias("fp"),
+    )
+    return fp_t.select(
+        "doc_id",
+        F.col("fp").alias("fingerprint"),
+        F.conv(F.substring("fp", 1, 8), 16, 10).cast("bigint").alias("fp64"),
     )
 
 
