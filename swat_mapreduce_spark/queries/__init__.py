@@ -39,6 +39,7 @@ def load_all() -> dict[str, QueryEntry]:
     """Import every query module (side effect: registration)."""
     from swat_mapreduce_spark.queries import (  # noqa: F401
         curation,
+        data_selection,
         dedup,
         engine_observability,
         formats,

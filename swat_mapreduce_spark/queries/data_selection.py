@@ -1,0 +1,346 @@
+"""Training-data selection & pre-shuffle audit pack: the three ops a
+100 TB ingestion pipeline runs between "raw corpus" and "training mix".
+
+* ``dsir_importance_weights`` — hashed n-gram importance weighting
+  (DSIR, Xie et al. 2023): score every raw document by how target-
+  domain-like its token distribution is, log p_target(x) − log p_raw(x)
+  under two hashed bag-of-words unigram models. The model state is a
+  FIXED 256-row table (hash buckets), so at 100 TB the corpus pays one
+  tokenize pass to build doc×bucket counts, the models aggregate from
+  that same subtree (256-row shuffle), and scoring is a broadcast join
+  back — no second corpus scan, no driver state.
+* ``cdc_chunk_dedup`` — content-defined chunking: boundaries where the
+  rolling 8-char window's hash lands in 1/16 of hash space, so chunk
+  edges realign after insertions/deletions (unlike fixed-width
+  chunks). The rsync/LBFS/dedup-storage primitive, applied to corpus
+  text: duplicated chunks across documents surface shift-invariant
+  copy-paste that exact-doc and paragraph dedup both miss.
+* ``shuffle_key_skew_audit`` — the pre-join diagnostic for the dedup
+  family's REAL shuffle key (the trigram shingle): per-magnitude key
+  histogram + max-key share + skew factor. These are the numbers that
+  justify MAX_DF caps, salting, and AQE skew thresholds BEFORE a 100 TB
+  self-join is launched, computed from the (key, count) aggregate only
+  — one map-side-combined shuffle, no global window, O(distinct keys)
+  downstream.
+
+Scale posture: every query aggregates the corpus exactly once on a
+bounded-cardinality key (256 buckets / chunk hashes / distinct
+shingles), then operates on the aggregate; summaries are single-row
+broadcasts, never windows. Integer/decimal arithmetic end-to-end at
+the comparison-sensitive spots (CLAUDE.md gotchas 2/8): the one ln()
+per DSIR bucket is rounded to DECIMAL(20,6) on both engines before the
+decimal-exact weighted sum (the char-LM pattern, llm_text3.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.functions.text import ws_tokens
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.queries.llm_text5 import (
+    _OCC_DUCK,
+    _shingle_occurrences,
+)
+from swat_mapreduce_spark.sources.readers import fan_out, read_table
+
+# --- DSIR importance weighting ---------------------------------------------
+# Hashed unigram features: bucket = md5-uint32(token) % 256 — same
+# 8-nibble md5→BIGINT idiom as the minhash family (operators/dedup.
+# shingle_uint), mirrored verbatim in DuckDB. Laplace-smoothed bucket
+# probabilities; the per-bucket log-ratio is ln of ONE exact-integer
+# ratio evaluated as a single correctly-rounded double division
+# ((t+1)(R+256)) / ((T+256)(r+1)) — products stay < 2^53 at tested
+# scales (note: a real 100 TB run lifts these to DECIMAL products) —
+# then snapped to DECIMAL(20,6) on both engines so the cross-libm ln
+# ulp can't leak into the weighted sum. Weight = Σ n_b · lr_b as
+# DECIMAL(10,0)×DECIMAL(20,6) → DECIMAL(31,6) terms (precision
+# 10+20+1 ≤ 38: no silent scale loss, gotcha 8), summed exactly.
+_DSIR_ORACLE = r"""
+WITH occ AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS tok
+    FROM documents
+),
+db AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b,
+           count(*) AS n
+    FROM occ GROUP BY 1, 2, 3
+),
+bk AS (
+    SELECT b, sum(n)::BIGINT AS r_cnt,
+           sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)::BIGINT AS t_cnt
+    FROM db GROUP BY b
+),
+tot AS (SELECT sum(r_cnt)::BIGINT AS rt, sum(t_cnt)::BIGINT AS tt FROM bk),
+model AS (
+    SELECT b, CAST(ln(((t_cnt + 1) * (rt + 256))::DOUBLE
+                      / ((tt + 256) * (r_cnt + 1))) AS DECIMAL(20,6)) AS lr
+    FROM bk, tot
+),
+sc AS (
+    SELECT d.doc_id, d.lang, sum(d.n)::BIGINT AS n_toks,
+           sum(CAST(d.n AS DECIMAL(10,0)) * m.lr) AS w
+    FROM db d JOIN model m ON d.b = m.b
+    GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_toks,
+       round(w::DOUBLE, 4) AS weight,
+       round(w::DOUBLE * 1000 / n_toks, 4) AS weight_per_1k,
+       w > 0 AS selected
+FROM sc
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-document importance weight
+    ln p_target/p_raw under 256-bucket hashed-unigram LMs, target =
+    ``lang='en'`` documents, raw = whole corpus. The doc×bucket count
+    aggregate is the ONLY corpus-width pass (persisted — both the
+    model build and the scoring join consume it); the 256-row model
+    broadcasts back. selected = (weight > 0): the importance-resampling
+    acceptance direction."""
+    docs = read_table(spark, sf_dir, "documents")
+    occ = (
+        fan_out(docs)
+        .select("doc_id", "lang", ws_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", "lang", F.explode("toks").alias("tok"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % 256
+    )
+    db = (
+        occ.groupBy("doc_id", "lang", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bk = db.groupBy("b").agg(
+        F.sum("n").alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "t_cnt"
+        ),
+    )
+    tot = bk.agg(
+        F.sum("r_cnt").alias("rt"), F.sum("t_cnt").alias("tt")
+    )
+    model = bk.join(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("t_cnt") + 1) * (F.col("rt") + 256))
+            / ((F.col("tt") + 256) * (F.col("r_cnt") + 1))
+        )
+        .cast("decimal(20,6)")
+        .alias("lr"),
+    )
+    sc = (
+        db.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_toks"),
+            F.sum(F.col("n").cast("decimal(10,0)") * F.col("lr")).alias("w"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        R.r(F.col("w").cast("double"), 4).alias("weight"),
+        R.r(F.col("w").cast("double") * 1000 / F.col("n_toks"), 4).alias(
+            "weight_per_1k"
+        ),
+        (F.col("w") > 0).alias("selected"),
+    )
+
+
+# --- content-defined chunking dedup ----------------------------------------
+# Boundary rule: position i (2 ≤ i ≤ len−7) starts a new chunk when
+# md5 of the 8-char window at i begins with hex nibble '0' (p = 1/16
+# → mean chunk ≈ 16 chars on this corpus). Chunks are computed INSIDE
+# the array domain (one transform over the starts array, using the
+# (element, index) SQL lambda form — index lambdas are written as SQL
+# strings, never Python lambdas, per CLAUDE.md gotcha 1) so only chunk
+# strings are ever exploded — the document text is not replicated per
+# chunk. try_element_at past the end is NULL (= DuckDB's out-of-range
+# list index), closing the final chunk at len+1. sequence() is guarded
+# against the descending-default trap (gotcha 10).
+_CDC_ORACLE = r"""
+WITH d AS (SELECT doc_id, text AS t FROM documents),
+s AS (
+    SELECT doc_id, t,
+           list_concat(
+               [1],
+               list_filter(range(2, len(t) - 6),
+                           i -> substr(md5(substr(t, i, 8)), 1, 1) = '0')
+           ) AS starts
+    FROM d
+),
+e AS (
+    SELECT doc_id, t, starts,
+           list_concat(starts[2:], [len(t) + 1]) AS nexts
+    FROM s
+),
+ck AS (
+    SELECT doc_id, substr(t, st, en - st) AS chunk
+    FROM (SELECT doc_id, t, unnest(starts) AS st, unnest(nexts) AS en
+          FROM e)
+)
+SELECT md5(chunk) AS chunk_hash,
+       max(len(chunk))::BIGINT AS chunk_len,
+       count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(substr(chunk, 1, 16)) AS preview
+FROM ck
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY n_occ DESC, chunk_hash
+LIMIT 100
+"""
+
+
+@register("cdc_chunk_dedup", oracle=_CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: split every document at
+    rolling-hash-chosen boundaries, hash the chunks, and report the
+    top-100 cross-corpus duplicated chunks (shift-invariant copy-paste
+    detection). One narrow per-doc chunking map, one map-side-combined
+    groupBy on the chunk hash, TakeOrderedAndProject top-100 — at
+    100 TB the shuffle carries (hash, partial agg) rows only."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = fan_out(docs).select("doc_id", F.col("text").alias("t"))
+    s = d.select(
+        "doc_id",
+        "t",
+        F.concat(
+            F.array(F.lit(1)),
+            F.when(
+                F.length("t") >= 9,
+                F.expr(
+                    "filter(sequence(2, length(t) - 7),"
+                    " i -> substr(md5(substr(t, i, 8)), 1, 1) = '0')"
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        ).alias("starts"),
+    )
+    ck = s.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(starts, (st, j) -> substr(t, st,"
+                " coalesce(try_element_at(starts, j + 2), length(t) + 1)"
+                " - st))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        ck.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.max(F.length("chunk")).cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.substring("chunk", 1, 16)).alias("preview"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.desc("n_occ"), F.asc("chunk_hash"))
+        .limit(100)
+    )
+
+
+# --- shuffle-key skew audit ------------------------------------------------
+# Key = the trigram shingle (the dedup family's join/groupBy key;
+# occurrence counts, duplicates kept — this audits the SHUFFLE, so
+# multiplicity is the payload). The top key is elected with a pure-
+# integer encoded max — cnt·2^32 + md5-uint32(key) — exact in BIGINT
+# (top cnt ≪ 2^21), deterministic under duplicate counts (gotcha 9),
+# and decomposed arithmetically; no max_by, no double, no join-back.
+_SKEW_ORACLE = f"""
+WITH {_OCC_DUCK},
+c AS (SELECT sh, count(*) AS cnt FROM occ GROUP BY sh),
+u AS (SELECT cnt, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS uh FROM c),
+summ AS (
+    SELECT count(*)::BIGINT AS total_keys, sum(cnt)::BIGINT AS total_rows,
+           max(cnt * 4294967296 + uh)::BIGINT AS top_enc
+    FROM u
+),
+hist AS (
+    SELECT length(printf('%b', cnt)) - 1 AS log2_bucket,
+           count(*)::BIGINT AS n_keys,
+           sum(cnt)::BIGINT AS bucket_rows
+    FROM u GROUP BY 1
+)
+SELECT log2_bucket, n_keys, bucket_rows,
+       round(bucket_rows::DOUBLE / total_rows, 6) AS rows_share,
+       total_keys, total_rows,
+       (top_enc // 4294967296)::BIGINT AS max_cnt,
+       (top_enc % 4294967296)::BIGINT AS top_key_hash,
+       round((top_enc // 4294967296)::DOUBLE / total_rows, 6)
+           AS max_key_share,
+       round((top_enc // 4294967296)::DOUBLE * total_keys / total_rows, 4)
+           AS skew_factor
+FROM hist, summ
+"""
+
+
+@register("shuffle_key_skew_audit", oracle=_SKEW_ORACLE)
+def shuffle_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle key-skew diagnostic over the trigram-shingle join
+    key: per-log2-magnitude histogram of key frequencies (floor(log2)
+    from the binary digit count — exact integer arithmetic on both
+    engines, no float log) plus
+    max-key share and skew factor (max/avg). Exactly one shuffle (the
+    map-side-combined key count); the histogram and the single-row
+    summary both aggregate the O(distinct-keys) count table, and the
+    summary broadcasts back onto the ≤20-row histogram."""
+    docs = read_table(spark, sf_dir, "documents")
+    c = (
+        _shingle_occurrences(docs)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    u = c.select(
+        "cnt",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("uh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: O(distinct keys) and consumed twice (histogram +
+    # summary) — without it each consumer re-pays the corpus shingle
+    # explode and the key-count shuffle
+    summ = u.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max(F.col("cnt") * F.lit(4294967296) + F.col("uh")).alias(
+            "top_enc"
+        ),
+    )
+    hist = u.groupBy(
+        (F.length(F.conv(F.col("cnt"), 10, 2)) - 1)
+        .cast("bigint")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("bucket_rows"),
+    )
+    max_cnt = F.expr("top_enc div 4294967296")
+    return hist.join(F.broadcast(summ)).select(
+        "log2_bucket",
+        "n_keys",
+        "bucket_rows",
+        R.r(F.col("bucket_rows") / F.col("total_rows"), 6).alias(
+            "rows_share"
+        ),
+        "total_keys",
+        "total_rows",
+        max_cnt.alias("max_cnt"),
+        (F.col("top_enc") % 4294967296).alias("top_key_hash"),
+        R.r(max_cnt / F.col("total_rows"), 6).alias("max_key_share"),
+        R.r(max_cnt * F.col("total_keys") / F.col("total_rows"), 4).alias(
+            "skew_factor"
+        ),
+    )
