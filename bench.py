@@ -203,10 +203,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             # repeats exist to strip first-run plan-compile noise,
             # which can dominate even multi-second queries (flagship's
-            # cold run is ~2.5x its warm run); only the slowest
-            # state-store-init-bound queries (>12 s) skip the repeat,
-            # where the first run is already steady-state-dominated
-            if dt > 12.0:
+            # cold run is ~2.5x its warm run); only streaming queries
+            # skip the repeat — their cost is state-store init +
+            # micro-batch replay, already steady-state-dominated on
+            # the first run. (Through r5 this was a bare >12 s time
+            # cut, which misclassified ann_ivfpq_topk's 12.03 s cold
+            # run as unrepeatable and reported it cold while its
+            # sibling ann_pq_adc_topk reported the cached-rep time;
+            # sub-12 s streaming rows keep their best-of-2 behavior
+            # unchanged.)
+            if dt > 12.0 and name.startswith("stream_"):
                 break
         # Drop per-query persist() blocks AFTER the rep loop (not
         # between reps — Spark's CacheManager matches by logical plan,

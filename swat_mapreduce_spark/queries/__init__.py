@@ -51,6 +51,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text5,
         multimodal,
         python_udf_surfaces,
+        quality_audits,
         reference_pipeline,
         relational,
         relational2,

@@ -1,0 +1,357 @@
+"""Data-quality audit pack: label-noise detection, cluster-quality
+scoring, and a forensic digit-distribution audit — the checks a
+labeled-corpus pipeline runs before trusting its labels, its
+clustering, and its numeric columns.
+
+* ``knn_label_agreement`` — per-label k-NN label-agreement rate: for
+  every vector, the share of its 10 nearest LSH-bucket neighbours
+  that carry the SAME label. Low agreement for a label = label noise
+  or genuinely overlapping classes; the standard cheap proxy for
+  kNN-based label-error detection (Confident Learning's simplest
+  ancestor). Candidates are bucket-local (the corpus-scaled
+  `lsh_tagged_capped` machinery shared with `hard_negative_mining`),
+  so pair volume is Σ bucket² — never corpus².
+* ``embedding_silhouette_audit`` — simplified (centroid) silhouette
+  per label: a = distance to own-label centroid, b = nearest
+  other-label centroid, s = (b−a)/max(a,b), averaged per label. THE
+  cluster-cohesion number for an IVF/SemDeDup partition before
+  trusting it at scale. One corpus-wide (vec, label-centroid)
+  distance aggregate — |labels| centroids, decimal-exact sums, no
+  pairwise vector math.
+* ``benford_digit_audit`` — leading-digit distribution of order
+  totals vs Benford's law with a χ² distance. The classic fraud /
+  synthetic-data forensic: one map-side-combined 9-group aggregate
+  however many orders exist.
+
+Scale posture: every query's reduce state is bounded (10 neighbours/
+anchor inside capped buckets; |labels| centroids; 9 digits); averages
+are decimal-term sums (order-independent, CLAUDE.md gotcha 2 class)
+and every cross-engine transcendental (log10, sqrt-of-exact-decimal)
+is snapped to decimal before it enters a sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from swat_mapreduce_spark.functions import arrays as A
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.operators import similarity as S
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.queries.similarity import _DIMS_DUCK
+from swat_mapreduce_spark.sources.readers import read_table
+
+_KNN_K = 10
+
+# --- kNN label agreement ---------------------------------------------------
+_KNN_AGREE_ORACLE = f"""
+WITH {_DIMS_DUCK},
+{S.duck_lsh_planes()},
+{S.duck_lsh_capped_buckets()},
+pairs AS (
+    SELECT a.vec_id AS anchor, ea.label AS anchor_label,
+           b.vec_id AS cand, eb.label AS cand_label
+    FROM capped a JOIN capped b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+scored AS (
+    SELECT p.anchor, p.anchor_label, p.cand, p.cand_label,
+           round(sum(da.x * db.x) / (sqrt(sum(da.x * da.x))
+                 * sqrt(sum(db.x * db.x))) * 10000) / 10000 + 0.0 AS c
+    FROM pairs p
+    JOIN dims da ON da.vec_id = p.anchor
+    JOIN dims db ON db.vec_id = p.cand AND db.i = da.i
+    GROUP BY p.anchor, p.anchor_label, p.cand, p.cand_label
+),
+knn AS (
+    SELECT anchor, anchor_label, cand_label
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY anchor
+                               ORDER BY c DESC, cand) <= {_KNN_K}
+),
+per_anchor AS (
+    SELECT anchor, anchor_label,
+           count(*)::BIGINT AS n_nb,
+           sum(CASE WHEN cand_label = anchor_label THEN 1 ELSE 0 END)::BIGINT
+               AS n_same,
+           CAST(sum(CASE WHEN cand_label = anchor_label THEN 1 ELSE 0
+                    END)::DOUBLE / count(*) AS DECIMAL(30,8)) AS share
+    FROM knn GROUP BY anchor, anchor_label
+)
+SELECT anchor_label AS label,
+       count(*)::BIGINT AS n_anchors,
+       sum(n_same)::BIGINT AS n_same,
+       sum(n_nb)::BIGINT AS n_neighbors,
+       round(sum(share)::DOUBLE / count(*), 4) AS avg_agreement
+FROM per_anchor
+GROUP BY anchor_label
+"""
+
+
+@register("knn_label_agreement", oracle=_KNN_AGREE_ORACLE)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label average k-NN (k=10) label-agreement share within LSH
+    buckets. The pair join, cosine, and per-anchor top-k mirror
+    `hard_negative_mining` (bucket-bounded windows); per-anchor
+    agreement shares are snapped to DECIMAL(30,8) before the per-label
+    mean so the rollup is accumulation-order-free. Anchors in
+    cap-dropped or singleton buckets contribute no row — same recall
+    contract as every LSH op here."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    tagged = S.lsh_tagged_capped(emb)  # persisted; self-joined below
+    a = tagged.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("cand_label"),
+        F.col("v").alias("bv"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("anchor") != F.col("cand")),
+    )
+    scored = pairs.select(
+        "anchor",
+        "anchor_label",
+        "cand",
+        "cand_label",
+        R.r(A.cosine(F.col("av"), F.col("bv")), 4).alias("c"),
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("c"), F.asc("cand"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("anchor", "anchor_label", "cand_label")
+    )
+    agree = (F.col("cand_label") == F.col("anchor_label")).cast("int")
+    per_anchor = knn.groupBy("anchor", "anchor_label").agg(
+        F.count(F.lit(1)).alias("n_nb"),
+        F.sum(agree).alias("n_same"),
+        (F.sum(agree) / F.count(F.lit(1)))
+        .cast("decimal(30,8)")
+        .alias("share"),
+    )
+    return per_anchor.groupBy(F.col("anchor_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum("n_same").alias("n_same"),
+        F.sum("n_nb").alias("n_neighbors"),
+        R.r(F.sum("share").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_agreement"
+        ),
+    )
+
+
+# --- simplified (centroid) silhouette --------------------------------------
+# Distances are sqrt of DECIMAL-exact squared-L2 sums — both engines
+# take sqrt of the SAME exact decimal, so every distance double is
+# bit-identical; min/argmin over them cannot diverge. The per-label
+# silhouette mean uses decimal terms.
+_SILHOUETTE_ORACLE = f"""
+WITH {_DIMS_DUCK},
+cent AS (
+    SELECT e.label, d.i,
+           sum(CAST(d.x AS DECIMAL(30,8)))::DOUBLE / count(*) AS m
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY e.label, d.i
+),
+d2 AS (
+    SELECT d.vec_id, c.label,
+           sum(CAST((d.x - c.m) * (d.x - c.m) AS DECIMAL(30,8))) AS dd
+    FROM dims d JOIN cent c ON c.i = d.i
+    GROUP BY d.vec_id, c.label
+),
+ab AS (
+    SELECT d2.vec_id, e.label,
+           sqrt(min(CASE WHEN d2.label = e.label THEN dd END)::DOUBLE) AS a,
+           sqrt(min(CASE WHEN d2.label <> e.label THEN dd END)::DOUBLE) AS b
+    FROM d2 JOIN embeddings e ON e.vec_id = d2.vec_id
+    GROUP BY d2.vec_id, e.label
+),
+sil AS (
+    SELECT label,
+           CAST((b - a) / greatest(a, b) AS DECIMAL(30,8)) AS s,
+           CAST(a AS DECIMAL(30,8)) AS ad,
+           CAST(b AS DECIMAL(30,8)) AS bd
+    FROM ab
+)
+SELECT label,
+       count(*)::BIGINT AS n_vectors,
+       round(sum(s)::DOUBLE / count(*), 4) AS avg_silhouette,
+       round(sum(ad)::DOUBLE / count(*), 4) AS avg_dist_own,
+       round(sum(bd)::DOUBLE / count(*), 4) AS avg_dist_other
+FROM sil
+GROUP BY label
+"""
+
+
+@register("embedding_silhouette_audit", oracle=_SILHOUETTE_ORACLE)
+def embedding_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label over the |labels| centroids:
+    one (vec × centroid) distance aggregate (corpus dims × |labels|
+    rows into |vecs|·|labels| decimal groups — map-side combined),
+    then a per-vector own-vs-nearest-other reduction and a per-label
+    decimal-term mean. No pairwise vector math anywhere."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dec = "decimal(30,8)"
+    dims = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(A.as_double_array(F.col("embedding"))).alias("i", "x"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # dims feeds the centroid build AND the distance aggregate —
+    # persisted so the corpus is scanned once
+    cent = (
+        dims.groupBy(F.col("own").alias("clabel"), "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    d2 = (
+        dims.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "own", "clabel")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).cast(
+                    dec
+                )
+            ).alias("dd")
+        )
+    )
+    ab = d2.groupBy("vec_id", F.col("own").alias("label")).agg(
+        F.sqrt(
+            F.min(F.when(F.col("clabel") == F.col("own"), F.col("dd")))
+            .cast("double")
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("clabel") != F.col("own"), F.col("dd")))
+            .cast("double")
+        ).alias("b"),
+    )
+    sil = ab.select(
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        .cast(dec)
+        .alias("s"),
+        F.col("a").cast(dec).alias("ad"),
+        F.col("b").cast(dec).alias("bd"),
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        R.r(F.sum("s").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_silhouette"
+        ),
+        R.r(F.sum("ad").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_dist_own"
+        ),
+        R.r(F.sum("bd").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_dist_other"
+        ),
+    )
+
+
+# --- Benford leading-digit audit -------------------------------------------
+# Expected share log10(1 + 1/d) is snapped to DECIMAL(10,6) on both
+# engines (cross-libm log10 can differ in the last ulp); χ² terms are
+# computed in double FROM that snapped decimal and exact integer
+# counts — bit-identical inputs, bit-identical terms — then summed as
+# DECIMAL(30,8). χ² uses the count form Σ (obs − N·p)² / (N·p).
+_BENFORD_ORACLE = """
+WITH digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+obs AS (
+    SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1)::BIGINT AS digit,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS t FROM obs),
+g AS (
+    SELECT d.digit, coalesce(obs.n, 0) AS n, tot.t,
+           CAST(round(log10(1 + 1.0 / d.digit), 6) AS DECIMAL(10,6)) AS p
+    FROM digits d LEFT JOIN obs ON obs.digit = d.digit, tot
+),
+terms AS (
+    SELECT digit, n, t, p,
+           CAST((n - t * p::DOUBLE) * (n - t * p::DOUBLE)
+                / (t * p::DOUBLE) AS DECIMAL(30,8)) AS term
+    FROM g
+)
+SELECT digit, n AS n_orders,
+       round(n::DOUBLE / t, 6) AS obs_share,
+       p::DOUBLE AS benford_share,
+       round((SELECT sum(term) FROM terms)::DOUBLE, 4) AS chi2
+FROM terms
+"""
+
+
+@register("benford_digit_audit", oracle=_BENFORD_ORACLE)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic over order totals: leading-digit counts
+    (one 9-group map-side-combined aggregate over however many
+    orders), observed vs log10(1+1/d) expected share, and the χ²
+    distance repeated on each of the 9 report rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # obs is 9 rows but feeds the total AND the report join — without
+    # the persist each consumer re-scans the orders table
+    tot = obs.agg(F.sum("n").alias("t"))
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    g = (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "t",
+            R.r(F.log10(1 + 1.0 / F.col("digit")), 6)
+            .cast("decimal(10,6)")
+            .alias("p"),
+        )
+    )
+    pd_ = F.col("p").cast("double")
+    terms = g.select(
+        "digit",
+        "n",
+        "t",
+        "p",
+        (
+            (F.col("n") - F.col("t") * pd_)
+            * (F.col("n") - F.col("t") * pd_)
+            / (F.col("t") * pd_)
+        )
+        .cast("decimal(30,8)")
+        .alias("term"),
+    )
+    chi2 = terms.agg(F.sum("term").alias("c2"))
+    return terms.join(F.broadcast(chi2)).select(
+        "digit",
+        F.col("n").alias("n_orders"),
+        R.r(F.col("n") / F.col("t"), 6).alias("obs_share"),
+        pd_.alias("benford_share"),
+        R.r(F.col("c2").cast("double"), 4).alias("chi2"),
+    )
