@@ -151,6 +151,12 @@ HEADLINE = [
     "woe_iv_length_feature",
     "embedding_centroid_drift",
     "stream_probe_dedup_index",
+    "knn_label_agreement",
+    "embedding_silhouette_audit",
+    "survival_km_weekly",
+    "entity_resolution_parts",
+    "classifier_auc_ranksum",
+    "padding_waste_bucketing",
 ]
 
 REPEATS = 2

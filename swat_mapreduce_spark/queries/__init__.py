@@ -42,6 +42,7 @@ def load_all() -> dict[str, QueryEntry]:
         data_selection,
         dedup,
         engine_observability,
+        entity_resolution,
         formats,
         lakehouse,
         llm_text,
@@ -49,6 +50,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text3,
         llm_text4,
         llm_text5,
+        model_evals,
         multimodal,
         python_udf_surfaces,
         quality_audits,
@@ -63,6 +65,7 @@ def load_all() -> dict[str, QueryEntry]:
         similarity,
         streaming_queries,
         temporal,
+        timeseries_survival,
         training_pipeline,
     )
 

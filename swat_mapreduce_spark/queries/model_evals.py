@@ -1,0 +1,321 @@
+r"""Classifier-evaluation and batching-efficiency operators.
+
+* ``calibration_reliability_ece`` — reliability diagram + Expected
+  Calibration Error for a fixed-weight logistic English detector
+  (score = σ(−3 + 20·stopword_fraction), label = lang == 'en'):
+  decile score bins, mean predicted vs observed positive rate per
+  bin, |gap|, and the n-weighted ECE. The standard post-training
+  calibration audit (Guo et al. 2017's ECE, fixed 10-bin variant).
+* ``classifier_auc_ranksum`` — exact ROC-AUC via the Mann-Whitney
+  rank-sum identity with proper tie handling: group by (4dp-snapped)
+  score, cumulative negative counts below each score group, and
+  AUC = Σ n_pos_s · (2·cum_neg_below + n_neg_s) / (2·P·N). All
+  arithmetic stays in integers until the single final division.
+* ``padding_waste_bucketing`` — padding-efficiency audit for
+  fixed-size training batches (B=32, pad-to-longest): arrival-order
+  batching vs length-sorted batching, with total padded tokens and
+  waste share per strategy. Length-sorted ranks come from the
+  range-bucketed distributed rank (operators/ranking.py) — no
+  single-partition row_number over the corpus.
+
+Cross-engine determinism: scores are snapped to DECIMAL(6,4) via
+multiply-round-divide BEFORE any grouping or summing (CLAUDE.md
+gotcha 3; the σ/exp risk class is shared with
+quality_linear_classifier and bounded by the 4dp snap); every mean
+is an exact decimal-or-integer sum divided once at the end.
+
+100 TB posture: calibration reduces the corpus into ≤ 10 bins and
+AUC into ≤ 10⁴ distinct 4dp score groups (both map-side-combined);
+the only partition-less windows run over those construction-bounded
+tables (census allowlist). Padding waste shuffles once per strategy
+on batch id; the arrival strategy derives batch ids from the dense
+doc_id key directly (see ``stable_row_ids`` for the general
+non-dense case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.functions.text import ws_tokens
+from swat_mapreduce_spark.operators.ranking import distributed_global_rank
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# fixed-weight logistic English detector: stopword fraction is the
+# single most separating cheap feature for en vs the rest
+_EN_STOPS = ["the", "a", "of", "and", "to", "in", "is"]
+_SCORE_BIAS = -3.0
+_SCORE_W = 20.0
+
+_SCORE_DUCK = rf"""
+scored AS (
+    SELECT doc_id, (lang = 'en') AS pos,
+           CAST(round((1.0 / (1.0 + exp(-({_SCORE_BIAS} + {_SCORE_W}
+                * len(list_filter(toks, x -> list_contains(
+                      ['the', 'a', 'of', 'and', 'to', 'in', 'is'], x)))
+                  * 1.0 / len(toks))))) * 10000) / 10000
+                AS DECIMAL(6,4)) AS score
+    FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> len(t) > 0) AS toks
+        FROM documents
+    ) WHERE len(toks) > 0
+)
+"""
+
+_ECE_ORACLE = f"""
+WITH {_SCORE_DUCK},
+b AS (
+    SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+           count(*)::BIGINT AS n,
+           sum(score) AS sum_score,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos
+    FROM scored GROUP BY 1
+),
+g AS (
+    SELECT bin, n, n_pos,
+           CAST(round(sum_score::DOUBLE / n * 10000) / 10000
+                AS DECIMAL(8,4)) AS mean_pred,
+           CAST(round(n_pos * 1.0 / n * 10000) / 10000
+                AS DECIMAL(8,4)) AS obs_rate
+    FROM b
+),
+e AS (
+    SELECT round(sum(CAST(n AS DECIMAL(20,0))
+                     * abs(obs_rate - mean_pred))::DOUBLE
+                 / sum(n) * 10000) / 10000 + 0.0 AS ece
+    FROM g
+)
+SELECT g.bin, g.n, g.n_pos,
+       g.mean_pred::DOUBLE + 0.0 AS mean_pred,
+       g.obs_rate::DOUBLE + 0.0 AS obs_rate,
+       abs(g.obs_rate - g.mean_pred)::DOUBLE + 0.0 AS abs_gap,
+       e.ece
+FROM g, e
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_tokens(F.col("text")).alias("toks")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPS])
+    f_stop = (
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+        * F.lit(1.0)
+        / F.size("toks")
+    )
+    z = F.lit(_SCORE_BIAS) + F.lit(_SCORE_W) * f_stop
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.filter(F.size("toks") > 0).select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        R.r(score, 4).cast("decimal(6,4)").alias("score"),
+    )
+
+
+@register("calibration_reliability_ece", oracle=_ECE_ORACLE)
+def calibration_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin reliability diagram + ECE: the corpus reduces into ≤ 10
+    decile bins in one map-side-combined aggregate; the single-row ECE
+    re-joins broadcast. Scores enter the sums as DECIMAL(6,4)."""
+    s = _scored(spark, sf_dir)
+    b = s.groupBy(
+        F.least(F.lit(9), F.floor(F.col("score") * 10).cast("long")).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("sum_score"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+    )
+    dec = "decimal(8,4)"
+    g = b.select(
+        "bin",
+        "n",
+        "n_pos",
+        R.r(F.col("sum_score").cast("double") / F.col("n"), 4)
+        .cast(dec)
+        .alias("mean_pred"),
+        R.r(F.col("n_pos") * F.lit(1.0) / F.col("n"), 4)
+        .cast(dec)
+        .alias("obs_rate"),
+    )
+    e = g.agg(
+        R.r(
+            F.sum(
+                F.col("n").cast("decimal(20,0)")
+                * F.abs(F.col("obs_rate") - F.col("mean_pred"))
+            ).cast("double")
+            / F.sum("n"),
+            4,
+        ).alias("ece")
+    )
+    return g.crossJoin(F.broadcast(e)).select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("mean_pred").cast("double") + 0.0).alias("mean_pred"),
+        (F.col("obs_rate").cast("double") + 0.0).alias("obs_rate"),
+        (
+            F.abs(F.col("obs_rate") - F.col("mean_pred")).cast("double") + 0.0
+        ).alias("abs_gap"),
+        "ece",
+    )
+
+
+_AUC_ORACLE = f"""
+WITH {_SCORE_DUCK},
+by_score AS (
+    SELECT score,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS np,
+           sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nn
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT score, np, nn,
+           (coalesce(sum(nn) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+               AS neg_below
+    FROM by_score
+),
+tot AS (
+    SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS n,
+           sum(CAST(np * (2 * neg_below + nn) AS DECIMAL(38,0))) AS num2
+    FROM cum
+)
+SELECT p AS n_pos, n AS n_neg,
+       round(num2::DOUBLE / (2.0 * p * n) * 1000000) / 1000000 + 0.0 AS auc,
+       round((num2::DOUBLE / (1.0 * p * n) - 1.0) * 1000000) / 1000000 + 0.0
+           AS gini
+FROM tot
+"""
+
+
+@register("classifier_auc_ranksum", oracle=_AUC_ORACLE)
+def classifier_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC with tie handling: P(s⁺>s⁻) + ½·P(s⁺=s⁻) summed per
+    distinct 4dp score (≤ 10⁴ groups — the partition-less cumulative
+    window is bounded by score granularity, census allowlist).
+    Integer arithmetic throughout; one division at the end."""
+    s = _scored(spark, sf_dir)
+    by_score = s.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    tot = cum.agg(
+        F.sum("np").alias("p"),
+        F.sum("nn").alias("n"),
+        # per-group terms approach P·N summed — decimal(38,0) so the
+        # rank-sum numerator cannot overflow int64 at corpus scale
+        F.sum(
+            (F.col("np") * (2 * F.col("neg_below") + F.col("nn"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("num2"),
+    )
+    num2d = F.col("num2").cast("double")
+    return tot.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        R.r(num2d / (2.0 * F.col("p") * F.col("n")), 6).alias("auc"),
+        R.r(num2d / (1.0 * F.col("p") * F.col("n")) - 1.0, 6).alias("gini"),
+    )
+
+
+# --- padding-waste batching audit ------------------------------------------
+_BATCH = 32
+
+_PAD_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> len(t) > 0))::BIGINT AS n_toks
+    FROM documents
+),
+arrival AS (
+    SELECT doc_id // {_BATCH} AS batch, n_toks FROM toks
+),
+srt AS (
+    SELECT (row_number() OVER (ORDER BY n_toks, doc_id) - 1) // {_BATCH}
+               AS batch,
+           n_toks
+    FROM toks
+),
+pa AS (
+    SELECT batch, max(n_toks) * count(*) AS padded, sum(n_toks) AS toks
+    FROM arrival GROUP BY 1
+),
+ps AS (
+    SELECT batch, max(n_toks) * count(*) AS padded, sum(n_toks) AS toks
+    FROM srt GROUP BY 1
+)
+SELECT 'arrival' AS strategy, count(*)::BIGINT AS n_batches,
+       sum(toks)::BIGINT AS n_tokens, sum(padded)::BIGINT AS padded_tokens,
+       round((sum(padded) - sum(toks)) * 1.0 / sum(padded) * 10000) / 10000
+           + 0.0 AS waste_pct
+FROM pa
+UNION ALL
+SELECT 'length_sorted', count(*)::BIGINT, sum(toks)::BIGINT,
+       sum(padded)::BIGINT,
+       round((sum(padded) - sum(toks)) * 1.0 / sum(padded) * 10000) / 10000
+           + 0.0
+FROM ps
+"""
+
+
+@register("padding_waste_bucketing", oracle=_PAD_ORACLE)
+def padding_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-longest batch waste, arrival order vs length-sorted.
+    The sorted strategy's global rank is the range-bucketed
+    distributed rank (bounded per-bucket offset collect,
+    operators/ranking.py) — parallelism survives at corpus scale where
+    a bare row_number() window would funnel everything through one
+    task. Integer sums; one division per output row."""
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+
+    def _waste(batched: DataFrame, name: str) -> DataFrame:
+        per = batched.groupBy("batch").agg(
+            (F.max("n_toks") * F.count(F.lit(1))).alias("padded"),
+            F.sum("n_toks").alias("toks"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("padded").alias("padded_tokens"),
+            R.r(
+                (F.sum("padded") - F.sum("toks"))
+                * 1.0
+                / F.sum("padded"),
+                4,
+            ).alias("waste_pct"),
+        )
+
+    arrival = toks.select(
+        (F.col("doc_id") / _BATCH).cast("long").alias("batch"), "n_toks"
+    )
+    ranked = distributed_global_rank(
+        toks,
+        value=F.col("n_toks"),
+        tiebreak=F.col("doc_id"),
+        out="_rank",
+    )
+    srt = ranked.select(
+        ((F.col("_rank") - 1) / _BATCH).cast("long").alias("batch"),
+        "n_toks",
+    )
+    return _waste(arrival, "arrival").unionAll(_waste(srt, "length_sorted"))

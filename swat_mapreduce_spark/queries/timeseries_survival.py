@@ -1,0 +1,346 @@
+"""Survival analysis and classical time-series operators.
+
+* ``survival_km_weekly`` — Kaplan-Meier curve of the inter-purchase
+  interval: every consecutive order pair contributes an *event*
+  duration (weeks until the next order); each customer's last order
+  contributes a *right-censored* duration (still waiting at corpus
+  end). THE survival-curve estimator (Kaplan & Meier 1958) — per-week
+  at-risk counts, hazard factors 1 − d/n, and the cumulative-product
+  survival curve S(w) = P(next order takes ≥ w weeks).
+* ``holt_linear_forecast`` — Holt's linear-trend double exponential
+  smoothing over monthly revenue (level+trend recursion, α=0.5,
+  β=0.3) with a 3-month-ahead forecast. The sequential fold runs as
+  ONE array fold over the calendar-bounded monthly series.
+* ``seasonal_decompose_dow`` — classical additive decomposition of
+  daily revenue: 7-day centered moving-average trend, day-of-week
+  seasonal indices from the detrended series, residual RMSE.
+
+Cross-engine determinism: every sequential recursion (KM cumulative
+product, Holt level/trend) folds DECIMAL state with an explicit
+round-to-fixed-scale after each step — both engines walk the same
+ordered sequence of exact decimals, so the fold cannot drift
+(CLAUDE.md gotchas 2/8); hazard factors and moving-average means snap
+double divisions to decimals via the multiply-round-divide form
+(gotcha 3) before they enter the fold.
+
+100 TB posture: the corpus-wide work is ordinary groupBy aggregation
+(per-customer min/max, per-day/month money sums) — one shuffle each.
+Every window and fold after that runs over calendar- or
+construction-bounded tables: ≤ ~350 duration-weeks, ≤ ~80 months,
+≤ ~2,400 days. The partition-less windows are therefore bounded-input
+by construction (census allowlist, tests/test_parity_utils.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+_MAX_WEEK = 52
+
+_KM_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderdate::DATE AS d,
+           lead(o_orderdate::DATE) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate::DATE, o_orderkey) AS nd
+    FROM orders
+),
+mx AS (SELECT max(o_orderdate::DATE) AS censor_d FROM orders),
+de AS (
+    SELECT (nd IS NOT NULL) AS ev,
+           CAST(floor(CASE WHEN nd IS NOT NULL
+                      THEN date_diff('day', d, nd)
+                      ELSE date_diff('day', d, censor_d) END / 7)
+                AS BIGINT) AS w
+    FROM o, mx
+),
+wk AS (
+    SELECT w,
+           sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
+    FROM de GROUP BY 1
+),
+risk AS (
+    SELECT w, d, c,
+           sum(d + c) OVER (ORDER BY w
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n_risk
+    FROM wk
+),
+fct AS (
+    SELECT w, d, c, n_risk,
+           CAST(round((1.0 - d * 1.0 / n_risk) * 100000000) / 100000000
+                AS DECIMAL(12,10)) AS f
+    FROM risk WHERE d > 0
+),
+surv AS (
+    SELECT w, d, c, n_risk,
+           list_reduce(
+               list_prepend(CAST(1 AS DECIMAL(12,10)),
+                   list(f) OVER (ORDER BY w
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, x) -> CAST(round(acc * x, 10) AS DECIMAL(12,10)))
+               AS s
+    FROM fct
+)
+SELECT w AS dur_week, n_risk, d AS n_churn, c AS n_censor,
+       round(s::DOUBLE * 10000) / 10000 + 0.0 AS survival
+FROM surv WHERE w <= {_MAX_WEEK}
+"""
+
+
+@register("survival_km_weekly", oracle=_KM_ORACLE)
+def survival_km_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier over inter-purchase gaps: one per-customer lead
+    window (partitioned — scales), then every remaining window runs
+    over the ≤ ~350-row duration-week table (calendar-bounded — census
+    allowlist). The survival cumulative product folds DECIMAL(12,10)
+    hazard factors with a round-to-10dp after each multiply, exactly
+    mirrored in the oracle's list_reduce."""
+    dec = "decimal(12,10)"
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.withColumn("nd", F.lead("d").over(wc))
+    mx = o.agg(F.max("d").alias("censor_d"))
+    ev = F.col("nd").isNotNull()
+    days = F.when(ev, F.datediff("nd", "d")).otherwise(
+        F.datediff("censor_d", "d")
+    )
+    de = gaps.crossJoin(F.broadcast(mx)).select(
+        ev.alias("ev"), F.floor(days / 7).alias("w")
+    )
+    wk = de.groupBy("w").agg(
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("ev"), 0).otherwise(1)).alias("c"),
+    )
+    # at-risk at week w = everyone whose duration reached w (events
+    # and censored alike): suffix sum over the bounded week table
+    w_fwd = Window.orderBy("w").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = wk.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_fwd))
+    fct = risk.filter(F.col("d") > 0).withColumn(
+        "f",
+        R.r(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+            8,
+        ).cast(dec),
+    )
+    w_cum = Window.orderBy("w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = fct.withColumn(
+        "s",
+        F.aggregate(
+            F.collect_list("f").over(w_cum),
+            F.lit(1).cast(dec),
+            lambda acc, x: F.round(acc * x, 10).cast(dec),
+        ),
+    )
+    return surv.filter(F.col("w") <= _MAX_WEEK).select(
+        F.col("w").alias("dur_week"),
+        "n_risk",
+        F.col("d").alias("n_churn"),
+        F.col("c").alias("n_censor"),
+        R.r(F.col("s").cast("double"), 4).alias("survival"),
+    )
+
+
+# --- Holt linear-trend smoothing -------------------------------------------
+# α=0.5 / β=0.3 as exact DECIMAL(2,1) literals; level/trend snapped to
+# DECIMAL(20,6) after every step. DuckDB's list_reduce has no explicit
+# init (v1.0), so each series element is encoded [y, 0] and the FIRST
+# element doubles as the initial state [level=y1, trend=0]; Spark's
+# F.aggregate folds elements 2..n over the same explicit init — the
+# two engines walk identical decimal sequences.
+_HOLT_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate)::DATE AS m,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+                AS DECIMAL(20,6)) AS rev
+    FROM orders GROUP BY 1
+),
+ser AS (
+    SELECT list([rev, CAST(0 AS DECIMAL(20,6))] ORDER BY m) AS ys,
+           max(m) AS last_m
+    FROM monthly
+),
+st AS (
+    SELECT last_m,
+           list_reduce(ys, (acc, x) -> [
+               CAST(round(CAST(0.5 AS DECIMAL(2,1)) * x[1]
+                    + CAST(0.5 AS DECIMAL(2,1)) * (acc[1] + acc[2]), 6)
+                    AS DECIMAL(20,6)),
+               CAST(round(CAST(0.3 AS DECIMAL(2,1))
+                    * (CAST(round(CAST(0.5 AS DECIMAL(2,1)) * x[1]
+                         + CAST(0.5 AS DECIMAL(2,1)) * (acc[1] + acc[2]), 6)
+                         AS DECIMAL(20,6)) - acc[1])
+                    + CAST(0.7 AS DECIMAL(2,1)) * acc[2], 6)
+                    AS DECIMAL(20,6))]) AS s
+    FROM ser
+)
+SELECT h::BIGINT AS h,
+       (last_m + to_months(h::INT))::DATE AS f_month,
+       round((s[1] + h * s[2])::DOUBLE * 100) / 100 + 0.0
+           AS forecast_revenue,
+       round(s[1]::DOUBLE * 100) / 100 + 0.0 AS level,
+       round(s[2]::DOUBLE * 100) / 100 + 0.0 AS trend
+FROM st, (SELECT unnest(generate_series(1, 3)) AS h)
+"""
+
+
+@register("holt_linear_forecast", oracle=_HOLT_ORACLE)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt (1957) double exponential smoothing: the corpus-wide work
+    is one monthly money-sum shuffle; the recursion folds the ≤ ~80
+    calendar-bounded months in a single array fold (decimal state,
+    per-step rounding — identical sequence to the oracle)."""
+    dec = "decimal(20,6)"
+    a = F.lit("0.5").cast("decimal(2,1)")
+    b = F.lit("0.3").cast("decimal(2,1)")
+    b1 = F.lit("0.7").cast("decimal(2,1)")
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(R.money_sum(F.col("o_totalprice")).cast(dec).alias("rev"))
+    ser = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("m", "rev"))).alias("sm"),
+        F.max("m").alias("last_m"),
+    ).select(
+        F.transform("sm", lambda s: s["rev"]).alias("ys"), "last_m"
+    )
+
+    def _level(acc, x):
+        return F.round(a * x + a * (acc[0] + acc[1]), 6).cast(dec)
+
+    def _merge(acc, x):
+        lv = _level(acc, x)
+        return F.array(
+            lv, F.round(b * (lv - acc[0]) + b1 * acc[1], 6).cast(dec)
+        )
+
+    st = ser.select(
+        "last_m",
+        F.aggregate(
+            F.slice(
+                F.col("ys"), 2, F.greatest(F.lit(0), F.size("ys") - 1)
+            ),
+            F.array(
+                F.element_at("ys", 1), F.lit(0).cast(dec)
+            ),
+            _merge,
+        ).alias("s"),
+    )
+    hs = st.select(
+        "last_m", "s", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("h")
+    )
+    return hs.select(
+        F.col("h").cast("long").alias("h"),
+        F.add_months("last_m", F.col("h")).alias("f_month"),
+        R.r(
+            (F.element_at("s", 1) + F.col("h") * F.element_at("s", 2)).cast(
+                "double"
+            ),
+            2,
+        ).alias("forecast_revenue"),
+        R.r(F.element_at("s", 1).cast("double"), 2).alias("level"),
+        R.r(F.element_at("s", 2).cast("double"), 2).alias("trend"),
+    )
+
+
+# --- classical additive seasonal decomposition -----------------------------
+_SEASONAL_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate::DATE AS day,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+                AS DECIMAL(20,6)) AS rev
+    FROM orders GROUP BY 1
+),
+ma AS (
+    SELECT day, rev,
+           sum(rev) OVER w AS s7,
+           count(*) OVER w AS n7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT isodow(day)::BIGINT AS dow,
+           rev - CAST(round(s7::DOUBLE / 7 * 1000000) / 1000000
+                      AS DECIMAL(20,6)) AS dt
+    FROM ma WHERE n7 = 7
+),
+sea AS (
+    SELECT dow, count(*)::BIGINT AS n_days,
+           CAST(round(sum(dt)::DOUBLE / count(*) * 1000000) / 1000000
+                AS DECIMAL(20,6)) AS idx
+    FROM detr GROUP BY 1
+)
+SELECT d.dow, s.n_days,
+       round(s.idx::DOUBLE * 10000) / 10000 + 0.0 AS seasonal_index,
+       round(sqrt(sum(CAST(round((d.dt - s.idx)::DOUBLE
+                                 * (d.dt - s.idx)::DOUBLE)
+                 AS DECIMAL(38,0)))::DOUBLE / s.n_days) * 100) / 100 + 0.0
+           AS resid_rmse
+FROM detr d JOIN sea s ON s.dow = d.dow
+GROUP BY d.dow, s.n_days, s.idx
+"""
+
+
+@register("seasonal_decompose_dow", oracle=_SEASONAL_ORACLE)
+def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition: trend = 7-day centered moving average
+    (full windows only), seasonal = per-ISO-dow mean of the detrended
+    series, residual RMSE per dow. The MA window is partition-less but
+    runs over the calendar-bounded per-day table (census allowlist);
+    the 7-row seasonal table re-joins broadcast."""
+    dec = "decimal(20,6)"
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        R.money_sum(F.col("o_totalprice")).cast(dec).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    detr = ma.filter(F.col("n7") == 7).select(
+        # isodow: Monday=1..Sunday=7 == Spark weekday()+1
+        (F.weekday("day") + 1).cast("long").alias("dow"),
+        (
+            F.col("rev")
+            - R.r(F.col("s7").cast("double") / 7, 6).cast(dec)
+        ).alias("dt"),
+    )
+    sea = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        R.r(F.sum("dt").cast("double") / F.count(F.lit(1)), 6)
+        .cast(dec)
+        .alias("idx"),
+    )
+    resid = detr.join(F.broadcast(sea), "dow")
+    # residuals are exact decimals on both engines, so their double
+    # casts are bit-identical; square in double, snap to an integer
+    # decimal, and sum exactly — immune to both accumulation order
+    # (gotcha 2) and DuckDB's int64 decimal-multiply overflow
+    rd = (F.col("dt") - F.col("idx")).cast("double")
+    sq = R.r(rd * rd, 0).cast("decimal(38,0)")
+    return resid.groupBy("dow", "n_days", "idx").agg(
+        R.r(
+            F.sqrt(F.sum(sq).cast("double") / F.col("n_days")),
+            2,
+        ).alias("resid_rmse")
+    ).select(
+        "dow",
+        "n_days",
+        R.r(F.col("idx").cast("double"), 4).alias("seasonal_index"),
+        "resid_rmse",
+    )

@@ -480,6 +480,14 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "zipf_rank_frequency",
     # deterministic top-10 cut over the <=50-row sketch estimate
     "approx_topk_sketch_tokens",
+    # at-risk suffix sum + survival fold over the <= ~350-row
+    # duration-week table (calendar-bounded)
+    "survival_km_weekly",
+    # cumulative negatives over the distinct-4dp-score table
+    # (<= 10^4 rows by score granularity)
+    "classifier_auc_ranksum",
+    # 7-day centered MA over the per-day table (calendar-bounded)
+    "seasonal_decompose_dow",
 }
 
 
