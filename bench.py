@@ -157,6 +157,8 @@ HEADLINE = [
     "entity_resolution_parts",
     "classifier_auc_ranksum",
     "padding_waste_bucketing",
+    "hybrid_rrf_fusion",
+    "selfdedup_repeated_chunks",
 ]
 
 REPEATS = 2

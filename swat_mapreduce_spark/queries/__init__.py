@@ -56,6 +56,7 @@ def load_all() -> dict[str, QueryEntry]:
         quality_audits,
         reference_pipeline,
         relational,
+        retrieval_fusion,
         relational2,
         relational3,
         relational4,

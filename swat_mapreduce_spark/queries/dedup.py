@@ -903,3 +903,150 @@ def dedup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 >= 8
     )
     return probe_docs_against_index(spark, batch, root)
+
+
+# --- quality-aware keeper election ------------------------------------------
+# corpus_dedup_clean keeps min-doc-id per near-dup cluster; production
+# pipelines keep the HIGHEST-QUALITY member instead (longest, cleanest
+# variant of the duplicated content). Same pairs -> components stack,
+# different election: argmax token count, ties to the SMALLER doc_id,
+# encoded into ONE scalar max_by key (n_toks * 1e10 - doc_id, exact
+# under 2^53 — CLAUDE.md gotcha 9's tie-break discipline).
+def _keeper_quality_oracle() -> str:
+    pair_sql = _minhash_oracle().strip()
+    return rf"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+),
+q AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> len(x) > 0))::BIGINT AS n_toks
+    FROM documents
+)
+SELECT c.component,
+       count(*)::BIGINT AS n_members,
+       max_by(c.doc_id, q.n_toks * 10000000000 - c.doc_id) AS keeper_doc,
+       max(q.n_toks) AS keeper_toks
+FROM comp c JOIN q ON q.doc_id = c.doc_id
+GROUP BY c.component
+"""
+
+
+@register("dedup_keeper_by_quality", oracle=_keeper_quality_oracle())
+def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = D.connected_components(pairs)
+    q = docs.select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    m = comp.join(q, comp.node == q.doc_id)
+    key = F.col("n_toks") * F.lit(10_000_000_000) - F.col("doc_id")
+    return m.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by("doc_id", key).alias("keeper_doc"),
+        F.max("n_toks").alias("keeper_toks"),
+    )
+
+
+# --- intra-document repeated-chunk trimming ---------------------------------
+# Self-repetition removal: segment each document into fixed 2-token
+# chunks, keep only the FIRST occurrence of each distinct chunk within
+# the document, and reassemble in original order. (Real pipelines trim
+# repeated paragraphs/lines; this corpus is a flat word stream, so the
+# unit is a token chunk — the machinery is unit-agnostic.) Both
+# shuffles are keyed by doc_id(+chunk): fully partitioned at any
+# corpus width; the md5 fingerprint pins the reassembled CONTENT
+# without hashing megabytes through the driver.
+_SELF_CHUNK = 2
+
+_SELFDEDUP_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+ch AS (
+    SELECT doc_id, i,
+           array_to_string(
+               toks[(i - 1) * {_SELF_CHUNK} + 1:
+                    (i - 1) * {_SELF_CHUNK} + {_SELF_CHUNK}], ' ') AS c
+    FROM t, unnest(generate_series(
+        1, CAST(ceil(len(toks) * 1.0 / {_SELF_CHUNK}) AS BIGINT))) AS u(i)
+    WHERE len(toks) >= 1
+),
+k AS (SELECT doc_id, c, min(i) AS i FROM ch GROUP BY doc_id, c),
+r AS (
+    SELECT doc_id, string_agg(c, ' ' ORDER BY i) AS clean
+    FROM k GROUP BY doc_id
+),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM ch GROUP BY doc_id),
+kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept FROM k GROUP BY doc_id)
+SELECT n.doc_id, n.n_chunks, kept.n_kept,
+       (n.n_chunks - kept.n_kept) AS dup_chunks,
+       md5(r.clean) AS clean_md5
+FROM n JOIN kept ON kept.doc_id = n.doc_id
+JOIN r ON r.doc_id = n.doc_id
+"""
+
+
+@register("selfdedup_repeated_chunks", oracle=_SELFDEDUP_ORACLE)
+def selfdedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(_SELF_CHUNK)).cast("long")
+    # guard: sequence(1, 0) would DESCEND on an empty doc (gotcha 10)
+    idx = F.when(
+        F.size("toks") >= 1, F.sequence(F.lit(1).cast("long"), n_chunks)
+    ).otherwise(F.array().cast("array<long>"))
+    ch = toks.select(
+        "doc_id", F.explode(idx).alias("i"), F.col("toks")
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice(
+                "toks",
+                ((F.col("i") - 1) * _SELF_CHUNK + 1).cast("int"),
+                _SELF_CHUNK,
+            ),
+            " ",
+        ).alias("c"),
+    )
+    k = ch.groupBy("doc_id", "c").agg(F.min("i").alias("i"))
+    r = k.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ),
+            " ",
+        ).alias("clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return n.join(r, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        (F.col("n_chunks") - F.col("n_kept")).alias("dup_chunks"),
+        F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+    )

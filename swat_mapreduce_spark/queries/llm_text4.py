@@ -516,7 +516,10 @@ _BM25_TERMS = ("spark", "hash", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_sql() -> str:
+    """DuckDB CTE chain scoring EVERY document with the fixed-query
+    BM25 (shared by the search-topk oracle and the RRF fusion oracle —
+    one formula, two consumers)."""
     tf_cols = ", ".join(
         f"len(list_filter(t, x -> x = '{w}')) AS tf_{i}"
         for i, w in enumerate(_BM25_TERMS)
@@ -532,8 +535,7 @@ def _bm25_oracle() -> str:
         f" + {_BM25_B} * dl / s.avgdl))"
         for i in range(len(_BM25_TERMS))
     )
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
     FROM documents
 ),
@@ -542,18 +544,25 @@ m AS (
 ),
 s AS (
     SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM m
-)
-SELECT doc_id,
-       round(({score}) * 10000) / 10000 + 0.0 AS bm25
-FROM m CROSS JOIN s
-ORDER BY round(({score}) * 10000) / 10000 + 0.0 DESC, doc_id
+),
+bm25_scored AS (
+    SELECT doc_id, round(({score}) * 10000) / 10000 + 0.0 AS bm25
+    FROM m CROSS JOIN s
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {bm25_scored_sql()}
+SELECT doc_id, bm25 FROM bm25_scored
+ORDER BY bm25 DESC, doc_id
 LIMIT 10
 """
 
 
-@register("bm25_search_topk", oracle=_bm25_oracle())
-def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document — the Spark twin of
+    :func:`bm25_scored_sql`."""
     toks = T.ws_tokens(F.col("text"))
     # closure factory binds each term (never a default-arg lambda in a
     # higher-order function — CLAUDE.md gotcha 1)
@@ -590,9 +599,16 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         score = part if score is None else score + part
+    return m.crossJoin(F.broadcast(s)).select(
+        "doc_id", R.r(score, 4).alias("bm25")
+    )
+
+
+@register("bm25_search_topk", oracle=_bm25_oracle())
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
     return (
-        m.crossJoin(F.broadcast(s))
-        .select("doc_id", R.r(score, 4).alias("bm25"))
+        bm25_scored(docs)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )

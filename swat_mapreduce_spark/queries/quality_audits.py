@@ -355,3 +355,97 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd_.alias("benford_share"),
         R.r(F.col("c2").cast("double"), 4).alias("chi2"),
     )
+
+
+# --- Kolmogorov-Smirnov two-sample drift test -------------------------------
+# Exact two-sample KS over document lengths between two sources: the
+# distribution-drift significance test behind "did this ingest batch
+# change shape?". D = max |F1 - F2| is computed as an INTEGER max
+# (|cum1*n2 - cum2*n1|, DECIMAL(38,0)-safe at corpus scale) divided
+# once at the end; the alpha=0.05 critical value c(alpha)=1.358 uses
+# the large-sample approximation. The ECDF window is partition-less
+# but bounded by the distinct-length domain (census allowlist).
+_KS_SRC_A, _KS_SRC_B = "src0", "src1"
+
+_KS_ORACLE = f"""
+WITH v AS (
+    SELECT n_chars AS val,
+           sum(CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END)::BIGINT
+               AS c1,
+           sum(CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END)::BIGINT
+               AS c2
+    FROM documents WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')
+    GROUP BY 1
+),
+c AS (
+    SELECT sum(c1) OVER w AS f1, sum(c2) OVER w AS f2
+    FROM v
+    WINDOW w AS (ORDER BY val
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM v),
+d AS (
+    SELECT max(abs(CAST(c.f1 AS DECIMAL(18,0)) * t.n2
+                   - CAST(c.f2 AS DECIMAL(18,0)) * t.n1)) AS dn
+    FROM c, t
+)
+SELECT t.n1, t.n2,
+       round(d.dn::DOUBLE / (1.0 * t.n1 * t.n2) * 1000000) / 1000000 + 0.0
+           AS ks_stat,
+       round(1.358 * sqrt((t.n1 + t.n2) * 1.0 / (1.0 * t.n1 * t.n2))
+             * 1000000) / 1000000 + 0.0 AS ks_crit,
+       (round(d.dn::DOUBLE / (1.0 * t.n1 * t.n2) * 1000000) / 1000000
+        > round(1.358 * sqrt((t.n1 + t.n2) * 1.0 / (1.0 * t.n1 * t.n2))
+                * 1000000) / 1000000) AS reject
+FROM t, d
+"""
+
+
+@register("ks_two_sample_lengths", oracle=_KS_ORACLE)
+def ks_two_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic: one map-side-combined count per
+    distinct length, a cumulative window over the bounded length
+    domain, and an integer max — no floats until the final division.
+    reject compares the two ROUNDED doubles so the boundary cannot
+    diverge cross-engine."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+    )
+    v = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.sum(F.when(F.col("source") == _KS_SRC_A, 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("source") == _KS_SRC_B, 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    t = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = c.crossJoin(F.broadcast(t)).agg(
+        F.max(
+            F.abs(
+                F.col("f1").cast("decimal(18,0)") * F.col("n2")
+                - F.col("f2").cast("decimal(18,0)") * F.col("n1")
+            )
+        ).alias("dn")
+    )
+    ks = R.r(
+        F.col("dn").cast("double") / (1.0 * F.col("n1") * F.col("n2")), 6
+    )
+    crit = R.r(
+        1.358
+        * F.sqrt((F.col("n1") + F.col("n2")) * 1.0 / (1.0 * F.col("n1") * F.col("n2"))),
+        6,
+    )
+    return t.crossJoin(F.broadcast(d)).select(
+        "n1",
+        "n2",
+        ks.alias("ks_stat"),
+        crit.alias("ks_crit"),
+        (ks > crit).alias("reject"),
+    )

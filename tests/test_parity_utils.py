@@ -488,6 +488,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "classifier_auc_ranksum",
     # 7-day centered MA over the per-day table (calendar-bounded)
     "seasonal_decompose_dow",
+    # rank numbering over the two TakeOrdered top-50 cuts
+    "hybrid_rrf_fusion",
+    # ECDF cumulative over the distinct-length table (bounded by the
+    # document-length domain)
+    "ks_two_sample_lengths",
 }
 
 
