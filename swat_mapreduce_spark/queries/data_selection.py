@@ -344,3 +344,209 @@ def shuffle_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_factor"
         ),
     )
+
+
+# --- DoReMi one-step domain reweighting -------------------------------------
+# DoReMi (Xie et al. 2023) reweights training domains by EXCESS loss:
+# domains where the reference model underperforms the corpus baseline
+# get upweighted (multiplicative-weights step w_s ∝ exp(η·excess_s)).
+# Here the reference model is the corpus char-bigram LM (the same
+# model family as charlm_perplexity_proxy) and one full update step
+# is computed exactly: per-source NLL → excess over the corpus
+# baseline → softmax weights. Everything after the single corpus scan
+# is charset²×|sources|-bounded; the softmax runs over the |sources|
+# row table. Per-term log-probs follow the charlm decimal shape
+# (DECIMAL(20,6) × DECIMAL(10,0) — CLAUDE.md gotcha 8); exp() terms
+# are snapped to DECIMAL(20,10) before the normalizing sum.
+_DOREMI_ETA = 1.0
+
+_DOREMI_LP = """
+bg AS (
+    SELECT source,
+           unnest(list_transform(generate_series(1, length(text) - 1),
+                                 i -> substring(text, i, 2))) AS b
+    FROM documents
+),
+sbc AS (SELECT source, b, count(*) AS c FROM bg GROUP BY source, b),
+model AS (SELECT b, sum(c) AS mc FROM sbc GROUP BY b),
+tot AS (SELECT sum(mc)::DOUBLE AS t FROM model),
+lp AS (
+    SELECT s.source,
+           CAST(ln(m.mc / tot.t) AS DECIMAL(20,6))
+               * CAST(s.c AS DECIMAL(10,0)) AS term,
+           s.c
+    FROM sbc s JOIN model m ON m.b = s.b CROSS JOIN tot
+),
+per AS (
+    SELECT source, sum(c)::BIGINT AS n,
+           CAST(round(-sum(term)::DOUBLE / sum(c) * 1000000) / 1000000
+                AS DECIMAL(20,6)) AS nll
+    FROM lp GROUP BY source
+),
+base AS (
+    SELECT CAST(round(-sum(term)::DOUBLE / sum(c) * 1000000) / 1000000
+                AS DECIMAL(20,6)) AS bnll
+    FROM lp
+)
+"""
+
+_DOREMI_ORACLE = f"""
+WITH {_DOREMI_LP},
+exc AS (
+    SELECT per.source, per.n, per.nll, base.bnll,
+           greatest(CAST(0 AS DECIMAL(20,6)), per.nll - base.bnll) AS e
+    FROM per, base
+),
+ew AS (
+    SELECT source, n, nll, bnll, e,
+           CAST(round(exp({_DOREMI_ETA} * e::DOUBLE) * 10000000000)
+                / 10000000000 AS DECIMAL(20,10)) AS w_raw
+    FROM exc
+),
+z AS (SELECT sum(w_raw) AS z FROM ew)
+SELECT ew.source, ew.n AS n_bigrams,
+       ew.nll::DOUBLE + 0.0 AS nll,
+       ew.e::DOUBLE + 0.0 AS excess_nll,
+       round(ew.w_raw::DOUBLE / z.z::DOUBLE * 1000000) / 1000000 + 0.0
+           AS weight
+FROM ew, z
+"""
+
+
+@register("doremi_domain_reweight", oracle=_DOREMI_ORACLE)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    # ONE corpus scan: the (source, bigram) count table is
+    # charset² x |sources|-bounded and feeds both the model rollup
+    # and the per-source scoring
+    sbc = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    sbc = sbc.persist(StorageLevel.MEMORY_AND_DISK)
+    model = sbc.groupBy("b").agg(F.sum("c").alias("mc"))
+    tot = model.agg(F.sum("mc").cast("double").alias("t"))
+    lp = (
+        sbc.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.log(F.col("mc") / F.col("t")).cast("decimal(20,6)")
+                * F.col("c").cast("decimal(10,0)")
+            ).alias("term"),
+            "c",
+        )
+    )
+    lp = lp.persist(StorageLevel.MEMORY_AND_DISK)
+    dec6 = "decimal(20,6)"
+    per = lp.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        R.r(-F.sum("term").cast("double") / F.sum("c"), 6)
+        .cast(dec6)
+        .alias("nll"),
+    )
+    base = lp.agg(
+        R.r(-F.sum("term").cast("double") / F.sum("c"), 6)
+        .cast(dec6)
+        .alias("bnll")
+    )
+    exc = per.crossJoin(F.broadcast(base)).withColumn(
+        "e",
+        F.greatest(F.lit(0).cast(dec6), F.col("nll") - F.col("bnll")),
+    )
+    ew = exc.withColumn(
+        "w_raw",
+        R.r(F.exp(F.lit(_DOREMI_ETA) * F.col("e").cast("double")), 10).cast(
+            "decimal(20,10)"
+        ),
+    )
+    z = ew.agg(F.sum("w_raw").alias("z"))
+    return ew.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n").alias("n_bigrams"),
+        (F.col("nll").cast("double") + 0.0).alias("nll"),
+        (F.col("e").cast("double") + 0.0).alias("excess_nll"),
+        R.r(F.col("w_raw").cast("double") / F.col("z").cast("double"), 6)
+        .alias("weight"),
+    )
+
+
+# --- leave-one-source-out data valuation ------------------------------------
+# The cheapest member of the datamodels/influence family: how does
+# the corpus-average loss move if source s is removed? With the loss
+# additive over (source) partial sums, every LOSO metric derives from
+# |sources| decimal partials — no retraining, no second scan.
+# delta < 0 means removing s LOWERS corpus NLL (s is a high-loss
+# source — the candidate for downsampling or cleaning).
+_LOSO_ORACLE = f"""
+WITH {_DOREMI_LP},
+sums AS (
+    SELECT source, sum(term) AS t_s, sum(c)::BIGINT AS c_s FROM lp
+    GROUP BY source
+),
+tots AS (SELECT sum(t_s) AS t_all, sum(c_s)::BIGINT AS c_all FROM sums)
+SELECT s.source, s.c_s AS n_bigrams,
+       round(-s.t_s::DOUBLE / s.c_s * 1000000) / 1000000 + 0.0 AS own_nll,
+       round(-(t.t_all - s.t_s)::DOUBLE / (t.c_all - s.c_s) * 1000000)
+           / 1000000 + 0.0 AS loso_nll,
+       round((-(t.t_all - s.t_s)::DOUBLE / (t.c_all - s.c_s)
+              - (-t.t_all::DOUBLE / t.c_all)) * 1000000) / 1000000 + 0.0
+           AS delta_nll
+FROM sums s, tots t
+"""
+
+
+@register("loso_source_value", oracle=_LOSO_ORACLE)
+def loso_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    sbc = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    sbc = sbc.persist(StorageLevel.MEMORY_AND_DISK)
+    model = sbc.groupBy("b").agg(F.sum("c").alias("mc"))
+    tot = model.agg(F.sum("mc").cast("double").alias("t"))
+    lp = (
+        sbc.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.log(F.col("mc") / F.col("t")).cast("decimal(20,6)")
+                * F.col("c").cast("decimal(10,0)")
+            ).alias("term"),
+            "c",
+        )
+    )
+    sums = lp.groupBy("source").agg(
+        F.sum("term").alias("t_s"), F.sum("c").alias("c_s")
+    )
+    tots = sums.agg(
+        F.sum("t_s").alias("t_all"), F.sum("c_s").alias("c_all")
+    )
+    j = sums.crossJoin(F.broadcast(tots))
+    full_nll = -F.col("t_all").cast("double") / F.col("c_all")
+    loso_nll = (
+        -(F.col("t_all") - F.col("t_s")).cast("double")
+        / (F.col("c_all") - F.col("c_s"))
+    )
+    return j.select(
+        "source",
+        F.col("c_s").alias("n_bigrams"),
+        R.r(-F.col("t_s").cast("double") / F.col("c_s"), 6).alias("own_nll"),
+        R.r(loso_nll, 6).alias("loso_nll"),
+        R.r(loso_nll - full_nll, 6).alias("delta_nll"),
+    )

@@ -993,3 +993,122 @@ def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         plist = postings.filter(F.col("token") == term).select("doc_id")
         hits = plist if hits is None else hits.join(plist, "doc_id", "left_semi")
     return hits.join(docs.select("doc_id", "n_chars"), "doc_id")
+
+
+# --- Pareto / ABC classification via distributed cumulative share ----------
+# "Which parts make up the top 80% of revenue?" needs a cumulative
+# sum in global revenue order — the naive form is ONE partition-less
+# window over every part. This is the distributed form: range-bucket
+# parts by revenue (bucket boundaries from min/max), collect the
+# 8-row per-bucket totals, broadcast prefix offsets back, and finish
+# with PER-BUCKET windows — the same two-phase prefix-sum shape as
+# pack_sequences_fixed / source_domain_cap_scaled. Revenue stays
+# DECIMAL(20,2) through every prefix sum (exact, order-independent);
+# the cumulative share snaps to 6dp before the A/<=0.80 / B/<=0.95 /
+# C class cut, so the boundary decision is identical cross-engine.
+# Output is the bounded 3-row class census (each part's class is
+# pinned via the counts and exact class revenue sums).
+_ABC_A, _ABC_B = 0.80, 0.95
+
+_ABC_ORACLE = f"""
+WITH pr AS (
+    SELECT l_partkey,
+           CAST({R.duck_money_sum('l_extendedprice * (1 - l_discount)')}
+                AS DECIMAL(20,2)) AS rev
+    FROM lineitem GROUP BY 1
+),
+t AS (SELECT sum(rev) AS tot FROM pr),
+c AS (
+    SELECT rev,
+           sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM pr
+),
+s AS (
+    SELECT rev,
+           CASE WHEN round(cum::DOUBLE / t.tot::DOUBLE * 1000000)
+                     / 1000000 <= {_ABC_A} THEN 'A'
+                WHEN round(cum::DOUBLE / t.tot::DOUBLE * 1000000)
+                     / 1000000 <= {_ABC_B} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, t
+)
+SELECT s.abc_class, count(*)::BIGINT AS n_parts,
+       round(sum(s.rev), 2)::DOUBLE AS class_revenue,
+       round(sum(s.rev)::DOUBLE / t.tot::DOUBLE * 1000000) / 1000000 + 0.0
+           AS revenue_share
+FROM s, t
+GROUP BY s.abc_class, t.tot
+"""
+
+
+@register("pareto_abc_cumshare", oracle=_ABC_ORACLE)
+def pareto_abc_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        R.money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .cast("decimal(20,2)")
+        .alias("rev")
+    )
+    parts = 8
+    mn, mx = pr.agg(
+        F.min(F.col("rev").cast("double")),
+        F.max(F.col("rev").cast("double")),
+    ).first()
+    if mn is None:
+        mn, mx = 0.0, 0.0
+    if mx == mn:
+        bucket = F.lit(0)
+    else:
+        span = mx - mn
+        # bucket 0 holds the TOP revenues: monotone binning only —
+        # exact order is decided by the per-bucket window sort
+        bucket = F.least(
+            F.lit(parts - 1),
+            F.floor(
+                ((F.lit(mx) - F.col("rev").cast("double")) * parts) / span
+            ).cast("int"),
+        )
+    bucketed = pr.withColumn("_b", bucket)
+    totals = {
+        r["_b"]: r["t"]
+        for r in bucketed.groupBy("_b")
+        .agg(F.sum("rev").alias("t"))
+        .collect()
+    }
+    from decimal import Decimal
+
+    offsets, acc = [], Decimal(0)
+    for b in range(parts):
+        offsets.append(acc)
+        acc += totals.get(b, Decimal(0))
+    offset_map = F.create_map(
+        *[
+            F.lit(x) if i == 0 else F.lit(str(x)).cast("decimal(30,2)")
+            for b in range(parts)
+            for i, x in enumerate((b, offsets[b]))
+        ]
+    )
+    total = F.lit(str(acc)).cast("decimal(30,2)")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.element_at(offset_map, F.col("_b")) + F.sum("rev").over(w)
+    share = R.r(cum.cast("double") / total.cast("double"), 6)
+    cls = (
+        F.when(share <= _ABC_A, "A")
+        .when(share <= _ABC_B, "B")
+        .otherwise("C")
+    )
+    s = bucketed.select(F.col("rev"), cls.alias("abc_class"))
+    return s.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+        R.r(
+            F.sum("rev").cast("double") / total.cast("double"), 6
+        ).alias("revenue_share"),
+    )

@@ -1,0 +1,83 @@
+"""Invariant tests for DoReMi reweighting, LOSO data valuation, and
+the Pareto/ABC distributed cumulative-share classification."""
+
+from __future__ import annotations
+
+import duckdb
+
+from swat_mapreduce_spark.queries import load_all
+
+
+def _q(name):
+    return load_all()[name]
+
+
+def test_doremi_weights_form_a_distribution(spark, sf_dir):
+    rows = _q("doremi_domain_reweight").spark_fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    for r in rows:
+        assert r["excess_nll"] >= 0
+        assert r["weight"] > 0
+        assert r["n_bigrams"] > 0
+    # multiplicative-weights monotonicity: higher excess loss -> at
+    # least as much weight
+    srt = sorted(rows, key=lambda r: r["excess_nll"])
+    for lo, hi in zip(srt, srt[1:]):
+        assert hi["weight"] >= lo["weight"] - 1e-9
+    # at least one source must actually exceed the baseline, else the
+    # step is vacuous (CLAUDE.md gotcha 5)
+    assert any(r["excess_nll"] > 0 for r in rows)
+
+
+def test_loso_identities(spark, sf_dir):
+    rows = _q("loso_source_value").spark_fn(spark, sf_dir).collect()
+    assert rows
+    c_all = sum(r["n_bigrams"] for r in rows)
+    # full-corpus NLL from the per-source partials
+    t_all = sum(r["own_nll"] * r["n_bigrams"] for r in rows)
+    full = t_all / c_all
+    for r in rows:
+        # removing a source moves the mean AWAY from that source's loss
+        if r["own_nll"] > full + 1e-4:
+            assert r["delta_nll"] < 0
+        if r["own_nll"] < full - 1e-4:
+            assert r["delta_nll"] > 0
+        # loso identity: loso = (T - T_s) / (C - C_s)
+        want = (t_all - r["own_nll"] * r["n_bigrams"]) / (
+            c_all - r["n_bigrams"]
+        )
+        assert abs(r["loso_nll"] - want) < 1e-3
+        assert abs(r["delta_nll"] - (r["loso_nll"] - full)) < 1e-3
+
+
+def test_pareto_abc_partition(spark, sf_dir):
+    rows = _q("pareto_abc_cumshare").spark_fn(spark, sf_dir).collect()
+    by = {r["abc_class"]: r for r in rows}
+    assert set(by) <= {"A", "B", "C"} and "A" in by
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # class cut semantics: cumulative share of A stops at 0.80, A+B at
+    # 0.95 (the first part crossing a boundary belongs to the next
+    # class, so class totals sit at or below the cut)
+    assert by["A"]["revenue_share"] <= 0.80 + 1e-6
+    if "B" in by:
+        assert (
+            by["A"]["revenue_share"] + by["B"]["revenue_share"]
+            <= 0.95 + 1e-6
+        )
+    con = duckdb.connect()
+    (n_parts,) = con.execute(
+        f"SELECT count(DISTINCT l_partkey) FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    # revenue concentration: per-part average revenue must decrease
+    # from A to C (the classes are revenue-ordered by construction)
+    avg = {
+        k: r["class_revenue"] / r["n_parts"] for k, r in by.items()
+    }
+    if "B" in by:
+        assert avg["A"] >= avg["B"] - 1e-9
+    if "C" in by and "B" in by:
+        assert avg["B"] >= avg["C"] - 1e-9
