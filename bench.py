@@ -159,6 +159,9 @@ HEADLINE = [
     "padding_waste_bucketing",
     "hybrid_rrf_fusion",
     "selfdedup_repeated_chunks",
+    "kneser_ney_bigram_nll",
+    "doremi_domain_reweight",
+    "pareto_abc_cumshare",
 ]
 
 REPEATS = 2

@@ -292,3 +292,192 @@ def approx_topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# --- interpolated Kneser-Ney bigram LM --------------------------------------
+# THE n-gram smoothing (Kneser & Ney 1995, interpolated form; what
+# KenLM ships by default). Unlike Jelinek-Mercer (wordlm_
+# interpolated_nll), the lower-order distribution is the CONTINUATION
+# probability p_cont(w) = N1+(·,w)/N1+(·,·) — "how many contexts does
+# w complete" — and the bigram term is absolute-discounted:
+#   p(w|prev) = max(c(prev,w) − D, 0)/c(prev)
+#             + D·N1+(prev,·)/c(prev) · p_cont(w).
+# Every ingredient is a count aggregate (type counts N1+ are DISTINCT
+# counts over the bigram-type table), so the whole model is
+# oracle-able. Per-term log-probs snap to DECIMAL(30,8); scoring is
+# the same shuffle-join shape as the JM query (vocab²-honest).
+_KN_D = 0.75
+
+_KN_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+    FROM t WHERE len(toks) >= 2
+),
+flat AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS w FROM bg),
+big AS (SELECT prev, w, count(*) AS cb FROM flat GROUP BY prev, w),
+prevc AS (
+    SELECT prev, sum(cb) AS cp, count(*)::BIGINT AS n1_prev
+    FROM big GROUP BY prev
+),
+contw AS (SELECT w, count(*)::BIGINT AS n1_w FROM big GROUP BY w),
+n1all AS (SELECT count(*)::BIGINT AS n1 FROM big),
+scored AS (
+    SELECT f.doc_id,
+           CAST(ln(greatest(b.cb - {_KN_D}, 0) / pc.cp
+                   + {_KN_D} * pc.n1_prev / pc.cp
+                     * (cw.n1_w * 1.0 / na.n1))
+                AS DECIMAL(30,8)) AS lp
+    FROM flat f
+    JOIN big b ON b.prev = f.prev AND b.w = f.w
+    JOIN prevc pc ON pc.prev = f.prev
+    JOIN contw cw ON cw.w = f.w
+    CROSS JOIN n1all na
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round((-sum(lp)::DOUBLE / count(*)) * 10000) / 10000 + 0.0
+           AS avg_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("kneser_ney_bigram_nll", oracle=_KN_ORACLE)
+def kneser_ney_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), "
+                    "i -> struct(toks[i-2] AS prev, toks[i-1] AS w))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w")
+        )
+    )
+    big = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    prevc = big.groupBy("prev").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1_prev")
+    )
+    contw = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1_w"))
+    n1all = big.agg(F.count(F.lit(1)).alias("n1"))
+    p_kn = F.greatest(F.col("cb") - _KN_D, F.lit(0)) / F.col("cp") + (
+        _KN_D * F.col("n1_prev") / F.col("cp")
+    ) * (F.col("n1_w") * 1.0 / F.col("n1"))
+    scored = (
+        bg.join(big, ["prev", "w"])
+        .join(prevc, "prev")
+        .join(contw, "w")
+        .crossJoin(F.broadcast(n1all))
+        .select("doc_id", F.log(p_kn).cast("decimal(30,8)").alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        R.r((-F.sum("lp").cast("double")) / F.count(F.lit(1)), 4).alias(
+            "avg_nll"
+        ),
+    )
+
+
+# --- greedy LM decode (deterministic generation walk) -----------------------
+# The generation half of the n-gram stack: seed with the most frequent
+# unigram, then repeatedly emit argmax_w c(prev, w) — a 16-token
+# greedy decode. The model's per-context argmax table comes from ONE
+# partitioned window (row_number over each prev's continuations,
+# count desc / word asc ties); the walk itself is driver-coordinated
+# 1-row state per step (the kmeans/BPE iterative pattern: O(steps)
+# driver rows, never O(corpus)). The oracle replays the identical walk
+# with a recursive CTE over the same argmax table, so every emitted
+# token is value-pinned. Cycles are fine (the walk is deterministic);
+# the walk stops early iff a token never occurs as a context.
+_DECODE_STEPS = 15
+
+_DECODE_ORACLE = rf"""
+WITH RECURSIVE t AS (
+    SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS toks
+    FROM documents
+),
+uni AS (
+    SELECT w, count(*) AS cu
+    FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+seed AS (SELECT w FROM uni ORDER BY cu DESC, w LIMIT 1),
+bg AS (
+    SELECT toks, unnest(generate_series(2, len(toks))) AS i
+    FROM t WHERE len(toks) >= 2
+),
+big AS (
+    SELECT toks[i-1] AS prev, toks[i] AS w, count(*) AS cb
+    FROM bg GROUP BY 1, 2
+),
+nxt AS (
+    SELECT prev, w FROM big
+    QUALIFY row_number() OVER (PARTITION BY prev
+                               ORDER BY cb DESC, w) = 1
+),
+walk(step, tok) AS (
+    SELECT 0::BIGINT, w FROM seed
+    UNION ALL
+    SELECT walk.step + 1, n.w
+    FROM walk JOIN nxt n ON n.prev = walk.tok
+    WHERE walk.step < {_DECODE_STEPS}
+)
+SELECT step, tok FROM walk
+"""
+
+
+@register("wordlm_greedy_decode", oracle=_DECODE_ORACLE)
+def wordlm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        ws_tokens(F.col("text")).alias("toks")
+    )
+    uni = docs.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    seed_row = uni.orderBy(F.desc("cu"), F.asc("w")).limit(1).collect()
+    bg = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks)), "
+                    "i -> struct(toks[i-2] AS prev, toks[i-1] AS w))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    )
+    big = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cb"))
+    wn = Window.partitionBy("prev").orderBy(F.desc("cb"), F.asc("w"))
+    nxt = (
+        big.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("prev", "w")
+        .persist()
+    )
+    walk: list[tuple[int, str]] = []
+    if seed_row:
+        cur = seed_row[0]["w"]
+        walk.append((0, cur))
+        for step in range(1, _DECODE_STEPS + 1):
+            hit = nxt.filter(F.col("prev") == cur).collect()
+            if not hit:
+                break
+            cur = hit[0]["w"]
+            walk.append((step, cur))
+    nxt.unpersist()
+    return spark.createDataFrame(walk, "step long, tok string")

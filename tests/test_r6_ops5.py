@@ -81,3 +81,88 @@ def test_pareto_abc_partition(spark, sf_dir):
         assert avg["A"] >= avg["B"] - 1e-9
     if "C" in by and "B" in by:
         assert avg["B"] >= avg["C"] - 1e-9
+
+
+def test_kneser_ney_matches_pure_python_for_sample_docs(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    rows = {
+        r["doc_id"]: r
+        for r in _q("kneser_ney_bigram_nll").spark_fn(spark, sf_dir).collect()
+    }
+    assert rows
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    big = Counter()
+    for _, t in texts:
+        toks = t.split()
+        big.update(zip(toks, toks[1:]))
+    cp = Counter()
+    n1_prev = Counter()
+    n1_w = Counter()
+    for (p, w), c in big.items():
+        cp[p] += c
+        n1_prev[p] += 1
+        n1_w[w] += 1
+    n1 = len(big)
+    D = 0.75
+    for doc_id, t in texts[:5]:
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        lps = []
+        for p, w in zip(toks, toks[1:]):
+            prob = max(big[(p, w)] - D, 0) / cp[p] + (
+                D * n1_prev[p] / cp[p]
+            ) * (n1_w[w] * 1.0 / n1)
+            # engine snaps each ln to 8dp before the decimal sum
+            lps.append(round(math.log(prob) * 1e8) / 1e8)
+        want = round(-sum(lps) / len(lps) * 1e4) / 1e4
+        assert abs(rows[doc_id]["avg_nll"] - want) < 1e-6
+    # KN is a proper distribution: over SEEN continuations of any
+    # context the mass must not exceed 1
+    p0 = next(iter(cp))
+    mass = sum(
+        max(big[(p0, w)] - D, 0) / cp[p0]
+        + (D * n1_prev[p0] / cp[p0]) * (n1_w[w] / n1)
+        for (p, w) in big
+        if p == p0
+    )
+    assert mass <= 1.0 + 1e-9
+
+
+def test_greedy_decode_walks_the_argmax_chain(spark, sf_dir):
+    from collections import Counter
+
+    rows = sorted(
+        _q("wordlm_greedy_decode").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert rows and rows[0]["step"] == 0
+    assert [r["step"] for r in rows] == list(range(len(rows)))
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    uni = Counter()
+    big = Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    seed = min(uni, key=lambda w: (-uni[w], w))
+    assert rows[0]["tok"] == seed
+    nxt = {}
+    for (p, w), c in big.items():
+        cur = nxt.get(p)
+        if cur is None or (-c, w) < cur[0]:
+            nxt[p] = ((-c, w), w)
+    for a, b in zip(rows, rows[1:]):
+        assert nxt[a["tok"]][1] == b["tok"]
