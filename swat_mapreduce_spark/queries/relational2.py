@@ -560,3 +560,108 @@ def itemcf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+# --- association rules (confidence / lift) ----------------------------------
+# The Apriori step after market_basket_pairs: directed rules A→B with
+# confidence = supp(AB)/supp(A) and lift = supp(AB)·N/(supp(A)·supp(B)),
+# top-20 by lift. Item supports are one distinct-items aggregate; the
+# rule table doubles the (support ≥ 2) pair list — still
+# Σ basket²-bounded. A fixed confidence threshold goes VACUOUS as the
+# corpus grows (pair support stays flat while item support scales), so
+# the cut is a rank cut: TakeOrdered top-20 on the 6dp-snapped lift
+# with (ante, cons) tie-breaks — deterministic and non-empty at every
+# scale factor.
+_RULES_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nn AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM items),
+isup AS (SELECT l_partkey, count(*)::BIGINT AS s FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS sab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+rules AS (
+    SELECT pa AS ante, pb AS cons, sab FROM pairs
+    UNION ALL
+    SELECT pb, pa, sab FROM pairs
+),
+rr AS (
+    SELECT r.ante, r.cons, r.sab,
+           round(r.sab * 1.0 / ia.s * 10000) / 10000 + 0.0 AS confidence,
+           round(r.sab * 1.0 * nn.n / (ia.s * ic.s) * 1000000) / 1000000
+               + 0.0 AS lift
+    FROM rules r
+    JOIN isup ia ON ia.l_partkey = r.ante
+    JOIN isup ic ON ic.l_partkey = r.cons
+    CROSS JOIN nn
+)
+SELECT ante, cons, sab AS support_ab, confidence,
+       round(lift * 10000) / 10000 + 0.0 AS lift
+FROM rr
+ORDER BY lift DESC, ante, cons
+LIMIT 20
+"""
+
+
+@register("market_basket_rules", oracle=_RULES_ORACLE)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nn = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sab"))
+        .filter(F.col("sab") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "sab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "sab"
+        )
+    )
+    ia = isup.select(F.col("l_partkey").alias("ante"), F.col("s").alias("sa"))
+    ic = isup.select(F.col("l_partkey").alias("cons"), F.col("s").alias("sc"))
+    rr = (
+        rules.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "ante",
+            "cons",
+            "sab",
+            R.r(F.col("sab") * 1.0 / F.col("sa"), 4).alias("confidence"),
+            R.r(
+                F.col("sab") * 1.0 * F.col("n") / (F.col("sa") * F.col("sc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return (
+        rr.orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+        .select(
+            "ante",
+            "cons",
+            F.col("sab").alias("support_ab"),
+            "confidence",
+            R.r(F.col("lift"), 4).alias("lift"),
+        )
+    )

@@ -1920,3 +1920,158 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("p_id")).alias("n_purchases"),
         R.r(F.sum("credit").cast("double"), 2).alias("attributed_value"),
     )
+
+
+# --- Markov next-event top-1 accuracy ---------------------------------------
+# The eval half of journey_transition_matrix: how predictable is the
+# event stream under the first-order argmax policy? Model = argmax
+# successor per from_type (count desc, to_type asc ties — ONE window
+# over the |event_types|²-bounded transition table); accuracy = share
+# of transitions whose actual successor matches. In-sample by design
+# (the model is a corpus descriptor, not a holdout eval — the
+# point-in-time split lives in churn_feature_table).
+_MARKOV_ACC_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, count(*)::BIGINT AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+best AS (
+    SELECT from_type, to_type AS pred
+    FROM cnt
+    QUALIFY row_number() OVER (PARTITION BY from_type
+                               ORDER BY n DESC, to_type) = 1
+),
+j AS (
+    SELECT c.from_type, b.pred,
+           sum(c.n)::BIGINT AS n_total,
+           sum(CASE WHEN c.to_type = b.pred THEN c.n ELSE 0 END)::BIGINT
+               AS n_correct
+    FROM cnt c JOIN best b USING (from_type)
+    GROUP BY c.from_type, b.pred
+)
+SELECT from_type, pred, n_total, n_correct,
+       round(n_correct * 1.0 / n_total * 10000) / 10000 + 0.0 AS accuracy
+FROM j
+"""
+
+
+@register("markov_next_event_accuracy", oracle=_MARKOV_ACC_ORACLE)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wb = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    best = (
+        cnt.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("to_type").alias("pred"))
+    )
+    j = cnt.join(F.broadcast(best), "from_type").groupBy(
+        "from_type", "pred"
+    ).agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(F.col("to_type") == F.col("pred"), F.col("n")).otherwise(0)
+        ).alias("n_correct"),
+    )
+    return j.select(
+        "from_type",
+        "pred",
+        "n_total",
+        "n_correct",
+        R.r(F.col("n_correct") * 1.0 / F.col("n_total"), 4).alias("accuracy"),
+    )
+
+
+# --- point-in-time churn feature table --------------------------------------
+# Leakage-safe ML feature engineering: features are computed ONLY from
+# orders at or before the cutoff (corpus end − 180 days), the label
+# ONLY from orders after it — the point-in-time-correctness contract
+# every churn/LTV training table must satisfy. One per-customer
+# aggregate for each side of the cut; the label side joins back
+# left-outer (no post-cutoff order → churned=true). Monetary sums are
+# decimal-exact (gotcha 2).
+_CHURN_HORIZON_DAYS = 180
+
+_CHURN_ORACLE = f"""
+WITH mx AS (
+    SELECT max(o_orderdate::DATE) - INTERVAL {_CHURN_HORIZON_DAYS} DAY
+        AS cutoff FROM orders
+),
+pre AS (
+    SELECT o_custkey,
+           count(*)::BIGINT AS frequency,
+           date_diff('day', max(o_orderdate::DATE), mx.cutoff)::BIGINT
+               AS recency_days,
+           date_diff('day', min(o_orderdate::DATE), mx.cutoff)::BIGINT
+               AS tenure_days,
+           round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+               AS monetary
+    FROM orders, mx
+    WHERE o_orderdate::DATE <= mx.cutoff
+    GROUP BY o_custkey, mx.cutoff
+),
+post AS (
+    SELECT DISTINCT o_custkey FROM orders, mx
+    WHERE o_orderdate::DATE > mx.cutoff
+)
+SELECT pre.o_custkey AS custkey, pre.recency_days, pre.tenure_days,
+       pre.frequency, pre.monetary,
+       (post.o_custkey IS NULL) AS churned
+FROM pre LEFT JOIN post ON post.o_custkey = pre.o_custkey
+"""
+
+
+@register("churn_feature_table", oracle=_CHURN_ORACLE)
+def churn_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    mx = o.agg(
+        F.date_sub(F.max("d"), _CHURN_HORIZON_DAYS).alias("cutoff")
+    )
+    oc = o.crossJoin(F.broadcast(mx))
+    pre = oc.filter(F.col("d") <= F.col("cutoff")).groupBy(
+        "o_custkey", "cutoff"
+    ).agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.datediff(F.col("cutoff"), F.max("d")).cast("long").alias(
+            "recency_days"
+        ),
+        F.datediff(F.col("cutoff"), F.min("d")).cast("long").alias(
+            "tenure_days"
+        ),
+        R.money_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    post = (
+        oc.filter(F.col("d") > F.col("cutoff"))
+        .select(F.col("o_custkey").alias("pk"))
+        .distinct()
+    )
+    return pre.join(
+        post, pre.o_custkey == post.pk, "left"
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "tenure_days",
+        "frequency",
+        "monetary",
+        F.col("pk").isNull().alias("churned"),
+    )

@@ -166,3 +166,65 @@ def test_greedy_decode_walks_the_argmax_chain(spark, sf_dir):
             nxt[p] = ((-c, w), w)
     for a, b in zip(rows, rows[1:]):
         assert nxt[a["tok"]][1] == b["tok"]
+
+
+def test_basket_rules_lift_symmetry_and_order(spark, sf_dir):
+    rows = _q("market_basket_rules").spark_fn(spark, sf_dir).collect()
+    assert rows
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    by_pair = {}
+    for r in rows:
+        assert r["support_ab"] >= 2
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0
+        by_pair.setdefault(frozenset((r["ante"], r["cons"])), []).append(r)
+    # lift is symmetric in (A, B): when both rule directions survive
+    # the top-20 cut they must carry the same lift
+    for pair, rs in by_pair.items():
+        if len(rs) == 2:
+            assert abs(rs[0]["lift"] - rs[1]["lift"]) < 1e-9
+
+
+def test_markov_accuracy_beats_uniform(spark, sf_dir):
+    rows = _q("markov_next_event_accuracy").spark_fn(spark, sf_dir).collect()
+    assert rows
+    n_types = len(rows)
+    for r in rows:
+        assert 0 < r["n_correct"] <= r["n_total"]
+        assert abs(r["accuracy"] - round(r["n_correct"] / r["n_total"], 4)) < 1e-9
+    # argmax prediction can never do worse than uniform guessing
+    # in-sample, aggregated over the from_type
+    total = sum(r["n_total"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    assert correct / total >= 1.0 / n_types - 1e-9
+
+
+def test_churn_features_are_point_in_time_correct(spark, sf_dir):
+    rows = _q("churn_feature_table").spark_fn(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    orders = con.execute(
+        f"SELECT o_custkey, o_orderdate::DATE FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    import datetime
+
+    mx = max(d for _, d in orders)
+    cutoff = mx - datetime.timedelta(days=180)
+    pre = {}
+    post = set()
+    for k, d in orders:
+        if d <= cutoff:
+            lo, hi, n = pre.get(k, (d, d, 0))
+            pre[k] = (min(lo, d), max(hi, d), n + 1)
+        else:
+            post.add(k)
+    assert len(rows) == len(pre)
+    for r in rows:
+        lo, hi, n = pre[r["custkey"]]
+        assert r["frequency"] == n
+        assert r["recency_days"] == (cutoff - hi).days >= 0
+        assert r["tenure_days"] == (cutoff - lo).days
+        assert r["churned"] == (r["custkey"] not in post)
+        assert r["monetary"] > 0
