@@ -665,3 +665,86 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.col("lift"), 4).alias("lift"),
         )
     )
+
+
+# --- deterministic negative sampling (recommender prep) ---------------------
+# Contrastive training needs NEGATIVES: for every anchor part, k
+# candidate parts that NEVER co-occurred with it in any order. The
+# candidate stream is md5-derived (functions/hashing — JVM-side,
+# oracle-mirrored) so it is reproducible at any scale, then verified
+# negative by a left-anti join against the co-occurrence pair list
+# (Σ basket²-bounded, the market_basket machinery). Self-hits are
+# filtered. Partkeys are dense 0..N-1 (see stable_row_ids for the
+# non-dense general case); N ships via a 1-row broadcast.
+_NEG_K = 5
+
+_NEG_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+anchors AS (SELECT DISTINCT l_partkey AS anchor FROM items),
+nn AS (SELECT count(*)::BIGINT AS n FROM anchors),
+cands AS (
+    SELECT a.anchor, j.j,
+           {H.duck_hash_uint("a.anchor || ':' || j.j")} % nn.n AS cand
+    FROM anchors a, (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j)
+         AS j, nn
+),
+cooc AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)
+SELECT c.anchor, c.j::BIGINT AS j, c.cand
+FROM cands c
+WHERE c.cand <> c.anchor
+  AND NOT EXISTS (SELECT 1 FROM cooc
+                  WHERE cooc.pa = c.anchor AND cooc.pb = c.cand)
+"""
+
+
+@register("negative_sampling_pairs", oracle=_NEG_ORACLE)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    anchors = items.select(F.col("l_partkey").alias("anchor")).distinct()
+    nn = anchors.agg(F.count(F.lit(1)).alias("n"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j")
+    cands = (
+        anchors.crossJoin(F.broadcast(nn))
+        .select("anchor", "n", js)
+        .select(
+            "anchor",
+            F.col("j").cast("long").alias("j"),
+            F.pmod(
+                H.hash_uint(
+                    F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.col("n"),
+            ).alias("cand"),
+        )
+        .filter(F.col("cand") != F.col("anchor"))
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    cooc = (
+        a.join(b, (a.ok == b.ok) & (F.col("pa") != F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return cands.join(
+        cooc,
+        (cands.anchor == cooc.pa) & (cands.cand == cooc.pb),
+        "left_anti",
+    ).select("anchor", "j", "cand")

@@ -344,3 +344,73 @@ def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.col("idx").cast("double"), 4).alias("seasonal_index"),
         "resid_rmse",
     )
+
+
+# --- CUSUM mean-shift changepoint -------------------------------------------
+# Page's cumulative-sum statistic over daily revenue: S_t = Σ_{i<=t}
+# (x_i − x̄); the |S| maximum marks the most likely single mean-shift
+# point. Every sum is decimal-exact (the mean snaps to DECIMAL(20,6)
+# once, so each term is exact on both engines); the argmax is a
+# TakeOrdered(1) on (|S| desc, day asc). The cumulative window is
+# partition-less but calendar-bounded (census allowlist).
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate::DATE AS day,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+                AS DECIMAL(20,6)) AS rev
+    FROM orders GROUP BY 1
+),
+m AS (
+    SELECT CAST(round(sum(rev)::DOUBLE / count(*) * 1000000) / 1000000
+                AS DECIMAL(20,6)) AS mu,
+           count(*)::BIGINT AS n
+    FROM daily
+),
+cs AS (
+    SELECT day,
+           sum(rev - m.mu) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+    FROM daily, m
+)
+SELECT cs.day AS changepoint_day,
+       round(abs(cs.s)::DOUBLE * 100) / 100 + 0.0 AS cusum_abs,
+       m.n AS n_days,
+       round(m.mu::DOUBLE * 100) / 100 + 0.0 AS mean_daily
+FROM cs, m
+ORDER BY abs(cs.s) DESC, cs.day
+LIMIT 1
+"""
+
+
+@register("cusum_changepoint_daily", oracle=_CUSUM_ORACLE)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(20,6)"
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        R.money_sum(F.col("o_totalprice")).cast(dec).alias("rev")
+    )
+    m = daily.agg(
+        R.r(F.sum("rev").cast("double") / F.count(F.lit(1)), 6)
+        .cast(dec)
+        .alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        "mu",
+        F.sum(F.col("rev") - F.col("mu")).over(w).alias("s"),
+    )
+    return (
+        cs.orderBy(F.abs(F.col("s")).desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            R.r(F.abs(F.col("s")).cast("double"), 2).alias("cusum_abs"),
+            F.col("n").alias("n_days"),
+            R.r(F.col("mu").cast("double"), 2).alias("mean_daily"),
+        )
+    )

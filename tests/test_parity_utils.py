@@ -493,6 +493,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # ECDF cumulative over the distinct-length table (bounded by the
     # document-length domain)
     "ks_two_sample_lengths",
+    # CUSUM cumulative over the per-day table (calendar-bounded)
+    "cusum_changepoint_daily",
 }
 
 

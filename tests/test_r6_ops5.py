@@ -228,3 +228,50 @@ def test_churn_features_are_point_in_time_correct(spark, sf_dir):
         assert r["tenure_days"] == (cutoff - lo).days
         assert r["churned"] == (r["custkey"] not in post)
         assert r["monetary"] > 0
+
+
+def test_cusum_changepoint_matches_numpy(spark, sf_dir):
+    row = _q("cusum_changepoint_daily").spark_fn(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    daily = con.execute(
+        f"SELECT o_orderdate::DATE AS d, round(sum(o_totalprice), 2) "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') "
+        f"GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert row["n_days"] == len(daily)
+    mu = round(sum(v for _, v in daily) / len(daily), 6)
+    s, best = 0.0, None
+    for d, v in daily:
+        s += v - mu
+        if best is None or abs(s) > best[0] + 1e-6:
+            best = (abs(s), d)
+    # float recompute tolerates ~1e-2 of double drift on 1e7 sums
+    assert abs(row["cusum_abs"] - best[0]) < 1.0
+    assert row["changepoint_day"] == best[1]
+    assert abs(row["mean_daily"] - round(mu, 2)) < 0.02
+
+
+def test_negative_samples_never_cooccur(spark, sf_dir):
+    rows = _q("negative_sampling_pairs").spark_fn(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    cooc = set(
+        con.execute(
+            f"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM read_parquet('{sf_dir}/lineitem.parquet'))
+                SELECT a.l_partkey, b.l_partkey FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey"""
+        ).fetchall()
+    )
+    anchors = set()
+    for r in rows:
+        assert r["cand"] != r["anchor"]
+        assert (r["anchor"], r["cand"]) not in cooc
+        assert 0 <= r["j"] < 5
+        anchors.add(r["anchor"])
+    # the anti-join must drop SOMETHING (co-occurrence is non-vacuous)
+    # but not everything; at sf0.001 the 200-part catalog is dense
+    # enough that ~40% of hash candidates genuinely co-occur, so the
+    # bound is structural, not a rate
+    assert len(anchors) <= len(rows) < 5 * len(anchors)
