@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from swat_mapreduce_spark.functions import arrays as A
+from swat_mapreduce_spark.functions import hashing as H
 from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.operators import similarity as S
 from swat_mapreduce_spark.queries import register
@@ -448,4 +449,262 @@ def ks_two_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks.alias("ks_stat"),
         crit.alias("ks_crit"),
         (ks > crit).alias("reject"),
+    )
+
+
+# --- leave-one-out target encoding ------------------------------------------
+# The leakage-safe categorical encoder: replace each row's category
+# with the mean label over OTHER rows of that category,
+# (sum_cat − own) / (n_cat − 1) — plain target encoding leaks the
+# row's own label into its feature; LOO is the standard fix. Label =
+# (lang = 'en'), category = source. One groupBy + a broadcast join
+# back; integer sums, one division per row, singleton categories get
+# NULL (no peers to average).
+_TE_ORACLE = """
+WITH lab AS (
+    SELECT doc_id, source,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+agg AS (
+    SELECT source, sum(y)::BIGINT AS s, count(*)::BIGINT AS n
+    FROM lab GROUP BY source
+)
+SELECT l.doc_id, l.source, l.y::BIGINT AS y,
+       CASE WHEN a.n > 1
+            THEN round((a.s - l.y) * 1.0 / (a.n - 1) * 10000) / 10000 + 0.0
+            END AS te_loo,
+       round(a.s * 1.0 / a.n * 10000) / 10000 + 0.0 AS te_naive
+FROM lab l JOIN agg a USING (source)
+"""
+
+
+@register("target_encode_loo", oracle=_TE_ORACLE)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = docs.join(F.broadcast(agg), "source")
+    return j.select(
+        "doc_id",
+        "source",
+        F.col("y").cast("long").alias("y"),
+        F.when(
+            F.col("n") > 1,
+            R.r((F.col("s") - F.col("y")) * 1.0 / (F.col("n") - 1), 4),
+        ).alias("te_loo"),
+        R.r(F.col("s") * 1.0 / F.col("n"), 4).alias("te_naive"),
+    )
+
+
+# --- inverse-propensity-weighted sample estimation ---------------------------
+# Survey-style estimation under stratified sampling: each source is
+# hash-sampled at its OWN deterministic rate (functions/hashing md5
+# unit — reproducible, oracle-mirrored), and corpus totals are
+# estimated from the sample with inverse-propensity weights 1/rate.
+# The audit compares the IPW estimate to the exact total per lang —
+# the correctness check a 100 TB pipeline runs before trusting
+# sampled statistics. Rates differ by source parity so the weighting
+# is non-trivial.
+_IPW_RATE_EVEN, _IPW_RATE_ODD = 0.5, 0.25
+
+_IPW_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                THEN {_IPW_RATE_EVEN} ELSE {_IPW_RATE_ODD} END AS rate,
+           {H.duck_hash_uint("doc_id || ':ipw'")} / 4294967296.0 AS u
+    FROM documents
+),
+samp AS (SELECT * FROM d WHERE u < rate),
+est AS (
+    SELECT lang,
+           count(*)::BIGINT AS n_sampled,
+           CAST(round(sum(CAST(1.0 / rate AS DECIMAL(20,10)))::DOUBLE)
+                AS BIGINT) AS est_docs,
+           CAST(round(sum(CAST(n_chars / rate AS DECIMAL(24,10)))::DOUBLE)
+                AS BIGINT) AS est_chars
+    FROM samp GROUP BY lang
+),
+exact AS (
+    SELECT lang, count(*)::BIGINT AS true_docs,
+           sum(n_chars)::BIGINT AS true_chars
+    FROM d GROUP BY lang
+)
+SELECT e.lang, e.n_sampled, e.est_docs, x.true_docs,
+       e.est_chars, x.true_chars,
+       round(abs(e.est_docs - x.true_docs) * 1.0 / x.true_docs * 10000)
+           / 10000 + 0.0 AS doc_rel_err
+FROM est e JOIN exact x USING (lang)
+"""
+
+
+@register("ipw_sample_estimate", oracle=_IPW_ORACLE)
+def ipw_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("long") % 2 == 0,
+        F.lit(_IPW_RATE_EVEN),
+    ).otherwise(F.lit(_IPW_RATE_ODD))
+    u = H.hash_uint(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":ipw"))
+    ) / float(16**8)
+    d = docs.select("doc_id", "lang", "n_chars", rate.alias("rate"), u.alias("u"))
+    samp = d.filter(F.col("u") < F.col("rate"))
+    est = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(
+            F.sum((1.0 / F.col("rate")).cast("decimal(20,10)")).cast(
+                "double"
+            )
+        )
+        .cast("long")
+        .alias("est_docs"),
+        F.round(
+            F.sum(
+                (F.col("n_chars") / F.col("rate")).cast("decimal(24,10)")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("est_chars"),
+    )
+    exact = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("true_docs"),
+        F.sum("n_chars").alias("true_chars"),
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "n_sampled",
+        "est_docs",
+        "true_docs",
+        "est_chars",
+        "true_chars",
+        R.r(
+            F.abs(F.col("est_docs") - F.col("true_docs"))
+            * 1.0
+            / F.col("true_docs"),
+            4,
+        ).alias("doc_rel_err"),
+    )
+
+
+# --- quantile normalization across sources ----------------------------------
+# The microarray/ML preprocessing classic: make every source's length
+# distribution comparable by mapping each document onto the POOLED
+# distribution at the same quantile. Exact integer construction:
+# per-source mid-CDF deciles d = ⌊10·(2·cum_lt + cnt) / (2·n_s)⌋ from
+# per-(source, value) counts (windows PARTITIONED by source), pooled
+# mid-decile reference values from integer thresholds
+# t_d = ⌈(2d+1)·N/20⌉ against the pooled cumulative (ONE
+# partition-less window over the bounded length domain — census
+# allowlist). Output is the bounded (source × decile) mapping table.
+_QNORM_ORACLE = """
+WITH v AS (
+    SELECT source, n_chars AS val, count(*)::BIGINT AS cnt
+    FROM documents GROUP BY source, n_chars
+),
+sn AS (SELECT source, sum(cnt)::BIGINT AS n_s FROM v GROUP BY source),
+sc AS (
+    SELECT source, val, cnt,
+           coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lt
+    FROM v
+),
+sd AS (
+    SELECT sc.source, sc.val, sc.cnt,
+           least(9, (10 * (2 * sc.cum_lt + sc.cnt)) // (2 * sn.n_s))
+               AS dec
+    FROM sc JOIN sn USING (source)
+),
+pv AS (SELECT val, sum(cnt)::BIGINT AS cnt FROM v GROUP BY val),
+pc AS (
+    SELECT val,
+           sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM pv
+),
+nn AS (SELECT sum(cnt)::BIGINT AS n FROM pv),
+bounds AS (
+    SELECT d.d, min(pc.val) AS ref_val
+    FROM (SELECT unnest(generate_series(0, 9)) AS d) d, nn, pc
+    WHERE pc.cum >= ((2 * d.d + 1) * nn.n + 19) // 20
+    GROUP BY d.d
+)
+SELECT sd.source, sd.dec::BIGINT AS decile,
+       sum(sd.cnt)::BIGINT AS n_docs,
+       round(sum(sd.val * sd.cnt) * 1.0 / sum(sd.cnt) * 100) / 100 + 0.0
+           AS mean_raw,
+       b.ref_val::BIGINT AS norm_value
+FROM sd JOIN bounds b ON b.d = sd.dec
+GROUP BY sd.source, sd.dec, b.ref_val
+"""
+
+
+@register("quantile_normalize_sources", oracle=_QNORM_ORACLE)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    v = docs.groupBy(
+        "source", F.col("n_chars").alias("val")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sn = v.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sc_ = v.withColumn(
+        "cum_lt", F.coalesce(F.sum("cnt").over(ws), F.lit(0))
+    )
+    sd = sc_.join(sn, "source").select(
+        "source",
+        "val",
+        "cnt",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (10 * (2 * F.col("cum_lt") + F.col("cnt")))
+                / (2 * F.col("n_s"))
+            ),
+        ).alias("dec"),
+    )
+    pv = v.groupBy("val").agg(F.sum("cnt").alias("cnt"))
+    wp = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pc = pv.withColumn("cum", F.sum("cnt").over(wp))
+    nn = pv.agg(F.sum("cnt").alias("n"))
+    ds = nn.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("d"), "n"
+    )
+    bounds = (
+        ds.join(
+            pc,
+            F.col("cum")
+            >= F.floor(((2 * F.col("d") + 1) * F.col("n") + 19) / 20),
+        )
+        .groupBy("d")
+        .agg(F.min("val").alias("ref_val"))
+    )
+    return (
+        sd.join(F.broadcast(bounds), sd.dec == bounds.d)
+        .groupBy("source", "dec", "ref_val")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            R.r(
+                F.sum(F.col("val") * F.col("cnt")) * 1.0 / F.sum("cnt"), 2
+            ).alias("mean_raw"),
+        )
+        .select(
+            "source",
+            F.col("dec").cast("long").alias("decile"),
+            "n_docs",
+            "mean_raw",
+            F.col("ref_val").cast("long").alias("norm_value"),
+        )
     )

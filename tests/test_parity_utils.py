@@ -495,6 +495,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "ks_two_sample_lengths",
     # CUSUM cumulative over the per-day table (calendar-bounded)
     "cusum_changepoint_daily",
+    # pooled-CDF cumulative over the distinct-length table (bounded
+    # by the document-length domain)
+    "quantile_normalize_sources",
 }
 
 

@@ -275,3 +275,64 @@ def test_negative_samples_never_cooccur(spark, sf_dir):
     # enough that ~40% of hash candidates genuinely co-occur, so the
     # bound is structural, not a rate
     assert len(anchors) <= len(rows) < 5 * len(anchors)
+
+
+def test_target_encode_loo_excludes_own_label(spark, sf_dir):
+    rows = _q("target_encode_loo").spark_fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        agg[r["source"]][0] += r["y"]
+        agg[r["source"]][1] += 1
+    for r in rows:
+        s, n = agg[r["source"]]
+        if n > 1:
+            assert abs(r["te_loo"] - round((s - r["y"]) / (n - 1), 4)) < 1e-9
+        else:
+            assert r["te_loo"] is None
+        assert abs(r["te_naive"] - round(s / n, 4)) < 1e-9
+    # LOO must differ from naive whenever the category is not
+    # label-pure — the leakage the encoder exists to remove
+    assert any(
+        r["te_loo"] is not None and abs(r["te_loo"] - r["te_naive"]) > 1e-9
+        for r in rows
+    )
+
+
+def test_ipw_estimates_are_unbiased_scale(spark, sf_dir):
+    rows = _q("ipw_sample_estimate").spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_sampled"] <= r["true_docs"]
+        # Horvitz-Thompson with rates >= 0.25 and hundreds of docs:
+        # relative error stays well inside 35%
+        assert r["doc_rel_err"] < 0.35
+        assert r["est_docs"] > 0 and r["est_chars"] > 0
+
+
+def test_quantile_normalization_is_monotone_per_source(spark, sf_dir):
+    rows = _q("quantile_normalize_sources").spark_fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    n_by_source = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["decile"] <= 9
+        per[r["source"]].append((r["decile"], r["mean_raw"], r["norm_value"]))
+        n_by_source[r["source"]] += r["n_docs"]
+    # every source maps onto the SAME pooled reference values
+    ref = {}
+    for src, items in per.items():
+        for d, _, nv in items:
+            assert ref.setdefault(d, nv) == nv
+        items.sort()
+        raws = [m for _, m, _ in items]
+        norms = [v for _, _, v in items]
+        assert raws == sorted(raws)
+        assert norms == sorted(norms)
+    # doc counts per source survive the mapping
+    counts = set(n_by_source.values())
+    assert min(counts) > 0
