@@ -347,3 +347,42 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.3))
     kept = docs.filter(H.hash_unit(F.col("doc_id"), "samp", 8) < rate)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- language-ID confusion matrix -------------------------------------------
+# The eval rollup of text_langid: true-lang × guessed-lang cell
+# counts with per-true-lang recall shares — the |langs|²-bounded
+# confusion matrix every classifier audit starts from. Reuses the
+# marker-count heuristic (same tie rule) and reduces the corpus in
+# ONE map-side-combined aggregate.
+def _langid_confusion_oracle() -> str:
+    base = _langid_oracle().strip()
+    return f"""
+WITH base AS ({base}),
+cells AS (
+    SELECT lang, lang_guess, count(*)::BIGINT AS n
+    FROM base GROUP BY lang, lang_guess
+),
+tot AS (SELECT lang, sum(n)::BIGINT AS n_true FROM cells GROUP BY lang)
+SELECT c.lang, c.lang_guess, c.n, t.n_true,
+       round(c.n * 1.0 / t.n_true * 10000) / 10000 + 0.0 AS row_share,
+       (c.lang = c.lang_guess) AS is_diagonal
+FROM cells c JOIN tot t USING (lang)
+"""
+
+
+@register("langid_confusion_matrix", oracle=_langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = text_langid(spark, sf_dir)
+    cells = base.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return cells.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_guess",
+        "n",
+        "n_true",
+        R.r(F.col("n") * 1.0 / F.col("n_true"), 4).alias("row_share"),
+        (F.col("lang") == F.col("lang_guess")).alias("is_diagonal"),
+    )

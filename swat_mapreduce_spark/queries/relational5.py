@@ -1089,3 +1089,57 @@ def null_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zeroifnull(F.col("a")).alias("a_zeroifnull"),
         F.nullifzero(F.col("user_id") % 7).alias("mod_nullifzero"),
     )
+
+
+# --- listagg (SQL:2016 ordered string aggregation, Spark 4.0) ---------------
+# listagg(DISTINCT x, sep) WITHIN GROUP (ORDER BY x) — the standard's
+# ordered string aggregation, new in Spark 4.0 (before it, collect_list
+# + array_join approximations). DuckDB mirrors with
+# string_agg(DISTINCT x, sep ORDER BY x). Ordering inside the
+# aggregate is REQUIRED for determinism — an unordered listagg is a
+# row-order lottery.
+_LISTAGG_ORACLE = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+       string_agg(DISTINCT CAST(year(o_orderdate) AS VARCHAR), ','
+                  ORDER BY CAST(year(o_orderdate) AS VARCHAR))
+           AS years_active
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("listagg_order_status", oracle=_LISTAGG_ORACLE)
+def listagg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("string").alias("yr"),
+    )
+    # Two Spark 4.0 warts pinned here: (1) the DataFrame helper
+    # F.listagg_distinct keeps ENCOUNTER order (verified 'c,a,b' on a
+    # shuffled input) — only WITHIN GROUP sorts; (2) TWO
+    # listagg-DISTINCT-WITHIN-GROUP aggregates in one aggregation
+    # (DataFrame .agg OR spark.sql) throw ClassCastException
+    # (AttributeReference → SortOrder) in the distinct-aggregate
+    # rewrite. Workaround: pre-dedup each column and run PLAIN
+    # WITHIN-GROUP listaggs in separate aggregations, joined back.
+    def _agg(col: str, out: str):
+        return (
+            o.select("o_orderpriority", col)
+            .distinct()
+            .groupBy("o_orderpriority")
+            .agg(
+                F.expr(
+                    f"listagg({col}, ',') WITHIN GROUP (ORDER BY {col})"
+                ).alias(out)
+            )
+        )
+
+    n = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        n.join(_agg("o_orderstatus", "statuses"), "o_orderpriority")
+        .join(_agg("yr", "years_active"), "o_orderpriority")
+    )

@@ -2075,3 +2075,82 @@ def churn_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         F.col("pk").isNull().alias("churned"),
     )
+
+
+# --- LTV cohort curve --------------------------------------------------------
+# Cumulative revenue per customer by cohort age: customers cohort on
+# their first-order month; revenue accumulates over months-since-
+# cohort (capped at 12). The cumulative window is PARTITIONED by
+# cohort over ≤ 13 age rows; revenue stays decimal-exact until the
+# final per-customer division. The standard LTV payback input.
+_LTV_MAX_AGE = 12
+
+_LTV_ORACLE = f"""
+WITH fo AS (
+    SELECT o_custkey,
+           min(date_trunc('month', o_orderdate)::DATE) AS cohort
+    FROM orders GROUP BY 1
+),
+sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM fo GROUP BY 1),
+rev AS (
+    SELECT fo.cohort,
+           date_diff('month', fo.cohort,
+                     date_trunc('month', o.o_orderdate)::DATE)::BIGINT
+               AS age,
+           sum(CAST(o.o_totalprice AS DECIMAL(30,8))) AS r
+    FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort, age,
+           sum(r) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+    FROM rev
+)
+SELECT c.cohort, c.age, s.cohort_size,
+       round(c.cr, 2)::DOUBLE AS cum_revenue,
+       round(c.cr::DOUBLE / s.cohort_size * 100) / 100 + 0.0
+           AS ltv_per_customer
+FROM cum c JOIN sz s USING (cohort)
+WHERE c.age <= {_LTV_MAX_AGE}
+"""
+
+
+@register("ltv_cohort_curve", oracle=_LTV_ORACLE)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        "o_totalprice",
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    sz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(F.col("m"), F.col("cohort"))
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("r"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cr", F.sum("r").over(w))
+    return (
+        cum.join(F.broadcast(sz), "cohort")
+        .filter(F.col("age") <= _LTV_MAX_AGE)
+        .select(
+            "cohort",
+            "age",
+            "cohort_size",
+            F.round(F.col("cr"), 2).cast("double").alias("cum_revenue"),
+            R.r(F.col("cr").cast("double") / F.col("cohort_size"), 2).alias(
+                "ltv_per_customer"
+            ),
+        )
+    )

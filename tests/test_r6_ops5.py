@@ -336,3 +336,54 @@ def test_quantile_normalization_is_monotone_per_source(spark, sf_dir):
     # doc counts per source survive the mapping
     counts = set(n_by_source.values())
     assert min(counts) > 0
+
+
+def test_listagg_is_sorted_and_deduped(spark, sf_dir):
+    rows = _q("listagg_order_status").spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        sts = r["statuses"].split(",")
+        yrs = r["years_active"].split(",")
+        assert sts == sorted(set(sts))
+        assert yrs == sorted(set(yrs))
+        assert r["n_orders"] > 0
+
+
+def test_langid_confusion_diagonal_dominates(spark, sf_dir):
+    rows = _q("langid_confusion_matrix").spark_fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["row_share"] <= 1.0
+        assert r["n"] <= r["n_true"]
+        shares[r["lang"]] += r["row_share"]
+        if r["is_diagonal"]:
+            # the marker heuristic must be right most of the time per
+            # language — this is what text_langid's is_match pins
+            # per-doc; here it's the aggregated eval view
+            assert r["row_share"] > 0.5
+    for lang, tot in shares.items():
+        assert abs(tot - 1.0) < 2e-3  # row shares partition each lang
+
+
+def test_ltv_curve_is_monotone_per_cohort(spark, sf_dir):
+    rows = _q("ltv_cohort_curve").spark_fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["age"] <= 12
+        assert r["cohort_size"] > 0
+        per[r["cohort"]].append((r["age"], r["cum_revenue"], r["ltv_per_customer"]))
+    for cohort, items in per.items():
+        items.sort()
+        cums = [c for _, c, _ in items]
+        assert cums == sorted(cums)  # cumulative revenue is monotone
+        for age, c, ltv in items:
+            sz = next(
+                r["cohort_size"] for r in rows if r["cohort"] == cohort
+            )
+            assert abs(ltv - round(c / sz, 2)) < 0.02
