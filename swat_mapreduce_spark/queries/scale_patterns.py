@@ -1112,3 +1112,61 @@ def pareto_abc_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double") / total.cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+# --- exact SLIDING-window distinct via bitmap fan-out ------------------------
+# Exact 7-day rolling distinct users per day. count(DISTINCT) over a
+# sliding window is the classic scale trap (per-day distinct sets
+# don't merge). The bitmap form is exactly mergeable, and the sliding
+# frame is handled by FAN-OUT instead of a window: each (day, bucket)
+# mask contributes to target days day..day+6 (a 7x explode of the
+# |days|x|buckets|-bounded mask table — NOT of the raw events), then
+# one OR-aggregate per (target_day, bucket) and a bit_count rollup.
+# No window at all, gap-days handled correctly, two shuffles of
+# mask-table volume regardless of event count. Only full 7-day
+# windows are emitted.
+_SLIDING_BITMAP_ORACLE = """
+WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+rng AS (SELECT min(ts::DATE) AS mn, max(ts::DATE) AS mx FROM events)
+SELECT d.d AS day,
+       count(DISTINCT e.user_id)::BIGINT AS n_users_7d
+FROM days d
+JOIN events e ON e.ts::DATE BETWEEN d.d - INTERVAL 6 DAY AND d.d
+CROSS JOIN rng
+WHERE d.d >= rng.mn + INTERVAL 6 DAY
+GROUP BY d.d
+"""
+
+
+@register("sliding_distinct_users_bitmap", oracle=_SLIDING_BITMAP_ORACLE)
+def sliding_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    rng = ev.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    masks = ev.groupBy(
+        "day", F.expr("user_id div 64").alias("bkt")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, cast(user_id % 64 AS int)))").alias(
+            "bits"
+        )
+    )
+    fanned = masks.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+        "bkt",
+        "bits",
+    )
+    ored = fanned.groupBy("tday", "bkt").agg(
+        F.expr("bit_or(bits)").alias("obits")
+    )
+    per_day = ored.groupBy("tday").agg(
+        F.sum(F.bit_count("obits")).cast("long").alias("n_users_7d")
+    )
+    return per_day.crossJoin(F.broadcast(rng)).filter(
+        (F.col("tday") >= F.date_add(F.col("mn"), 6))
+        & (F.col("tday") <= F.col("mx"))
+    ).select(F.col("tday").alias("day"), "n_users_7d")

@@ -414,3 +414,89 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.col("mu").cast("double"), 2).alias("mean_daily"),
         )
     )
+
+
+# --- seasonal-residual outliers ----------------------------------------------
+# The alerting output of seasonal_decompose_dow: after removing the
+# 7-day MA trend AND the day-of-week index, which days still deviate
+# most? Top-5 by |residual| (TakeOrdered — non-vacuous and bounded at
+# every scale factor, unlike a fixed z threshold). Residuals are exact
+# decimals end-to-end; the ordering key is the decimal |residual|
+# with the day as tie-break.
+_SEA_OUT_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate::DATE AS day,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+                AS DECIMAL(20,6)) AS rev
+    FROM orders GROUP BY 1
+),
+ma AS (
+    SELECT day, rev,
+           sum(rev) OVER w AS s7, count(*) OVER w AS n7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+    SELECT day, isodow(day)::BIGINT AS dow, rev,
+           rev - CAST(round(s7::DOUBLE / 7 * 1000000) / 1000000
+                      AS DECIMAL(20,6)) AS dt
+    FROM ma WHERE n7 = 7
+),
+sea AS (
+    SELECT dow,
+           CAST(round(sum(dt)::DOUBLE / count(*) * 1000000) / 1000000
+                AS DECIMAL(20,6)) AS idx
+    FROM detr GROUP BY 1
+)
+SELECT d.day, d.dow,
+       round(d.rev::DOUBLE * 100) / 100 + 0.0 AS revenue,
+       round((d.dt - s.idx)::DOUBLE * 100) / 100 + 0.0 AS residual
+FROM detr d JOIN sea s USING (dow)
+ORDER BY abs(d.dt - s.idx) DESC, d.day
+LIMIT 5
+"""
+
+
+@register("seasonal_residual_outliers", oracle=_SEA_OUT_ORACLE)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(20,6)"
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        R.money_sum(F.col("o_totalprice")).cast(dec).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    detr = ma.filter(F.col("n7") == 7).select(
+        "day",
+        (F.weekday("day") + 1).cast("long").alias("dow"),
+        "rev",
+        (
+            F.col("rev") - R.r(F.col("s7").cast("double") / 7, 6).cast(dec)
+        ).alias("dt"),
+    )
+    sea = detr.groupBy("dow").agg(
+        R.r(F.sum("dt").cast("double") / F.count(F.lit(1)), 6)
+        .cast(dec)
+        .alias("idx")
+    )
+    resid = detr.join(F.broadcast(sea), "dow").select(
+        "day",
+        "dow",
+        "rev",
+        (F.col("dt") - F.col("idx")).alias("res"),
+    )
+    return (
+        resid.orderBy(F.abs(F.col("res")).desc(), F.asc("day"))
+        .limit(5)
+        .select(
+            "day",
+            "dow",
+            R.r(F.col("rev").cast("double"), 2).alias("revenue"),
+            R.r(F.col("res").cast("double"), 2).alias("residual"),
+        )
+    )

@@ -498,6 +498,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # pooled-CDF cumulative over the distinct-length table (bounded
     # by the document-length domain)
     "quantile_normalize_sources",
+    # 7-day centered MA over the per-day table (calendar-bounded)
+    "seasonal_residual_outliers",
 }
 
 

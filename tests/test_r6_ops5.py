@@ -387,3 +387,48 @@ def test_ltv_curve_is_monotone_per_cohort(spark, sf_dir):
                 r["cohort_size"] for r in rows if r["cohort"] == cohort
             )
             assert abs(ltv - round(c / sz, 2)) < 0.02
+
+
+def test_sliding_bitmap_matches_bruteforce(spark, sf_dir):
+    rows = {
+        r["day"]: r["n_users_7d"]
+        for r in _q("sliding_distinct_users_bitmap")
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT ts::DATE, user_id FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    import datetime
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    for d, u in ev:
+        by_day[d].add(u)
+    mn, mx = min(by_day), max(by_day)
+    for day, got in rows.items():
+        users = set()
+        for k in range(7):
+            users |= by_day.get(day - datetime.timedelta(days=k), set())
+        assert got == len(users)
+        assert day >= mn + datetime.timedelta(days=6)
+    # every full-window day present
+    want_days = {
+        mn + datetime.timedelta(days=i)
+        for i in range(6, (mx - mn).days + 1)
+    }
+    assert set(rows) == want_days
+
+
+def test_seasonal_outliers_are_the_max_residuals(spark, sf_dir):
+    rows = _q("seasonal_residual_outliers").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    resids = [abs(r["residual"]) for r in rows]
+    assert resids == sorted(resids, reverse=True)
+    assert len({r["day"] for r in rows}) == 5
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        assert r["revenue"] > 0
