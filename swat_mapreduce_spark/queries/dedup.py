@@ -1050,3 +1050,170 @@ def selfdedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chunks") - F.col("n_kept")).alias("dup_chunks"),
         F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
     )
+
+
+# --- containment (asymmetric Jaccard) pairs ----------------------------------
+# Containment C(A→B) = |A∩B| / |A| catches near-SUPERSET relations —
+# quotes, excerpts, doc-inside-doc — that symmetric Jaccard dilutes
+# (a 20-shingle quote inside a 200-shingle doc has Jaccard ≤0.1 but
+# containment 1.0 from the quote's side). Same MAX_DF-capped shingle
+# join as dedup_ngram_jaccard (candidate volume Σ df², never corpus²);
+# the threshold applies to max(C(A→B), C(B→A)) so the direction is
+# reported, not lost.
+_CONTAIN_T = 0.8
+
+_CONTAIN_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(list_filter(
+               list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+               x -> true)) AS shs
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> len(x) > 0) AS tk
+        FROM documents
+    )
+),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM t),
+df AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(*) <= {D.MAX_DF}
+),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, len(shs)::BIGINT AS sz FROM t),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+    FROM shk a JOIN shk b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.i AS n_common,
+       sa.sz AS size_a, sb.sz AS size_b,
+       round(i.i * 1.0 / sa.sz * 10000) / 10000 + 0.0 AS contain_a_in_b,
+       round(i.i * 1.0 / sb.sz * 10000) / 10000 + 0.0 AS contain_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE greatest(i.i * 1.0 / sa.sz, i.i * 1.0 / sb.sz) >= {_CONTAIN_T}
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = D.doc_shingle_arrays(docs, n=3)
+    sizes = arrs.select("doc_id", F.size("sh_arr").cast("long").alias("sz"))
+    sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= D.MAX_DF)
+        .select("shingle")
+    )
+    shk = sh.join(df_ok, "shingle")
+    a = shk.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shk.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    c_ab = F.col("i") * 1.0 / F.col("size_a")
+    c_ba = F.col("i") * 1.0 / F.col("size_b")
+    return j.filter(F.greatest(c_ab, c_ba) >= _CONTAIN_T).select(
+        "doc_a",
+        "doc_b",
+        F.col("i").alias("n_common"),
+        "size_a",
+        "size_b",
+        R.r(c_ab, 4).alias("contain_a_in_b"),
+        R.r(c_ba, 4).alias("contain_b_in_a"),
+    )
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+# Schleimer/Wilkerson/Aiken 2003: hash every POSITIONAL k-gram (k=3),
+# slide a window of w=4 consecutive hashes, keep each window's MINIMUM
+# — guarantees any shared run of ≥ w+k-1 tokens shares a fingerprint,
+# at ~2/(w+1) the storage. Entirely row-local array math (zero
+# shuffle); the per-doc fingerprint SET is pinned exactly by an
+# order-insensitive XOR of the selected hashes, so the oracle verifies
+# the algorithm's every selection without shipping the sets.
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS tk
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(tk) - {_WINNOW_K - 1}),
+               i -> ('0x' || substr(md5(
+                        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                    1, 8))::BIGINT) AS hs
+    FROM t WHERE len(tk) >= {_WINNOW_K}
+),
+fp AS (
+    SELECT doc_id, len(hs)::BIGINT AS n_kgrams,
+           list_distinct(list_transform(
+               generate_series(1, len(hs) - {_WINNOW_W - 1}),
+               i -> list_min(hs[i:i + {_WINNOW_W - 1}]))) AS fps
+    FROM h WHERE len(hs) >= {_WINNOW_W}
+)
+SELECT doc_id, n_kgrams,
+       len(fps)::BIGINT AS n_fingerprints,
+       round(len(fps) * 1.0 / n_kgrams * 10000) / 10000 + 0.0 AS density,
+       list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> xor(a, x))
+           AS fp_xor
+FROM fp
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", ws_tokens(F.col("text")).alias("tk"))
+    # positional k-gram hashes; sequence guarded (gotcha 10)
+    hs = tk.filter(F.size("tk") >= _WINNOW_K).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(tk) - {_WINNOW_K - 1}), i -> "
+            f"cast(conv(substr(md5(concat_ws(' ', tk[i-1], tk[i], tk[i+1])"
+            f"), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    fp = hs.filter(F.size("hs") >= _WINNOW_W).select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_kgrams"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {_WINNOW_W - 1}), "
+                f"i -> array_min(slice(hs, i, {_WINNOW_W})))"
+            )
+        ).alias("fps"),
+    )
+    return fp.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        R.r(F.size("fps") * 1.0 / F.col("n_kgrams"), 4).alias("density"),
+        F.aggregate(
+            "fps",
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseXOR(x),
+        ).alias("fp_xor"),
+    )

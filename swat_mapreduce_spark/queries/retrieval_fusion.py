@@ -138,3 +138,174 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.col("rrf").cast("double"), 6).alias("rrf_score"),
         )
     )
+
+
+# --- rank-biased overlap: full-dim vs MRL-truncated ranking -------------------
+# RBO (Webber, Moffat & Zobel 2010) at p = 1/2, truncated at depth 30,
+# between the FULL 64-dim cosine ranking and the 16-dim
+# Matryoshka-truncated ranking of the SAME query — "how much does
+# dimension truncation perturb retrieval ORDER", the rank-level
+# companion to matryoshka_truncation_audit's recall number. (An RBO
+# between unrelated signals — e.g. BM25 vs cosine on this synthetic
+# corpus — degenerates to 0 overlap at every scale factor, the
+# vacuous-match trap; same-family rankings keep it loaded.)
+# RBO = ((1−p)/p) · Σ_d p^d · X_d / d with X_d the depth-d prefix
+# overlap. With p = 1/2 the prefactor is 1 and every p^d/d term is
+# the exact rational 1/(d·2^d) — denominators stay under 2^53, so
+# both engines compute IDENTICAL doubles, snapped to DECIMAL(24,12)
+# (12 significant digits round-trip exactly through double). X_d
+# enters via each common doc's first co-appearance depth
+# m = max(rank_a, rank_b): Σ_d p^d X_d/d = Σ_m cnt_m · W(m) with
+# W(m) = Σ_{d≥m} t_d — a 30×30 suffix join, no window. Single-row
+# output with overlap@10/@30 alongside.
+_RBO_DEPTH = 30
+
+_RBO_TRUNC_DIM = 16
+
+_RBO_ORACLE = f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT i, x AS qx FROM dims WHERE vec_id = {QUERY_VEC_ID}),
+full_sc AS (
+    SELECT d.vec_id,
+           round(sum(d.x * q.qx) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(q.qx * q.qx))) * 10000) / 10000 + 0.0 AS cosine
+    FROM dims d JOIN q ON d.i = q.i
+    WHERE d.vec_id <> {QUERY_VEC_ID}
+    GROUP BY d.vec_id
+),
+lex AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+    FROM full_sc
+    QUALIFY r <= {_RBO_DEPTH}
+),
+trunc_sc AS (
+    SELECT d.vec_id,
+           round(sum(d.x * q.qx) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(q.qx * q.qx))) * 10000) / 10000 + 0.0 AS cosine
+    FROM dims d JOIN q ON d.i = q.i
+    WHERE d.vec_id <> {QUERY_VEC_ID}
+      AND d.i <= {_RBO_TRUNC_DIM} AND q.i <= {_RBO_TRUNC_DIM}
+    GROUP BY d.vec_id
+),
+sem AS (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+    FROM trunc_sc
+    QUALIFY r <= {_RBO_DEPTH}
+),
+common AS (
+    SELECT greatest(l.r, s.r)::BIGINT AS m
+    FROM lex l JOIN sem s ON l.doc_id = s.vec_id
+),
+terms AS (
+    SELECT d.d,
+           CAST(round(1.0 / (d.d * (1::BIGINT << d.d)) * 1000000000000)
+                / 1000000000000 AS DECIMAL(24,12)) AS t
+    FROM (SELECT unnest(generate_series(1, {_RBO_DEPTH})) AS d) d
+),
+w AS (
+    -- W(m) < 0.7 always: keep it DECIMAL(20,12) so cnt*W stays inside
+    -- precision 38 (a wider product silently REDUCES SCALE in Spark -
+    -- CLAUDE.md gotcha 8)
+    SELECT t1.d AS m, CAST(sum(t2.t) AS DECIMAL(20,12)) AS wm
+    FROM terms t1 JOIN terms t2 ON t2.d >= t1.d
+    GROUP BY t1.d
+),
+cm AS (SELECT m, CAST(count(*) AS DECIMAL(10,0)) AS cnt FROM common
+       GROUP BY m),
+agg AS (
+    SELECT coalesce(sum(cm.cnt * w.wm), CAST(0 AS DECIMAL(38,12))) AS rbo,
+           coalesce(sum(cm.cnt), 0)::BIGINT AS n_common,
+           coalesce(sum(CASE WHEN cm.m <= 10 THEN cm.cnt
+                         ELSE CAST(0 AS DECIMAL(10,0)) END), 0)
+               ::BIGINT AS overlap_at_10
+    FROM cm JOIN w USING (m)
+)
+SELECT n_common AS overlap_at_{_RBO_DEPTH}, overlap_at_10,
+       round(rbo::DOUBLE * 1000000) / 1000000 + 0.0 AS rbo,
+       CAST(round(rbo::DOUBLE * 1000000) AS BIGINT) AS rbo_ppm
+FROM agg
+"""
+
+
+@register("ranking_rbo_similarity", oracle=_RBO_ORACLE)
+def ranking_rbo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        A.as_double_array(F.col("embedding")).alias("qv")
+    )
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
+        F.broadcast(qdf)
+    )
+
+    def ranked(vec_col, q_col, rank_name):
+        sc = base.select(
+            "vec_id",
+            R.r(A.cosine(vec_col, q_col), 4).alias("cosine"),
+        )
+        cut = sc.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(_RBO_DEPTH)
+        w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return cut.select(
+            "vec_id", F.row_number().over(w).cast("long").alias(rank_name)
+        )
+
+    v_full = A.as_double_array(F.col("embedding"))
+    lex = ranked(v_full, F.col("qv"), "ra").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    v_trunc = F.slice(A.as_double_array(F.col("embedding")), 1, _RBO_TRUNC_DIM)
+    sem = ranked(v_trunc, F.slice(F.col("qv"), 1, _RBO_TRUNC_DIM), "rb")
+    common = lex.join(sem, lex.doc_id == sem.vec_id).select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    dec = "decimal(24,12)"
+    terms = (
+        common.sparkSession.range(1, _RBO_DEPTH + 1)
+        .select(F.col("id").alias("d"))
+        .select(
+            "d",
+            # F.shiftleft's numBits parameter is int-only; the SQL form
+            # accepts a column
+            R.r(
+                F.lit(1.0)
+                / (F.col("d") * F.expr("shiftleft(1L, cast(d AS int))")),
+                12,
+            )
+            .cast(dec)
+            .alias("t"),
+        )
+    )
+    t1 = terms.select(F.col("d").alias("m"))
+    t2 = terms.select(F.col("d").alias("d2"), "t")
+    # W(m) < 0.7: DECIMAL(20,12) keeps cnt*W inside precision 38
+    # (gotcha 8 - a wider product silently reduces scale)
+    w = (
+        t1.join(t2, F.col("d2") >= F.col("m"))
+        .groupBy("m")
+        .agg(F.sum("t").cast("decimal(20,12)").alias("wm"))
+    )
+    cm = common.groupBy("m").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt")
+    )
+    agg = cm.join(F.broadcast(w), "m").agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("wm")),
+            F.lit(0).cast("decimal(38,12)"),
+        ).alias("rbo"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") <= 10, F.col("cnt")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("overlap_at_10"),
+    )
+    return agg.select(
+        F.col("n_common").alias(f"overlap_at_{_RBO_DEPTH}"),
+        "overlap_at_10",
+        R.r(F.col("rbo").cast("double"), 6).alias("rbo"),
+        # the driver hash rounds floats to 4dp - rbo at ~5e-4 would be
+        # barely pinned; the integer parts-per-million column pins all
+        # six digits exactly
+        F.round(F.col("rbo").cast("double") * 1000000)
+        .cast("long")
+        .alias("rbo_ppm"),
+    )

@@ -500,6 +500,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "quantile_normalize_sources",
     # 7-day centered MA over the per-day table (calendar-bounded)
     "seasonal_residual_outliers",
+    # rank numbering over the two TakeOrdered top-30 cuts
+    "ranking_rbo_similarity",
 }
 
 

@@ -432,3 +432,93 @@ def test_seasonal_outliers_are_the_max_residuals(spark, sf_dir):
     for r in rows:
         assert 1 <= r["dow"] <= 7
         assert r["revenue"] > 0
+
+
+def test_containment_catches_asymmetric_overlap(spark, sf_dir):
+    rows = _q("dedup_containment_pairs").spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 < r["n_common"] <= min(r["size_a"], r["size_b"])
+        assert max(r["contain_a_in_b"], r["contain_b_in_a"]) >= 0.8 - 1e-9
+        assert abs(r["contain_a_in_b"] - round(r["n_common"] / r["size_a"], 4)) < 1e-9
+
+
+def test_winnowing_guarantee_and_density(spark, sf_dir):
+    rows = (
+        _q("winnowing_fingerprints")
+        .spark_fn(spark, sf_dir)
+        .limit(300)
+        .collect()
+    )
+    assert rows
+    import hashlib
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    for r in rows[:30]:
+        toks = texts[r["doc_id"]].split()
+        hs = [
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode())
+                .hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ]
+        fps = {min(hs[i : i + 4]) for i in range(len(hs) - 3)}
+        assert r["n_kgrams"] == len(hs)
+        assert r["n_fingerprints"] == len(fps)
+        x = 0
+        for f in fps:
+            x ^= f
+        assert r["fp_xor"] == x
+        # winnowing density ~ 2/(w+1); generous band
+        assert 0.1 <= r["density"] <= 0.9
+
+
+def test_rbo_matches_pure_python(spark, sf_dir):
+    row = _q("ranking_rbo_similarity").spark_fn(spark, sf_dir).collect()[0]
+    assert row["overlap_at_30"] > 0, "vacuous RBO (gotcha 5)"
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    import math
+
+    vecs = {i: [float(x) for x in v] for i, v in emb}
+    q = vecs[0]
+
+    def rank(dim):
+        def cos(v):
+            d = sum(a * b for a, b in zip(v[:dim], q[:dim]))
+            na = math.sqrt(sum(a * a for a in v[:dim]))
+            nb = math.sqrt(sum(b * b for b in q[:dim]))
+            return round(d / (na * nb) * 1e4) / 1e4
+
+        scored = sorted(
+            ((cos(v), -i) for i, v in vecs.items() if i != 0),
+            reverse=True,
+        )
+        return [-mi for _, mi in scored[:30]]
+
+    a, b = rank(64), rank(16)
+    pos_a = {x: i + 1 for i, x in enumerate(a)}
+    pos_b = {x: i + 1 for i, x in enumerate(b)}
+    common = {x: max(pos_a[x], pos_b[x]) for x in set(a) & set(b)}
+    assert row["overlap_at_30"] == len(common)
+    assert row["overlap_at_10"] == sum(1 for m in common.values() if m <= 10)
+    rbo = sum(
+        sum(
+            round(1.0 / (d * (1 << d)) * 1e12) / 1e12
+            for d in range(m, 31)
+        )
+        for m in common.values()
+    )
+    assert abs(row["rbo"] - round(rbo * 1e6) / 1e6) < 1e-9
