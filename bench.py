@@ -162,6 +162,12 @@ HEADLINE = [
     "kneser_ney_bigram_nll",
     "doremi_domain_reweight",
     "pareto_abc_cumshare",
+    "quantile_normalize_sources",
+    "dedup_containment_pairs",
+    "winnowing_fingerprints",
+    "ltv_cohort_curve",
+    "sliding_distinct_users_bitmap",
+    "churn_feature_table",
 ]
 
 REPEATS = 2

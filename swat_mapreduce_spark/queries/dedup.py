@@ -1103,8 +1103,13 @@ WHERE greatest(i.i * 1.0 / sa.sz, i.i * 1.0 / sb.sz) >= {_CONTAIN_T}
 
 @register("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     docs = read_table(spark, sf_dir, "documents")
-    arrs = D.doc_shingle_arrays(docs, n=3)
+    # the shingle subtree feeds sizes + the exploded table; the capped
+    # table feeds BOTH sides of the self-join - persist each once so
+    # the corpus is shingled once, not four times
+    arrs = D.doc_shingle_arrays(docs, n=3).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = arrs.select("doc_id", F.size("sh_arr").cast("long").alias("sz"))
     sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
     df_ok = (
@@ -1113,7 +1118,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= D.MAX_DF)
         .select("shingle")
     )
-    shk = sh.join(df_ok, "shingle")
+    shk = sh.join(df_ok, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
     a = shk.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shk.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -1163,14 +1168,14 @@ h AS (
                i -> ('0x' || substr(md5(
                         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
                     1, 8))::BIGINT) AS hs
-    FROM t WHERE len(tk) >= {_WINNOW_K}
+    FROM t WHERE len(tk) >= {_WINNOW_W + _WINNOW_K - 1}
 ),
 fp AS (
     SELECT doc_id, len(hs)::BIGINT AS n_kgrams,
            list_distinct(list_transform(
                generate_series(1, len(hs) - {_WINNOW_W - 1}),
-               i -> list_min(hs[i:i + {_WINNOW_W - 1}]))) AS fps
-    FROM h WHERE len(hs) >= {_WINNOW_W}
+               i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3]))) AS fps
+    FROM h
 )
 SELECT doc_id, n_kgrams,
        len(fps)::BIGINT AS n_fingerprints,
@@ -1184,11 +1189,22 @@ FROM fp
 @register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swat_mapreduce_spark.functions.text import ws_tokens
+    from swat_mapreduce_spark.sources.readers import fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", ws_tokens(F.col("text")).alias("tk"))
-    # positional k-gram hashes; sequence guarded (gotcha 10)
-    hs = tk.filter(F.size("tk") >= _WINNOW_K).select(
+    # TWO perf traps found at sf0.1 (9-11 s -> ~0.3 s warmed):
+    # (1) the per-kgram md5 is the CPU hot path - fan_out so a
+    # single-split source doesn't run it in one task; (2) a filter on
+    # size(hs) gets PUSHED DOWN into the parquet scan's Filter, where
+    # Catalyst re-inlines the whole md5 transform and evaluates it
+    # per-row in that single pre-exchange task. The window-count
+    # condition is therefore expressed on the TOKEN count
+    # (size(tk) >= w+k-1, equivalent), so no Filter ever contains the
+    # hash pipeline.
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    tk = docs.select("doc_id", ws_tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= _WINNOW_W + _WINNOW_K - 1
+    )
+    hs = tk.select(
         "doc_id",
         F.expr(
             f"transform(sequence(1, size(tk) - {_WINNOW_K - 1}), i -> "
@@ -1196,13 +1212,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"), 1, 8), 16, 10) as bigint))"
         ).alias("hs"),
     )
-    fp = hs.filter(F.size("hs") >= _WINNOW_W).select(
+    # least() over four direct lookups, NOT array_min(slice(...)):
+    # the slice form allocates a 4-element array per window and ran
+    # ~6x slower at sf0.1 (8.9 s vs ~1.5 s, bench r6)
+    fp = hs.select(
         "doc_id",
         F.size("hs").cast("long").alias("n_kgrams"),
         F.array_distinct(
             F.expr(
                 f"transform(sequence(1, size(hs) - {_WINNOW_W - 1}), "
-                f"i -> array_min(slice(hs, i, {_WINNOW_W})))"
+                f"i -> least(hs[i-1], hs[i], hs[i+1], hs[i+2]))"
             )
         ).alias("fps"),
     )
