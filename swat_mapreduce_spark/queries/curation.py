@@ -551,3 +551,133 @@ def woe_iv_length_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.log(F.col("ps") / F.col("ns")), 4).alias("woe"),
         R.r("iv", 4).alias("total_iv"),
     )
+
+
+# --- PCA top component via power iteration -----------------------------------
+# The missing linear-algebra primitive next to kmeans: the corpus's
+# top principal direction by 2 power-iteration steps on the centered
+# Gram operator, v ← normalize(X̃ᵀ(X̃v)), from the deterministic
+# all-0.125 start (exactly 1/8 in binary — no seed luck). Per
+# iteration: one (vector · v) decimal-term aggregate and one per-dim
+# decimal-term aggregate — driver state is the 64-double v (the
+# kmeans/BPE bounded-iteration pattern). Every dot-product term is a
+# double product cast to DECIMAL(30,8) (the silhouette-proven
+# cross-engine snap) so sums are accumulation-order-free; v snaps to
+# 10dp (≤11 significant digits — round-trips exactly through double)
+# after each normalize. The oracle replays BOTH iterations in SQL.
+_PCA_DIM = 64
+
+_PCA_ORACLE = f"""
+WITH dims AS (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, generate_series(1, {_PCA_DIM}) AS g(i)
+),
+mu AS (
+    SELECT i, (sum(CAST(x AS DECIMAL(38,10)))::DOUBLE) / count(*) AS m
+    FROM dims GROUP BY i
+),
+s1 AS (
+    SELECT d.vec_id,
+           sum(CAST((d.x - mu.m) * 0.125 AS DECIMAL(30,8)))::DOUBLE AS s
+    FROM dims d JOIN mu USING (i) GROUP BY d.vec_id
+),
+y1 AS (
+    SELECT d.i,
+           sum(CAST(s1.s * (d.x - mu.m) AS DECIMAL(30,8)))::DOUBLE AS y
+    FROM dims d JOIN mu USING (i) JOIN s1 USING (vec_id)
+    GROUP BY d.i
+),
+n1 AS (
+    SELECT sqrt(sum(CAST(y * y AS DECIMAL(30,8)))::DOUBLE) AS nrm FROM y1
+),
+v1 AS (
+    SELECT i, round(y / n1.nrm * 10000000000) / 10000000000 AS v
+    FROM y1, n1
+),
+s2 AS (
+    SELECT d.vec_id,
+           sum(CAST((d.x - mu.m) * v1.v AS DECIMAL(30,8)))::DOUBLE AS s
+    FROM dims d JOIN mu USING (i) JOIN v1 USING (i) GROUP BY d.vec_id
+),
+y2 AS (
+    SELECT d.i,
+           sum(CAST(s2.s * (d.x - mu.m) AS DECIMAL(30,8)))::DOUBLE AS y
+    FROM dims d JOIN mu USING (i) JOIN s2 USING (vec_id)
+    GROUP BY d.i
+),
+n2 AS (
+    SELECT sqrt(sum(CAST(y * y AS DECIMAL(30,8)))::DOUBLE) AS nrm FROM y2
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+SELECT y2.i AS dim,
+       round(y2.y / n2.nrm * 1000000) / 1000000 + 0.0 AS loading,
+       round(n2.nrm / nn.n * 10000) / 10000 + 0.0 AS explained_var
+FROM y2, n2, nn
+"""
+
+
+@register("pca_power_iteration", oracle=_PCA_ORACLE)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from swat_mapreduce_spark.functions import arrays as A
+
+    def _snap8(x: float) -> Decimal:
+        # mirror CAST(double AS DECIMAL(*,8)): shortest-repr then
+        # HALF_UP to 8dp (Java BigDecimal.valueOf semantics; DuckDB
+        # agrees — silhouette precedent)
+        return Decimal(repr(x)).quantize(
+            Decimal("1E-8"), rounding=ROUND_HALF_UP
+        )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", A.as_double_array(F.col("embedding")).alias("v")
+    )
+    emb = emb.persist()
+    n_vec = emb.count()
+    mu_row = emb.agg(
+        *[
+            (
+                F.sum(F.element_at("v", i + 1).cast("decimal(38,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"m{i}")
+            for i in range(_PCA_DIM)
+        ]
+    ).collect()[0]
+    mu = [mu_row[f"m{i}"] for i in range(_PCA_DIM)]
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(F.col("v"), mu_arr, lambda x, m: x - m)
+
+    v = [0.125] * _PCA_DIM
+    nrm = 1.0
+    dec = "decimal(30,8)"
+    for _ in range(2):
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, w: (c * w).cast(dec)),
+            F.lit(0).cast("decimal(38,8)"),
+            lambda acc, t: (acc + t).cast("decimal(38,8)"),
+        ).cast("double")
+        sdf = emb.select(dot.alias("s"), centered.alias("c"))
+        ys = (
+            sdf.select(F.posexplode("c").alias("j", "xc"), "s")
+            .groupBy("j")
+            .agg(F.sum((F.col("s") * F.col("xc")).cast(dec)).alias("y"))
+            .collect()
+        )
+        y = [0.0] * _PCA_DIM
+        for r in ys:
+            y[r["j"]] = float(r["y"])
+        nrm = math.sqrt(float(sum(_snap8(t * t) for t in y)))
+        v = [round(t / nrm * 1e10) / 1e10 for t in y]
+    emb.unpersist()
+    rows = [
+        (j + 1, round(y[j] / nrm * 1e6) / 1e6 + 0.0,
+         round(nrm / n_vec * 1e4) / 1e4 + 0.0)
+        for j in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, loading double, explained_var double"
+    )

@@ -708,3 +708,57 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ref_val").cast("long").alias("norm_value"),
         )
     )
+
+
+# --- Wilson score confidence intervals ---------------------------------------
+# The correct small-n interval for a proportion (never escapes [0,1],
+# unlike the naive normal interval): per-source English rate with the
+# 95% Wilson bounds. Closed-form arithmetic over exact integer counts
+# with z = 1.96 as an exact literal — both engines compute identical
+# doubles; bounds snap to 6dp.
+_WILSON_Z = 1.96
+
+_WILSON_ORACLE = f"""
+WITH a AS (
+    SELECT source, count(*)::BIGINT AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS k
+    FROM documents GROUP BY source
+)
+SELECT source, n, k,
+       round(k * 1.0 / n * 10000) / 10000 + 0.0 AS rate,
+       round((k * 1.0 / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+              - {_WILSON_Z} * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n
+                    + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n) * 1000000) / 1000000
+           + 0.0 AS wilson_lo,
+       round((k * 1.0 / n + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+              + {_WILSON_Z} * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n
+                    + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n) * 1000000) / 1000000
+           + 0.0 AS wilson_hi
+FROM a
+"""
+
+
+@register("wilson_interval_rates", oracle=_WILSON_ORACLE)
+def wilson_interval_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("k"),
+    )
+    z = _WILSON_Z
+    p = F.col("k") * 1.0 / F.col("n")
+    half = z * F.sqrt(
+        p * (1.0 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    center = p + z * z / (2.0 * F.col("n"))
+    denom = 1.0 + z * z / F.col("n")
+    return a.select(
+        "source",
+        "n",
+        "k",
+        R.r(p, 4).alias("rate"),
+        R.r((center - half) / denom, 6).alias("wilson_lo"),
+        R.r((center + half) / denom, 6).alias("wilson_hi"),
+    )

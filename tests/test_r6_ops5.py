@@ -522,3 +522,53 @@ def test_rbo_matches_pure_python(spark, sf_dir):
         for m in common.values()
     )
     assert abs(row["rbo"] - round(rbo * 1e6) / 1e6) < 1e-9
+
+
+def test_pca_top_component_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = sorted(
+        _q("pca_power_iteration").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    assert len(rows) == 64
+    v = np.array([r["loading"] for r in rows])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    con = duckdb.connect()
+    X = np.vstack(
+        [
+            np.array(e, dtype=np.float64)
+            for (e,) in con.execute(
+                f"SELECT embedding FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')"
+            ).fetchall()
+        ]
+    )
+    Xc = X - X.mean(axis=0)
+    # reference: the same 2 power-iteration steps in clean float64
+    ref = np.full(64, 0.125)
+    for _ in range(2):
+        y = Xc.T @ (Xc @ ref)
+        nrm = np.linalg.norm(y)
+        ref = y / nrm
+    # direction agreement (sign fixed by the shared deterministic v0)
+    assert abs(float(np.dot(v, ref))) > 0.999
+    # eigenvalue estimate ~ ||y|| / n
+    assert abs(rows[0]["explained_var"] - nrm / len(X)) < 0.05 * (
+        nrm / len(X)
+    )
+
+
+def test_wilson_interval_brackets_rate(spark, sf_dir):
+    rows = _q("wilson_interval_rates").spark_fn(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+        p, n, z = r["k"] / r["n"], r["n"], 1.96
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        lo = (p + z * z / (2 * n) - half) / (1 + z * z / n)
+        hi = (p + z * z / (2 * n) + half) / (1 + z * z / n)
+        assert abs(r["wilson_lo"] - round(lo * 1e6) / 1e6) < 1e-9
+        assert abs(r["wilson_hi"] - round(hi * 1e6) / 1e6) < 1e-9
