@@ -762,3 +762,89 @@ def wilson_interval_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r((center - half) / denom, 6).alias("wilson_lo"),
         R.r((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+# --- chi-square test of independence + Cramér's V ----------------------------
+# Is language distribution independent of source? The contingency-table
+# chi-square: expected(l,s) = row_total·col_total/N, χ² = Σ (obs−exp)²
+# /exp over the |langs|×|sources| grid (bounded), with Cramér's
+# V = sqrt(χ²/(N·min(r−1,c−1))) as the effect size. Expected counts
+# are exact rationals computed as identical doubles (integer inputs);
+# each χ² term snaps to DECIMAL(30,8) before the sum. One
+# map-side-combined corpus aggregate; everything after is grid-sized.
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT lang, source, count(*)::BIGINT AS o
+    FROM documents GROUP BY lang, source
+),
+rows_ AS (SELECT lang, sum(o)::BIGINT AS rl FROM cells GROUP BY lang),
+cols_ AS (SELECT source, sum(o)::BIGINT AS cs FROM cells GROUP BY source),
+nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+grid AS (
+    -- the FULL r x c grid: an absent (lang, source) cell still
+    -- contributes its expected count to the statistic
+    SELECT r.lang, l.source, r.rl, l.cs, coalesce(c.o, 0) AS o
+    FROM rows_ r CROSS JOIN cols_ l
+    LEFT JOIN cells c ON c.lang = r.lang AND c.source = l.source
+),
+terms AS (
+    SELECT g.lang, g.source,
+           CAST((g.o - g.rl * 1.0 * g.cs / nn.n)
+                * (g.o - g.rl * 1.0 * g.cs / nn.n)
+                / (g.rl * 1.0 * g.cs / nn.n) AS DECIMAL(30,8)) AS t
+    FROM grid g CROSS JOIN nn
+),
+dims_ AS (
+    SELECT (SELECT count(*) FROM rows_)::BIGINT AS r,
+           (SELECT count(*) FROM cols_)::BIGINT AS c
+)
+SELECT round(sum(terms.t)::DOUBLE * 10000) / 10000 + 0.0 AS chi2,
+       ((d.r - 1) * (d.c - 1))::BIGINT AS dof,
+       nn.n AS n_docs,
+       round(sqrt(sum(terms.t)::DOUBLE
+                  / (nn.n * least(d.r - 1, d.c - 1))) * 10000) / 10000
+           + 0.0 AS cramers_v
+FROM terms, dims_ d, nn
+GROUP BY d.r, d.c, nn.n
+"""
+
+
+@register("chi2_independence_lang_source", oracle=_CHI2_ORACLE)
+def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rl"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("cs"))
+    nn = cells.agg(F.sum("o").alias("n"))
+    exp = F.col("rl") * 1.0 * F.col("cs") / F.col("n")
+    # full r x c grid: absent cells still contribute their expected
+    # count to the statistic
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    terms = grid.crossJoin(F.broadcast(nn)).select(
+        ((F.col("o") - exp) * (F.col("o") - exp) / exp)
+        .cast("decimal(30,8)")
+        .alias("t"),
+        "n",
+    )
+    dims_ = rows_.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        cols_.agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = terms.groupBy("n").agg(F.sum("t").alias("chi2d"))
+    return agg.crossJoin(F.broadcast(dims_)).select(
+        R.r(F.col("chi2d").cast("double"), 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.col("n").alias("n_docs"),
+        R.r(
+            F.sqrt(
+                F.col("chi2d").cast("double")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

@@ -572,3 +572,40 @@ def test_wilson_interval_brackets_rate(spark, sf_dir):
         hi = (p + z * z / (2 * n) + half) / (1 + z * z / n)
         assert abs(r["wilson_lo"] - round(lo * 1e6) / 1e6) < 1e-9
         assert abs(r["wilson_hi"] - round(hi * 1e6) / 1e6) < 1e-9
+
+
+def test_chi2_independence_matches_scipy_free_recompute(spark, sf_dir):
+    row = (
+        _q("chi2_independence_lang_source").spark_fn(spark, sf_dir).collect()
+    )[0]
+    con = duckdb.connect()
+    cells = con.execute(
+        f"SELECT lang, source, count(*) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    from collections import Counter
+
+    rl, cs, n = Counter(), Counter(), 0
+    for l_, s_, o in cells:
+        rl[l_] += o
+        cs[s_] += o
+        n += o
+    obs = {(l_, s_): o for l_, s_, o in cells}
+    obs_chi2 = sum(
+        round(
+            (obs.get((l_, s_), 0) - rl[l_] * 1.0 * cs[s_] / n) ** 2
+            / (rl[l_] * 1.0 * cs[s_] / n)
+            * 1e8
+        )
+        / 1e8
+        for l_ in rl
+        for s_ in cs
+    )
+    assert abs(row["chi2"] - round(obs_chi2 * 1e4) / 1e4) < 1e-6
+    assert row["dof"] == (len(rl) - 1) * (len(cs) - 1)
+    assert row["n_docs"] == n
+    import math
+
+    v = math.sqrt(obs_chi2 / (n * min(len(rl) - 1, len(cs) - 1)))
+    assert abs(row["cramers_v"] - round(v * 1e4) / 1e4) < 1e-6
+    assert 0.0 <= row["cramers_v"] <= 1.0
