@@ -558,13 +558,25 @@ def woe_iv_length_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top principal direction by 2 power-iteration steps on the centered
 # Gram operator, v ← normalize(X̃ᵀ(X̃v)), from the deterministic
 # all-0.125 start (exactly 1/8 in binary — no seed luck). Per
-# iteration: one (vector · v) decimal-term aggregate and one per-dim
-# decimal-term aggregate — driver state is the 64-double v (the
-# kmeans/BPE bounded-iteration pattern). Every dot-product term is a
-# double product cast to DECIMAL(30,8) (the silhouette-proven
-# cross-engine snap) so sums are accumulation-order-free; v snaps to
-# 10dp (≤11 significant digits — round-trips exactly through double)
-# after each normalize. The oracle replays BOTH iterations in SQL.
+# iteration: one (vector · v) aggregate and one per-dim aggregate —
+# driver state is the 64-double v (the kmeans/BPE bounded-iteration
+# pattern).
+#
+# Cross-engine determinism (r6 driver red → r7 redesign): the r6
+# version quantized via double→DECIMAL casts in-engine and Python
+# round()/Decimal(repr()) driver-side — three different tie
+# procedures whose agreement is DuckDB-version-dependent (gotcha 3's
+# class; the driver's DuckDB diverged where local 1.0.0 agreed). Now
+# EVERY quantization on every engine is the one procedure all three
+# implement identically on the exact binary double: multiply by 10^k,
+# round-to-integer half-away-from-zero (Spark F.round(d) = BigDecimal
+# exact + HALF_UP; DuckDB round(d) = std::round; Python
+# Decimal(float).to_integral_value(ROUND_HALF_UP) — all tie-identical
+# on the same bits), divide back. Quantized terms are summed as
+# DECIMAL(38,0) integers (exact, order-free, no int64 overflow at
+# 100 TB row counts), and all remaining ops (−, ×, ÷, sqrt) are
+# correctly-rounded IEEE ops on bit-identical inputs. The oracle
+# replays BOTH iterations in SQL with the same scheme.
 _PCA_DIM = 64
 
 _PCA_ORACLE = f"""
@@ -573,22 +585,28 @@ WITH dims AS (
     FROM embeddings, generate_series(1, {_PCA_DIM}) AS g(i)
 ),
 mu AS (
-    SELECT i, (sum(CAST(x AS DECIMAL(38,10)))::DOUBLE) / count(*) AS m
+    SELECT i,
+           (sum(CAST(round(x * 10000000000) AS DECIMAL(38,0)))::DOUBLE
+            / 10000000000) / count(*) AS m
     FROM dims GROUP BY i
 ),
 s1 AS (
     SELECT d.vec_id,
-           sum(CAST((d.x - mu.m) * 0.125 AS DECIMAL(30,8)))::DOUBLE AS s
+           sum(CAST(round(((d.x - mu.m) * 0.125) * 100000000)
+                    AS DECIMAL(38,0)))::DOUBLE / 100000000 AS s
     FROM dims d JOIN mu USING (i) GROUP BY d.vec_id
 ),
 y1 AS (
     SELECT d.i,
-           sum(CAST(s1.s * (d.x - mu.m) AS DECIMAL(30,8)))::DOUBLE AS y
+           sum(CAST(round((s1.s * (d.x - mu.m)) * 100000000)
+                    AS DECIMAL(38,0)))::DOUBLE / 100000000 AS y
     FROM dims d JOIN mu USING (i) JOIN s1 USING (vec_id)
     GROUP BY d.i
 ),
 n1 AS (
-    SELECT sqrt(sum(CAST(y * y AS DECIMAL(30,8)))::DOUBLE) AS nrm FROM y1
+    SELECT sqrt(sum(CAST(round((y * y) * 100000000)
+                         AS DECIMAL(38,0)))::DOUBLE / 100000000) AS nrm
+    FROM y1
 ),
 v1 AS (
     SELECT i, round(y / n1.nrm * 10000000000) / 10000000000 AS v
@@ -596,17 +614,21 @@ v1 AS (
 ),
 s2 AS (
     SELECT d.vec_id,
-           sum(CAST((d.x - mu.m) * v1.v AS DECIMAL(30,8)))::DOUBLE AS s
+           sum(CAST(round(((d.x - mu.m) * v1.v) * 100000000)
+                    AS DECIMAL(38,0)))::DOUBLE / 100000000 AS s
     FROM dims d JOIN mu USING (i) JOIN v1 USING (i) GROUP BY d.vec_id
 ),
 y2 AS (
     SELECT d.i,
-           sum(CAST(s2.s * (d.x - mu.m) AS DECIMAL(30,8)))::DOUBLE AS y
+           sum(CAST(round((s2.s * (d.x - mu.m)) * 100000000)
+                    AS DECIMAL(38,0)))::DOUBLE / 100000000 AS y
     FROM dims d JOIN mu USING (i) JOIN s2 USING (vec_id)
     GROUP BY d.i
 ),
 n2 AS (
-    SELECT sqrt(sum(CAST(y * y AS DECIMAL(30,8)))::DOUBLE) AS nrm FROM y2
+    SELECT sqrt(sum(CAST(round((y * y) * 100000000)
+                         AS DECIMAL(38,0)))::DOUBLE / 100000000) AS nrm
+    FROM y2
 ),
 nn AS (SELECT count(*)::BIGINT AS n FROM embeddings)
 SELECT y2.i AS dim,
@@ -616,20 +638,41 @@ FROM y2, n2, nn
 """
 
 
+def _ri(x: float, digits: int) -> int:
+    """Exact integer units of ``round(x * 10^d)``: scale in IEEE
+    double, round the EXACT binary product to integer
+    half-away-from-zero (``Decimal(float)`` is the exact value — NOT
+    ``repr`` — so ties resolve identically to Spark's
+    BigDecimal-HALF_UP and C++ ``std::round``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x * float(10**digits)).to_integral_value(
+        rounding=ROUND_HALF_UP
+    ))
+
+
+def _rp(x: float, digits: int) -> float:
+    """Driver-side mirror of :func:`functions.rounding.r` / DuckDB
+    ``round(x * 10^d) / 10^d`` — see :func:`_ri`. Never use Python
+    ``round()`` (half-even) for oracle-facing values."""
+    import math
+
+    p = float(10**digits)
+    if not math.isfinite(x * p):
+        return x
+    return _ri(x, digits) / p
+
+
 @register("pca_power_iteration", oracle=_PCA_ORACLE)
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     from swat_mapreduce_spark.functions import arrays as A
 
-    def _snap8(x: float) -> Decimal:
-        # mirror CAST(double AS DECIMAL(*,8)): shortest-repr then
-        # HALF_UP to 8dp (Java BigDecimal.valueOf semantics; DuckDB
-        # agrees — silhouette precedent)
-        return Decimal(repr(x)).quantize(
-            Decimal("1E-8"), rounding=ROUND_HALF_UP
-        )
+    def q8(term):
+        # quantize a double term to 8dp as an exact integer unit:
+        # round((term) * 1e8) — the shared cross-engine procedure
+        return F.round(term * F.lit(1e8))
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", A.as_double_array(F.col("embedding")).alias("v")
@@ -639,8 +682,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu_row = emb.agg(
         *[
             (
-                F.sum(F.element_at("v", i + 1).cast("decimal(38,10)"))
-                .cast("double")
+                F.sum(
+                    F.round(F.element_at("v", i + 1) * F.lit(1e10)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e10)
                 / F.count(F.lit(1))
             ).alias(f"m{i}")
             for i in range(_PCA_DIM)
@@ -652,30 +699,38 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = [0.125] * _PCA_DIM
     nrm = 1.0
-    dec = "decimal(30,8)"
+    y = [0.0] * _PCA_DIM
     for _ in range(2):
         v_arr = F.array(*[F.lit(float(x)) for x in v])
-        dot = F.aggregate(
-            F.zip_with(centered, v_arr, lambda c, w: (c * w).cast(dec)),
-            F.lit(0).cast("decimal(38,8)"),
-            lambda acc, t: (acc + t).cast("decimal(38,8)"),
-        ).cast("double")
-        sdf = emb.select(dot.alias("s"), centered.alias("c"))
+        # per-vector dot: 64 quantized integer units summed as long
+        # (bounded by dim count — no overflow at any corpus size)
+        dot_units = F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, w: q8(c * w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        s = (dot_units.cast("double") / F.lit(1e8)).alias("s")
+        sdf = emb.select(s, centered.alias("c"))
+        # per-dim aggregate: quantized units summed as DECIMAL(38,0)
+        # (exact, order-free, overflow-safe at 100 TB row counts)
         ys = (
             sdf.select(F.posexplode("c").alias("j", "xc"), "s")
             .groupBy("j")
-            .agg(F.sum((F.col("s") * F.col("xc")).cast(dec)).alias("y"))
+            .agg(
+                F.sum(
+                    q8(F.col("s") * F.col("xc")).cast("decimal(38,0)")
+                ).alias("yu")
+            )
             .collect()
         )
         y = [0.0] * _PCA_DIM
         for r in ys:
-            y[r["j"]] = float(r["y"])
-        nrm = math.sqrt(float(sum(_snap8(t * t) for t in y)))
-        v = [round(t / nrm * 1e10) / 1e10 for t in y]
+            y[r["j"]] = int(r["yu"]) / 1e8
+        nrm = math.sqrt(sum(_ri(t * t, 8) for t in y) / 1e8)
+        v = [_rp(t / nrm, 10) for t in y]
     emb.unpersist()
     rows = [
-        (j + 1, round(y[j] / nrm * 1e6) / 1e6 + 0.0,
-         round(nrm / n_vec * 1e4) / 1e4 + 0.0)
+        (j + 1, _rp(y[j] / nrm, 6) + 0.0, _rp(nrm / n_vec, 4) + 0.0)
         for j in range(_PCA_DIM)
     ]
     return spark.createDataFrame(

@@ -806,10 +806,12 @@ est AS (
 ),
 best AS (
     -- unique tie-broken scalar key (CLAUDE.md gotcha 9): corpus_id is
-    -- distinct per batch_id, so m*1e7 - corpus_id never ties
+    -- distinct per batch_id, so m*1e10 - corpus_id never ties, stays
+    -- ordered by m for ids up to 1e10, and is exact under 2^53 for
+    -- m <= 16 (ADVICE r6: 1e7 lost argmax-m meaning past 1e7 ids)
     SELECT batch_id, count(*) AS n_candidates,
-           max_by(corpus_id, m * 10000000 - corpus_id) AS best_match,
-           max_by(m, m * 10000000 - corpus_id) AS best_m
+           max_by(corpus_id, m * 10000000000 - corpus_id) AS best_match,
+           max_by(m, m * 10000000000 - corpus_id) AS best_m
     FROM est GROUP BY batch_id
 )
 SELECT s.doc_id, coalesce(b.n_candidates, 0) AS n_candidates,
@@ -874,7 +876,7 @@ def probe_docs_against_index(
         .join(cs, "corpus_id")
         .select("batch_id", "corpus_id", m.alias("m"))
     )
-    key = F.col("m") * 10000000 - F.col("corpus_id")
+    key = F.col("m") * F.lit(10_000_000_000) - F.col("corpus_id")
     best = est.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.max_by("corpus_id", key).alias("best_match"),

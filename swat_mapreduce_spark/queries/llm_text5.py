@@ -274,12 +274,15 @@ def approx_topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", ws_tokens(F.col("text")).alias("toks")
     ).select("source", F.explode("toks").alias("tok"))
     # per-source sketches -> one combined sketch -> full-width estimate
+    # (capacity 10000 matches the header; exact-vs-oracle depends on
+    # distinct tokens staying under it — guarded by
+    # tests/test_r7_fixes.py::test_approx_topk_capacity_headroom)
     per_source = toks.groupBy("source").agg(
-        F.expr("approx_top_k_accumulate(tok, 50)").alias("sk")
+        F.expr("approx_top_k_accumulate(tok, 10000)").alias("sk")
     )
     est = per_source.agg(
         F.expr(
-            "approx_top_k_estimate(approx_top_k_combine(sk), 50)"
+            "approx_top_k_estimate(approx_top_k_combine(sk), 10000)"
         ).alias("items")
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("tok"))

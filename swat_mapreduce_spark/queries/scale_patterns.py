@@ -1166,6 +1166,12 @@ def sliding_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame
     per_day = ored.groupBy("tday").agg(
         F.sum(F.bit_count("obits")).cast("long").alias("n_users_7d")
     )
+    # the fan-out also lands on gap days (no events that day, events in
+    # the prior 6); the oracle's days CTE only emits days that occur in
+    # events — semi-join against the distinct event-day set (bounded,
+    # broadcast) so both sides agree on the emitted row set (ADVICE r6)
+    real_days = ev.select(F.col("day").alias("tday")).distinct()
+    per_day = per_day.join(F.broadcast(real_days), "tday", "semi")
     return per_day.crossJoin(F.broadcast(rng)).filter(
         (F.col("tday") >= F.date_add(F.col("mn"), 6))
         & (F.col("tday") <= F.col("mx"))
