@@ -823,7 +823,11 @@ FROM bsigs s LEFT JOIN best b ON b.batch_id = s.doc_id
 
 
 def probe_docs_against_index(
-    spark: SparkSession, batch, root: str, persist: bool = True
+    spark: SparkSession,
+    batch,
+    root: str,
+    persist: bool = True,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Probe a docs DataFrame against the persisted LSH index at
     ``root``: batch-only shingling, band equi-join against the index
@@ -832,9 +836,15 @@ def probe_docs_against_index(
     included) so the result can never be vacuously empty. Shared by
     the batch probe query and the foreachBatch streaming-ingest
     probe (``persist=False`` there — micro-batches are small and the
-    sink drains immediately)."""
-    csigs = spark.read.parquet(root + "/sigs")
-    cbands = spark.read.parquet(root + "/bands")
+    sink drains immediately). ``index`` lets a streaming caller pass
+    the (sigs, bands) DataFrames loaded+persisted ONCE so every
+    micro-batch probes the same in-memory index instead of re-reading
+    parquet per batch — the production ingest-gate shape."""
+    if index is not None:
+        csigs, cbands = index
+    else:
+        csigs = spark.read.parquet(root + "/sigs")
+        cbands = spark.read.parquet(root + "/bands")
     from pyspark import StorageLevel
 
     # bsigs feeds three consumers (bands, the est join, the all-docs
@@ -846,9 +856,14 @@ def probe_docs_against_index(
     if persist:
         bsigs = bsigs.persist(StorageLevel.MEMORY_AND_DISK)
     bbands = D.lsh_bands(bsigs)
+    # the batch side is ingest-bounded (≪ corpus) — broadcast every
+    # batch-derived join input so the corpus index is only ever
+    # SCANNED, never shuffled: zero corpus-volume exchanges per probe
     cand = (
-        bbands.select(
-            F.col("doc_id").alias("batch_id"), "band", "bucket"
+        F.broadcast(
+            bbands.select(
+                F.col("doc_id").alias("batch_id"), "band", "bucket"
+            )
         )
         .join(
             cbands.select(
@@ -872,7 +887,7 @@ def probe_docs_against_index(
         t = F.when(F.col(f"b_h{k}") == F.col(f"c_h{k}"), 1).otherwise(0)
         m = t if m is None else m + t
     est = (
-        cand.join(bs, "batch_id")
+        F.broadcast(cand.join(F.broadcast(bs), "batch_id"))
         .join(cs, "corpus_id")
         .select("batch_id", "corpus_id", m.alias("m"))
     )
@@ -885,7 +900,7 @@ def probe_docs_against_index(
     ratio = F.col("best_m") / 16.0
     return (
         bsigs.select("doc_id")
-        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .join(F.broadcast(best), F.col("doc_id") == F.col("batch_id"), "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_candidates"), F.lit(0)).alias(

@@ -475,18 +475,34 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stage = tempfile.mkdtemp(prefix="swat_sdedup_")
     try:
-        ev = read_table(spark, sf_dir, "events")
-        # 4 files, not the session's 32 write partitions: each extra
-        # micro-batch pays a fixed state-store round trip (see
-        # jobs.staged_events_with_flush_sentinels)
-        ev.coalesce(4).write.parquet(stage + "/in")
+        # persist: ev feeds four jobs (stage write, dup filter+write,
+        # the planted count, the final row-count assert)
+        ev = read_table(spark, sf_dir, "events").persist()
+        # ONE original file + the dup file = 2 micro-batches, the
+        # minimum that still proves both cross-batch removal paths
+        # (state suppression and late-drop); each extra micro-batch
+        # pays a ~0.5 s fixed state-store round trip (see
+        # jobs.staged_events_with_flush_sentinels). repartition(1),
+        # never coalesce(1) (CLAUDE.md gotcha 11).
+        ev.repartition(1).write.parquet(stage + "/in")
         # second file (later mtime → later micro-batch under
         # maxFilesPerTrigger=1): exact copies of ~1% of rows
         dups = ev.filter(F.col("event_id") % 97 == 0)
         n_planted = dups.count()
         assert n_planted > 0, "planted-duplicate set must be non-empty"
-        _time.sleep(1.1)
+        import glob as _glob
+        import os as _os
+
+        initial = set(_glob.glob(stage + "/in/*.parquet"))
         dups.repartition(1).write.mode("append").parquet(stage + "/in")
+        # explicit mtime ordering instead of a >1 s sleep (CLAUDE.md
+        # gotcha 11): the file source orders micro-batches by ms-
+        # granularity mtime, so pin originals at t0 and dups at t0+10s
+        now = _time.time()
+        for f in initial:
+            _os.utime(f, (now - 10.0, now - 10.0))
+        for f in set(_glob.glob(stage + "/in/*.parquet")) - initial:
+            _os.utime(f, (now, now))
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -504,6 +520,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         assert n_out == ev.count(), (
             f"dedup must drop exactly the {n_planted} planted rows"
         )
+        ev.unpersist()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return out
@@ -827,10 +844,13 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = tempfile.mkdtemp(prefix="swat_probe_stream_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    # 2 files -> 2 micro-batches (maxFilesPerTrigger=1): enough to
-    # prove per-batch probing without paying per-batch fixed costs
-    # 32 times (CLAUDE.md gotcha 12)
-    batch_docs.coalesce(2).write.parquet(stage + "/in")
+    # 2 files -> 2 micro-batches (maxFilesPerTrigger=1): the minimum
+    # that actually proves PER-BATCH probing, without paying per-batch
+    # fixed costs 32 times (CLAUDE.md gotcha 12). repartition(2), NOT
+    # coalesce(2): the documents scan is a single partition, so a
+    # coalesce(2) is a silent no-op that staged ONE file — r6's replay
+    # was a one-batch run (found r7; coalesce caps, never raises).
+    batch_docs.repartition(2).write.parquet(stage + "/in")
     schema = batch_docs.schema
     stream = (
         spark.readStream.schema(schema)
@@ -839,10 +859,18 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     acc: dict[str, list] = {"rows": []}
 
+    # pin the index in memory ONCE for the stream's lifetime — every
+    # micro-batch probes the same cached (sigs, bands) instead of
+    # re-reading the parquet index per batch (the production ingest
+    # gate keeps the index resident across batches)
+    csigs = spark.read.parquet(root + "/sigs").persist()
+    cbands = spark.read.parquet(root + "/bands").persist()
+
     def probe_batch(batch_df, _batch_id):
         acc["rows"].extend(
             probe_docs_against_index(
-                spark, batch_df, root, persist=False
+                spark, batch_df, root, persist=True,
+                index=(csigs, cbands),
             ).collect()
         )
 
@@ -852,6 +880,10 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    csigs.unpersist()
+    cbands.unpersist()
+    # drop the per-batch bsigs persists (bounded: one per micro-batch)
+    spark.catalog.clearCache()
     if not acc["rows"]:
         return spark.sql(
             "SELECT CAST(NULL AS BIGINT) AS doc_id,"

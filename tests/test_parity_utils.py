@@ -539,3 +539,36 @@ def test_census_global_windows_only_on_bounded_inputs():
         f"allowlist entries with no global window anymore: "
         f"{sorted(listed_but_clean)}"
     )
+
+
+def test_census_cross_sf_plan_invariance_sample(spark):
+    """Cross-SF plan-shape drift guard (VERDICT r6 #4): the PLANS.md
+    claim is that plan node counts are IDENTICAL at sf0.01 and sf0.1
+    for every row (re-verified in full for r7). This guard keeps the
+    claim live in CI for a sample of r6-added join-bearing queries at
+    two SFs, 10x apart — a broadcast that silently flips to SMJ or an
+    extra Exchange as data grows fails here before it ships."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from planaudit import audit_one
+
+    from swat_mapreduce_spark.queries import load_all
+
+    reg = load_all()
+    sample = [
+        "sliding_distinct_users_bitmap",
+        "woe_iv_length_feature",
+        "wilson_interval_rates",
+        "chi2_independence_lang_source",
+        "entity_resolution_parts",
+        "hybrid_rrf_fusion",
+        "pareto_abc_cumshare",
+        "churn_feature_table",
+    ]
+    for name in sample:
+        counts = {}
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            counts[sf] = audit_one(name, reg[name].spark_fn(spark, sf))
+        a, b = counts.values()
+        assert a == b, f"{name}: plan reshaped across SFs: {a} vs {b}"

@@ -150,10 +150,14 @@ def main() -> None:
         "Streaming queries are omitted (they execute on construction;",
         "their aggregation plans mirror the batch twins).",
         "",
-        "Cross-SF stability (verified round 5): regenerating this census",
-        "against `/root/testdata/sf0.1` produces IDENTICAL counts for",
+        "Cross-SF stability (verified round 5 for the then-314 queries;",
+        "RE-VERIFIED round 7 for the full 345-row registry including all",
+        "50 r6 additions): regenerating this census against",
+        "`/root/testdata/sf0.1` produces IDENTICAL counts for",
         "every row — no broadcast flips to sort-merge, no extra",
         "exchanges, no plan reshapes as the data grows 10x.",
+        "A drift guard sampling r6-added join-bearing queries at two",
+        "SFs runs in tests/test_parity_utils.py.",
         "Dimension-side join strategies are largely pinned by explicit",
         "`broadcast()` hints (90 call sites, not left to size-threshold",
         "luck); the few threshold-decided broadcasts stay far under the",
