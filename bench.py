@@ -168,6 +168,18 @@ HEADLINE = [
     "ltv_cohort_curve",
     "sliding_distinct_users_bitmap",
     "churn_feature_table",
+    # round-7 additions (sql_scripting_threshold stays off the bench:
+    # its cost is per-statement SQL-scripting compile overhead on a
+    # 31-row local relation — a surface fixed cost, not a plan)
+    "recursive_cte_part_rollup",
+    "sql_udf_margin_rollup",
+    "sql_tvf_instalments",
+    "collated_event_type_stats",
+    "mann_kendall_daily_value",
+    "theil_sen_daily_trend",
+    "fdr_bh_source_length_tests",
+    "boilerplate_segment_removal",
+    "mmr_diversified_topk",
 ]
 
 REPEATS = 2

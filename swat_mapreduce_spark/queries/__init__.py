@@ -50,6 +50,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text3,
         llm_text4,
         llm_text5,
+        llm_text6,
         model_evals,
         multimodal,
         python_udf_surfaces,
@@ -63,6 +64,8 @@ def load_all() -> dict[str, QueryEntry]:
         relational5,
         scale_patterns,
         spatial,
+        sql_surfaces,
+        stats_tests,
         similarity,
         streaming_queries,
         temporal,

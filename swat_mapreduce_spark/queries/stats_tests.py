@@ -1,0 +1,354 @@
+"""Nonparametric statistics for data-quality monitoring, all
+cross-engine-exact by construction: Mann-Kendall trend test and
+Theil-Sen slope over the daily value series, and Benjamini-Hochberg
+FDR control across per-source KS drift tests.
+
+These are the monitoring primitives a 100 TB ingest pipeline runs
+daily: "is this metric trending?" (MK/Sen — rank-based, outlier-
+robust, no normality assumption) and "which sources drifted, with
+multiplicity control?" (KS + BH — 20 simultaneous tests need FDR, not
+per-test alpha).
+
+Determinism discipline (CLAUDE.md gotchas 2/13a): every comparison
+feeding a sign/max/rank is either exact-integer (ECDF products, pair
+counts) or exact-DECIMAL (daily sums cast before summing), so no
+accumulation-order noise can flip a sign; the only transcendental
+(exp in the KS p-value) is rounded through the shared
+multiply-round-divide procedure at 8dp, where a sub-ulp libm
+difference cannot move the rounded value except within ~1e-8 of a
+boundary (negligible, and BH then compares identical rounded
+doubles).
+
+Scale posture: the daily table is calendar-bounded (30 rows → 435
+pairs — broadcast self-join, no global window; the Sen median uses a
+bounded sorted array, not a sort of the corpus); the KS grid is
+|sources| x |distinct lengths| (bounded by the length domain), built
+with one corpus scan + bounded-table windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- Mann-Kendall trend test over daily event value ---------------------------
+_MK_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+s AS (SELECT sum(sg)::BIGINT AS s_stat, count(*)::BIGINT AS n_pairs FROM pairs),
+nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+ties AS (
+    SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+    FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY x HAVING count(*) > 1)
+),
+v AS (
+    SELECT (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term) AS var18
+    FROM nn, ties
+)
+SELECT nn.n AS n_days, s.n_pairs, s.s_stat,
+       v.var18::DOUBLE / 18.0 AS var_s,
+       round((CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                   WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                   ELSE 0 END)::DOUBLE
+             / sqrt(v.var18::DOUBLE / 18.0) * 1000000) / 1000000 + 0.0 AS z,
+       CASE WHEN abs((CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                           WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                           ELSE 0 END)::DOUBLE
+                     / sqrt(v.var18::DOUBLE / 18.0)) < 1.96 THEN 'no_trend'
+            WHEN s.s_stat > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+FROM s, nn, v
+"""
+
+
+def _daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
+    )
+
+
+@register("mann_kendall_daily_value", oracle=_MK_ORACLE)
+def mann_kendall_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    # calendar-bounded self-join (435 pairs at 30 days) — broadcast
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    s = pairs.agg(
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    )
+    num = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+        .cast("double")
+    )
+    z_raw = num / F.sqrt(var18.cast("double") / F.lit(18.0))
+    return j.select(
+        F.col("n").alias("n_days"),
+        "n_pairs",
+        "s_stat",
+        (var18.cast("double") / F.lit(18.0)).alias("var_s"),
+        R.r(z_raw, 6).alias("z"),
+        F.when(F.abs(z_raw) < 1.96, "no_trend")
+        .when(F.col("s_stat") > 0, "increasing")
+        .otherwise("decreasing")
+        .alias("trend"),
+    )
+
+
+# --- Theil-Sen robust slope over the same daily series -------------------------
+# Median of all pairwise slopes — the estimator is resistant to ~29%
+# outliers where OLS (regr_slope, covered in regr_agg_funcs) is
+# resistant to none. The slope list is calendar-bounded, so the exact
+# median comes from ONE sorted bounded array (no distributed sort, no
+# global window); daily sums are DECIMAL-exact before the one double
+# division per pair.
+_SEN_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT (b.x::DOUBLE - a.x::DOUBLE) / date_diff('day', a.day, b.day)
+               AS slope
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+arr AS (
+    SELECT list(slope ORDER BY slope) AS sl, count(*)::BIGINT AS n FROM pairs
+)
+SELECT n AS n_pairs,
+       round((sl[CAST((n + 1) // 2 AS INT)]
+              + sl[CAST((n + 2) // 2 AS INT)]) / 2.0 * 1000000) / 1000000
+           + 0.0 AS sen_slope,
+       (SELECT count(*) FROM pairs WHERE slope > 0)::BIGINT
+           AS n_positive_pairs
+FROM arr
+"""
+
+
+@register("theil_sen_daily_trend", oracle=_SEN_ORACLE)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").cast("double").alias("xa")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").cast("double").alias("xb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        (
+            (F.col("xb") - F.col("xa"))
+            / F.datediff(F.col("db"), F.col("da")).cast("double")
+        ).alias("slope")
+    )
+    arr = pairs.agg(
+        F.array_sort(F.collect_list("slope")).alias("sl"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("slope") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive_pairs"),
+    )
+    mid1 = F.element_at("sl", ((F.col("n") + 1) / 2).cast("int"))
+    mid2 = F.element_at("sl", ((F.col("n") + 2) / 2).cast("int"))
+    return arr.select(
+        F.col("n").alias("n_pairs"),
+        R.r((mid1 + mid2) / F.lit(2.0), 6).alias("sen_slope"),
+        "n_positive_pairs",
+    )
+
+
+# --- Benjamini-Hochberg FDR over per-source KS drift tests --------------------
+# One KS test per source (its n_chars distribution vs the pooled rest)
+# gives m=|sources| simultaneous p-values; BH step-up controls the
+# false-discovery rate at alpha=0.05. The KS gap is EXACT-INTEGER:
+# at each distinct length v, |cum_s(v)*(N-n_s) - (cum_all(v)-cum_s(v))*n_s|
+# is an integer over the dense (source x distinct length) grid, so
+# D_s = g_s/(n_s*(N-n_s)) and the asymptotic p = 2*exp(-2*lambda*D^2)
+# has an exact rational exponent; p is snapped via round(x*1e8)/1e8
+# before the BH comparison so both engines rank identical doubles.
+_FDR_ALPHA = "0.05"
+
+_FDR_ORACLE = f"""
+WITH docs AS (SELECT source, n_chars FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n_all FROM docs),
+per_src AS (SELECT source, count(*)::BIGINT AS n_s FROM docs GROUP BY 1),
+vals AS (SELECT DISTINCT n_chars AS v FROM docs),
+grid AS (SELECT p.source, p.n_s, v.v FROM per_src p, vals v),
+cnt AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM docs GROUP BY 1, 2
+),
+cum AS (
+    SELECT g.source, g.n_s, g.v,
+           sum(coalesce(c.c, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.v
+           )::BIGINT AS cum_s
+    FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.v = g.v
+),
+cum_all_t AS (
+    SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum_all
+    FROM (SELECT n_chars AS v, count(*)::BIGINT AS c FROM docs GROUP BY 1)
+),
+gaps AS (
+    SELECT cum.source, cum.n_s, tot.n_all,
+           max(abs(cum.cum_s * (tot.n_all - cum.n_s)
+                   - (ca.cum_all - cum.cum_s) * cum.n_s))::BIGINT AS g
+    FROM cum JOIN cum_all_t ca ON ca.v = cum.v CROSS JOIN tot
+    GROUP BY 1, 2, 3
+),
+tests AS (
+    SELECT source, n_s, n_all, g,
+           round(g::DOUBLE / (n_s * (n_all - n_s)) * 1000000) / 1000000
+               + 0.0 AS d_stat,
+           round(least(1.0,
+               2.0 * exp(-2.0 * ((g::DOUBLE / (n_s * (n_all - n_s)))
+                                 * (g::DOUBLE / (n_s * (n_all - n_s))))
+                         * (n_s::DOUBLE * (n_all - n_s) / n_all)))
+               * 100000000) / 100000000 + 0.0 AS p_value
+    FROM gaps
+),
+m_t AS (SELECT count(*)::BIGINT AS m FROM tests),
+ranked AS (
+    SELECT t.*, m_t.m,
+           row_number() OVER (ORDER BY t.p_value, t.source) AS bh_rank
+    FROM tests t, m_t
+),
+kmax AS (
+    SELECT coalesce(max(bh_rank), 0) AS k FROM ranked
+    WHERE p_value * m <= bh_rank * {_FDR_ALPHA}
+)
+SELECT r.source, r.n_s, r.d_stat, r.p_value, r.bh_rank::BIGINT AS bh_rank,
+       round(r.bh_rank * {_FDR_ALPHA} / r.m * 100000000) / 100000000 + 0.0
+           AS bh_threshold,
+       r.bh_rank <= kmax.k AS rejected
+FROM ranked r, kmax
+"""
+
+
+@register("fdr_bh_source_length_tests", oracle=_FDR_ORACLE)
+def fdr_bh_source_length_tests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    grid = per_src.crossJoin(F.broadcast(vals))
+    cnt = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cum = (
+        grid.join(F.broadcast(cnt), ["source", "v"], "left")
+        .withColumn(
+            "cum_s",
+            F.sum(F.coalesce("c", F.lit(0)))
+            .over(Window.partitionBy("source").orderBy("v"))
+            .cast("long"),
+        )
+    )
+    cum_all = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum_all",
+            F.sum("c").over(Window.orderBy("v")).cast("long"),
+        )
+        .select("v", "cum_all")
+    )
+    gaps = (
+        cum.join(F.broadcast(cum_all), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            )
+            .cast("long")
+            .alias("g")
+        )
+    )
+    d_raw = F.col("g").cast("double") / (
+        F.col("n_s") * (F.col("n_all") - F.col("n_s"))
+    )
+    lam = (
+        F.col("n_s").cast("double")
+        * (F.col("n_all") - F.col("n_s"))
+        / F.col("n_all")
+    )
+    p_raw = F.least(
+        F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * (d_raw * d_raw) * lam)
+    )
+    tests = gaps.select(
+        "source",
+        "n_s",
+        R.r(d_raw, 6).alias("d_stat"),
+        R.r(p_raw, 8).alias("p_value"),
+    )
+    m_t = tests.agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("p_value", "source")  # bounded: |sources| rows
+    ranked = tests.crossJoin(F.broadcast(m_t)).withColumn(
+        "bh_rank", F.row_number().over(w).cast("long")
+    )
+    alpha = float(_FDR_ALPHA)
+    kmax = ranked.filter(
+        F.col("p_value") * F.col("m") <= F.col("bh_rank") * F.lit(alpha)
+    ).agg(F.coalesce(F.max("bh_rank"), F.lit(0)).alias("k"))
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "source",
+        "n_s",
+        "d_stat",
+        "p_value",
+        "bh_rank",
+        R.r(
+            F.col("bh_rank") * F.lit(alpha) / F.col("m"), 8
+        ).alias("bh_threshold"),
+        (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+    )

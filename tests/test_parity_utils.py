@@ -502,6 +502,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "seasonal_residual_outliers",
     # rank numbering over the two TakeOrdered top-30 cuts
     "ranking_rbo_similarity",
+    # pooled-ECDF cumsum over the distinct-length domain + BH rank
+    # over the |sources|-row test table (both bounded by construction)
+    "fdr_bh_source_length_tests",
 }
 
 

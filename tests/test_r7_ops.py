@@ -1,0 +1,183 @@
+"""Round-7 operators: Spark 4.1 SQL-language surfaces and
+nonparametric statistics, pinned against independent recomputation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def _q(name):
+    from swat_mapreduce_spark.queries import load_all
+
+    return load_all()[name]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("part", "orders", "lineitem", "events", "documents"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_recursive_cte_covers_every_part(spark, sf_dir):
+    rows = _q("recursive_cte_part_rollup").spark_fn(spark, sf_dir).collect()
+    con = _duck(sf_dir)
+    (n_parts,) = con.sql("SELECT count(*) FROM part").fetchall()[0]
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    # roots are the sub-10 keys; every part reaches one in log10 steps
+    assert all(0 <= r["root"] < 10 for r in rows)
+    (maxk,) = con.sql("SELECT max(p_partkey) FROM part").fetchall()[0]
+    assert max(r["max_depth"] for r in rows) == len(str(maxk)) - 1
+
+
+def test_sql_udf_inlines_no_python_stage(spark, sf_dir):
+    df = _q("sql_udf_margin_rollup").spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, "SQL UDF must inline, not hit Python"
+    rows = {(r["l_returnflag"], r["band"]): r for r in df.collect()}
+    assert {b for _, b in rows} == {"deep", "light", "none"}
+
+
+def test_tvf_instalments_conserve_totals(spark, sf_dir):
+    rows = _q("sql_tvf_instalments").spark_fn(spark, sf_dir).collect()
+    con = _duck(sf_dir)
+    truth = dict(
+        con.sql(
+            "SELECT o_orderpriority, round(sum(CAST(o_totalprice AS "
+            "DECIMAL(30,8))), 2)::DOUBLE FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        # penny-exact proration: 4 instalments re-sum to the original
+        assert abs(r["total_paid"] - truth[r["priority"]]) < 1e-9
+        assert r["n_instalments"] % 4 == 0
+    assert sum(r["n_remainder_pennies"] for r in rows) > 0, (
+        "remainder path never exercised — proration vacuous"
+    )
+
+
+def test_collation_groups_mixed_case(spark, sf_dir):
+    rows = _q("collated_event_type_stats").spark_fn(spark, sf_dir).collect()
+    assert all(r["event_type"] == r["event_type"].lower() for r in rows)
+    assert all(0 < r["n_upper"] < r["n"] for r in rows), (
+        "case perturbation must land inside every group (gotcha 5)"
+    )
+
+
+def test_scripting_threshold_is_minimal_power_of_two(spark, sf_dir):
+    rows = _q("sql_scripting_threshold").spark_fn(spark, sf_dir).collect()
+    t = rows[0]["threshold"]
+    assert t & (t - 1) == 0  # power of two
+    n_days = len(rows)
+    busy = sum(1 for r in rows if r["n_events"] >= t)
+    assert 2 * busy < n_days
+    if t > 1:
+        busy_half = sum(1 for r in rows if r["n_events"] >= t // 2)
+        assert 2 * busy_half >= n_days, "threshold not minimal"
+    assert all(r["busy"] == (r["n_events"] >= t) for r in rows)
+
+
+def test_mann_kendall_matches_bruteforce(spark, sf_dir):
+    row = _q("mann_kendall_daily_value").spark_fn(spark, sf_dir).collect()[0]
+    con = _duck(sf_dir)
+    daily = con.sql(
+        "SELECT ts::DATE d, sum(CAST(value AS DECIMAL(30,8))) x "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    xs = [x for _, x in daily]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert row["s_stat"] == s and row["n_days"] == n
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0  # ties absent in practice
+    if len(set(xs)) == n:
+        assert abs(row["var_s"] - var_s) < 1e-9
+    num = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    assert abs(row["z"] - round(num / math.sqrt(row["var_s"]), 6)) < 1e-6
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    row = _q("theil_sen_daily_trend").spark_fn(spark, sf_dir).collect()[0]
+    con = _duck(sf_dir)
+    daily = con.sql(
+        "SELECT ts::DATE d, sum(CAST(value AS DECIMAL(30,8)))::DOUBLE x "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    slopes = sorted(
+        (xb - xa) / (db - da).days
+        for i, (da, xa) in enumerate(daily)
+        for db, xb in daily[i + 1 :]
+    )
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]) / 2.0
+    assert row["n_pairs"] == n
+    assert abs(row["sen_slope"] - round(med * 1e6) / 1e6) < 1e-9
+    assert row["n_positive_pairs"] == sum(1 for s in slopes if s > 0)
+
+
+def test_fdr_bh_step_up_rule(spark, sf_dir):
+    rows = sorted(
+        _q("fdr_bh_source_length_tests").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(rows)
+    assert m == 20
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    k = max(
+        (r["bh_rank"] for r in rows if r["p_value"] * m <= r["bh_rank"] * 0.05),
+        default=0,
+    )
+    for r in rows:
+        assert r["rejected"] == (r["bh_rank"] <= k)
+        assert 0.0 <= r["d_stat"] <= 1.0 and 0.0 <= r["p_value"] <= 1.0
+
+
+def test_boilerplate_flags_cross_doc_segments(spark, sf_dir):
+    rows = (
+        _q("boilerplate_segment_removal").spark_fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0
+    flagged = [r for r in rows if r["n_boiler_segments"] > 0]
+    assert flagged, "no boilerplate flagged — query vacuous (gotcha 5)"
+    for r in rows:
+        assert r["n_tokens_clean"] == (
+            r["n_tokens"] - 10 * r["n_boiler_segments"]
+        )
+        assert r["n_boiler_segments"] <= r["n_segments"]
+        if r["n_boiler_segments"] == 0:
+            assert r["first_boiler_seg"] is None
+        else:
+            assert 0 <= r["first_boiler_seg"] < r["n_segments"]
+
+
+def test_mmr_greedy_properties(spark, sf_dir):
+    rows = sorted(
+        _q("mmr_diversified_topk").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in rows}) == 5
+    # step 1 is pure relevance: score = lambda * rel exactly
+    assert abs(rows[0]["mmr_score"] - round(0.7 * rows[0]["rel"], 6)) < 2e-6
+    # later steps add a redundancy term bounded by (1-lambda)*|cos|<=0.3
+    # (cosines can be NEGATIVE, so the score may exceed lambda*rel)
+    for r in rows[1:]:
+        assert abs(r["mmr_score"] - 0.7 * r["rel"]) <= 0.3 + 1e-9
+    # greedy selection scores are non-increasing: step t+1's winner was
+    # available at step t with a no-larger penalty set
+    scores = [r["mmr_score"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+    # step 1 has the max rel of the emitted set
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
