@@ -294,3 +294,230 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, vec_id long, rel double, mmr_score double"
     )
+
+
+# --- CCNet-style per-language quality buckets ---------------------------------
+# Wenzek et al. 2020 (CCNet): score every document with the LM
+# perplexity proxy, then split EACH LANGUAGE into head/middle/tail
+# terciles — head (lowest NLL) feeds training, tail gets dropped or
+# re-filtered. Bucketing is VALUE-LEVEL on the 4dp score grid: a
+# score value v goes to head if 3*|{docs < v}| < n, middle if < 2n,
+# else tail — exact integers over the (lang x distinct-score) table
+# (bounded by the score grid), so no per-doc global rank and no
+# per-lang mega-partition window at 100 TB. Reuses the char-bigram LM
+# scorer (charlm_perplexity_proxy) as a subquery on both engines.
+from swat_mapreduce_spark.queries.llm_text3 import _CHARLM_ORACLE
+
+_CCNET_ORACLE = f"""
+WITH chart AS ({_CHARLM_ORACLE}),
+scored AS (
+    SELECT d.lang, c.doc_id, c.avg_nll AS v
+    FROM chart c JOIN documents d USING (doc_id)
+),
+n_t AS (SELECT lang, count(*)::BIGINT AS n FROM scored GROUP BY 1),
+vals AS (SELECT lang, v, count(*)::BIGINT AS c FROM scored GROUP BY 1, 2),
+cum AS (
+    SELECT lang, v, c,
+           coalesce(sum(c) OVER (PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS c_lt
+    FROM vals
+),
+b AS (
+    SELECT cum.lang, cum.v, cum.c,
+           CASE WHEN 3 * cum.c_lt < n_t.n THEN 'head'
+                WHEN 3 * cum.c_lt < 2 * n_t.n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM cum JOIN n_t USING (lang)
+)
+SELECT lang, bucket, sum(c)::BIGINT AS n_docs,
+       round(min(v) * 10000) / 10000 + 0.0 AS min_nll,
+       round(max(v) * 10000) / 10000 + 0.0 AS max_nll,
+       round(sum(CAST(v AS DECIMAL(20,6)) * CAST(c AS DECIMAL(10,0)))::DOUBLE
+             / sum(c) * 10000) / 10000 + 0.0 AS avg_nll
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("ccnet_quality_buckets", oracle=_CCNET_ORACLE)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from swat_mapreduce_spark.queries.llm_text3 import (
+        charlm_perplexity_proxy,
+    )
+
+    scored = charlm_perplexity_proxy(spark, sf_dir).select(
+        "doc_id", F.col("avg_nll").alias("v")
+    )
+    langs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    sl = scored.join(langs, "doc_id").select("lang", "v")
+    n_t = sl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    vals = sl.groupBy("lang", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn(
+        "c_lt", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+    )
+    b = cum.join(F.broadcast(n_t), "lang").withColumn(
+        "bucket",
+        F.when(3 * F.col("c_lt") < F.col("n"), "head")
+        .when(3 * F.col("c_lt") < 2 * F.col("n"), "middle")
+        .otherwise("tail"),
+    )
+    avg_nll = (
+        F.sum(
+            F.col("v").cast("decimal(20,6)")
+            * F.col("c").cast("decimal(10,0)")
+        ).cast("double")
+        / F.sum("c")
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        R.r(F.min("v"), 4).alias("min_nll"),
+        R.r(F.max("v"), 4).alias("max_nll"),
+        R.r(avg_nll, 4).alias("avg_nll"),
+    )
+
+
+# --- tf-idf cosine near-duplicates over the rare-shingle space -----------------
+# The sparse-vector sibling of embedding-cosine near-dup: documents as
+# tf-idf vectors over 3-gram shingles, candidates blocked to pairs
+# sharing a DF-capped shingle (MAX_DF — common shingles are
+# non-discriminative AND the blocking-volume bound, exactly like
+# dedup_containment_pairs), cosine from integer-quantized weight
+# products. IDF is snapped to 8dp via the shared round procedure so
+# a JVM-vs-libm ln() ulp cannot propagate (gotcha 13a).
+_TFIDF_COS_T = 0.35
+
+_TFIDF_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS tk
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+    FROM toks WHERE len(tk) >= 3
+),
+n_t AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM sh),
+tf_t AS (
+    SELECT doc_id, shingle, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2
+),
+df_t AS (
+    SELECT shingle, count(*)::BIGINT AS df FROM tf_t GROUP BY 1
+),
+w_t AS (
+    SELECT t.doc_id, t.shingle,
+           t.tf * (round(ln(n_t.n * 1.0 / d.df) * 100000000) / 100000000)
+               AS w
+    FROM tf_t t JOIN df_t d USING (shingle) CROSS JOIN n_t
+    WHERE d.df <= 1000
+),
+norms AS (
+    SELECT doc_id,
+           sqrt(sum(CAST(round((w * w) * 100000000) AS BIGINT))::DOUBLE
+                / 100000000) AS nrm
+    FROM w_t GROUP BY 1
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS n_common,
+           sum(CAST(round((a.w * b.w) * 100000000) AS BIGINT)) AS units
+    FROM w_t a JOIN w_t b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.n_common,
+       round((d.units::DOUBLE / 100000000) / (na.nrm * nb.nrm) * 10000)
+           / 10000 + 0.0 AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE (d.units::DOUBLE / 100000000) / (na.nrm * nb.nrm) >= {_TFIDF_COS_T}
+"""
+
+
+@register("neardup_tfidf_cosine", oracle=_TFIDF_ORACLE)
+def neardup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from swat_mapreduce_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = D.doc_shingle_arrays(docs, n=3)
+    sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    tf_t = sh.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_t = sh.select(F.count_distinct("doc_id").alias("n"))
+    df_t = tf_t.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_t = (
+        tf_t.join(df_t, "shingle")
+        .filter(F.col("df") <= D.MAX_DF)
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "doc_id",
+            "shingle",
+            (
+                F.col("tf")
+                * R.r(
+                    F.log(
+                        F.col("n") * F.lit(1.0) / F.col("df")
+                    ),
+                    8,
+                )
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    norms = w_t.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(units(F.col("w") * F.col("w"))).cast("double")
+            / F.lit(1e8)
+        ).alias("nrm")
+    )
+    a = w_t.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa")
+    )
+    b = w_t.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(units(F.col("wa") * F.col("wb"))).alias("units"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = (F.col("units").cast("double") / F.lit(1e8)) / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= _TFIDF_COS_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            R.r(cos, 4).alias("cosine"),
+        )
+    )

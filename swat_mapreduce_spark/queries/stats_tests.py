@@ -352,3 +352,118 @@ def fdr_bh_source_length_tests(
         ).alias("bh_threshold"),
         (F.col("bh_rank") <= F.col("k")).alias("rejected"),
     )
+
+
+# --- Wald-Wolfowitz runs test over daily up/down moves -------------------------
+# Randomness check on the sign sequence of consecutive-day value
+# changes: too FEW runs = momentum/trend, too MANY = oscillation.
+# Consecutive days pair by date arithmetic (a self-join on day+1 — no
+# window at all); zero-diffs are dropped per standard practice. The
+# day-ordered sign sequence is calendar-bounded, so the run count is
+# one array fold; R, n+, n- are exact integers and E[R]/Var(R) are
+# the textbook rationals evaluated identically in IEEE on both
+# engines.
+_RUNS_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+diffs AS (
+    SELECT b.day, CASE WHEN b.x > a.x THEN 1 ELSE -1 END AS sg
+    FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    WHERE b.x <> a.x
+),
+arr AS (
+    SELECT list(sg ORDER BY day) AS l,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_plus
+    FROM diffs
+),
+runs_t AS (
+    SELECT n, n_plus, (n - n_plus) AS n_minus,
+           (1 + len(list_filter(
+                generate_series(2, len(l)),
+                i -> l[i] <> l[i - 1])))::BIGINT AS runs
+    FROM arr
+)
+SELECT n AS n_moves, n_plus, n_minus, runs,
+       round((runs - (1.0 + 2.0 * n_plus * n_minus / n))
+             / sqrt(2.0 * n_plus * n_minus
+                    * (2.0 * n_plus * n_minus - n)
+                    / (1.0 * n * n * (n - 1))) * 1000000) / 1000000 + 0.0
+           AS z,
+       abs((runs - (1.0 + 2.0 * n_plus * n_minus / n))
+           / sqrt(2.0 * n_plus * n_minus
+                  * (2.0 * n_plus * n_minus - n)
+                  / (1.0 * n * n * (n - 1)))) < 1.96 AS random_walk
+FROM runs_t
+"""
+
+
+@register("runs_test_daily_updown", oracle=_RUNS_ORACLE)
+def runs_test_daily_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    diffs = (
+        a.join(F.broadcast(b), F.col("db") == F.date_add(F.col("da"), 1))
+        .filter(F.col("xb") != F.col("xa"))
+        .select(
+            "db",
+            F.when(F.col("xb") > F.col("xa"), 1).otherwise(-1).alias("sg"),
+        )
+    )
+    arr = diffs.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("db", "sg"))),
+            lambda s: s["sg"],
+        ).alias("l"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_plus"),
+    )
+    # gotcha 10: guard the 2..n sequence against n < 2
+    changes = F.when(
+        F.col("n") >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.col("n").cast("int")),
+                lambda i: F.element_at("l", i)
+                != F.element_at("l", i - F.lit(1)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    t = arr.select(
+        F.col("n").alias("n_moves"),
+        "n_plus",
+        (F.col("n") - F.col("n_plus")).alias("n_minus"),
+        (F.lit(1) + changes).cast("long").alias("runs"),
+    )
+    e_r = F.lit(1.0) + F.lit(2.0) * F.col("n_plus") * F.col(
+        "n_minus"
+    ) / F.col("n_moves")
+    var_r = (
+        F.lit(2.0)
+        * F.col("n_plus")
+        * F.col("n_minus")
+        * (
+            F.lit(2.0) * F.col("n_plus") * F.col("n_minus")
+            - F.col("n_moves")
+        )
+        / (
+            F.lit(1.0)
+            * F.col("n_moves")
+            * F.col("n_moves")
+            * (F.col("n_moves") - 1)
+        )
+    )
+    z_raw = (F.col("runs") - e_r) / F.sqrt(var_r)
+    return t.select(
+        "n_moves",
+        "n_plus",
+        "n_minus",
+        "runs",
+        R.r(z_raw, 6).alias("z"),
+        (F.abs(z_raw) < 1.96).alias("random_walk"),
+    )
