@@ -180,6 +180,9 @@ HEADLINE = [
     "fdr_bh_source_length_tests",
     "boilerplate_segment_removal",
     "mmr_diversified_topk",
+    "runs_test_daily_updown",
+    "ccnet_quality_buckets",
+    "neardup_tfidf_cosine",
 ]
 
 REPEATS = 2

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.functions.text import ws_tokens
 from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.queries.curation import _ri, _rp
@@ -451,10 +452,19 @@ WHERE (d.units::DOUBLE / 100000000) / (na.nrm * nb.nrm) >= {_TFIDF_COS_T}
 def neardup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
+    from swat_mapreduce_spark.functions.text import shingles_from_tokens
     from swat_mapreduce_spark.operators import dedup as D
+    from swat_mapreduce_spark.sources.readers import fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
-    arrs = D.doc_shingle_arrays(docs, n=3)
+    # positional shingles WITH duplicates (tf matters here) — not
+    # doc_shingle_arrays, which array_distincts for set semantics
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    arrs = toked.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), 3).alias("sh_arr")
+    )
     sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
     tf_t = sh.groupBy("doc_id", "shingle").agg(
         F.count(F.lit(1)).alias("tf")

@@ -181,3 +181,51 @@ def test_mmr_greedy_properties(spark, sf_dir):
     assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
     # step 1 has the max rel of the emitted set
     assert rows[0]["rel"] == max(r["rel"] for r in rows)
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir):
+    row = _q("runs_test_daily_updown").spark_fn(spark, sf_dir).collect()[0]
+    con = _duck(sf_dir)
+    daily = con.sql(
+        "SELECT ts::DATE d, sum(CAST(value AS DECIMAL(30,8))) x "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    signs = []
+    for (da, xa), (db, xb) in zip(daily, daily[1:]):
+        if (db - da).days == 1 and xb != xa:
+            signs.append(1 if xb > xa else -1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n, npos = len(signs), sum(1 for s in signs if s == 1)
+    assert row["n_moves"] == n and row["n_plus"] == npos
+    assert row["runs"] == runs
+    e = 1.0 + 2.0 * npos * (n - npos) / n
+    v = (
+        2.0 * npos * (n - npos) * (2.0 * npos * (n - npos) - n)
+        / (1.0 * n * n * (n - 1))
+    )
+    assert abs(row["z"] - round((runs - e) / math.sqrt(v), 6)) < 1e-6
+
+
+def test_ccnet_buckets_partition_each_lang(spark, sf_dir):
+    rows = _q("ccnet_quality_buckets").spark_fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, (lang, buckets)
+        n = sum(b["n_docs"] for b in buckets.values())
+        # value-level terciles: each bucket within one value-group of n/3
+        for b in buckets.values():
+            assert 0 < b["n_docs"] < n
+        # head holds the LOWEST perplexities
+        assert buckets["head"]["max_nll"] <= buckets["middle"]["min_nll"]
+        assert buckets["middle"]["max_nll"] <= buckets["tail"]["min_nll"]
+
+
+def test_tfidf_cosine_pairs_nonvacuous_and_bounded(spark, sf_dir):
+    rows = _q("neardup_tfidf_cosine").spark_fn(spark, sf_dir).collect()
+    assert rows, "no tf-idf near-dup pairs — threshold vacuous (gotcha 5)"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_common"] >= 1
+        assert 0.35 <= r["cosine"] <= 1.0 + 1e-9
