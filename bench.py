@@ -183,6 +183,8 @@ HEADLINE = [
     "runs_test_daily_updown",
     "ccnet_quality_buckets",
     "neardup_tfidf_cosine",
+    "kcore_peel_rounds",
+    "conformal_interval_coverage",
 ]
 
 REPEATS = 2

@@ -319,3 +319,106 @@ def padding_waste_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
     )
     return _waste(arrival, "arrival").unionAll(_waste(srt, "length_sorted"))
+
+
+# --- split-conformal prediction coverage --------------------------------------
+# Split conformal (Vovk; Angelopoulos & Bates 2021 tutorial form) on
+# the fixed-weight en-detector: nonconformity s = 1-score if positive
+# else score, calibration half = even doc_id, q-hat = the
+# ceil((n_cal+1)*(1-alpha))-th smallest calibration score, and the
+# guarantee is test coverage >= 1-alpha in expectation. Every
+# ingredient is exact: scores live on the DECIMAL(6,4) grid, the order
+# statistic comes from integer counts over the (distinct score value)
+# table — bounded by the 4dp grid, no global sort of the corpus — and
+# coverage is an exact count ratio.
+_CONF_ALPHA_NUM = 1  # alpha = 0.1 handled as integers: 9/10
+_CONFORMAL_ORACLE = f"""
+WITH {_SCORE_DUCK},
+nc AS (
+    SELECT doc_id,
+           CASE WHEN pos THEN CAST(1.0 AS DECIMAL(6,4)) - score
+                ELSE score END AS s,
+           (doc_id % 2 = 0) AS is_cal
+    FROM scored
+),
+cal_n AS (SELECT count(*)::BIGINT AS n_cal FROM nc WHERE is_cal),
+kq AS (
+    SELECT ((9 * (n_cal + 1)) + 9) // 10 AS k, n_cal FROM cal_n
+),
+cal_vals AS (
+    SELECT s, count(*)::BIGINT AS c FROM nc WHERE is_cal GROUP BY 1
+),
+cum AS (
+    SELECT s, sum(c) OVER (ORDER BY s)::BIGINT AS cum FROM cal_vals
+),
+qhat AS (
+    SELECT min(s) AS q FROM cum, kq WHERE cum.cum >= least(kq.k, (SELECT max(cum) FROM cum))
+),
+test_t AS (
+    SELECT count(*)::BIGINT AS n_test,
+           sum(CASE WHEN nc.s <= qhat.q THEN 1 ELSE 0 END)::BIGINT
+               AS n_covered
+    FROM nc, qhat WHERE NOT is_cal
+)
+SELECT kq.n_cal, t.n_test, kq.k AS q_rank,
+       qhat.q::DOUBLE + 0.0 AS q_hat,
+       t.n_covered,
+       round(t.n_covered * 1.0 / t.n_test * 10000) / 10000 + 0.0
+           AS coverage
+FROM kq, qhat, test_t t
+"""
+
+
+@register("conformal_interval_coverage", oracle=_CONFORMAL_ORACLE)
+def conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    nc = s.select(
+        "doc_id",
+        F.when(
+            F.col("pos"),
+            F.lit(1.0).cast("decimal(6,4)") - F.col("score"),
+        )
+        .otherwise(F.col("score"))
+        .alias("s"),
+        (F.col("doc_id") % 2 == 0).alias("is_cal"),
+    )
+    nc = nc.persist()
+    cal = nc.filter("is_cal")
+    n_cal = cal.count()
+    k = (9 * (n_cal + 1) + 9) // 10
+    # exact order statistic from integer counts over the bounded 4dp
+    # score grid (collect is |distinct grid values| — bounded)
+    vals = sorted(
+        (r["s"], r["c"])
+        for r in cal.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    cum, q = 0, vals[-1][0]
+    kk = min(k, sum(c for _, c in vals))
+    for v, c in vals:
+        cum += c
+        if cum >= kk:
+            q = v
+            break
+    test = nc.filter(~F.col("is_cal")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(F.col("s") <= F.lit(q).cast("decimal(6,4)"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_covered"),
+    )
+    nc.unpersist()
+    return test.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        "n_test",
+        F.lit(k).cast("long").alias("q_rank"),
+        (F.lit(q).cast("double") + F.lit(0.0)).alias("q_hat"),
+        "n_covered",
+        R.r(F.col("n_covered") * F.lit(1.0) / F.col("n_test"), 4).alias(
+            "coverage"
+        ),
+    )

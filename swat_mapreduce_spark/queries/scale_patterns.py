@@ -1176,3 +1176,142 @@ def sliding_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("tday") >= F.date_add(F.col("mn"), 6))
         & (F.col("tday") <= F.col("mx"))
     ).select(F.col("tday").alias("day"), "n_users_7d")
+
+
+# --- k-core peeling rounds over the co-purchase graph -------------------------
+# Iterative graph peeling (the k-core primitive behind community
+# trimming and spam-subgraph extraction): repeatedly drop nodes with
+# degree < k, where k is the FIRST-QUARTILE initial degree
+# (data-derived from exact integer counts — a fixed k is vacuous on a
+# graph whose density scales with SF, and the median collapses the
+# cascade to zero in two rounds). Three peel rounds; per-round node and
+# edge survival is reported. Driver state is nothing at all — each
+# round is one degree aggregate + two semi-joins, the
+# label-propagation shape (operators/dedup.py components) with a
+# bounded round count; the oracle unrolls the same three rounds as
+# CTEs. At 100 TB the same loop runs to fixpoint with
+# localCheckpoint per round.
+_KCORE_ROUNDS = 3
+
+_KCORE_ORACLE = """
+WITH items AS MATERIALIZED (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS MATERIALIZED (
+    -- MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
+    -- default, re-running the items self-join per reference (43 s vs
+    -- 0.05 s at sf0.01 measured) — same reason the Spark side persists
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb, pa FROM edges
+),
+deg0 AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+n0 AS (SELECT count(*)::BIGINT AS n FROM deg0),
+kv AS (
+    SELECT min(d)::BIGINT AS k FROM (
+        SELECT d, sum(c) OVER (ORDER BY d) AS cum
+        FROM (SELECT d, count(*) AS c FROM deg0 GROUP BY d)
+    ), n0 WHERE cum * 4 >= n0.n
+),
+s1 AS MATERIALIZED (SELECT u FROM deg0, kv WHERE d >= kv.k),
+e1 AS MATERIALIZED (
+    SELECT e.pa, e.pb FROM edges e
+    JOIN s1 a ON a.u = e.pa JOIN s1 b ON b.u = e.pb
+),
+und1 AS (SELECT pa AS u, pb AS v FROM e1 UNION ALL SELECT pb, pa FROM e1),
+deg1 AS (SELECT u, count(*) AS d FROM und1 GROUP BY u),
+s2 AS MATERIALIZED (SELECT u FROM deg1, kv WHERE d >= kv.k),
+e2 AS MATERIALIZED (
+    SELECT e.pa, e.pb FROM e1 e
+    JOIN s2 a ON a.u = e.pa JOIN s2 b ON b.u = e.pb
+),
+und2 AS (SELECT pa AS u, pb AS v FROM e2 UNION ALL SELECT pb, pa FROM e2),
+deg2 AS (SELECT u, count(*) AS d FROM und2 GROUP BY u),
+s3 AS MATERIALIZED (SELECT u FROM deg2, kv WHERE d >= kv.k),
+e3 AS MATERIALIZED (
+    SELECT e.pa, e.pb FROM e2 e
+    JOIN s3 a ON a.u = e.pa JOIN s3 b ON b.u = e.pb
+)
+SELECT r.round, kv.k,
+       CASE r.round WHEN 1 THEN (SELECT count(*) FROM s1)
+                    WHEN 2 THEN (SELECT count(*) FROM s2)
+                    ELSE (SELECT count(*) FROM s3) END::BIGINT AS n_nodes,
+       CASE r.round WHEN 1 THEN (SELECT count(*) FROM e1)
+                    WHEN 2 THEN (SELECT count(*) FROM e2)
+                    ELSE (SELECT count(*) FROM e3) END::BIGINT AS n_edges
+FROM (SELECT unnest(generate_series(1, 3)) AS round) r, kv
+"""
+
+
+@register("kcore_peel_rounds", oracle=_KCORE_ORACLE)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo), li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def und(e):
+        return e.select(F.col("pa").alias("u")).unionAll(
+            e.select(F.col("pb").alias("u"))
+        )
+
+    deg0 = und(edges).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # exact median degree from value-level integer counts (bounded by
+    # the degree domain — no global sort of the node table)
+    counts = sorted(
+        (r["d"], r["c"])
+        for r in deg0.groupBy("d").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n0 = sum(c for _, c in counts)
+    cum, k = 0, counts[-1][0]
+    for d, c in counts:
+        cum += c
+        if cum * 4 >= n0:
+            k = d
+            break
+    cur = edges
+    out = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = und(cur).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.filter(F.col("d") >= k).select("u")
+        cur = (
+            cur.join(
+                surv.select(F.col("u").alias("pa")), "pa", "semi"
+            )
+            .join(surv.select(F.col("u").alias("pb")), "pb", "semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_nodes = surv.count()
+        n_edges = cur.count()
+        out.append((rnd, k, n_nodes, n_edges))
+    edges.unpersist()
+    return spark.createDataFrame(
+        out, "round long, k long, n_nodes long, n_edges long"
+    )

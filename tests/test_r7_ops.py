@@ -229,3 +229,35 @@ def test_tfidf_cosine_pairs_nonvacuous_and_bounded(spark, sf_dir):
         assert r["doc_a"] < r["doc_b"]
         assert r["n_common"] >= 1
         assert 0.35 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_kcore_peeling_monotone_and_consistent(spark, sf_dir):
+    rows = sorted(
+        _q("kcore_peel_rounds").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    k = rows[0]["k"]
+    assert k >= 1 and all(r["k"] == k for r in rows)
+    # peeling is monotone: node and edge sets only shrink
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    # round 1 must actually remove something (k = Q1 degree, gotcha 5)
+    assert rows[0]["n_nodes"] > 0
+    assert rows[1]["n_nodes"] < rows[0]["n_nodes"] or (
+        rows[0]["n_edges"] > rows[1]["n_edges"]
+    )
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    row = (
+        _q("conformal_interval_coverage").spark_fn(spark, sf_dir).collect()[0]
+    )
+    assert row["n_cal"] > 0 and row["n_test"] > 0
+    assert row["q_rank"] == (9 * (row["n_cal"] + 1) + 9) // 10
+    assert 0.0 <= row["q_hat"] <= 1.0
+    # split-conformal marginal guarantee: coverage >= 1 - alpha holds
+    # in expectation; exchangeable synthetic data sits at/above it
+    assert row["coverage"] >= 0.85, row
+    assert row["n_covered"] <= row["n_test"]
