@@ -185,6 +185,8 @@ HEADLINE = [
     "neardup_tfidf_cosine",
     "kcore_peel_rounds",
     "conformal_interval_coverage",
+    "kcenter_greedy_coreset",
+    "bootstrap_ci_keep_rate",
 ]
 
 REPEATS = 2

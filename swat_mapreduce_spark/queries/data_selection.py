@@ -550,3 +550,145 @@ def loso_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(loso_nll, 6).alias("loso_nll"),
         R.r(loso_nll - full_nll, 6).alias("delta_nll"),
     )
+
+
+# --- k-center greedy coreset selection ----------------------------------------
+# Coreset selection for data-efficient training (Sener & Savarese
+# 2018): greedily pick the point FARTHEST from everything selected so
+# far — a 2-approximation of the k-center cover, the geometric
+# counterpart of the quality-score selectors. Seed = vec_id 0, then 4
+# greedy steps; each step is ONE distributed pass computing every
+# point's distance to the newest center, folded into its running
+# min-distance (monoid, so k passes, never k*n² pairs), then a
+# TakeOrdered(1) argmax. Driver state = the k chosen vectors (the
+# kmeans pattern). Squared-L2 terms are integer-quantized
+# (round((d)²*1e8) summed as longs) so Spark, the driver floats, and
+# the oracle's unrolled-CTE replay see bit-identical doubles
+# (CLAUDE.md gotcha 13a); argmax ties break on vec_id.
+_KCENTER_K = 5
+_KC_DIM = 64
+
+
+def _kc_dist_sql(center_cte: str) -> str:
+    # the center's 64 dims come from an EXPLICIT join against the
+    # 1-row center CTE — a scalar-subquery filter on the join side
+    # kept DuckDB from pushing it into the build side (dims x dims on
+    # i exploded to |n|² per dim; 180 s at sf0.1 vs 0.4 s this way)
+    return f"""
+    SELECT p.vec_id,
+           sum(CAST(round(((p.x - c.x) * (p.x - c.x)) * 100000000)
+                    AS BIGINT))::DOUBLE / 100000000 AS d2
+    FROM dims p JOIN (
+        SELECT d.i, d.x FROM dims d JOIN {center_cte} cc ON d.vec_id = cc.vid
+    ) c ON c.i = p.i
+    GROUP BY p.vec_id
+"""
+
+
+_KCENTER_ORACLE = f"""
+WITH dims AS MATERIALIZED (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, generate_series(1, {_KC_DIM}) AS g(i)
+),
+c1 AS (SELECT 0::BIGINT AS vid),
+m1 AS MATERIALIZED ({_kc_dist_sql('c1')}),
+c2 AS (SELECT vec_id AS vid FROM m1 WHERE vec_id <> 0
+       ORDER BY d2 DESC, vec_id LIMIT 1),
+d2_t AS MATERIALIZED ({_kc_dist_sql('c2')}),
+m2 AS MATERIALIZED (
+    SELECT m1.vec_id, least(m1.d2, d2_t.d2) AS d2
+    FROM m1 JOIN d2_t USING (vec_id)
+),
+c3 AS (SELECT m2.vec_id AS vid FROM m2, c1, c2
+       WHERE m2.vec_id NOT IN (c1.vid, c2.vid)
+       ORDER BY m2.d2 DESC, m2.vec_id LIMIT 1),
+d3_t AS MATERIALIZED ({_kc_dist_sql('c3')}),
+m3 AS MATERIALIZED (
+    SELECT m2.vec_id, least(m2.d2, d3_t.d2) AS d2
+    FROM m2 JOIN d3_t USING (vec_id)
+),
+c4 AS (SELECT m3.vec_id AS vid FROM m3, c1, c2, c3
+       WHERE m3.vec_id NOT IN (c1.vid, c2.vid, c3.vid)
+       ORDER BY m3.d2 DESC, m3.vec_id LIMIT 1),
+d4_t AS MATERIALIZED ({_kc_dist_sql('c4')}),
+m4 AS MATERIALIZED (
+    SELECT m3.vec_id, least(m3.d2, d4_t.d2) AS d2
+    FROM m3 JOIN d4_t USING (vec_id)
+),
+c5 AS (SELECT m4.vec_id AS vid FROM m4, c1, c2, c3, c4
+       WHERE m4.vec_id NOT IN (c1.vid, c2.vid, c3.vid, c4.vid)
+       ORDER BY m4.d2 DESC, m4.vec_id LIMIT 1)
+SELECT 1::BIGINT AS step, c1.vid AS vec_id,
+       CAST(NULL AS DOUBLE) AS min_dist2 FROM c1
+UNION ALL
+SELECT 2, c2.vid,
+       round((SELECT d2 FROM m1 WHERE vec_id = c2.vid) * 1000000)
+           / 1000000 + 0.0 FROM c2
+UNION ALL
+SELECT 3, c3.vid,
+       round((SELECT d2 FROM m2 WHERE vec_id = c3.vid) * 1000000)
+           / 1000000 + 0.0 FROM c3
+UNION ALL
+SELECT 4, c4.vid,
+       round((SELECT d2 FROM m3 WHERE vec_id = c4.vid) * 1000000)
+           / 1000000 + 0.0 FROM c4
+UNION ALL
+SELECT 5, c5.vid,
+       round((SELECT d2 FROM m4 WHERE vec_id = c5.vid) * 1000000)
+           / 1000000 + 0.0 FROM c5
+"""
+
+
+@register("kcenter_greedy_coreset", oracle=_KCENTER_ORACLE)
+def kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import arrays as A
+    from swat_mapreduce_spark.queries.curation import _rp
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", A.as_double_array(F.col("embedding")).alias("v")
+    )
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    def d2_to(center_vec):
+        c_arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), c_arr, lambda x, c: units((x - c) * (x - c))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+            / F.lit(1e8)
+        )
+
+    seed = emb.filter(F.col("vec_id") == 0).collect()[0]
+    chosen = [(0, [float(x) for x in seed["v"]])]
+    rows = [(1, 0, None)]
+    cur = emb.select("vec_id", "v", d2_to(chosen[0][1]).alias("d2"))
+    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    for step in range(2, _KCENTER_K + 1):
+        taken = {cid for cid, _ in chosen}
+        top = (
+            cur.filter(~F.col("vec_id").isin(*taken))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        vid, vec, dist = int(top["vec_id"]), [float(x) for x in top["v"]], (
+            float(top["d2"])
+        )
+        rows.append((step, vid, _rp(dist, 6) + 0.0))
+        chosen.append((vid, vec))
+        if step < _KCENTER_K:
+            nxt = cur.select(
+                "vec_id", "v", F.least(F.col("d2"), d2_to(vec)).alias("d2")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            cur = nxt
+    emb.unpersist()
+    return spark.createDataFrame(
+        rows, "step long, vec_id long, min_dist2 double"
+    )

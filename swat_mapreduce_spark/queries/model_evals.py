@@ -422,3 +422,108 @@ def conformal_interval_coverage(
             "coverage"
         ),
     )
+
+
+# --- deterministic bootstrap CI on the corpus keep-rate ------------------------
+# Percentile bootstrap (Efron) made reproducible at scale: B=40
+# resamples of size n drawn WITH replacement through md5-derived
+# indices — resample b picks doc j = H(b, i) mod n for i = 0..n-1, so
+# every engine (and every rerun) draws the identical samples with no
+# RNG state. Volume is B×n rows through ONE join against the per-doc
+# keep flag (doc_id is contiguous 0..n-1 in the testdata; a real
+# deployment would zipWithIndex/stable_row_ids first). Resample means
+# are exact integer count ratios; the CI bounds are exact order
+# statistics of the 40 means (ceil(0.025·B)=1st, ceil(0.975·B)=39th).
+_BOOT_B = 40
+
+_BOOT_ORACLE = f"""
+WITH {_SCORE_DUCK},
+keep_t AS (
+    SELECT doc_id, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM scored
+),
+n_t AS (SELECT count(*)::BIGINT AS n, sum(keep)::BIGINT AS k FROM keep_t),
+draws AS (
+    SELECT b.b,
+           ('0x' || substr(md5(b.b || '_' || kt.doc_id), 1, 15))::BIGINT
+               % n_t.n AS j
+    FROM keep_t kt, n_t,
+         (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+means AS (
+    SELECT d.b, sum(k2.keep)::BIGINT AS cnt, count(*)::BIGINT AS n
+    FROM draws d JOIN keep_t k2 ON k2.doc_id = d.j
+    GROUP BY d.b
+),
+arr AS (
+    SELECT list(cnt * 1.0 / n ORDER BY cnt * 1.0 / n) AS ms FROM means
+)
+SELECT n_t.n AS n_docs, {_BOOT_B} AS n_resamples,
+       round(n_t.k * 1.0 / n_t.n * 1000000) / 1000000 + 0.0 AS keep_rate,
+       round(ms[1] * 1000000) / 1000000 + 0.0 AS boot_lo,
+       round(ms[{_BOOT_B - 1}] * 1000000) / 1000000 + 0.0 AS boot_hi
+FROM arr, n_t
+"""
+
+
+@register("bootstrap_ci_keep_rate", oracle=_BOOT_ORACLE)
+def bootstrap_ci_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    keep_t = s.select(
+        "doc_id",
+        F.when(F.col("score") >= 0.5, 1).otherwise(0).alias("keep"),
+    ).persist()
+    n_t = keep_t.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("keep").cast("long").alias("k")
+    )
+    draws = (
+        keep_t.select("doc_id")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select(
+            "b",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("b").cast("string"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n"),
+            ).alias("j"),
+        )
+    )
+    means = (
+        draws.join(
+            keep_t.select(F.col("doc_id").alias("j"), "keep"), "j"
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("keep").cast("long").alias("cnt"),
+            F.count(F.lit(1)).alias("cn"),
+        )
+        .select((F.col("cnt") * F.lit(1.0) / F.col("cn")).alias("m"))
+    )
+    arr = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    out = arr.crossJoin(F.broadcast(n_t))
+    keep_t.unpersist()
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.lit(_BOOT_B).alias("n_resamples"),
+        R.r(F.col("k") * F.lit(1.0) / F.col("n"), 6).alias("keep_rate"),
+        R.r(F.element_at("ms", 1), 6).alias("boot_lo"),
+        R.r(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
+    )

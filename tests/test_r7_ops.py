@@ -261,3 +261,45 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     # in expectation; exchangeable synthetic data sits at/above it
     assert row["coverage"] >= 0.85, row
     assert row["n_covered"] <= row["n_test"]
+
+
+def test_kcenter_greedy_maxmin_property(spark, sf_dir):
+    import duckdb as _duckdb
+
+    rows = sorted(
+        _q("kcenter_greedy_coreset").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["vec_id"] == 0 and rows[0]["min_dist2"] is None
+    assert len({r["vec_id"] for r in rows}) == 5
+    # greedy max-min distances are non-increasing
+    d = [r["min_dist2"] for r in rows[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(d, d[1:]))
+    # independent numpy check of step 2: farthest point from the seed
+    import numpy as np
+
+    con = _duckdb.connect()
+    X = {
+        int(v): np.array(e, dtype=np.float64)
+        for v, e in con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    }
+    seed = X[0]
+    far = max(
+        ((np.sum((x - seed) ** 2), -v) for v, x in X.items() if v != 0)
+    )
+    assert rows[1]["vec_id"] == -far[1]
+    assert abs(rows[1]["min_dist2"] - far[0]) < 1e-4
+
+
+def test_bootstrap_ci_brackets_rate(spark, sf_dir):
+    row = _q("bootstrap_ci_keep_rate").spark_fn(spark, sf_dir).collect()[0]
+    assert row["n_resamples"] == 40
+    assert 0.0 <= row["boot_lo"] <= row["boot_hi"] <= 1.0
+    # the percentile CI straddles the point estimate on exchangeable data
+    assert row["boot_lo"] <= row["keep_rate"] + 0.05
+    assert row["boot_hi"] >= row["keep_rate"] - 0.05
+    assert row["n_docs"] > 0
