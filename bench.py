@@ -187,6 +187,10 @@ HEADLINE = [
     "conformal_interval_coverage",
     "kcenter_greedy_coreset",
     "bootstrap_ci_keep_rate",
+    "gini_source_concentration",
+    "pmi_top_bigrams",
+    "hits_hubs_authorities",
+    "label_propagation_semisup",
 ]
 
 REPEATS = 2

@@ -531,3 +531,243 @@ def neardup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(cos, 4).alias("cosine"),
         )
     )
+
+
+# --- PMI collocation mining ---------------------------------------------------
+# Pointwise mutual information over adjacent token bigrams (Church &
+# Hanks 1990), the classic collocation detector: PMI(x,y) =
+# ln( c_xy * N_uni^2 / (N_bi * c_x * c_y) ) — the argument is an
+# exact integer ratio evaluated identically in IEEE on both engines,
+# the one ln is snapped at 6dp (gotcha 13a libm class), and the
+# top-20 cut orders by the SNAPPED value with a lexicographic
+# tie-break so the rank boundary is engine-independent. min-count 5
+# suppresses the unstable low-frequency tail. One tokenize pass;
+# bigram/unigram tables are vocab-bounded.
+_PMI_MIN_C = 5
+_PMI_TOPK = 20
+
+_PMI_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS tk
+    FROM documents
+),
+uni AS (
+    SELECT unnest(tk) AS w FROM toks
+),
+uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+nu AS (SELECT sum(c)::BIGINT AS n FROM uc),
+bi AS (
+    SELECT tk[i] AS x, tk[i+1] AS y
+    FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    WHERE len(tk) >= 2
+),
+bc AS (SELECT x, y, count(*)::BIGINT AS c FROM bi GROUP BY 1, 2),
+nb AS (SELECT sum(c)::BIGINT AS n FROM bc),
+scored AS (
+    SELECT bc.x, bc.y, bc.c AS c_xy, cx.c AS c_x, cy.c AS c_y,
+           round(ln((bc.c * 1.0 * nu.n * nu.n)
+                    / (nb.n * 1.0 * cx.c * cy.c)) * 1000000) / 1000000
+               + 0.0 AS pmi
+    FROM bc JOIN uc cx ON cx.w = bc.x JOIN uc cy ON cy.w = bc.y
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE bc.c >= {_PMI_MIN_C}
+)
+SELECT x, y, c_xy, pmi, rank
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, x, y) AS rank
+      FROM scored)
+WHERE rank <= {_PMI_TOPK}
+"""
+
+
+@register("pmi_top_bigrams", oracle=_PMI_ORACLE)
+def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("tk")
+    )
+    docs = docs.persist()
+    uni = docs.select(F.explode("tk").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uc.agg(F.sum("c").cast("long").alias("n"))
+    # adjacent bigrams: positional slice, gotcha-10 guard on short docs
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.zip_with(
+                    F.slice("tk", 1, F.size("tk") - 1),
+                    F.slice("tk", 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<x:string,y:string>>")
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    nb = bc.agg(F.sum("c").cast("long").alias("n"))
+    cx = uc.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
+    cy = uc.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bc.filter(F.col("c") >= _PMI_MIN_C)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(nu.select(F.col("n").alias("nu"))))
+        .crossJoin(F.broadcast(nb.select(F.col("n").alias("nb"))))
+        .select(
+            "x",
+            "y",
+            F.col("c").alias("c_xy"),
+            R.r(
+                F.log(
+                    (F.col("c") * F.lit(1.0) * F.col("nu") * F.col("nu"))
+                    / (F.col("nb") * F.lit(1.0) * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select("x", "y", "c_xy", "pmi", F.col("rank").cast("long"))
+    )
+    docs.unpersist()
+    return out
+
+
+# --- semi-supervised label propagation over the LSH similarity graph ----------
+# Weak supervision for corpus labeling: 20% of documents keep their
+# lang label (seed = doc_id % 5 == 0), the rest take the MAJORITY
+# label of their labeled neighbors in the MinHash-LSH candidate graph
+# (ties → lexicographically smallest label), replayed for 2 rounds so
+# round-1 winners vote in round 2 — Zhu & Ghahramani 2002 made
+# discrete. The argmax is ONE scalar max_by key (c * 1000 − label
+# rank, CLAUDE.md gotcha 9; label ranks come from the bounded distinct-
+# label table). Per-round cost: one edge join + one (node,label)
+# groupBy — the components/k-core bounded-round shape; the oracle
+# reuses the registered MinHash pair SQL as a CTE and unrolls both
+# rounds.
+_LP_ROUNDS = 2
+
+
+def _lp_oracle() -> str:
+    from swat_mapreduce_spark.queries.dedup import _minhash_oracle
+
+    pair_sql = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS MATERIALIZED ({pair_sql}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+lrank AS (
+    SELECT lang, row_number() OVER (ORDER BY lang) AS r
+    FROM (SELECT DISTINCT lang FROM documents)
+),
+seed AS (
+    SELECT d.doc_id, d.lang FROM documents d WHERE d.doc_id % 5 = 0
+),
+v1 AS (
+    SELECT s.u AS doc_id, l.lang, count(*)::BIGINT AS c
+    FROM sym s JOIN seed l ON l.doc_id = s.v
+    WHERE s.u NOT IN (SELECT doc_id FROM seed)
+    GROUP BY 1, 2
+),
+w1 AS (
+    SELECT v1.doc_id,
+           max_by(v1.lang, v1.c * 1000 - lr.r) AS lang
+    FROM v1 JOIN lrank lr ON lr.lang = v1.lang
+    GROUP BY 1
+),
+lab1 AS (SELECT * FROM seed UNION ALL SELECT * FROM w1),
+v2 AS (
+    SELECT s.u AS doc_id, l.lang, count(*)::BIGINT AS c
+    FROM sym s JOIN lab1 l ON l.doc_id = s.v
+    WHERE s.u NOT IN (SELECT doc_id FROM lab1)
+    GROUP BY 1, 2
+),
+w2 AS (
+    SELECT v2.doc_id,
+           max_by(v2.lang, v2.c * 1000 - lr.r) AS lang
+    FROM v2 JOIN lrank lr ON lr.lang = v2.lang
+    GROUP BY 1
+),
+n_docs AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT lr.lang,
+       (SELECT count(*) FROM seed s WHERE s.lang = lr.lang)::BIGINT
+           AS n_seed,
+       (SELECT count(*) FROM w1 w WHERE w.lang = lr.lang)::BIGINT
+           AS n_round1,
+       (SELECT count(*) FROM w2 w WHERE w.lang = lr.lang)::BIGINT
+           AS n_round2
+FROM lrank lr
+"""
+
+
+@register("label_propagation_semisup", oracle=_lp_oracle())
+def label_propagation_semisup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from swat_mapreduce_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lrank = (
+        docs.select("lang")
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("lang")))
+    )
+    seed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "lang")
+    lab = seed.persist(StorageLevel.MEMORY_AND_DISK)
+    per_round = []
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            sym.join(lab.select(F.col("doc_id").alias("v"), "lang"), "v")
+            .join(lab.select(F.col("doc_id").alias("u")), "u", "anti")
+            .groupBy(F.col("u").alias("doc_id"), "lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        key = F.col("c") * F.lit(1000) - F.col("r")
+        winners = (
+            votes.join(F.broadcast(lrank), "lang")
+            .groupBy("doc_id")
+            .agg(F.max_by("lang", key).alias("lang"))
+        )
+        per_round.append(winners.persist(StorageLevel.MEMORY_AND_DISK))
+        lab = lab.unionAll(winners).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = [
+        df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+        for df, name in [
+            (seed, "n_seed"),
+            (per_round[0], "n_round1"),
+            (per_round[1], "n_round2"),
+        ]
+    ]
+    out = lrank.select("lang")
+    for c in counts:
+        out = out.join(F.broadcast(c), "lang", "left")
+    out = out.select(
+        "lang",
+        F.coalesce("n_seed", F.lit(0)).cast("long").alias("n_seed"),
+        F.coalesce("n_round1", F.lit(0)).cast("long").alias("n_round1"),
+        F.coalesce("n_round2", F.lit(0)).cast("long").alias("n_round2"),
+    )
+    rows = out.collect()  # bounded: |langs| rows — drain before unpersist
+    sym.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -848,3 +848,65 @@ def chi2_independence_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("cramers_v"),
     )
+
+
+# --- Gini concentration of source contribution --------------------------------
+# Inequality audit of the training mix: the Gini coefficient of
+# per-source character contribution, G = 2*Σ i*x_(i) / (n*Σx) -
+# (n+1)/n over ascending-sorted source totals (exact integers; ties
+# broken by source name for a deterministic i). n = |sources| is
+# bounded, so the sort is a bounded array — the corpus contributes one
+# groupBy. The balanced synthetic mix gives G ≈ 0; a crawl-skewed
+# production mix is exactly what this flags before temperature mixing.
+_GINI_ORACLE = """
+WITH per_src AS (
+    SELECT source, sum(n_chars)::BIGINT AS x FROM documents GROUP BY 1
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM per_src
+),
+agg AS (
+    SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tot,
+           sum(i * x)::BIGINT AS ix
+    FROM ranked
+)
+SELECT n AS n_sources, tot AS total_chars,
+       round((2.0 * ix / (n * 1.0 * tot) - (n + 1.0) / n) * 1000000)
+           / 1000000 + 0.0 AS gini
+FROM agg
+"""
+
+
+@register("gini_source_concentration", oracle=_GINI_ORACLE)
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    per_src = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("x"))
+    )
+    # bounded |sources| array: sort (x, source) and fold i*x exactly
+    arr = per_src.agg(
+        F.array_sort(F.collect_list(F.struct("x", "source"))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    ix = F.aggregate(
+        F.zip_with(
+            F.col("s"),
+            F.sequence(F.lit(1), F.col("n").cast("int")),
+            lambda e, i: e["x"] * i.cast("bigint"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    g = (
+        F.lit(2.0) * ix / (F.col("n") * F.lit(1.0) * F.col("tot"))
+        - (F.col("n") + F.lit(1.0)) / F.col("n")
+    )
+    return arr.select(
+        F.col("n").alias("n_sources"),
+        F.col("tot").alias("total_chars"),
+        R.r(g, 6).alias("gini"),
+    )

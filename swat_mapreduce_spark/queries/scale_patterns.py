@@ -1315,3 +1315,125 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round long, k long, n_nodes long, n_edges long"
     )
+
+
+# --- HITS hubs & authorities (2 authority updates, 1 hub update) ---------------
+# Kleinberg's HITS on the customer→supplier purchase graph: authority
+# a(s) ← Σ h(c) over in-edges, hub h(c) ← Σ a(s) over out-edges, max-
+# normalized each half-step. Every normalized score is an INTEGER
+# unit table — round(units/max·1e8) — so the cross-iteration sums are
+# exact long sums (order-free) and both engines walk identical values
+# (gotcha 13a). Plan: the distinct edge list is built once and reused
+# by every half-step (one groupBy each); tops are TakeOrdered cuts.
+_HITS_TOPK = 10
+
+_HITS_ORACLE = f"""
+WITH edges AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+a1 AS (SELECT s, count(*)::BIGINT AS u FROM edges GROUP BY s),
+a1m AS (SELECT max(u) AS m FROM a1),
+a1n AS (
+    SELECT s, CAST(round(u * 1.0 / a1m.m * 100000000) AS BIGINT) AS nu
+    FROM a1, a1m
+),
+h1 AS (
+    SELECT e.c, sum(a.nu)::BIGINT AS u
+    FROM edges e JOIN a1n a ON a.s = e.s GROUP BY e.c
+),
+h1m AS (SELECT max(u) AS m FROM h1),
+h1n AS (
+    SELECT c, CAST(round(u * 1.0 / h1m.m * 100000000) AS BIGINT) AS nu
+    FROM h1, h1m
+),
+a2 AS (
+    SELECT e.s, sum(h.nu)::BIGINT AS u
+    FROM edges e JOIN h1n h ON h.c = e.c GROUP BY e.s
+),
+a2m AS (SELECT max(u) AS m FROM a2),
+a2n AS (
+    SELECT s, CAST(round(u * 1.0 / a2m.m * 100000000) AS BIGINT) AS nu
+    FROM a2, a2m
+)
+SELECT role, node_id, score, rank FROM (
+    SELECT 'authority' AS role, s AS node_id,
+           nu::DOUBLE / 100000000 AS score,
+           row_number() OVER (ORDER BY nu DESC, s) AS rank
+    FROM a2n
+) WHERE rank <= {_HITS_TOPK}
+UNION ALL
+SELECT role, node_id, score, rank FROM (
+    SELECT 'hub' AS role, c AS node_id,
+           nu::DOUBLE / 100000000 AS score,
+           row_number() OVER (ORDER BY nu DESC, c) AS rank
+    FROM h1n
+) WHERE rank <= {_HITS_TOPK}
+"""
+
+
+@register("hits_hubs_authorities", oracle=_HITS_ORACLE)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def norm(df, key):
+        m = df.agg(F.max("u").alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            key,
+            F.round(F.col("u") * F.lit(1.0) / F.col("m") * F.lit(1e8))
+            .cast("long")
+            .alias("nu"),
+        )
+
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).alias("u"))
+    a1n = norm(a1, "s")
+    h1 = (
+        edges.join(a1n, "s")
+        .groupBy("c")
+        .agg(F.sum("nu").cast("long").alias("u"))
+    )
+    h1n = norm(h1, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    a2 = (
+        edges.join(h1n, "c")
+        .groupBy("s")
+        .agg(F.sum("nu").cast("long").alias("u"))
+    )
+    a2n = norm(a2, "s")
+    w_a = Window.orderBy(F.desc("nu"), F.asc("s"))
+    w_h = Window.orderBy(F.desc("nu"), F.asc("c"))
+    auth = (
+        a2n.withColumn("rank", F.row_number().over(w_a))
+        .filter(F.col("rank") <= _HITS_TOPK)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").alias("node_id"),
+            (F.col("nu").cast("double") / F.lit(1e8)).alias("score"),
+            F.col("rank").cast("long"),
+        )
+    )
+    hubs = (
+        h1n.withColumn("rank", F.row_number().over(w_h))
+        .filter(F.col("rank") <= _HITS_TOPK)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node_id"),
+            (F.col("nu").cast("double") / F.lit(1e8)).alias("score"),
+            F.col("rank").cast("long"),
+        )
+    )
+    out = auth.unionAll(hubs)
+    edges.unpersist()
+    return out

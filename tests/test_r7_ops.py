@@ -303,3 +303,54 @@ def test_bootstrap_ci_brackets_rate(spark, sf_dir):
     assert row["boot_lo"] <= row["keep_rate"] + 0.05
     assert row["boot_hi"] >= row["keep_rate"] - 0.05
     assert row["n_docs"] > 0
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    row = _q("gini_source_concentration").spark_fn(spark, sf_dir).collect()[0]
+    con = _duck(sf_dir)
+    xs = sorted(
+        con.sql(
+            "SELECT source, sum(n_chars) FROM documents GROUP BY 1"
+        ).fetchall(),
+        key=lambda t: (t[1], t[0]),
+    )
+    n = len(xs)
+    tot = sum(x for _, x in xs)
+    ix = sum((i + 1) * x for i, (_, x) in enumerate(xs))
+    g = 2.0 * ix / (n * 1.0 * tot) - (n + 1.0) / n
+    assert row["n_sources"] == n and row["total_chars"] == tot
+    assert abs(row["gini"] - round(g * 1e6) / 1e6) < 1e-9
+    assert 0.0 <= row["gini"] < 0.5  # balanced synthetic mix
+
+
+def test_pmi_ranks_and_bounds(spark, sf_dir):
+    rows = sorted(
+        _q("pmi_top_bigrams").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["c_xy"] >= 5 for r in rows)
+
+
+def test_hits_normalization_and_roles(spark, sf_dir):
+    rows = _q("hits_hubs_authorities").spark_fn(spark, sf_dir).collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r)
+    assert set(by_role) == {"hub", "authority"}
+    for role, rs in by_role.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["score"] == 1.0, f"{role} max must normalize to 1"
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_label_propagation_spreads(spark, sf_dir):
+    rows = _q("label_propagation_semisup").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per lang
+    assert sum(r["n_seed"] for r in rows) > 0
+    # at least one round actually labels new docs (non-vacuous)
+    assert sum(r["n_round1"] for r in rows) > 0
