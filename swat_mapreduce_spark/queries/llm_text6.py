@@ -630,12 +630,15 @@ def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # distributed TakeOrderedAndProject cut FIRST, then rank the
+    # bounded top-k set — never a global window over the bigram table
+    cut = scored.orderBy(
+        F.desc("pmi"), F.asc("x"), F.asc("y")
+    ).limit(_PMI_TOPK)
     w = Window.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PMI_TOPK)
-        .select("x", "y", "c_xy", "pmi", F.col("rank").cast("long"))
-    )
+    out = cut.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("x", "y", "c_xy", "pmi", "rank")
     docs.unpersist()
     return out
 

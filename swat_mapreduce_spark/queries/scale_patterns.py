@@ -1412,11 +1412,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nu").cast("long").alias("u"))
     )
     a2n = norm(a2, "s")
+    # distributed TakeOrdered cut first; the rank window then runs on
+    # the bounded top-k set, never on the full node table
     w_a = Window.orderBy(F.desc("nu"), F.asc("s"))
     w_h = Window.orderBy(F.desc("nu"), F.asc("c"))
     auth = (
-        a2n.withColumn("rank", F.row_number().over(w_a))
-        .filter(F.col("rank") <= _HITS_TOPK)
+        a2n.orderBy(F.desc("nu"), F.asc("s"))
+        .limit(_HITS_TOPK)
+        .withColumn("rank", F.row_number().over(w_a))
         .select(
             F.lit("authority").alias("role"),
             F.col("s").alias("node_id"),
@@ -1425,8 +1428,9 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hubs = (
-        h1n.withColumn("rank", F.row_number().over(w_h))
-        .filter(F.col("rank") <= _HITS_TOPK)
+        h1n.orderBy(F.desc("nu"), F.asc("c"))
+        .limit(_HITS_TOPK)
+        .withColumn("rank", F.row_number().over(w_h))
         .select(
             F.lit("hub").alias("role"),
             F.col("c").alias("node_id"),

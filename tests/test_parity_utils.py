@@ -505,6 +505,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # pooled-ECDF cumsum over the distinct-length domain + BH rank
     # over the |sources|-row test table (both bounded by construction)
     "fdr_bh_source_length_tests",
+    # rank numbering over the TakeOrdered top-20 PMI cut
+    "pmi_top_bigrams",
+    # rank numbering over the two TakeOrdered top-10 role cuts
+    "hits_hubs_authorities",
 }
 
 
