@@ -191,6 +191,8 @@ HEADLINE = [
     "pmi_top_bigrams",
     "hits_hubs_authorities",
     "label_propagation_semisup",
+    "sliding_p50_value_7d",
+    "permutation_test_mean_diff",
 ]
 
 REPEATS = 2

@@ -1441,3 +1441,94 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = auth.unionAll(hubs)
     edges.unpersist()
     return out
+
+
+# --- exact SLIDING-window p50 via grid fan-out ---------------------------------
+# The quantile sibling of sliding_distinct_users_bitmap: exact rolling
+# 7-day median per day WITHOUT re-scanning raw events per window.
+# Values are put on the exact cents grid (round(value*100) — the
+# shared integer procedure), per-(day, cent) counts fan out to target
+# days day..day+6 (a 7x explode of the grid-bounded count table, NOT
+# of the events), and the lower median is the smallest grid value
+# whose cumulative count reaches ceil(n/2) — a window PARTITIONED by
+# target day over the per-day grid (bounded by the value domain).
+# Only full 7-day windows on days that actually occur are emitted
+# (the r6-ADVICE gap-day rule).
+_SLIDING_P50_ORACLE = """
+WITH ev AS (
+    SELECT ts::DATE AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+rng AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+cnt AS (SELECT day, cents, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+fan AS (
+    SELECT (day + to_days(g.o::INT))::DATE AS tday, cents, c
+    FROM cnt, generate_series(0, 6) AS g(o)
+),
+win AS (
+    SELECT tday, cents, sum(c)::BIGINT AS c FROM fan GROUP BY 1, 2
+),
+tot AS (SELECT tday, sum(c)::BIGINT AS n FROM win GROUP BY 1),
+cum AS (
+    SELECT w.tday, w.cents,
+           sum(w.c) OVER (PARTITION BY w.tday ORDER BY w.cents)::BIGINT
+               AS cum
+    FROM win w
+),
+med AS (
+    SELECT cum.tday, min(cum.cents) AS p50c
+    FROM cum JOIN tot USING (tday)
+    WHERE cum.cum * 2 >= tot.n + (tot.n % 2)
+    GROUP BY cum.tday
+)
+SELECT m.tday AS day, t.n AS n_events_7d,
+       m.p50c::DOUBLE / 100 AS p50_value
+FROM med m
+JOIN tot t USING (tday)
+JOIN (SELECT DISTINCT day FROM ev) rd ON rd.day = m.tday
+CROSS JOIN rng
+WHERE m.tday >= rng.mn + INTERVAL 6 DAY AND m.tday <= rng.mx
+"""
+
+
+@register("sliding_p50_value_7d", oracle=_SLIDING_P50_ORACLE)
+def sliding_p50_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rng = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cnt = ev.groupBy("day", "cents").agg(F.count(F.lit(1)).alias("c"))
+    fan = cnt.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+        "cents",
+        "c",
+    )
+    win = fan.groupBy("tday", "cents").agg(F.sum("c").alias("c"))
+    tot = win.groupBy("tday").agg(F.sum("c").cast("long").alias("n"))
+    wsp = Window.partitionBy("tday").orderBy("cents")
+    cum = win.withColumn("cum", F.sum("c").over(wsp).cast("long"))
+    med = (
+        cum.join(tot, "tday")
+        .filter(F.col("cum") * 2 >= F.col("n") + F.col("n") % 2)
+        .groupBy("tday")
+        .agg(F.min("cents").alias("p50c"))
+    )
+    real_days = ev.select(F.col("day").alias("tday")).distinct()
+    out = (
+        med.join(tot, "tday")
+        .join(F.broadcast(real_days), "tday", "semi")
+        .crossJoin(F.broadcast(rng))
+        .filter(
+            (F.col("tday") >= F.date_add(F.col("mn"), 6))
+            & (F.col("tday") <= F.col("mx"))
+        )
+    )
+    return out.select(
+        F.col("tday").alias("day"),
+        F.col("n").alias("n_events_7d"),
+        (F.col("p50c").cast("double") / F.lit(100)).alias("p50_value"),
+    )

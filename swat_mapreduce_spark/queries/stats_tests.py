@@ -467,3 +467,165 @@ def runs_test_daily_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(z_raw, 6).alias("z"),
         (F.abs(z_raw) < 1.96).alias("random_walk"),
     )
+
+
+# --- deterministic randomization (permutation) test ---------------------------
+# Two-sample mean-difference test between src0 and src1 document
+# lengths, with the null distribution built from B=99 md5-derived
+# relabelings (the Monte-Carlo permutation / randomization test,
+# Fisher 1935 made hash-deterministic — no RNG state, identical draws
+# on every engine). Every statistic comparison is EXACT-INTEGER: with
+# sums s and counts n, |m0−m1| >= |m0b−m1b| iff
+# |s0·n1 − s1·n0| · (n0b·n1b) >= |s0b·n1b − s1b·n0b| · (n0·n1), all
+# int64-safe at test scale, and p = (1 + #{b: stat_b >= obs})/(B+1)
+# with the 5%-level decision 20·(1+cnt) <= B+1 — also integers.
+_PERM_B = 99
+
+_PERM_ORACLE = f"""
+WITH two AS (
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE source IN ('src0', 'src1')
+),
+obs AS (
+    SELECT sum(CASE WHEN source = 'src0' THEN n_chars ELSE 0 END)::BIGINT
+               AS s0,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS n0,
+           sum(CASE WHEN source = 'src1' THEN n_chars ELSE 0 END)::BIGINT
+               AS s1,
+           sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS n1
+    FROM two
+),
+draws AS (
+    SELECT b.b, t.n_chars,
+           ('0x' || substr(md5(b.b || '_' || t.doc_id), 1, 15))::BIGINT % 2
+               AS g
+    FROM two t, (SELECT unnest(generate_series(0, {_PERM_B - 1})) AS b) b
+),
+perm AS (
+    SELECT b,
+           sum(CASE WHEN g = 0 THEN n_chars ELSE 0 END)::BIGINT AS s0b,
+           sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0b,
+           sum(CASE WHEN g = 1 THEN n_chars ELSE 0 END)::BIGINT AS s1b,
+           sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1b
+    FROM draws GROUP BY b
+),
+cmp AS (
+    SELECT count(*)::BIGINT AS n_ge
+    FROM perm p, obs o
+    WHERE p.n0b > 0 AND p.n1b > 0
+      AND abs(p.s0b * p.n1b - p.s1b * p.n0b) * (o.n0 * o.n1)
+          >= abs(o.s0 * o.n1 - o.s1 * o.n0) * (p.n0b * p.n1b)
+)
+SELECT o.n0, o.n1,
+       round(o.s0 * 1.0 / o.n0 * 10000) / 10000 + 0.0 AS mean0,
+       round(o.s1 * 1.0 / o.n1 * 10000) / 10000 + 0.0 AS mean1,
+       round(abs(o.s0 * 1.0 / o.n0 - o.s1 * 1.0 / o.n1) * 10000) / 10000
+           + 0.0 AS obs_diff,
+       round((1 + c.n_ge) * 1.0 / {_PERM_B + 1} * 1000000) / 1000000 + 0.0
+           AS p_value,
+       20 * (1 + c.n_ge) <= {_PERM_B + 1} AS reject_5pct
+FROM obs o, cmp c
+"""
+
+
+@register("permutation_test_mean_diff", oracle=_PERM_ORACLE)
+def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    two = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("doc_id", "source", "n_chars")
+        .persist()
+    )
+    obs = two.agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("source") == "src1", F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    draws = two.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "n_chars",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("b").cast("string"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("g"),
+    )
+    perm = draws.groupBy("b").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("s0b"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0b"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("s1b"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1b"),
+    )
+    j = perm.crossJoin(F.broadcast(obs))
+    n_ge = (
+        j.filter(
+            (F.col("n0b") > 0)
+            & (F.col("n1b") > 0)
+            & (
+                F.abs(
+                    F.col("s0b") * F.col("n1b") - F.col("s1b") * F.col("n0b")
+                )
+                * (F.col("n0") * F.col("n1"))
+                >= F.abs(
+                    F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
+                )
+                * (F.col("n0b") * F.col("n1b"))
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_ge"))
+    )
+    out = obs.crossJoin(F.broadcast(n_ge))
+    two.unpersist()
+    return out.select(
+        "n0",
+        "n1",
+        R.r(F.col("s0") * F.lit(1.0) / F.col("n0"), 4).alias("mean0"),
+        R.r(F.col("s1") * F.lit(1.0) / F.col("n1"), 4).alias("mean1"),
+        R.r(
+            F.abs(
+                F.col("s0") * F.lit(1.0) / F.col("n0")
+                - F.col("s1") * F.lit(1.0) / F.col("n1")
+            ),
+            4,
+        ).alias("obs_diff"),
+        R.r(
+            (F.lit(1) + F.col("n_ge")) * F.lit(1.0) / F.lit(_PERM_B + 1), 6
+        ).alias("p_value"),
+        (F.lit(20) * (F.lit(1) + F.col("n_ge")) <= F.lit(_PERM_B + 1)).alias(
+            "reject_5pct"
+        ),
+    )

@@ -354,3 +354,45 @@ def test_label_propagation_spreads(spark, sf_dir):
     assert sum(r["n_seed"] for r in rows) > 0
     # at least one round actually labels new docs (non-vacuous)
     assert sum(r["n_round1"] for r in rows) > 0
+
+
+def test_sliding_p50_matches_bruteforce(spark, sf_dir):
+    rows = {
+        r["day"]: r
+        for r in _q("sliding_p50_value_7d").spark_fn(spark, sf_dir).collect()
+    }
+    con = _duck(sf_dir)
+    ev = con.sql(
+        "SELECT ts::DATE d, CAST(round(value*100) AS BIGINT) c FROM events"
+    ).fetchall()
+    import collections
+    import datetime
+
+    by_day = collections.defaultdict(list)
+    for d, c in ev:
+        by_day[d].append(c)
+    days = sorted(by_day)
+    for day, r in rows.items():
+        vals = sorted(
+            c
+            for off in range(7)
+            for c in by_day.get(day - datetime.timedelta(days=off), [])
+        )
+        n = len(vals)
+        assert r["n_events_7d"] == n
+        lower_med = vals[(n + (n % 2)) // 2 - 1]  # ceil(n/2)-th smallest
+        assert abs(r["p50_value"] - lower_med / 100.0) < 1e-9
+    # gap-day rule: only real event days with a full window are emitted
+    assert set(rows) <= set(days)
+    assert min(rows) >= days[0] + datetime.timedelta(days=6)
+
+
+def test_permutation_test_definitions(spark, sf_dir):
+    row = (
+        _q("permutation_test_mean_diff").spark_fn(spark, sf_dir).collect()[0]
+    )
+    assert row["n0"] > 0 and row["n1"] > 0
+    assert abs(abs(row["mean0"] - row["mean1"]) - row["obs_diff"]) < 2e-4
+    # p in {k/100: k=1..100}; reject iff p <= 0.05 exactly
+    assert 0.01 <= row["p_value"] <= 1.0
+    assert row["reject_5pct"] == (row["p_value"] <= 0.05 + 1e-12)
