@@ -193,6 +193,9 @@ HEADLINE = [
     "label_propagation_semisup",
     "sliding_p50_value_7d",
     "permutation_test_mean_diff",
+    "mcnemar_two_filters",
+    "cohens_kappa_filters",
+    "cochran_armitage_trend",
 ]
 
 REPEATS = 2

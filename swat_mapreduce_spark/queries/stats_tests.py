@@ -629,3 +629,290 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_5pct"
         ),
     )
+
+
+# --- paired-filter agreement: McNemar + Cohen's kappa --------------------------
+# Two corpus filters disagree — is the disagreement systematic?
+# Filter A: length >= corpus median (value-grid exact); Filter B:
+# stopword ratio >= 8% (exact integer cross-multiplication — no
+# float anywhere in either label). McNemar's chi-square (b-c)^2/(b+c)
+# tests marginal homogeneity on the discordant cells; Cohen's kappa
+# measures chance-corrected agreement from the same 2x2 table. Every
+# ingredient is an exact integer count; the two divisions happen once
+# at the end on identical integers.
+_STOPS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+_STOP_NUM = 8  # B: stop_count * 100 >= n_tokens * 8
+
+_PAIRED_FILTER_DUCK = rf"""
+toks AS (
+    SELECT doc_id, n_chars,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> len(x) > 0) AS tk
+    FROM documents
+),
+med AS (
+    SELECT min(v) AS m FROM (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum, tot.n
+        FROM (SELECT n_chars AS v, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1),
+             (SELECT count(*)::BIGINT AS n FROM documents) tot
+    ) WHERE cum * 2 >= n
+),
+lab AS (
+    SELECT t.doc_id,
+           (t.n_chars >= med.m) AS a,
+           (len(list_filter(t.tk, x -> list_contains({_STOPS_SQL}, x)))
+                * 100 >= len(t.tk) * {_STOP_NUM}) AS b
+    FROM toks t, med
+    WHERE len(t.tk) > 0
+)
+"""
+
+_MCNEMAR_ORACLE = f"""
+WITH {_PAIRED_FILTER_DUCK},
+cells AS (
+    SELECT sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+           sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+           sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+           sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+    FROM lab
+)
+SELECT n11, n10, n01, n00,
+       round((n10 - n01) * (n10 - n01) * 1.0 / (n10 + n01) * 10000)
+           / 10000 + 0.0 AS chi2,
+       (n10 - n01) * (n10 - n01) * 100 > 384 * (n10 + n01)
+           AS reject_5pct
+FROM cells
+"""
+
+# kappa = (po - pe)/(1 - pe) reduces to ONE integer ratio:
+# (n*(n11+n00) - pe_num) / (n*n - pe_num) with
+# pe_num = (n11+n10)(n11+n01) + (n01+n00)(n10+n00)
+_KAPPA_ORACLE = f"""
+WITH {_PAIRED_FILTER_DUCK},
+cells AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+           sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+           sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+           sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+    FROM lab
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00) * 1.0 / n * 10000) / 10000 + 0.0 AS observed_agree,
+       round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1.0
+             / (n * n) * 10000) / 10000 + 0.0 AS expected_agree,
+       round((n * (n11 + n00)
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+             * 1.0
+             / (n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+             * 1000000) / 1000000 + 0.0 AS kappa
+FROM cells
+"""
+
+
+@register("cohens_kappa_filters", oracle=_KAPPA_ORACLE)
+def cohens_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _paired_filter_labels(spark, sf_dir)
+    cells = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        R.r(
+            (F.col("n11") + F.col("n00")) * F.lit(1.0) / F.col("n"), 4
+        ).alias("observed_agree"),
+        R.r(pe_num * F.lit(1.0) / (F.col("n") * F.col("n")), 4).alias(
+            "expected_agree"
+        ),
+        R.r(
+            (F.col("n") * (F.col("n11") + F.col("n00")) - pe_num)
+            * F.lit(1.0)
+            / (F.col("n") * F.col("n") - pe_num),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def _paired_filter_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", ws_tokens(F.col("text")).alias("tk")
+    )
+    lens = docs.select(F.col("n_chars").alias("v"))
+    counts = sorted(
+        (r["v"], r["c"])
+        for r in lens.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in counts)
+    cum, med = 0, counts[-1][0]
+    for v, c in counts:
+        cum += c
+        if cum * 2 >= n:
+            med = v
+            break
+    stops = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    nstop = F.size(F.filter("tk", lambda x: F.array_contains(stops, x)))
+    return docs.filter(F.size("tk") > 0).select(
+        "doc_id",
+        (F.col("n_chars") >= F.lit(int(med))).alias("a"),
+        (nstop * 100 >= F.size("tk") * _STOP_NUM).alias("b"),
+    )
+
+
+@register("mcnemar_two_filters", oracle=_MCNEMAR_ORACLE)
+def mcnemar_two_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _paired_filter_labels(spark, sf_dir)
+    cells = lab.agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    d = F.col("n10") - F.col("n01")
+    tot = F.col("n10") + F.col("n01")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        R.r(d * d * F.lit(1.0) / tot, 4).alias("chi2"),
+        # exact-integer 5% decision: chi2 > 3.84 <=> 100*d^2 > 384*(b+c)
+        (d * d * F.lit(100) > F.lit(384) * tot).alias("reject_5pct"),
+    )
+
+
+# --- Cochran-Armitage trend test across length deciles -------------------------
+# Does the stopword-filter pass rate TREND with document length?
+# Chi-square (chi2_independence_*) only says "dependent"; CA tests the
+# ordered alternative. Length deciles come from exact value-grid cuts
+# (cut_j = min v with 10*cum(v) >= j*n; bucket = #cuts <= v — no
+# global window, no per-doc rank); scores s = bucket index. With
+# integer aggregates A=Σs·k, B=Σs·n, C=Σs²·n, K, N:
+# T = A − K·B/N, Var = (K(N−K)/N²)·(C − B²/N), z = T/√Var — the same
+# fixed expression on both engines.
+_CA_ORACLE = f"""
+WITH {_PAIRED_FILTER_DUCK},
+docs2 AS (
+    SELECT l.doc_id, d.n_chars AS v, CASE WHEN l.b THEN 1 ELSE 0 END AS k
+    FROM lab l JOIN documents d USING (doc_id)
+),
+grid AS (
+    SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum, tot.n
+    FROM (SELECT v, count(*)::BIGINT AS c FROM docs2 GROUP BY 1),
+         (SELECT count(*)::BIGINT AS n FROM docs2) tot
+),
+cuts AS (
+    SELECT j, min(v) AS cv
+    FROM grid, (SELECT unnest(generate_series(1, 9)) AS j)
+    WHERE cum * 10 >= j * n
+    GROUP BY j
+),
+bucketed AS (
+    SELECT d.doc_id, d.k,
+           (SELECT count(*) FROM cuts c WHERE d.v >= c.cv)::BIGINT AS s
+    FROM docs2 d
+),
+aggs AS (
+    SELECT count(*)::BIGINT AS nn, sum(k)::BIGINT AS kk,
+           sum(s * k)::BIGINT AS a, sum(s)::BIGINT AS b,
+           sum(s * s)::BIGINT AS c
+    FROM bucketed
+)
+SELECT nn AS n_docs, kk AS n_pass,
+       round((a - kk * 1.0 * b / nn)
+             / sqrt((kk * 1.0 * (nn - kk) / (nn * 1.0 * nn))
+                    * (c - b * 1.0 * b / nn)) * 1000000) / 1000000 + 0.0
+           AS z,
+       abs((a - kk * 1.0 * b / nn)
+           / sqrt((kk * 1.0 * (nn - kk) / (nn * 1.0 * nn))
+                  * (c - b * 1.0 * b / nn))) >= 1.96 AS trend_5pct
+FROM aggs
+"""
+
+
+@register("cochran_armitage_trend", oracle=_CA_ORACLE)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _paired_filter_labels(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("v")
+    )
+    d2 = lab.join(docs, "doc_id").select(
+        "doc_id", "v", F.when(F.col("b"), 1).otherwise(0).alias("k")
+    )
+    d2 = d2.persist()
+    counts = sorted(
+        (r["v"], r["c"])
+        for r in d2.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in counts)
+    cuts = []
+    cum = 0
+    it = iter(counts)
+    # exact value-grid cuts: cut_j = min v with 10*cum >= j*n
+    cums = []
+    cum = 0
+    for v, c in counts:
+        cum += c
+        cums.append((v, cum))
+    for j in range(1, 10):
+        cuts.append(min(v for v, cm in cums if cm * 10 >= j * n))
+    s_col = sum(
+        [F.when(F.col("v") >= F.lit(int(cv)), 1).otherwise(0) for cv in cuts],
+        F.lit(0),
+    ).cast("long")
+    aggs = d2.select(s_col.alias("s"), "k").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.sum(F.col("s") * F.col("k")).cast("long").alias("a"),
+        F.sum("s").cast("long").alias("b"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("c"),
+    )
+    d2.unpersist()
+    t = F.col("a") - F.col("kk") * F.lit(1.0) * F.col("b") / F.col("nn")
+    var = (
+        F.col("kk")
+        * F.lit(1.0)
+        * (F.col("nn") - F.col("kk"))
+        / (F.col("nn") * F.lit(1.0) * F.col("nn"))
+    ) * (
+        F.col("c") - F.col("b") * F.lit(1.0) * F.col("b") / F.col("nn")
+    )
+    z = t / F.sqrt(var)
+    return aggs.select(
+        F.col("nn").alias("n_docs"),
+        F.col("kk").alias("n_pass"),
+        R.r(z, 6).alias("z"),
+        (F.abs(z) >= 1.96).alias("trend_5pct"),
+    )

@@ -396,3 +396,58 @@ def test_permutation_test_definitions(spark, sf_dir):
     # p in {k/100: k=1..100}; reject iff p <= 0.05 exactly
     assert 0.01 <= row["p_value"] <= 1.0
     assert row["reject_5pct"] == (row["p_value"] <= 0.05 + 1e-12)
+
+
+def _paired_truth(sf_dir):
+    con = _duck(sf_dir)
+    rows = con.sql(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, n_chars,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+            FROM documents
+        ),
+        med AS (
+            SELECT min(v) AS m FROM (
+                SELECT v, sum(c) OVER (ORDER BY v) AS cum, tot.n
+                FROM (SELECT n_chars AS v, count(*) c FROM documents
+                      GROUP BY 1),
+                     (SELECT count(*) n FROM documents) tot
+            ) WHERE cum * 2 >= n
+        )
+        SELECT (t.n_chars >= med.m) AS a,
+               (len(list_filter(t.tk, x -> list_contains(
+                    ['the','a','of','and','to','in','is'], x))) * 100
+                >= len(t.tk) * 8) AS b
+        FROM toks t, med WHERE len(t.tk) > 0
+        """
+    ).fetchall()
+    return rows
+
+
+def test_mcnemar_and_kappa_match_bruteforce(spark, sf_dir):
+    truth = _paired_truth(sf_dir)
+    n11 = sum(1 for a, b in truth if a and b)
+    n10 = sum(1 for a, b in truth if a and not b)
+    n01 = sum(1 for a, b in truth if not a and b)
+    n00 = sum(1 for a, b in truth if not a and not b)
+    m = _q("mcnemar_two_filters").spark_fn(spark, sf_dir).collect()[0]
+    assert (m["n11"], m["n10"], m["n01"], m["n00"]) == (n11, n10, n01, n00)
+    assert n10 + n01 > 0, "no discordant pairs — test vacuous (gotcha 5)"
+    chi2 = (n10 - n01) ** 2 / (n10 + n01)
+    assert abs(m["chi2"] - round(chi2 * 1e4) / 1e4) < 1e-9
+    assert m["reject_5pct"] == (100 * (n10 - n01) ** 2 > 384 * (n10 + n01))
+    k = _q("cohens_kappa_filters").spark_fn(spark, sf_dir).collect()[0]
+    n = n11 + n10 + n01 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    kappa = (n * (n11 + n00) - pe_num) / (n * n - pe_num)
+    assert abs(k["kappa"] - round(kappa * 1e6) / 1e6) < 1e-9
+    assert -1.0 <= k["kappa"] <= 1.0
+
+
+def test_cochran_armitage_real_buckets(spark, sf_dir):
+    row = _q("cochran_armitage_trend").spark_fn(spark, sf_dir).collect()[0]
+    assert row["n_docs"] > 0
+    assert 0 < row["n_pass"] < row["n_docs"], "pass label vacuous"
+    assert isinstance(row["trend_5pct"], bool)
