@@ -196,6 +196,8 @@ HEADLINE = [
     "mcnemar_two_filters",
     "cohens_kappa_filters",
     "cochran_armitage_trend",
+    "jackknife_keep_rate_stderr",
+    "stream_sliding_p50_value",
 ]
 
 REPEATS = 2

@@ -527,3 +527,120 @@ def bootstrap_ci_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.element_at("ms", 1), 6).alias("boot_lo"),
         R.r(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
     )
+
+
+# --- grouped jackknife standard error of the keep rate --------------------------
+# The delete-one-group jackknife (Quenouille/Tukey; the grouped form
+# survey statisticians use) on the same estimand as the bootstrap:
+# th_(i) = keep rate with source i removed — m=|sources| exact count
+# ratios — then SE = sqrt((m-1)/m * sum (th_i - mean)^2) and bias
+# (m-1)*(mean - th_hat). Replicate values are quantized to integer
+# 1e-8 units and the squared deviations to 1e-12 units before summing
+# (order-free exact integer sums over the m-row table, gotcha 13a);
+# the bounded per-source count table comes from ONE corpus scan.
+_JACK_ORACLE = f"""
+WITH {_SCORE_DUCK},
+keep_t AS (
+    SELECT d.source, CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM scored s JOIN documents d USING (doc_id)
+),
+per_src AS (
+    SELECT source, count(*)::BIGINT AS n_i, sum(keep)::BIGINT AS k_i
+    FROM keep_t GROUP BY 1
+),
+tot AS (SELECT sum(n_i)::BIGINT AS n, sum(k_i)::BIGINT AS k,
+               count(*)::BIGINT AS m FROM per_src),
+reps AS (
+    SELECT p.source,
+           CAST(round((tot.k - p.k_i) * 1.0 / (tot.n - p.n_i) * 100000000)
+                AS BIGINT) AS u
+    FROM per_src p, tot
+),
+mean_t AS (
+    SELECT (sum(u)::DOUBLE / 100000000) / tot.m AS mu, tot.m, tot.n, tot.k
+    FROM reps, tot GROUP BY tot.m, tot.n, tot.k
+),
+dev AS (
+    SELECT sum(CAST(round(
+               ((r.u::DOUBLE / 100000000 - m.mu)
+                * (r.u::DOUBLE / 100000000 - m.mu)) * 1000000000000)
+               AS BIGINT))::DOUBLE / 1000000000000 AS ss
+    FROM reps r, mean_t m
+)
+SELECT m.m AS n_groups,
+       round(m.k * 1.0 / m.n * 1000000) / 1000000 + 0.0 AS keep_rate,
+       round(m.mu * 1000000) / 1000000 + 0.0 AS jack_mean,
+       round(sqrt((m.m - 1.0) / m.m * d.ss) * 100000000) / 100000000 + 0.0
+           AS jack_se,
+       round((m.m - 1.0) * (m.mu - m.k * 1.0 / m.n) * 100000000)
+           / 100000000 + 0.0 AS jack_bias
+FROM mean_t m, dev d
+"""
+
+
+@register("jackknife_keep_rate_stderr", oracle=_JACK_ORACLE)
+def jackknife_keep_rate_stderr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    keep_t = s.join(docs, "doc_id").select(
+        "source",
+        F.when(F.col("score") >= 0.5, 1).otherwise(0).alias("keep"),
+    )
+    per_src = keep_t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("keep").cast("long").alias("k_i"),
+    )
+    tot = per_src.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("k_i").cast("long").alias("k"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    reps = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "k",
+        "m",
+        F.round(
+            (F.col("k") - F.col("k_i"))
+            * F.lit(1.0)
+            / (F.col("n") - F.col("n_i"))
+            * F.lit(1e8)
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    mean_t = reps.groupBy("n", "k", "m").agg(
+        ((F.sum("u").cast("double") / F.lit(1e8)) / F.col("m")).alias("mu")
+    )
+    dev = (
+        reps.join(F.broadcast(mean_t.select("m", "mu")), "m")
+        .select(
+            F.round(
+                (
+                    (F.col("u").cast("double") / F.lit(1e8) - F.col("mu"))
+                    * (F.col("u").cast("double") / F.lit(1e8) - F.col("mu"))
+                )
+                * F.lit(1e12)
+            )
+            .cast("long")
+            .alias("du")
+        )
+        .agg((F.sum("du").cast("double") / F.lit(1e12)).alias("ss"))
+    )
+    out = mean_t.crossJoin(F.broadcast(dev))
+    rate = F.col("k") * F.lit(1.0) / F.col("n")
+    return out.select(
+        F.col("m").alias("n_groups"),
+        R.r(rate, 6).alias("keep_rate"),
+        R.r(F.col("mu"), 6).alias("jack_mean"),
+        R.r(
+            F.sqrt((F.col("m") - F.lit(1.0)) / F.col("m") * F.col("ss")), 8
+        ).alias("jack_se"),
+        R.r(
+            (F.col("m") - F.lit(1.0)) * (F.col("mu") - rate), 8
+        ).alias("jack_bias"),
+    )

@@ -897,3 +897,80 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_candidates long, best_match long,"
         " best_est_jaccard double, keep boolean",
     )
+
+
+# --- streaming exact sliding p50 via mergeable grid counts ---------------------
+# The 20th streaming surface: EXACT rolling 7-day median maintained
+# incrementally. Naive quantile state is unmergeable; the value-grid
+# form is a MONOID — per-(day, cents) counts add across micro-batches
+# — so each batch folds its grid delta into bounded state (|days| x
+# |cents grid|) and the final medians come from cumulative integer
+# counts, bit-equal to the one-shot batch computation
+# (sliding_p50_value_7d shares the oracle). Replay rides the cached
+# sentinel stage (few files, gotcha 12); sentinel rows (user_id < 0)
+# are excluded from the grid.
+from swat_mapreduce_spark.queries.scale_patterns import (
+    _SLIDING_P50_ORACLE,
+)
+
+
+@register("stream_sliding_p50_value", oracle=_SLIDING_P50_ORACLE)
+def stream_sliding_p50_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    stream = jobs.staged_events_with_flush_sentinels(spark, sf_dir)
+    grid: dict = collections.defaultdict(int)
+
+    def fold_batch(batch_df, _bid):
+        rows = (
+            batch_df.filter(F.col("user_id") >= 0)
+            .groupBy(
+                F.col("ts").cast("date").alias("day"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        for r in rows:
+            grid[(r["day"], r["cents"])] += r["c"]
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not grid:
+        return spark.sql(
+            "SELECT CAST(NULL AS DATE) AS day,"
+            " CAST(NULL AS BIGINT) AS n_events_7d,"
+            " CAST(NULL AS DOUBLE) AS p50_value"
+        ).limit(0)
+    days = sorted({d for d, _ in grid})
+    mn, mx = days[0], days[-1]
+    out = []
+    for day in days:
+        if day < mn + datetime.timedelta(days=6) or day > mx:
+            continue
+        window: dict = collections.defaultdict(int)
+        for off in range(7):
+            src = day - datetime.timedelta(days=off)
+            for (d, cents), c in grid.items():
+                if d == src:
+                    window[cents] += c
+        n = sum(window.values())
+        if n == 0:
+            continue
+        cum, p50c = 0, None
+        for cents in sorted(window):
+            cum += window[cents]
+            if 2 * cum >= n + (n % 2):
+                p50c = cents
+                break
+        out.append((day, n, p50c / 100.0))
+    return spark.createDataFrame(
+        out, "day date, n_events_7d long, p50_value double"
+    )

@@ -451,3 +451,56 @@ def test_cochran_armitage_real_buckets(spark, sf_dir):
     assert row["n_docs"] > 0
     assert 0 < row["n_pass"] < row["n_docs"], "pass label vacuous"
     assert isinstance(row["trend_5pct"], bool)
+
+
+def test_stream_sliding_p50_equals_batch(spark, sf_dir):
+    batch = sorted(
+        tuple(r)
+        for r in _q("sliding_p50_value_7d").spark_fn(spark, sf_dir).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in _q("stream_sliding_p50_value")
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    # grid-count state is a monoid: drained result == one-shot batch
+    assert streamed == batch
+
+
+def test_jackknife_matches_bruteforce(spark, sf_dir):
+    import math as _m
+
+    row = (
+        _q("jackknife_keep_rate_stderr").spark_fn(spark, sf_dir).collect()[0]
+    )
+    con = _duck(sf_dir)
+    per = con.sql(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> len(t) > 0) AS tk
+            FROM documents
+        )
+        SELECT source, count(*) n_i,
+               sum(CASE WHEN round((1.0/(1.0+exp(-(-3.0 + 20.0 *
+                     len(list_filter(tk, x -> list_contains(
+                        ['the','a','of','and','to','in','is'], x)))
+                     * 1.0 / len(tk))))) * 10000)/10000 >= 0.5
+                   THEN 1 ELSE 0 END) k_i
+        FROM toks WHERE len(tk) > 0 GROUP BY 1
+        """
+    ).fetchall()
+    n = sum(ni for _, ni, _ in per)
+    k = sum(ki for _, _, ki in per)
+    m = len(per)
+    reps = [
+        round((k - ki) / (n - ni) * 1e8) / 1e8 for _, ni, ki in per
+    ]
+    mu = sum(round(r * 1e8) for r in reps) / 1e8 / m
+    ss = sum(round((r - mu) ** 2 * 1e12) for r in reps) / 1e12
+    se = _m.sqrt((m - 1) / m * ss)
+    assert row["n_groups"] == m
+    assert abs(row["jack_se"] - round(se * 1e8) / 1e8) < 1e-7
+    assert row["jack_se"] > 0
