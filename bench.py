@@ -198,6 +198,8 @@ HEADLINE = [
     "cochran_armitage_trend",
     "jackknife_keep_rate_stderr",
     "stream_sliding_p50_value",
+    "acf_daily_lags",
+    "trimmed_mean_priority",
 ]
 
 REPEATS = 2

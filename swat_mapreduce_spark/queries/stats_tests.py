@@ -916,3 +916,216 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(z, 6).alias("z"),
         (F.abs(z) >= 1.96).alias("trend_5pct"),
     )
+
+
+# --- autocorrelation function of the daily series ------------------------------
+# ACF at lags 1..7 over the daily value sums — the seasonality /
+# momentum fingerprint (a weekly cycle shows as a lag-7 peak). The
+# series is calendar-bounded, so the whole computation is one sorted
+# array fold: daily sums are DECIMAL-exact, the mean is the decimal
+# sum divided once, and every product term is quantized to integer
+# units before the order-free sums (gotcha 13a). r_k uses the
+# standard biased estimator sum_{t<=n-k}(x_t-mu)(x_{t+k}-mu) /
+# sum(x_t-mu)^2 with the same fixed expression on both engines.
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+arr AS (
+    SELECT list(x::DOUBLE ORDER BY day) AS xs, count(*)::BIGINT AS n,
+           sum(x) AS sx
+    FROM daily
+),
+m AS (SELECT xs, n, (sx::DOUBLE) / n AS mu FROM arr),
+den AS (
+    SELECT xs, n, mu,
+           sum(CAST(round(((x - mu) * (x - mu)) * 100000000) AS BIGINT))
+               ::DOUBLE / 100000000 AS d
+    FROM m, unnest(xs) AS u(x)
+    GROUP BY xs, n, mu
+)
+SELECT k.k AS lag,
+       round((SELECT sum(CAST(round(((xs[i] - mu) * (xs[i + k.k] - mu))
+                                    * 100000000) AS BIGINT))
+              FROM unnest(generate_series(1, CAST(n - k.k AS INT))) AS g(i)
+             )::DOUBLE / 100000000 / d * 1000000) / 1000000 + 0.0 AS acf
+FROM den, generate_series(1, {_ACF_MAX_LAG}) AS k(k)
+"""
+
+
+@register("acf_daily_lags", oracle=_ACF_ORACLE)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", F.col("x").cast("double").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    mu = (F.col("sx").cast("double") / F.col("n")).alias("mu")
+    m = arr.select("xs", "n", mu)
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    den = (
+        F.aggregate(
+            F.transform(
+                F.col("xs"),
+                lambda x: units((x - F.col("mu")) * (x - F.col("mu"))),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+        / F.lit(1e8)
+    )
+    base = m.select("xs", "n", "mu", den.alias("d"))
+    lags = base.select(
+        "xs",
+        "n",
+        "mu",
+        "d",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+        ).alias("lag"),
+    )
+    # guard: the 1..n-k index sequence needs n-k >= 1 (gotcha 10)
+    num_units = F.when(
+        F.col("n") > F.col("lag"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n") - F.col("lag")).cast("int")),
+                lambda i: units(
+                    (F.element_at("xs", i) - F.col("mu"))
+                    * (
+                        F.element_at("xs", i + F.col("lag").cast("int"))
+                        - F.col("mu")
+                    )
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    ).otherwise(F.lit(0))
+    return lags.select(
+        F.col("lag").cast("long"),
+        R.r(num_units.cast("double") / F.lit(1e8) / F.col("d"), 6).alias(
+            "acf"
+        ),
+    )
+
+
+# --- exact 10% trimmed mean per group ------------------------------------------
+# The robust-mean sibling of winsorize_values: drop the lowest and
+# highest floor(n/10) observations per priority and average the rest —
+# EXACTLY, on the cents grid: each distinct value's contribution to
+# the trimmed tails is v * clamp(k - cum_before, 0, c) (ascending for
+# the bottom tail, descending for the top), so ties straddling the
+# trim boundary are cut partially and the kept sum is
+# total - bottom - top in exact integers. Windows run per priority
+# over the bounded value grid, never per row.
+_TRIMMED_ORACLE = """
+WITH cents_t AS (
+    SELECT o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders
+),
+grid AS (
+    SELECT priority, v, count(*)::BIGINT AS c
+    FROM cents_t GROUP BY 1, 2
+),
+tot AS (
+    SELECT priority, sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS s
+    FROM grid GROUP BY 1
+),
+w AS (
+    SELECT g.priority, g.v, g.c, t.n, t.s, (t.n // 10) AS k,
+           coalesce(sum(g.c) OVER (PARTITION BY g.priority ORDER BY g.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS cum_lo,
+           coalesce(sum(g.c) OVER (PARTITION BY g.priority ORDER BY g.v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS cum_hi
+    FROM grid g JOIN tot t USING (priority)
+),
+trims AS (
+    SELECT priority, n, s, k,
+           sum(v * least(c, greatest(0, k - cum_lo)))::BIGINT AS bot,
+           sum(v * least(c, greatest(0, k - cum_hi)))::BIGINT AS top
+    FROM w GROUP BY 1, 2, 3, 4
+)
+SELECT priority, n, k AS n_trimmed_each_side,
+       round(s * 1.0 / n / 100 * 10000) / 10000 + 0.0 AS mean,
+       round((s - bot - top) * 1.0 / (n - 2 * k) / 100 * 10000) / 10000
+           + 0.0 AS trimmed_mean
+FROM trims
+"""
+
+
+@register("trimmed_mean_priority", oracle=_TRIMMED_ORACLE)
+def trimmed_mean_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    grid = orders.groupBy("priority", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = grid.groupBy("priority").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s"),
+    )
+    w_lo = (
+        Window.partitionBy("priority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_hi = (
+        Window.partitionBy("priority")
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = (
+        grid.join(tot, "priority")
+        .withColumn("k", F.expr("n div 10"))
+        .withColumn(
+            "cum_lo", F.coalesce(F.sum("c").over(w_lo), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "cum_hi", F.coalesce(F.sum("c").over(w_hi), F.lit(0)).cast("long")
+        )
+    )
+    clamp_lo = F.least(
+        F.col("c"), F.greatest(F.lit(0), F.col("k") - F.col("cum_lo"))
+    )
+    clamp_hi = F.least(
+        F.col("c"), F.greatest(F.lit(0), F.col("k") - F.col("cum_hi"))
+    )
+    trims = w.groupBy("priority", "n", "s", "k").agg(
+        F.sum(F.col("v") * clamp_lo).cast("long").alias("bot"),
+        F.sum(F.col("v") * clamp_hi).cast("long").alias("top"),
+    )
+    return trims.select(
+        "priority",
+        "n",
+        F.col("k").alias("n_trimmed_each_side"),
+        R.r(F.col("s") * F.lit(1.0) / F.col("n") / F.lit(100), 4).alias(
+            "mean"
+        ),
+        R.r(
+            (F.col("s") - F.col("bot") - F.col("top"))
+            * F.lit(1.0)
+            / (F.col("n") - 2 * F.col("k"))
+            / F.lit(100),
+            4,
+        ).alias("trimmed_mean"),
+    )

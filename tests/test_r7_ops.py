@@ -504,3 +504,51 @@ def test_jackknife_matches_bruteforce(spark, sf_dir):
     assert row["n_groups"] == m
     assert abs(row["jack_se"] - round(se * 1e8) / 1e8) < 1e-7
     assert row["jack_se"] > 0
+
+
+def test_acf_lag_properties(spark, sf_dir):
+    rows = sorted(
+        _q("acf_daily_lags").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    assert all(-1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9 for r in rows)
+    # independent numpy recompute (unquantized, tolerance covers units)
+    import numpy as np
+
+    con = _duck(sf_dir)
+    xs = np.array(
+        [
+            float(x)
+            for _, x in con.sql(
+                "SELECT ts::DATE d, sum(CAST(value AS DECIMAL(30,8))) "
+                "FROM events GROUP BY 1 ORDER BY 1"
+            ).fetchall()
+        ]
+    )
+    mu = xs.mean()
+    den = ((xs - mu) ** 2).sum()
+    for r in rows:
+        k = r["lag"]
+        ref = ((xs[:-k] - mu) * (xs[k:] - mu)).sum() / den
+        assert abs(r["acf"] - ref) < 1e-4
+
+
+def test_trimmed_mean_matches_bruteforce(spark, sf_dir):
+    rows = _q("trimmed_mean_priority").spark_fn(spark, sf_dir).collect()
+    con = _duck(sf_dir)
+    for r in rows:
+        vals = sorted(
+            int(v)
+            for (v,) in con.sql(
+                "SELECT CAST(round(o_totalprice*100) AS BIGINT) FROM orders "
+                f"WHERE o_orderpriority = '{r['priority']}'"
+            ).fetchall()
+        )
+        n = len(vals)
+        k = n // 10
+        assert r["n"] == n and r["n_trimmed_each_side"] == k
+        kept = vals[k : n - k]
+        tm = sum(kept) / len(kept) / 100
+        assert abs(r["trimmed_mean"] - round(tm * 1e4) / 1e4) < 1e-9
+        assert k > 0, "trim never engaged — vacuous (gotcha 5)"
