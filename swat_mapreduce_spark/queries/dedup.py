@@ -828,6 +828,7 @@ def probe_docs_against_index(
     root: str,
     persist: bool = True,
     index: tuple[DataFrame, DataFrame] | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Probe a docs DataFrame against the persisted LSH index at
     ``root``: batch-only shingling, band equi-join against the index
@@ -839,7 +840,12 @@ def probe_docs_against_index(
     sink drains immediately). ``index`` lets a streaming caller pass
     the (sigs, bands) DataFrames loaded+persisted ONCE so every
     micro-batch probes the same in-memory index instead of re-reading
-    parquet per batch — the production ingest-gate shape."""
+    parquet per batch — the production ingest-gate shape.
+    ``persisted_out`` (when given) collects every DataFrame this call
+    persists so the caller can unpersist them INDIVIDUALLY after
+    draining — never session-wide ``clearCache()``, which would drop
+    caches owned by the shared one-session-per-process driver
+    (gotcha 7, ADVICE r7)."""
     if index is not None:
         csigs, cbands = index
     else:
@@ -855,6 +861,8 @@ def probe_docs_against_index(
     )
     if persist:
         bsigs = bsigs.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(bsigs)
     bbands = D.lsh_bands(bsigs)
     # the batch side is ingest-bounded (≪ corpus) — broadcast every
     # batch-derived join input so the corpus index is only ever

@@ -97,10 +97,28 @@ def boilerplate_segment_removal(
         .cast("long")
         .alias("n_segments"),
     )
+    # The oracle's generate_series lateral is capped at _SEG_CAP
+    # segments; the Spark side is uncapped, so a testdata generation
+    # with >_SEG tokens*_SEG_CAP per doc would silently hash-diverge.
+    # Fail LOUDLY instead: raise_error if any doc exceeds the cap
+    # (ADVICE r7). NullType coerces into the when-branch bigint.
+    n_seg_checked = F.when(
+        F.col("n_segments") <= F.lit(_SEG_CAP), F.col("n_segments")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "boilerplate_segment_removal: n_segments exceeds "
+                    f"oracle cap _SEG_CAP={_SEG_CAP} for doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
     # gotcha 10: sequence(0, n-1) descends when n_segments = 0
     idx = F.when(
         F.col("n_segments") >= 1,
-        F.sequence(F.lit(0), F.col("n_segments") - 1),
+        F.sequence(F.lit(0), n_seg_checked - 1),
     ).otherwise(F.array().cast("array<bigint>"))
     segs = base.select(
         "doc_id", F.explode(idx).alias("seg_no"), "tk"

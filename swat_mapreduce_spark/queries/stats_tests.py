@@ -476,9 +476,14 @@ def runs_test_daily_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fisher 1935 made hash-deterministic — no RNG state, identical draws
 # on every engine). Every statistic comparison is EXACT-INTEGER: with
 # sums s and counts n, |m0−m1| >= |m0b−m1b| iff
-# |s0·n1 − s1·n0| · (n0b·n1b) >= |s0b·n1b − s1b·n0b| · (n0·n1), all
-# int64-safe at test scale, and p = (1 + #{b: stat_b >= obs})/(B+1)
-# with the 5%-level decision 20·(1+cnt) <= B+1 — also integers.
+# |s0·n1 − s1·n0| · (n0b·n1b) >= |s0b·n1b − s1b·n0b| · (n0·n1), and
+# p = (1 + #{b: stat_b >= obs})/(B+1) with the 5%-level decision
+# 20·(1+cnt) <= B+1 — also integers. The cross products can exceed
+# int64 beyond test scale (s ~ sum of n_chars), and Spark would wrap
+# silently under non-ANSI mode while DuckDB raises — so BOTH sides
+# compute the comparison in wide exact types (Spark DECIMAL(38,0)
+# via decimal(19,0) operand casts; DuckDB HUGEINT/int128), which is
+# exact to ~1e38 ≫ any reachable scale factor (ADVICE r7).
 _PERM_B = 99
 
 _PERM_ORACLE = f"""
@@ -513,8 +518,10 @@ cmp AS (
     SELECT count(*)::BIGINT AS n_ge
     FROM perm p, obs o
     WHERE p.n0b > 0 AND p.n1b > 0
-      AND abs(p.s0b * p.n1b - p.s1b * p.n0b) * (o.n0 * o.n1)
-          >= abs(o.s0 * o.n1 - o.s1 * o.n0) * (p.n0b * p.n1b)
+      AND abs(p.s0b::HUGEINT * p.n1b - p.s1b::HUGEINT * p.n0b)
+              * (o.n0::HUGEINT * o.n1)
+          >= abs(o.s0::HUGEINT * o.n1 - o.s1::HUGEINT * o.n0)
+              * (p.n0b::HUGEINT * p.n1b)
 )
 SELECT o.n0, o.n1,
        round(o.s0 * 1.0 / o.n0 * 10000) / 10000 + 0.0 AS mean0,
@@ -591,19 +598,22 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n1b"),
     )
     j = perm.crossJoin(F.broadcast(obs))
+
+    # wide exact arithmetic: decimal(19,0) operands widen products to
+    # DECIMAL(38,0) (scale 0 — no silent scale loss, gotcha 8), so an
+    # overflow past 1e38 errors instead of wrapping (ADVICE r7)
+    def _d(name: str):
+        return F.col(name).cast("decimal(19,0)")
+
     n_ge = (
         j.filter(
             (F.col("n0b") > 0)
             & (F.col("n1b") > 0)
             & (
-                F.abs(
-                    F.col("s0b") * F.col("n1b") - F.col("s1b") * F.col("n0b")
-                )
-                * (F.col("n0") * F.col("n1"))
-                >= F.abs(
-                    F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
-                )
-                * (F.col("n0b") * F.col("n1b"))
+                F.abs(_d("s0b") * _d("n1b") - _d("s1b") * _d("n0b"))
+                * (_d("n0") * _d("n1"))
+                >= F.abs(_d("s0") * _d("n1") - _d("s1") * _d("n0"))
+                * (_d("n0b") * _d("n1b"))
             )
         )
         .agg(F.count(F.lit(1)).alias("n_ge"))
@@ -998,7 +1008,10 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
         ).alias("lag"),
     )
-    # guard: the 1..n-k index sequence needs n-k >= 1 (gotcha 10)
+    # guard: the 1..n-k index sequence needs n-k >= 1 (gotcha 10).
+    # No otherwise(0): when n <= lag the oracle's generate_series is
+    # empty so its sum — and acf — is NULL; a 0 here would be a
+    # semantic divergence on very short daily series (ADVICE r7).
     num_units = F.when(
         F.col("n") > F.col("lag"),
         F.aggregate(
@@ -1015,7 +1028,7 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         ),
-    ).otherwise(F.lit(0))
+    )
     return lags.select(
         F.col("lag").cast("long"),
         R.r(num_units.cast("double") / F.lit(1e8) / F.col("d"), 6).alias(

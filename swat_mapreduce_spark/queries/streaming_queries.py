@@ -867,12 +867,19 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbands = spark.read.parquet(root + "/bands").persist()
 
     def probe_batch(batch_df, _batch_id):
+        # unpersist THIS batch's bsigs right after the collect drains
+        # it — never session-wide clearCache(), which would drop
+        # caches owned by other callers of the shared one-session
+        # driver (gotcha 7, ADVICE r7)
+        tracked: list = []
         acc["rows"].extend(
             probe_docs_against_index(
                 spark, batch_df, root, persist=True,
-                index=(csigs, cbands),
+                index=(csigs, cbands), persisted_out=tracked,
             ).collect()
         )
+        for cached in tracked:
+            cached.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(probe_batch)
@@ -882,8 +889,6 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     csigs.unpersist()
     cbands.unpersist()
-    # drop the per-batch bsigs persists (bounded: one per micro-batch)
-    spark.catalog.clearCache()
     if not acc["rows"]:
         return spark.sql(
             "SELECT CAST(NULL AS BIGINT) AS doc_id,"
