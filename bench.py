@@ -203,6 +203,13 @@ HEADLINE = [
 ]
 
 REPEATS = 2
+# Adaptive extra reps (r8): this box's run-to-run timing variance is
+# +/-25% (BENCH_PINS r8 run_variance evidence), so a best-of-2 can
+# report a noise-inflated number that then trips the cross-round
+# benchdiff gate. When the two readings disagree by >20%, take up to
+# MAX_REPEATS until the best is confirmed by a second reading within
+# 20% — stable queries still pay exactly 2 reps.
+MAX_REPEATS = 4
 
 
 def main() -> None:
@@ -244,11 +251,20 @@ def main() -> None:
     for name in HEADLINE:
         q = reg[name]
         best, n = None, None
-        for rep in range(REPEATS):
+        reps: list[float] = []
+        rep = 0
+        while rep < REPEATS or (
+            rep < MAX_REPEATS
+            and not name.startswith("stream_")
+            # best unconfirmed: no second reading within 20% of it
+            and sorted(reps)[1] > 1.2 * sorted(reps)[0]
+        ):
+            rep += 1
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
+            reps.append(dt)
             best = dt if best is None else min(best, dt)
             # repeats exist to strip first-run plan-compile noise,
             # which can dominate even multi-second queries (flagship's
@@ -271,7 +287,11 @@ def main() -> None:
         # process lifetime (ADVICE r3).
         spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s (best of {REPEATS})", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {timings[name]:.3f}s "
+            f"(best of {len(reps)})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -325,6 +345,53 @@ def main() -> None:
     # buffer can always capture and parse it (r3's 92-query line
     # outgrew the buffer → BENCH_r03 recorded parsed: null).
     here = os.path.dirname(os.path.abspath(__file__))
+
+    # Standing cross-round gate (VERDICT r7 #1): adjudicate THIS
+    # capture against the previous round's committed FINAL capture
+    # (BENCH_BASE.json — refreshed to the final BENCH_full.json at
+    # every round end, release checklist in CLAUDE.md). Hop-by-hop
+    # diffs let sub-threshold drift compound (r6->r7 was 1.17x while
+    # every intermediate hop stayed under 1.3x); diffing final-vs-
+    # final makes the compound visible every run.
+    gate: dict = {}
+    base_path = os.path.join(here, "BENCH_BASE.json")
+    if os.path.exists(base_path):
+        try:
+            sys.path.insert(0, os.path.join(here, "tools"))
+            from benchdiff import classify, _load_queries
+
+            with open(os.path.join(here, "BENCH_PINS.json")) as f:
+                pins_doc = json.load(f)
+            old = _load_queries(base_path)
+            movers = classify(old, timings, pins_doc)
+            common = set(old) & set(timings)
+            so = sum(old[q] for q in common)
+            sn = sum(timings[q] for q in common)
+            unexplained = [m for m in movers if m["class"] == "UNEXPLAINED"]
+            for m in movers:
+                flag = "!!" if m["class"] == "UNEXPLAINED" else "ok"
+                print(
+                    f"# gate {flag} {m['query']}: {m['old_sec']} -> "
+                    f"{m['new_sec']} ({m['ratio']}x) [{m['class']}]",
+                    file=sys.stderr,
+                )
+            gate = {
+                "base": "BENCH_BASE.json",
+                "common_ratio": round(sn / so, 3) if so else None,
+                "movers": len(movers),
+                "unexplained": len(unexplained),
+                "unexplained_queries": [m["query"] for m in unexplained],
+            }
+            print(
+                f"# gate vs previous-round final: {len(common)} common, "
+                f"ratio {gate['common_ratio']}x, {len(movers)} movers, "
+                f"{len(unexplained)} UNEXPLAINED",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            gate = {"base": "BENCH_BASE.json", "error": str(e)[:200]}
+            print(f"# gate skipped: {str(e)[:200]}", file=sys.stderr)
+
     detail_path = os.path.join(here, "BENCH_full.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -336,6 +403,7 @@ def main() -> None:
                 "duckdb": duck_timings,
                 "duckdb_total": duck_total,
                 "spark_total_on_duckdb_common": spark_on_common,
+                "gate": gate,
                 "sf": sf_val,
             },
             f,
@@ -343,21 +411,24 @@ def main() -> None:
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": top10,
-                "n_queries": len(timings),
-                "duckdb_total": duck_total,
-                "spark_total_on_duckdb_common": spark_on_common,
-                "detail": "BENCH_full.json",
-                "sf": sf_val,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "n_queries": len(timings),
+        "duckdb_total": duck_total,
+        "spark_total_on_duckdb_common": spark_on_common,
+        "detail": "BENCH_full.json",
+        "sf": sf_val,
+    }
+    if gate:
+        line["gate"] = {
+            k: gate[k]
+            for k in ("common_ratio", "movers", "unexplained")
+            if k in gate
+        }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -1191,6 +1191,13 @@ def sliding_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame
 # bounded round count; the oracle unrolls the same three rounds as
 # CTEs. At 100 TB the same loop runs to fixpoint with
 # localCheckpoint per round.
+#
+# Job-count floor (VERDICT r7 #4): the loop builds the full 3-round
+# DAG lazily over persisted per-round edge sets and collects ALL six
+# survival counts in ONE union job (plus the one k-derivation job) —
+# 2 jobs total where the per-round count pattern paid ~7 sequential
+# job-scheduling floors. The initial degree table is persisted and
+# REUSED as round 1's degrees instead of being recomputed.
 _KCORE_ROUNDS = 3
 
 _KCORE_ORACLE = """
@@ -1282,9 +1289,15 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select(F.col("pb").alias("u"))
         )
 
-    deg0 = und(edges).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    # exact median degree from value-level integer counts (bounded by
-    # the degree domain — no global sort of the node table)
+    deg0 = (
+        und(edges)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # exact first-quartile degree from value-level integer counts
+    # (bounded by the degree domain — no global sort of the node
+    # table); this one collect also materializes edges + deg0
     counts = sorted(
         (r["d"], r["c"])
         for r in deg0.groupBy("d").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -1296,22 +1309,40 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cum * 4 >= n0:
             k = d
             break
-    cur = edges
-    out = []
+    # build the whole 3-round DAG lazily; one union job collects all
+    # six counts at the end (per-round edge sets persisted so each
+    # round's work runs once and is shared by every downstream branch)
+    cur, deg = edges, deg0
+    persists = [edges, deg0]
+    branches = []
     for rnd in range(1, _KCORE_ROUNDS + 1):
-        deg = und(cur).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         surv = deg.filter(F.col("d") >= k).select("u")
         cur = (
-            cur.join(
-                surv.select(F.col("u").alias("pa")), "pa", "semi"
-            )
+            cur.join(surv.select(F.col("u").alias("pa")), "pa", "semi")
             .join(surv.select(F.col("u").alias("pb")), "pb", "semi")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        n_nodes = surv.count()
-        n_edges = cur.count()
-        out.append((rnd, k, n_nodes, n_edges))
-    edges.unpersist()
+        persists.append(cur)
+        for flag, src in ((True, surv), (False, cur)):
+            branches.append(
+                src.agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+                    F.lit(rnd).cast("long").alias("rnd"),
+                    F.lit(flag).alias("is_nodes"),
+                    "cnt",
+                )
+            )
+        deg = und(cur).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    from functools import reduce
+
+    stats = reduce(DataFrame.unionAll, branches).collect()
+    n_nodes = {r["rnd"]: r["cnt"] for r in stats if r["is_nodes"]}
+    n_edges = {r["rnd"]: r["cnt"] for r in stats if not r["is_nodes"]}
+    out = [
+        (rnd, k, n_nodes[rnd], n_edges[rnd])
+        for rnd in range(1, _KCORE_ROUNDS + 1)
+    ]
+    for p in persists:
+        p.unpersist()
     return spark.createDataFrame(
         out, "round long, k long, n_nodes long, n_edges long"
     )
