@@ -200,6 +200,16 @@ HEADLINE = [
     "stream_sliding_p50_value",
     "acf_daily_lags",
     "trimmed_mean_priority",
+    # round-8 additions (bcubed_cluster_quality stays off the bench:
+    # its cost is the shared MinHash-pairs + components stack already
+    # represented by dedup_minhash_lsh, like its non-benched siblings
+    # dedup_cluster_components / corpus_dedup_clean)
+    "zone_map_skipping_audit",
+    "facility_location_greedy",
+    "jsd_source_divergence",
+    "lsh_scurve_audit",
+    "stratified_neyman_allocation",
+    "alignment_uniformity_audit",
 ]
 
 REPEATS = 2

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text4,
         llm_text5,
         llm_text6,
+        llm_text7,
         model_evals,
         multimodal,
         python_udf_surfaces,

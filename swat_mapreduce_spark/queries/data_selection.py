@@ -692,3 +692,217 @@ def kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, vec_id long, min_dist2 double"
     )
+
+
+# --- facility-location greedy data selection -----------------------------------
+# Submodular facility-location maximization (the CRAIG/coverage family
+# of coreset selectors — Mirzasoleiman et al. 2020): greedily pick k
+# exemplars S maximizing F(S) = sum_v max(0, max_{s in S} cos(v, s)) —
+# the COVERAGE objective, where k-center (kcenter_greedy_coreset) is
+# the worst-case-radius one. Candidates are hash-bounded (vec_id % 25
+# = 0, ~|n|/25 rows); the pairwise candidate-similarity table is built
+# ONCE (candidates x corpus, candidate-bounded — never corpus²), and
+# each greedy step is one bounded aggregation over it plus a
+# TakeOrdered(1) argmax. Driver state = the chosen ids (the kmeans /
+# kcenter iterative pattern). Every cosine is an INTEGER unit —
+# round(cos·1e8) from per-dim integer-quantized dot terms — so the
+# max/sum lattice is pure int64 on Spark, DuckDB, and the driver
+# (CLAUDE.md gotcha 13a); argmax ties break on vec_id. The oracle
+# unrolls the same 4 steps as CTEs over the same sims table.
+_FL_K = 4
+_FL_CAND_MOD = 25
+_FL_DIM = 64
+
+_FL_SIMS_SQL = f"""
+dims AS MATERIALIZED (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, generate_series(1, {_FL_DIM}) AS g(i)
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, sum(CAST(round(x * x * 100000000) AS BIGINT)) AS q
+    FROM dims GROUP BY 1
+),
+sims AS MATERIALIZED (
+    SELECT g.vec_id AS vid, c.vec_id AS cid,
+           CAST(round(
+               (sum(CAST(round(g.x * c.x * 100000000) AS BIGINT))::DOUBLE
+                / 100000000)
+               / (sqrt(ng.q::DOUBLE / 100000000)
+                  * sqrt(nc.q::DOUBLE / 100000000)) * 100000000)
+           AS BIGINT) AS cos_u
+    FROM dims g
+    JOIN dims c ON c.i = g.i AND c.vec_id % {_FL_CAND_MOD} = 0
+    JOIN norms ng ON ng.vec_id = g.vec_id
+    JOIN norms nc ON nc.vec_id = c.vec_id
+    GROUP BY g.vec_id, c.vec_id, ng.q, nc.q
+)"""
+
+_FL_ORACLE = f"""
+WITH {_FL_SIMS_SQL},
+t1 AS (SELECT cid, sum(greatest(0, cos_u))::BIGINT AS u
+       FROM sims GROUP BY cid),
+c1 AS (SELECT cid, u FROM t1 ORDER BY u DESC, cid LIMIT 1),
+m1 AS MATERIALIZED (
+    SELECT s.vid, greatest(0, s.cos_u) AS cur_u
+    FROM sims s JOIN c1 ON s.cid = c1.cid
+),
+t2 AS (SELECT s.cid, sum(greatest(m.cur_u, s.cos_u))::BIGINT AS u
+       FROM sims s JOIN m1 m ON m.vid = s.vid, c1
+       WHERE s.cid <> c1.cid GROUP BY s.cid),
+c2 AS (SELECT cid, u FROM t2 ORDER BY u DESC, cid LIMIT 1),
+m2 AS MATERIALIZED (
+    SELECT m.vid, greatest(m.cur_u, s.cos_u) AS cur_u
+    FROM m1 m JOIN sims s ON s.vid = m.vid JOIN c2 ON s.cid = c2.cid
+),
+t3 AS (SELECT s.cid, sum(greatest(m.cur_u, s.cos_u))::BIGINT AS u
+       FROM sims s JOIN m2 m ON m.vid = s.vid, c1, c2
+       WHERE s.cid NOT IN (c1.cid, c2.cid) GROUP BY s.cid),
+c3 AS (SELECT cid, u FROM t3 ORDER BY u DESC, cid LIMIT 1),
+m3 AS MATERIALIZED (
+    SELECT m.vid, greatest(m.cur_u, s.cos_u) AS cur_u
+    FROM m2 m JOIN sims s ON s.vid = m.vid JOIN c3 ON s.cid = c3.cid
+),
+t4 AS (SELECT s.cid, sum(greatest(m.cur_u, s.cos_u))::BIGINT AS u
+       FROM sims s JOIN m3 m ON m.vid = s.vid, c1, c2, c3
+       WHERE s.cid NOT IN (c1.cid, c2.cid, c3.cid) GROUP BY s.cid),
+c4 AS (SELECT cid, u FROM t4 ORDER BY u DESC, cid LIMIT 1)
+SELECT 1::BIGINT AS step, c1.cid AS vec_id,
+       round(c1.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0
+           AS objective FROM c1
+UNION ALL
+SELECT 2, c2.cid,
+       round(c2.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0 FROM c2
+UNION ALL
+SELECT 3, c3.cid,
+       round(c3.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0 FROM c3
+UNION ALL
+SELECT 4, c4.cid,
+       round(c4.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0 FROM c4
+"""
+
+
+@register("facility_location_greedy", oracle=_FL_ORACLE)
+def facility_location_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import arrays as A
+    from swat_mapreduce_spark.queries.curation import _rp
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", A.as_double_array(F.col("embedding")).alias("v")
+    )
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    qnorm = F.aggregate(
+        F.transform(F.col("v"), lambda x: units(x * x)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    ground = emb.select(
+        F.col("vec_id").alias("vid"), "v", qnorm.alias("q")
+    )
+    cands = (
+        emb.filter(F.col("vec_id") % _FL_CAND_MOD == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            qnorm.alias("cq"),
+        )
+    )
+    # The pair-similarity table is (corpus x candidates) — 64-dim
+    # quantized dots over 160k pairs at sf0.1. Higher-order-lambda
+    # expressions (zip_with + aggregate) are NOT whole-stage-codegen'd:
+    # the 10M per-element evals ran ~5 s. This is exactly the
+    # deliberate-Arrow-surface case: a chunked numpy kernel computes
+    # THE SAME integer-unit lattice — round_half_away((x*y)*1e8) per
+    # dim, exact int64 sums, one half-away rounding of the cosine —
+    # bit-identical to the oracle (IEEE multiply/divide/sqrt are
+    # deterministic; half-away rounding is floor(|t|+0.5)*sign, the
+    # F.round/DuckDB round procedure).
+    cand_rows = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]], int(r["cq"]))
+        for r in cands.collect()
+    )
+
+    def _sims_kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.array([v for _, v, _ in cand_rows], dtype=np.float64)
+        cids = np.array([c for c, _, _ in cand_rows], dtype=np.int64)
+        cqs = np.array([q for _, _, q in cand_rows], dtype=np.float64)
+
+        def half_away(t):
+            return np.floor(np.abs(t) + 0.5) * np.sign(t)
+
+        for pdf in it:
+            n = len(pdf)
+            for s in range(0, n, 512):
+                chunk = pdf.iloc[s : s + 512]
+                x = np.stack(chunk["v"].to_numpy())  # (c, d)
+                qa = chunk["q"].to_numpy().astype(np.float64)
+                terms = (x[:, None, :] * cmat[None, :, :]) * 1e8
+                qd = half_away(terms).astype(np.int64).sum(axis=-1)
+                cos = (qd / 1e8) / (
+                    np.sqrt(qa / 1e8)[:, None] * np.sqrt(cqs / 1e8)[None, :]
+                )
+                cos_u = half_away(cos * 1e8).astype(np.int64)
+                m = len(cids)
+                yield pd.DataFrame(
+                    {
+                        "vid": np.repeat(
+                            chunk["vid"].to_numpy().astype(np.int64), m
+                        ),
+                        "cid": np.tile(cids, len(chunk)),
+                        "cos_u": cos_u.reshape(-1),
+                    }
+                )
+
+    sims = ground.mapInPandas(
+        _sims_kernel, "vid long, cid long, cos_u long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = ground.select("vid", F.lit(0).cast("long").alias("cur_u"))
+    chosen: list[tuple[int, int]] = []  # (cid, objective units)
+    persists = [sims]
+    for _step in range(_FL_K):
+        taken = [c for c, _ in chosen]
+        gain = sims.join(cur, "vid")
+        if taken:
+            gain = gain.filter(~F.col("cid").isin(*taken))
+        top = (
+            gain.groupBy("cid")
+            .agg(
+                F.sum(F.greatest(F.col("cur_u"), F.col("cos_u"))).alias("u")
+            )
+            .orderBy(F.desc("u"), F.asc("cid"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(top["cid"]), int(top["u"])))
+        # localCheckpoint, not persist: the coverage vector chains
+        # through one join per step, and persist() keeps the nested
+        # logical lineage (the kcore_peel_rounds lesson — analyzer
+        # time grows per step); checkpointing keeps every step's plan
+        # flat
+        cur = (
+            cur.join(
+                sims.filter(F.col("cid") == int(top["cid"])).select(
+                    "vid", "cos_u"
+                ),
+                "vid",
+            )
+            .select(
+                "vid",
+                F.greatest(F.col("cur_u"), F.col("cos_u")).alias("cur_u"),
+            )
+            .localCheckpoint()
+        )
+    rows = [
+        (step + 1, cid, _rp(u / 1e8, 6) + 0.0)
+        for step, (cid, u) in enumerate(chosen)
+    ]
+    for p in persists:
+        p.unpersist()
+    return spark.createDataFrame(
+        rows, "step long, vec_id long, objective double"
+    )

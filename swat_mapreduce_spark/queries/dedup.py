@@ -1261,3 +1261,240 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a.bitwiseXOR(x),
         ).alias("fp_xor"),
     )
+
+
+# --- B-cubed clustering quality of the near-dup components ---------------------
+# Evaluates the MinHash-LSH dedup CLUSTERING itself (Bagga & Baldwin
+# 1998; the standard entity/dedup clustering metric): against the
+# exact-duplicate truth partition (identical text bytes), every doc i
+# scores precision |C(i) ∩ T(i)|/|C(i)| and recall |C(i) ∩ T(i)|/|T(i)|
+# — corpus averages + F1 reported. Docs outside every LSH pair are
+# singleton clusters, so the metric covers the WHOLE corpus. The
+# per-item fractions are quantized by INTEGER division
+# ((n_ct·1e8) div n) so both engines sum exact int64 units — cells are
+# (cluster × truth) bounded, never doc². Oracle reuses the registered
+# MinHash pair SQL + the recursive-CTE closure (dedup_cluster_
+# components) and replays the same integer lattice.
+def _bcubed_oracle() -> str:
+    pair_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+),
+assign AS (
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           t.truth_id
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    JOIN (
+        SELECT md5(text) AS h, min(doc_id) AS truth_id
+        FROM documents GROUP BY 1
+    ) t ON t.h = md5(d.text)
+),
+cells AS (
+    SELECT cluster, truth_id, count(*)::BIGINT AS n_ct
+    FROM assign GROUP BY 1, 2
+),
+nc AS (SELECT cluster, sum(n_ct)::BIGINT AS n FROM cells GROUP BY 1),
+nt AS (SELECT truth_id, sum(n_ct)::BIGINT AS n FROM cells GROUP BY 1),
+sums AS (
+    SELECT sum(c.n_ct * ((c.n_ct * 100000000) // nc.n))::BIGINT AS p_u,
+           sum(c.n_ct * ((c.n_ct * 100000000) // nt.n))::BIGINT AS r_u,
+           sum(c.n_ct)::BIGINT AS n_docs
+    FROM cells c
+    JOIN nc ON nc.cluster = c.cluster
+    JOIN nt ON nt.truth_id = c.truth_id
+)
+SELECT s.n_docs,
+       (SELECT count(*) FROM nc)::BIGINT AS n_pred_clusters,
+       (SELECT count(*) FROM nt)::BIGINT AS n_truth_groups,
+       round(s.p_u * 1.0 / s.n_docs / 100000000 * 1000000) / 1000000 + 0.0
+           AS bcubed_precision,
+       round(s.r_u * 1.0 / s.n_docs / 100000000 * 1000000) / 1000000 + 0.0
+           AS bcubed_recall,
+       round(2.0 * (s.p_u * 1.0 / s.n_docs) * (s.r_u * 1.0 / s.n_docs)
+             / ((s.p_u * 1.0 / s.n_docs) + (s.r_u * 1.0 / s.n_docs))
+             / 100000000 * 1000000) / 1000000 + 0.0 AS bcubed_f1
+FROM sums s
+"""
+
+
+@register("bcubed_cluster_quality", oracle=_bcubed_oracle())
+def bcubed_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = D.connected_components(pairs)
+    truth = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("truth_id")
+    )
+    assign = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster0"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(truth, "h")
+        .select(
+            "doc_id",
+            F.coalesce("cluster0", "doc_id").alias("cluster"),
+            "truth_id",
+        )
+    )
+    cells = assign.groupBy("cluster", "truth_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct")
+    )
+    nc = cells.groupBy("cluster").agg(F.sum("n_ct").alias("n_c"))
+    nt = cells.groupBy("truth_id").agg(F.sum("n_ct").alias("n_t"))
+    j = cells.join(nc, "cluster").join(nt, "truth_id")
+    sums = j.agg(
+        F.sum(
+            F.col("n_ct") * F.expr("(n_ct * 100000000) div n_c")
+        ).alias("p_u"),
+        F.sum(
+            F.col("n_ct") * F.expr("(n_ct * 100000000) div n_t")
+        ).alias("r_u"),
+        F.sum("n_ct").alias("n_docs"),
+    )
+    counts = sums.crossJoin(
+        F.broadcast(nc.agg(F.count(F.lit(1)).alias("n_pred_clusters")))
+    ).crossJoin(
+        F.broadcast(nt.agg(F.count(F.lit(1)).alias("n_truth_groups")))
+    )
+    p = F.col("p_u").cast("double") / F.col("n_docs")
+    r = F.col("r_u").cast("double") / F.col("n_docs")
+    return counts.select(
+        F.col("n_docs").cast("long"),
+        F.col("n_pred_clusters").cast("long"),
+        F.col("n_truth_groups").cast("long"),
+        R.r(p / F.lit(1e8), 6).alias("bcubed_precision"),
+        R.r(r / F.lit(1e8), 6).alias("bcubed_recall"),
+        R.r(F.lit(2.0) * p * r / (p + r) / F.lit(1e8), 6).alias(
+            "bcubed_f1"
+        ),
+    )
+
+
+# --- LSH band S-curve: analytic vs observed candidate rate ----------------------
+# THE number that justifies a band layout before trusting it at 100 TB:
+# with b bands of r rows, a pair at Jaccard s becomes an LSH candidate
+# with probability 1-(1-s^r)^b (the S-curve). This audit takes the
+# MAX_DF-capped lang-blocked pair universe with its EXACT Jaccard (the
+# dedup_ngram_jaccard machinery, threshold 0 — every blocked pair),
+# marks which pairs the ACTUAL fixed MinHash tables made candidates
+# (same mega-bucket cap as production), and reports observed vs
+# analytic candidate rate per Jaccard decile. Determinism: the
+# expected probability is computed from the 4dp-rounded Jaccard with
+# ONLY IEEE multiply/subtract (s^4 by squaring — no libm), so both
+# engines see bit-identical doubles; sums are integer 1e-8 units.
+# Plan shape: the pair universe is shingle-blocked (never corpus²) and
+# the candidate set is one bucket groupBy — both established shapes.
+def _scurve_oracle() -> str:
+    return f"""
+WITH {_SH_DUCK},
+capped AS (
+    SELECT doc_id, lang, shingle FROM (
+        SELECT s.*, count(*) OVER (PARTITION BY lang, shingle) AS df
+        FROM sh s
+    ) WHERE df <= {D.MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM capped a JOIN capped b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT i.doc_a, i.doc_b,
+           round(i.c::DOUBLE / (na.n + nb.n - i.c), 4) AS j
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+),
+sigs AS ({_sigs_sql('TRUE')}),
+bands AS ({_bands_sql('sigs')}),
+bsz AS (SELECT band, bucket, count(*) AS nb FROM bands GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    JOIN bsz z ON z.band = a.band AND z.bucket = a.bucket
+    WHERE z.nb <= 1000
+),
+per AS (
+    SELECT e.j,
+           CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS is_cand,
+           -- (q*q)*(q*q) grouping matches the Spark expression
+           -- exactly: IEEE multiplication is not associative, so the
+           -- pairing must be identical on both engines
+           CAST(round((1.0 - ((1.0 - (e.j * e.j) * (e.j * e.j))
+                              * (1.0 - (e.j * e.j) * (e.j * e.j)))
+                             * ((1.0 - (e.j * e.j) * (e.j * e.j))
+                                * (1.0 - (e.j * e.j) * (e.j * e.j))))
+                      * 100000000) AS BIGINT) AS exp_u
+    FROM exact e
+    LEFT JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT least(9, CAST(floor(j * 10) AS BIGINT)) AS bin,
+       count(*)::BIGINT AS n_pairs,
+       sum(is_cand)::BIGINT AS n_candidates,
+       round(sum(is_cand) * 1.0 / count(*) * 10000) / 10000 + 0.0
+           AS observed_rate,
+       round(sum(exp_u) * 1.0 / count(*) / 100000000 * 10000) / 10000
+           + 0.0 AS expected_rate
+FROM per
+GROUP BY 1
+"""
+
+
+@register("lsh_scurve_audit", oracle=_scurve_oracle())
+def lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j")
+    )
+    docsh = D.doc_shingle_arrays(docs, 3).filter(F.size("sh_arr") >= 1)
+    cand = D.candidate_pairs(
+        D.lsh_bands(D.minhash_signatures_from_arrays(docsh))
+    ).withColumn("is_cand", F.lit(1))
+    s2 = F.col("j") * F.col("j")
+    q = F.lit(1.0) - s2 * s2
+    p_exp = F.lit(1.0) - (q * q) * (q * q)
+    per = exact.join(cand, ["doc_a", "doc_b"], "left").select(
+        "j",
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        F.round(p_exp * F.lit(1e8)).cast("long").alias("exp_u"),
+    )
+    return per.groupBy(
+        F.least(F.lit(9), F.floor(F.col("j") * 10))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        R.r(
+            F.sum("is_cand").cast("double") / F.count(F.lit(1)), 4
+        ).alias("observed_rate"),
+        R.r(
+            F.sum("exp_u").cast("double") / F.count(F.lit(1)) / F.lit(1e8),
+            4,
+        ).alias("expected_rate"),
+    )

@@ -1088,3 +1088,118 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- zone-map skipping effectiveness audit ----------------------------------
+# Data-layout audit BEFORE paying for an OPTIMIZE/sort rewrite: for
+# every month-range predicate, how many 1024-row blocks (the zone-map
+# / parquet-row-group unit) does the CURRENT physical layout let a
+# min/max-pruning scan skip, versus how many a date-sorted rewrite
+# WOULD skip? Natural-order blocks come from `_metadata.row_index`
+# (physical position, zero extra scan — the file_metadata_audit
+# pattern); the sorted counterfactual needs NO global sort at all:
+# under a date sort each month occupies one contiguous rank range, so
+# its block count is pure arithmetic over the bounded month histogram
+# (floor((hi-1)/B) - floor(lo/B) + 1). The oracle reconstructs the
+# physical index with row_number() over the bare scan (CLAUDE.md
+# gotcha 9a: DuckDB preserves parquet insertion order; single-file
+# tables). At 100 TB: blocks table is n_rows/1024 bounded metadata,
+# months are bounded, and the counterfactual stays collect-free.
+_ZM_BLOCK = 1024
+
+_ZONE_MAP_ORACLE = f"""
+WITH r AS (
+    SELECT o_orderdate, row_number() OVER () - 1 AS row_index
+    FROM orders
+),
+blocks AS (
+    SELECT row_index // {_ZM_BLOCK} AS blk,
+           min(date_trunc('month', o_orderdate)::DATE) AS mn,
+           max(date_trunc('month', o_orderdate)::DATE) AS mx
+    FROM r GROUP BY 1
+),
+nb AS (SELECT count(*)::BIGINT AS n_blocks FROM blocks),
+months AS (
+    SELECT date_trunc('month', o_orderdate)::DATE AS m,
+           count(*)::BIGINT AS cnt
+    FROM orders GROUP BY 1
+),
+cum AS (
+    SELECT m1.m, m1.cnt,
+           coalesce(sum(m2.cnt), 0)::BIGINT AS lo
+    FROM months m1 LEFT JOIN months m2 ON m2.m < m1.m
+    GROUP BY m1.m, m1.cnt
+),
+nat AS (
+    SELECT c.m, count(*)::BIGINT AS nat_scanned
+    FROM cum c JOIN blocks b ON c.m >= b.mn AND c.m <= b.mx
+    GROUP BY 1
+)
+SELECT c.m AS month, c.cnt AS n_rows, nb.n_blocks,
+       coalesce(n.nat_scanned, 0)::BIGINT AS nat_blocks_scanned,
+       round((1.0 - coalesce(n.nat_scanned, 0)::DOUBLE / nb.n_blocks)
+             * 10000) / 10000 + 0.0 AS nat_skip_rate,
+       ((c.lo + c.cnt - 1) // {_ZM_BLOCK} - c.lo // {_ZM_BLOCK} + 1)::BIGINT
+           AS sorted_blocks_scanned,
+       round((1.0 - ((c.lo + c.cnt - 1) // {_ZM_BLOCK}
+                     - c.lo // {_ZM_BLOCK} + 1)::DOUBLE / nb.n_blocks)
+             * 10000) / 10000 + 0.0 AS sorted_skip_rate
+FROM cum c LEFT JOIN nat n ON n.m = c.m, nb
+"""
+
+
+@register("zone_map_skipping_audit", oracle=_ZONE_MAP_ORACLE)
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("_metadata.row_index").alias("row_index"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m"),
+    )
+    blocks = ords.groupBy(
+        (F.col("row_index") / F.lit(_ZM_BLOCK)).cast("long").alias("blk")
+    ).agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    nb = blocks.agg(F.count(F.lit(1)).alias("n_blocks"))
+    months = ords.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative month offsets via bounded self-join (|months| ~ 80
+    # rows — no window, no global sort)
+    m2 = months.select(F.col("m").alias("m2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        months.join(m2, F.col("m2") < F.col("m"), "left")
+        .groupBy("m", "cnt")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("lo"))
+    )
+    nat = (
+        cum.select("m")
+        .join(
+            blocks,
+            (F.col("m") >= F.col("mn")) & (F.col("m") <= F.col("mx")),
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("nat_scanned"))
+    )
+    srt_scanned = (
+        (F.col("lo") + F.col("cnt") - 1) / F.lit(_ZM_BLOCK)
+    ).cast("long") - (F.col("lo") / F.lit(_ZM_BLOCK)).cast("long") + F.lit(1)
+    return (
+        cum.join(nat, "m", "left")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("m").alias("month"),
+            F.col("cnt").alias("n_rows"),
+            F.col("n_blocks").cast("long"),
+            F.coalesce("nat_scanned", F.lit(0))
+            .cast("long")
+            .alias("nat_blocks_scanned"),
+            R.r(
+                F.lit(1.0)
+                - F.coalesce("nat_scanned", F.lit(0)).cast("double")
+                / F.col("n_blocks"),
+                4,
+            ).alias("nat_skip_rate"),
+            srt_scanned.cast("long").alias("sorted_blocks_scanned"),
+            R.r(
+                F.lit(1.0)
+                - srt_scanned.cast("double") / F.col("n_blocks"),
+                4,
+            ).alias("sorted_skip_rate"),
+        )
+    )

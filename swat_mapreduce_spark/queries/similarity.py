@@ -1923,3 +1923,160 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("centroid_l2_shift"),
     )
+
+
+# --- contrastive embedding quality: alignment & uniformity ----------------------
+# Wang & Isola (2020)'s two-number health check for a contrastive
+# embedding space: ALIGNMENT = mean squared distance between positive
+# (same-label) pairs — lower is better — and UNIFORMITY =
+# log E[exp(-2·d²)] over ALL pairs — more negative means the space
+# spreads mass over the hypersphere instead of collapsing. Computed on
+# the deterministic vec_id%10 sample (pair volume sample²-bounded,
+# never corpus²). Determinism (gotcha 13a): d² = 2 - 2·cos with cos an
+# integer 1e-8 unit from quantized per-dim dot terms; the alignment
+# sum uses integer 1e-8 units of d², and each exp(-2d²) term is
+# snapped to an integer 1e-12 unit before the order-free sum (the
+# doremi DECIMAL-snapped-exp pattern), so the final ln sees the same
+# exact rational on both engines.
+_AU_MOD = 10
+_AU_DIM = 64
+
+_AU_ORACLE = f"""
+WITH samp AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    WHERE vec_id % {_AU_MOD} = 0
+),
+dims AS MATERIALIZED (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM samp, generate_series(1, {_AU_DIM}) AS g(i)
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, sum(CAST(round(x * x * 100000000) AS BIGINT)) AS q
+    FROM dims GROUP BY 1
+),
+pairs AS MATERIALIZED (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           2.0 - 2.0 * (CAST(round(
+               (sum(CAST(round(a.x * b.x * 100000000) AS BIGINT))::DOUBLE
+                / 100000000)
+               / (sqrt(na.q::DOUBLE / 100000000)
+                  * sqrt(nb.q::DOUBLE / 100000000)) * 100000000)
+           AS BIGINT)::DOUBLE / 100000000) AS d2
+    FROM dims a
+    JOIN dims b ON b.i = a.i AND a.vec_id < b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY a.vec_id, b.vec_id, na.q, nb.q
+),
+lab AS (
+    SELECT p.va, p.vb, p.d2,
+           (la.label = lb.label) AS pos,
+           CAST(round(p.d2 * 100000000) AS BIGINT) AS d2_u,
+           CAST(round(exp(-2.0 * p.d2) * 1000000000000) AS BIGINT) AS e_u
+    FROM pairs p
+    JOIN samp la ON la.vec_id = p.va
+    JOIN samp lb ON lb.vec_id = p.vb
+)
+SELECT (SELECT count(*) FROM samp)::BIGINT AS n_sample,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos_pairs,
+       round(sum(CASE WHEN pos THEN d2_u ELSE 0 END) * 1.0
+             / sum(CASE WHEN pos THEN 1 ELSE 0 END) / 100000000
+             * 1000000) / 1000000 + 0.0 AS alignment,
+       round(ln(sum(e_u) * 1.0 / count(*) / 1000000000000) * 1000000)
+           / 1000000 + 0.0 AS uniformity
+FROM lab
+"""
+
+
+@register("alignment_uniformity_audit", oracle=_AU_ORACLE)
+def alignment_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    samp = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _AU_MOD == 0)
+        .select(
+            "vec_id", "label", A.as_double_array(F.col("embedding")).alias("v")
+        )
+    )
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    qnorm = F.aggregate(
+        F.transform(F.col("v"), lambda x: units(x * x)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    side = samp.select("vec_id", "label", "v", qnorm.alias("q")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = side.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("v").alias("xa"),
+        F.col("q").alias("qa"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("xb"),
+        F.col("q").alias("qb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: units(x * y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cos = (
+        F.round(
+            (qdot.cast("double") / F.lit(1e8))
+            / (
+                F.sqrt(F.col("qa").cast("double") / F.lit(1e8))
+                * F.sqrt(F.col("qb").cast("double") / F.lit(1e8))
+            )
+            * F.lit(1e8)
+        ).cast("long")
+    ).cast("double") / F.lit(1e8)
+    d2 = F.lit(2.0) - F.lit(2.0) * cos
+    lab = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select(
+            (F.col("la") == F.col("lb")).alias("pos"),
+            F.round(d2 * F.lit(1e8)).cast("long").alias("d2_u"),
+            F.round(F.exp(F.lit(-2.0) * d2) * F.lit(1e12))
+            .cast("long")
+            .alias("e_u"),
+        )
+    )
+    n_sample = side.agg(F.count(F.lit(1)).alias("n_sample"))
+    res = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos_pairs"),
+        F.sum(F.when(F.col("pos"), F.col("d2_u")).otherwise(0)).alias(
+            "pos_d2"
+        ),
+        F.sum("e_u").alias("e_sum"),
+    )
+    out = res.crossJoin(F.broadcast(n_sample)).select(
+        F.col("n_sample").cast("long"),
+        "n_pairs",
+        "n_pos_pairs",
+        R.r(
+            F.col("pos_d2").cast("double")
+            / F.col("n_pos_pairs")
+            / F.lit(1e8),
+            6,
+        ).alias("alignment"),
+        R.r(
+            F.log(
+                F.col("e_sum").cast("double") / F.col("n_pairs") / F.lit(1e12)
+            ),
+            6,
+        ).alias("uniformity"),
+    )
+    side.unpersist()
+    return out

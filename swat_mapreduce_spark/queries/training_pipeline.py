@@ -796,3 +796,162 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(budget).cast("long").alias("budget"),
         )
     )
+
+
+# --- stratified sampling: exact Neyman allocation -------------------------------
+# Survey-sampling's optimal budget split (Neyman 1934): allocate a
+# fixed sample budget across strata proportional to N_h * S_h (stratum
+# size x stratum std-dev) — the variance-minimizing design a curation
+# pipeline uses to sample a validation slice from skewed sources.
+# Everything is EXACT: per-stratum sums of cents and squared cents go
+# through DECIMAL(38,0)/HUGEINT (squared cents overflow int64 at sf1 —
+# CLAUDE.md gotcha re permutation test), S_h is one sqrt on
+# exact-integer-derived doubles, weights are integer 1e-3 units, the
+# base allocation is integer largest-remainder arithmetic in
+# DECIMAL(38,0), and the +1 seats go to the largest remainders with a
+# stratum-key tie-break via a bounded |strata|² self-join (no window,
+# no global sort). Output allocations sum to the budget by
+# construction on both engines.
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+WITH cents_t AS (
+    SELECT o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders
+),
+s AS (
+    SELECT priority, count(*)::BIGINT AS n,
+           sum(v::HUGEINT) AS sx,
+           sum((v * v)::HUGEINT) AS sxx
+    FROM cents_t GROUP BY 1
+),
+w AS (
+    SELECT priority, n,
+           sqrt((n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * (n - 1)))
+               AS s_h
+    FROM s
+),
+wu AS (
+    SELECT priority, n, s_h,
+           CAST(round(n * s_h * 1000) AS HUGEINT) AS w_u
+    FROM w
+),
+tot AS (SELECT sum(w_u) AS w_tot, count(*)::BIGINT AS n_strata FROM wu),
+base AS (
+    SELECT wu.priority, wu.n, wu.s_h, wu.w_u, tot.w_tot,
+           ({_NEYMAN_BUDGET}::HUGEINT * wu.w_u) // tot.w_tot AS b,
+           {_NEYMAN_BUDGET}::HUGEINT * wu.w_u
+               - (({_NEYMAN_BUDGET}::HUGEINT * wu.w_u) // tot.w_tot)
+                 * tot.w_tot AS rem
+    FROM wu, tot
+),
+leftover AS (
+    SELECT ({_NEYMAN_BUDGET} - sum(b))::BIGINT AS l FROM base
+),
+ranked AS (
+    SELECT a.priority, a.n, a.s_h, a.w_u, a.w_tot, a.b,
+           count(*) FILTER (
+               WHERE x.rem > a.rem
+                  OR (x.rem = a.rem AND x.priority < a.priority)
+           )::BIGINT AS r
+    FROM base a LEFT JOIN base x ON x.priority <> a.priority
+    GROUP BY a.priority, a.n, a.s_h, a.w_u, a.w_tot, a.b, a.rem
+)
+SELECT r.priority, r.n AS n_rows,
+       round(r.s_h / 100 * 10000) / 10000 + 0.0 AS stddev,
+       round(r.w_u::DOUBLE / r.w_tot::DOUBLE * 10000) / 10000 + 0.0
+           AS weight_share,
+       r.b::BIGINT AS base_alloc,
+       (r.b + CASE WHEN r.r < lo.l THEN 1 ELSE 0 END)::BIGINT
+           AS final_alloc
+FROM ranked r, leftover lo
+"""
+
+
+@register("stratified_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def stratified_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+
+    cents = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    s = cents.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(20,0)")).alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(26,0)")).alias("sxx"),
+    )
+    num = (
+        F.col("n").cast("decimal(12,0)") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+    ).cast("double")
+    s_h = F.sqrt(num / (F.col("n").cast("double") * (F.col("n") - 1)))
+    wu = s.select(
+        "priority",
+        "n",
+        s_h.alias("s_h"),
+        F.round(F.col("n") * s_h * F.lit(1000))
+        .cast("decimal(38,0)")
+        .alias("w_u"),
+    )
+    tot = wu.agg(F.sum("w_u").alias("w_tot"))
+    budget = F.lit(_NEYMAN_BUDGET).cast("decimal(38,0)")
+    base = wu.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "n",
+        "s_h",
+        "w_u",
+        "w_tot",
+        F.expr(
+            f"CAST((CAST({_NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_u)"
+            " div w_tot AS DECIMAL(38,0))"
+        ).alias("b"),
+        (
+            budget * F.col("w_u")
+            - F.expr(
+                f"CAST((CAST({_NEYMAN_BUDGET} AS DECIMAL(38,0)) * w_u)"
+                " div w_tot AS DECIMAL(38,0))"
+            )
+            * F.col("w_tot")
+        ).alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("b")).cast("long").alias("l")
+    )
+    x = base.select(
+        F.col("priority").alias("xp"), F.col("rem").alias("xrem")
+    )
+    ranked = (
+        base.join(x, F.col("xp") != F.col("priority"), "left")
+        .groupBy("priority", "n", "s_h", "w_u", "w_tot", "b", "rem")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xrem") > F.col("rem"))
+                    | (
+                        (F.col("xrem") == F.col("rem"))
+                        & (F.col("xp") < F.col("priority"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("r")
+        )
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "priority",
+        F.col("n").cast("long").alias("n_rows"),
+        R.r(F.col("s_h") / 100, 4).alias("stddev"),
+        R.r(
+            F.col("w_u").cast("double") / F.col("w_tot").cast("double"), 4
+        ).alias("weight_share"),
+        F.col("b").cast("long").alias("base_alloc"),
+        (
+            F.col("b").cast("long")
+            + F.when(F.col("r") < F.col("l"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("final_alloc"),
+    )

@@ -1,0 +1,120 @@
+"""Round-8 operators: layout/selection/eval audits pinned against
+independent invariants (not just the DuckDB oracle hash).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def _q(name):
+    from swat_mapreduce_spark.queries import load_all
+
+    return load_all()[name]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_zone_map_bounds_and_row_conservation(spark, sf_dir):
+    rows = _q("zone_map_skipping_audit").spark_fn(spark, sf_dir).collect()
+    con = _duck(sf_dir)
+    (n_orders,) = con.sql("SELECT count(*) FROM orders").fetchall()[0]
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    for r in rows:
+        assert 1 <= r["nat_blocks_scanned"] <= r["n_blocks"]
+        assert 1 <= r["sorted_blocks_scanned"] <= r["n_blocks"]
+        assert 0.0 <= r["nat_skip_rate"] <= 1.0
+        assert 0.0 <= r["sorted_skip_rate"] <= 1.0
+        # a sorted layout never scans more blocks than the month's
+        # rows could span plus one boundary block
+        assert r["sorted_blocks_scanned"] <= r["n_rows"] // 1024 + 2
+
+
+def test_facility_location_objective_monotone(spark, sf_dir):
+    rows = sorted(
+        _q("facility_location_greedy").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    # greedy coverage objective is monotone nondecreasing (submodular
+    # maximization never loses coverage by adding an exemplar)
+    objs = [r["objective"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(objs, objs[1:]))
+    # all chosen ids come from the candidate pool and are distinct
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 4
+    assert all(v % 25 == 0 for v in ids)
+
+
+def test_bcubed_bounds_and_f1_consistency(spark, sf_dir):
+    (r,) = _q("bcubed_cluster_quality").spark_fn(spark, sf_dir).collect()
+    assert 0.0 < r["bcubed_precision"] <= 1.0
+    assert 0.0 < r["bcubed_recall"] <= 1.0
+    p, rr = r["bcubed_precision"], r["bcubed_recall"]
+    f1 = 2 * p * rr / (p + rr)
+    assert abs(r["bcubed_f1"] - f1) < 1e-4
+    assert r["n_pred_clusters"] <= r["n_docs"]
+    assert r["n_truth_groups"] <= r["n_docs"]
+
+
+def test_jsd_symmetric_bounded_and_complete(spark, sf_dir):
+    rows = _q("jsd_source_divergence").spark_fn(spark, sf_dir).collect()
+    con = _duck(sf_dir)
+    (n_src,) = con.sql(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchall()[0]
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        # JSD with log2 is bounded by 1 bit
+        assert 0.0 <= r["jsd"] <= 1.0
+
+
+def test_lsh_scurve_rates_bounded_and_high_bin_caught(spark, sf_dir):
+    rows = _q("lsh_scurve_audit").spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_candidates"] <= r["n_pairs"]
+        assert 0.0 <= r["observed_rate"] <= 1.0
+        assert 0.0 <= r["expected_rate"] <= 1.0
+    top = {r["bin"]: r for r in rows}.get(9)
+    if top is not None:
+        # planted near-dups at jaccard >= 0.9: the S-curve expects
+        # ~1.0 and the fixed hash tables should catch them all
+        assert top["observed_rate"] >= 0.99
+        assert top["expected_rate"] >= 0.98
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    rows = _q("stratified_neyman_allocation").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 5  # orders priorities
+    assert sum(r["final_alloc"] for r in rows) == 1000
+    for r in rows:
+        assert r["base_alloc"] <= r["final_alloc"] <= r["base_alloc"] + 1
+        assert r["stddev"] > 0
+        assert 0.0 <= r["weight_share"] <= 1.0
+    # shares sum to ~1
+    assert abs(sum(r["weight_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_alignment_uniformity_ranges(spark, sf_dir):
+    (r,) = _q("alignment_uniformity_audit").spark_fn(
+        spark, sf_dir
+    ).collect()
+    # d^2 = 2 - 2cos is in [0, 4]
+    assert 0.0 <= r["alignment"] <= 4.0
+    # uniformity = log E[exp(-2 d^2)] is in [-8, 0]
+    assert -8.0 <= r["uniformity"] <= 0.0
+    assert r["n_pairs"] == r["n_sample"] * (r["n_sample"] - 1) // 2
+    assert 0 < r["n_pos_pairs"] < r["n_pairs"]
