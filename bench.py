@@ -210,6 +210,8 @@ HEADLINE = [
     "lsh_scurve_audit",
     "stratified_neyman_allocation",
     "alignment_uniformity_audit",
+    "cuped_variance_reduction",
+    "shapley_coverage_attribution",
 ]
 
 REPEATS = 2

@@ -906,3 +906,122 @@ def facility_location_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step long, vec_id long, objective double"
     )
+
+
+# --- exact Shapley attribution of corpus shingle coverage -----------------------
+# Data valuation with the game-theoretic gold standard: sources are
+# pooled into 5 groups (srcN % 5) and each group's Shapley value for
+# the DISTINCT-3-gram-SHINGLE-COVERAGE characteristic function is
+# computed EXACTLY — coverage is submodular, so v(S) for all 32
+# subsets derives from one bounded table: per shingle, the 5-bit mask
+# of groups containing it, counted per mask (31 ints). phi_g then has
+# an INTEGER numerator sum_{S not∋ g} |S|!(4-|S|)!·[v(S∪g)-v(S)] over
+# 16 subsets, divided by 5! = 120 — no sampling, no permutation RNG,
+# bit-identical on both engines. LOSO (loso_source_value) is the
+# marginal-only cousin; Shapley splits shared coverage fairly.
+# Scale: ONE corpus shingle pass → mask table (<=31 rows); everything
+# after is constant-size arithmetic.
+_SHAP_GROUPS = 5
+_SHAP_W = {0: 24, 1: 6, 2: 4, 3: 6, 4: 24}  # k!(G-1-k)! for G=5
+
+
+def _shapley_oracle() -> str:
+    from swat_mapreduce_spark.queries.dedup import _SH_DUCK
+
+    w_case = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in _SHAP_W.items()
+    )
+    return f"""
+WITH {_SH_DUCK},
+grp AS (
+    SELECT doc_id, (substr(source, 4)::INT % {_SHAP_GROUPS}) AS g
+    FROM documents
+),
+shg AS (
+    SELECT DISTINCT s.shingle, g.g
+    FROM sh s JOIN grp g USING (doc_id)
+),
+masks AS (
+    SELECT shingle, bit_or(1 << g)::BIGINT AS mask FROM shg GROUP BY 1
+),
+mcnt AS (SELECT mask, count(*)::BIGINT AS cnt FROM masks GROUP BY 1),
+subsets AS (SELECT unnest(generate_series(0, 31)) AS s),
+vs AS (
+    SELECT su.s,
+           sum(CASE WHEN (m.mask & su.s) <> 0 THEN m.cnt ELSE 0 END)
+               ::BIGINT AS v
+    FROM subsets su, mcnt m GROUP BY su.s
+),
+gs AS (SELECT unnest(generate_series(0, {_SHAP_GROUPS - 1})) AS g),
+num AS (
+    SELECT gs.g,
+           sum((CASE bit_count(va.s) {w_case} END)
+               * (vb.v - va.v))::BIGINT AS num
+    FROM gs
+    JOIN vs va ON (va.s & (1 << gs.g)) = 0
+    JOIN vs vb ON vb.s = (va.s | (1 << gs.g))
+    GROUP BY gs.g
+),
+docs_g AS (
+    SELECT g, count(*)::BIGINT AS n_docs FROM grp GROUP BY 1
+),
+own AS (
+    SELECT gs.g, vs.v AS own_coverage
+    FROM gs JOIN vs ON vs.s = (1 << gs.g)
+)
+SELECT n.g AS grp, d.n_docs, o.own_coverage,
+       round(n.num * 1.0 / 120 * 10000) / 10000 + 0.0 AS shapley_value
+FROM num n JOIN docs_g d ON d.g = n.g JOIN own o ON o.g = n.g
+"""
+
+
+@register("shapley_coverage_attribution", oracle=_shapley_oracle())
+def shapley_coverage_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from swat_mapreduce_spark.operators import dedup as D
+    from swat_mapreduce_spark.queries.curation import _rp
+
+    docs = read_table(spark, sf_dir, "documents")
+    grp = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % _SHAP_GROUPS).alias(
+            "g"
+        ),
+    )
+    sh = D.shingle_table(docs, 3).join(grp, "doc_id")
+    masks = (
+        sh.select("shingle", "g")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.bit_or(F.expr("shiftleft(1L, g)")).alias("mask"))
+    )
+    mcnt = {
+        int(r["mask"]): int(r["cnt"])
+        for r in masks.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }  # bounded driver state: <= 31 (mask, count) ints
+    docs_g = {
+        int(r["g"]): int(r["n"])
+        for r in grp.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def v(s: int) -> int:
+        return sum(c for m, c in mcnt.items() if m & s)
+
+    rows = []
+    for g in range(_SHAP_GROUPS):
+        bit = 1 << g
+        num = sum(
+            _SHAP_W[bin(s).count("1")] * (v(s | bit) - v(s))
+            for s in range(32)
+            if not s & bit
+        )
+        rows.append(
+            (g, docs_g.get(g, 0), v(bit), _rp(num / 120, 4) + 0.0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "grp long, n_docs long, own_coverage long, shapley_value double",
+    )

@@ -1142,3 +1142,128 @@ def trimmed_mean_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("trimmed_mean"),
     )
+
+
+# --- CUPED variance reduction (controlled experiments) --------------------------
+# The standard A/B-test variance killer (Deng et al. 2013, CUPED):
+# adjust each unit's post-period metric by theta times its PRE-period
+# metric, theta = cov(x,y)/var(x) — removes the predictable
+# between-user component. Variant = user_id % 2 (a deterministic
+# hash split), pre = Jan 1-15, post = Jan 16-30. Group-adjusted means
+# need NO per-user pass beyond the sums: adj_mean_g = mean_y_g -
+# theta*(mean_x_g - mean_x), all from exact integer cents sums (the
+# per-user x·y / x² cross-moments go through HUGEINT/DECIMAL so sf1+
+# magnitudes cannot wrap — CLAUDE.md gotcha on exact-integer sums).
+# rho² = cov²/(var_x·var_y) reports the achievable variance reduction.
+_CUPED_SPLIT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS x,
+           sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS y
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+           sum(x::HUGEINT * x) AS sxx,
+           sum(x::HUGEINT * y) AS sxy,
+           sum(y::HUGEINT * y) AS syy
+    FROM per_user
+),
+th AS (
+    SELECT n, sx,
+           (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+               AS theta,
+           ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+               / ((n * sxx - sx * sx)::DOUBLE
+                  * (n * syy - sy * sy)::DOUBLE) AS rho2
+    FROM m
+),
+g AS (
+    SELECT user_id % 2 AS variant, count(*)::BIGINT AS n_users,
+           sum(x::HUGEINT) AS gx, sum(y::HUGEINT) AS gy
+    FROM per_user GROUP BY 1
+)
+SELECT g.variant, g.n_users,
+       round(gx::DOUBLE / g.n_users / 100 * 10000) / 10000 + 0.0
+           AS mean_pre,
+       round(gy::DOUBLE / g.n_users / 100 * 10000) / 10000 + 0.0
+           AS mean_post,
+       round((gy::DOUBLE / g.n_users
+              - th.theta * (gx::DOUBLE / g.n_users
+                            - th.sx::DOUBLE / th.n)) / 100 * 10000)
+           / 10000 + 0.0 AS adjusted_mean,
+       round(th.theta * 1000000) / 1000000 + 0.0 AS theta,
+       round(th.rho2 * 1000000) / 1000000 + 0.0 AS rho2
+FROM g, th
+"""
+
+
+@register("cuped_variance_reduction", oracle=_CUPED_ORACLE)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.sources.readers import read_table as _rt
+
+    ev = _rt(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def _d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d("x")).alias("sx"),
+        F.sum(_d("y")).alias("sy"),
+        F.sum(_d("x") * _d("x")).alias("sxx"),
+        F.sum(_d("x") * _d("y")).alias("sxy"),
+        F.sum(_d("y") * _d("y")).alias("syy"),
+    )
+    nn = F.col("n").cast("decimal(19,0)")
+    cov_n = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    th = m.select(
+        "n",
+        "sx",
+        (cov_n / varx_n).alias("theta"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("rho2"),
+    )
+    g = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(_d("x")).alias("gx"),
+        F.sum(_d("y")).alias("gy"),
+    )
+    j = g.crossJoin(F.broadcast(th))
+    mean_pre_c = F.col("gx").cast("double") / F.col("n_users")
+    mean_post_c = F.col("gy").cast("double") / F.col("n_users")
+    grand_pre_c = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        F.col("variant").cast("long"),
+        F.col("n_users").cast("long"),
+        R.r(mean_pre_c / 100, 4).alias("mean_pre"),
+        R.r(mean_post_c / 100, 4).alias("mean_post"),
+        R.r(
+            (mean_post_c - F.col("theta") * (mean_pre_c - grand_pre_c))
+            / 100,
+            4,
+        ).alias("adjusted_mean"),
+        R.r("theta", 6).alias("theta"),
+        R.r("rho2", 6).alias("rho2"),
+    )

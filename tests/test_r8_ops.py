@@ -118,3 +118,43 @@ def test_alignment_uniformity_ranges(spark, sf_dir):
     assert -8.0 <= r["uniformity"] <= 0.0
     assert r["n_pairs"] == r["n_sample"] * (r["n_sample"] - 1) // 2
     assert 0 < r["n_pos_pairs"] < r["n_pairs"]
+
+
+def test_cuped_adjustment_and_theta(spark, sf_dir):
+    rows = _q("cuped_variance_reduction").spark_fn(spark, sf_dir).collect()
+    assert sorted(r["variant"] for r in rows) == [0, 1]
+    for r in rows:
+        assert r["n_users"] > 0
+        assert 0.0 <= r["rho2"] <= 1.0
+        # theta and rho2 are global, identical across variant rows
+    assert rows[0]["theta"] == rows[1]["theta"]
+    # adjustment conserves the GRAND mean: weighted adjusted means
+    # equal weighted post means (the theta correction is mean-zero
+    # over the whole population)
+    n = sum(r["n_users"] for r in rows)
+    post = sum(r["mean_post"] * r["n_users"] for r in rows) / n
+    adj = sum(r["adjusted_mean"] * r["n_users"] for r in rows) / n
+    assert abs(post - adj) < 1e-3
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    rows = _q("shapley_coverage_attribution").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 5
+    con = _duck(sf_dir)
+    # efficiency: Shapley values sum to the grand coalition's coverage
+    # = total distinct shingles in the corpus
+    (total,) = con.sql(
+        """SELECT count(DISTINCT s) FROM (
+             SELECT unnest(list_transform(
+                 generate_series(1, greatest(0,
+                     len(string_split_regex(trim(text), '\\s+')) - 2)),
+                 i -> array_to_string(
+                     string_split_regex(trim(text), '\\s+')[i:i+2], ' ')
+             )) AS s FROM documents)"""
+    ).fetchall()[0]
+    assert abs(sum(r["shapley_value"] for r in rows) - total) < 0.01
+    for r in rows:
+        # a group's Shapley value never exceeds its own coverage
+        assert 0 < r["shapley_value"] <= r["own_coverage"] + 1e-9
