@@ -212,6 +212,8 @@ HEADLINE = [
     "alignment_uniformity_audit",
     "cuped_variance_reduction",
     "shapley_coverage_attribution",
+    "propensity_caliper_match_att",
+    "stream_cms_user_counts",
 ]
 
 REPEATS = 2

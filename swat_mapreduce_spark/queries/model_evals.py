@@ -644,3 +644,181 @@ def jackknife_keep_rate_stderr(
             (F.col("m") - F.lit(1.0)) * (F.col("mu") - rate), 8
         ).alias("jack_bias"),
     )
+
+
+# --- propensity-score caliper matching (ATT) ------------------------------------
+# Observational causal effect with the Rosenbaum-Rubin recipe:
+# treatment = heavy pre-period signup activity (>= 7 signups in Jan
+# 1-15 — deliberately CONFOUNDED with overall activity, which is what
+# matching must correct), outcome = post-period purchase value.
+# Propensity from a fixed-weight logistic on pre-period features; each
+# treated user matches the nearest-propensity control within a +/-1
+# CENTILE caliper (the textbook caliper, made scale-honest: candidate
+# pairs are blocked on the centile grid +/-1 — never treated x control
+# cartesian), nearest-with-replacement, ties broken through ONE
+# exact scalar key |diff|*1e7 + control_id (< 2^53 — gotcha 9).
+# Determinism: propensity snapped to integer 1e-6 units (the one exp),
+# ATT from exact cents sums.
+_PSM_SPLIT = "2024-01-16"
+_PSM_SIGNUPS = 7
+
+_PSM_ORACLE = f"""
+WITH pu AS (
+    SELECT user_id,
+           sum(CASE WHEN ts < TIMESTAMP '{_PSM_SPLIT}' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_pre,
+           sum(CASE WHEN ts < TIMESTAMP '{_PSM_SPLIT}'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS v_pre,
+           sum(CASE WHEN ts < TIMESTAMP '{_PSM_SPLIT}'
+                     AND event_type = 'signup' THEN 1 ELSE 0 END)
+               ::BIGINT AS n_signup_pre,
+           sum(CASE WHEN ts >= TIMESTAMP '{_PSM_SPLIT}'
+                     AND event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS y
+    FROM events GROUP BY 1
+),
+scored AS (
+    SELECT user_id, y, (n_signup_pre >= {_PSM_SIGNUPS}) AS treated,
+           CAST(round(1.0 / (1.0 + exp(-(-1.0 + 0.04 * n_pre
+               + 0.005 * (CASE WHEN n_pre = 0 THEN 0.0
+                               ELSE v_pre::DOUBLE / n_pre / 100 END))))
+               * 1000000) AS BIGINT) AS p_u
+    FROM pu
+),
+t AS (SELECT user_id, y, p_u, p_u // 10000 AS b FROM scored WHERE treated),
+c AS (SELECT user_id, y, p_u, p_u // 10000 AS b FROM scored
+      WHERE NOT treated),
+cand AS (
+    SELECT t.user_id AS t_id, t.y AS t_y, t.p_u AS t_p,
+           c.user_id AS c_id, c.y AS c_y, c.p_u AS c_p,
+           abs(t.p_u - c.p_u) * 10000000 + c.user_id AS k
+    FROM t JOIN c ON c.b BETWEEN t.b - 1 AND t.b + 1
+),
+matched AS (
+    SELECT t_id, min(t_y) AS t_y, min(t_p) AS t_p,
+           min_by(c_y, k) AS c_y, min_by(c_p, k) AS c_p
+    FROM cand GROUP BY t_id
+)
+SELECT (SELECT count(*) FROM t)::BIGINT AS n_treated,
+       (SELECT count(*) FROM c)::BIGINT AS n_control,
+       count(*)::BIGINT AS n_matched,
+       round(sum(t_y - c_y) * 1.0 / count(*) / 100 * 10000) / 10000 + 0.0
+           AS att,
+       round(avg(t_p * 1.0) / 1000000 * 10000) / 10000 + 0.0
+           AS mean_prop_treated,
+       round(avg(c_p * 1.0) / 1000000 * 10000) / 10000 + 0.0
+           AS mean_prop_matched_control
+FROM matched
+"""
+
+
+@register("propensity_caliper_match_att", oracle=_PSM_ORACLE)
+def propensity_caliper_match_att(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = F.lit(_PSM_SPLIT).cast("timestamp")
+    pre = F.col("ts") < split
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_pre"),
+        F.sum(F.when(pre, F.col("cents")).otherwise(0)).alias("v_pre"),
+        F.sum(
+            F.when(pre & (F.col("event_type") == "signup"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_signup_pre"),
+        F.sum(
+            F.when(
+                (~pre) & (F.col("event_type") == "purchase"),
+                F.col("cents"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    v_mean = F.when(F.col("n_pre") == 0, F.lit(0.0)).otherwise(
+        F.col("v_pre").cast("double") / F.col("n_pre") / F.lit(100.0)
+    )
+    z = F.lit(-1.0) + F.lit(0.04) * F.col("n_pre") + F.lit(0.005) * v_mean
+    p_u = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * F.lit(1e6)
+    ).cast("long")
+    scored = pu.select(
+        "user_id",
+        "y",
+        (F.col("n_signup_pre") >= _PSM_SIGNUPS).alias("treated"),
+        p_u.alias("p_u"),
+    ).withColumn("b", F.expr("p_u div 10000"))
+    t = scored.filter("treated").select(
+        F.col("user_id").alias("t_id"),
+        F.col("y").alias("t_y"),
+        F.col("p_u").alias("t_p"),
+        F.col("b").alias("t_b"),
+    )
+    c = scored.filter(~F.col("treated")).select(
+        F.col("user_id").alias("c_id"),
+        F.col("y").alias("c_y"),
+        F.col("p_u").alias("c_p"),
+        F.col("b").alias("c_b"),
+    )
+    cand = t.join(
+        c,
+        (F.col("c_b") >= F.col("t_b") - 1)
+        & (F.col("c_b") <= F.col("t_b") + 1),
+    ).select(
+        "t_id",
+        "t_y",
+        "t_p",
+        "c_y",
+        "c_p",
+        (
+            F.abs(F.col("t_p") - F.col("c_p")) * F.lit(10_000_000)
+            + F.col("c_id")
+        ).alias("k"),
+    )
+    matched = cand.groupBy("t_id").agg(
+        F.min("t_y").alias("t_y"),
+        F.min("t_p").alias("t_p"),
+        F.min_by("c_y", "k").alias("c_y"),
+        F.min_by("c_p", "k").alias("c_p"),
+    )
+    nt = t.agg(F.count(F.lit(1)).alias("n_treated"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_control"))
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(F.col("t_y") - F.col("c_y")).alias("d_sum"),
+            F.sum("t_p").alias("tp_sum"),
+            F.sum("c_p").alias("cp_sum"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_treated").cast("long"),
+            F.col("n_control").cast("long"),
+            "n_matched",
+            R.r(
+                F.col("d_sum").cast("double")
+                / F.col("n_matched")
+                / F.lit(100.0),
+                4,
+            ).alias("att"),
+            R.r(
+                F.col("tp_sum").cast("double")
+                / F.col("n_matched")
+                / F.lit(1e6),
+                4,
+            ).alias("mean_prop_treated"),
+            R.r(
+                F.col("cp_sum").cast("double")
+                / F.col("n_matched")
+                / F.lit(1e6),
+                4,
+            ).alias("mean_prop_matched_control"),
+        )
+    )

@@ -979,3 +979,140 @@ def stream_sliding_p50_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "day date, n_events_7d long, p50_value double"
     )
+
+
+# --- streaming Count-Min heavy-hitter sketch (21st streaming surface) ----------
+# The frequency sketch maintained AS STREAM STATE: a d=4 x w=256
+# Count-Min sketch is a MONOID (counter cells add), so each
+# micro-batch folds its (row, bucket) count delta into bounded driver
+# state — d*w integers, independent of stream length — exactly how a
+# 100 TB ingest gate keeps running token/user frequencies without
+# per-key state. After draining, the exact top-10 users (one batch
+# pass — the audit side) are probed against the STREAMED sketch; the
+# pinned property is that the fold-of-batches sketch is bit-equal to
+# the one-shot batch sketch (mergeability), so the shared oracle
+# computes the same cells from the events view directly. Replay rides
+# the cached sentinel stage (few files, gotcha 12); sentinel rows
+# (user_id < 0) are excluded.
+_SCMS_D = 4
+_SCMS_W = 256
+_SCMS_TOPN = 10
+
+_SCMS_ORACLE = f"""
+WITH u AS (SELECT user_id FROM events),
+exact AS (
+    SELECT user_id, count(*) AS true_count FROM u GROUP BY 1
+),
+cells AS (
+    SELECT g.d,
+           ('0x' || substr(md5(g.d || '|' || u.user_id), 1, 8))::BIGINT
+               % {_SCMS_W} AS bucket,
+           count(*) AS c
+    FROM u, generate_series(0, {_SCMS_D - 1}) AS g(d)
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT user_id, true_count FROM exact
+    ORDER BY true_count DESC, user_id LIMIT {_SCMS_TOPN}
+),
+est AS (
+    SELECT cand.user_id, cand.true_count, min(cells.c) AS est_count
+    FROM cand, generate_series(0, {_SCMS_D - 1}) AS g(d)
+    JOIN cells ON cells.d = g.d
+       AND cells.bucket = ('0x' || substr(md5(g.d || '|' || cand.user_id),
+                           1, 8))::BIGINT % {_SCMS_W}
+    GROUP BY cand.user_id, cand.true_count
+)
+SELECT user_id, true_count::BIGINT AS true_count,
+       est_count::BIGINT AS est_count,
+       (est_count - true_count)::BIGINT AS overestimate
+FROM est
+"""
+
+
+@register("stream_cms_user_counts", oracle=_SCMS_ORACLE)
+def stream_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    stream = jobs.staged_events_with_flush_sentinels(spark, sf_dir)
+    sketch: dict = collections.defaultdict(int)  # (d, bucket) -> count
+
+    def bucket_of(d, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(d)), F.lit("|"), col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _SCMS_W
+
+    def fold_batch(batch_df, _bid):
+        rows = (
+            batch_df.filter(F.col("user_id") >= 0)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("d"),
+                                bucket_of(d, F.col("user_id")).alias(
+                                    "bucket"
+                                ),
+                            )
+                            for d in range(_SCMS_D)
+                        ]
+                    )
+                ).alias("rb")
+            )
+            .groupBy(F.col("rb.d").alias("d"), F.col("rb.bucket").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        for r in rows:
+            sketch[(r["d"], r["b"])] += r["c"]
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # audit side: exact top-10 from ONE batch pass, probed against the
+    # STREAMED sketch state
+    cand = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("user_id"))
+        .limit(_SCMS_TOPN)
+        .collect()
+    )
+    import hashlib
+
+    out = []
+    for r in cand:
+        uid, tc = int(r["user_id"]), int(r["true_count"])
+        est = min(
+            sketch[
+                (
+                    d,
+                    int(
+                        hashlib.md5(f"{d}|{uid}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % _SCMS_W,
+                )
+            ]
+            for d in range(_SCMS_D)
+        )
+        out.append((uid, tc, est, est - tc))
+    return spark.createDataFrame(
+        out,
+        "user_id long, true_count long, est_count long, overestimate long",
+    )

@@ -15,7 +15,7 @@ def _q(name):
 
 def _duck(sf_dir):
     con = duckdb.connect()
-    for t in ("orders", "documents", "embeddings"):
+    for t in ("orders", "documents", "embeddings", "events"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
@@ -158,3 +158,32 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     for r in rows:
         # a group's Shapley value never exceeds its own coverage
         assert 0 < r["shapley_value"] <= r["own_coverage"] + 1e-9
+
+
+def test_propensity_match_balances_propensity(spark, sf_dir):
+    (r,) = _q("propensity_caliper_match_att").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+    assert 0 < r["n_matched"] <= r["n_treated"]
+    # caliper matching balances the propensity distributions: matched
+    # controls sit within one centile of their treated units, so the
+    # means differ by at most ~0.01 plus rounding
+    assert (
+        abs(r["mean_prop_treated"] - r["mean_prop_matched_control"])
+        <= 0.0201
+    )
+    assert 0.0 <= r["mean_prop_treated"] <= 1.0
+
+
+def test_stream_cms_matches_batch_sketch_and_bounds(spark, sf_dir):
+    rows = _q("stream_cms_user_counts").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    con = _duck(sf_dir)
+    # CM guarantee: estimate never undercounts; overestimate bounded
+    # by eps*N with eps = e/w (loose check at 4x the bound)
+    (n_total,) = con.sql("SELECT count(*) FROM events").fetchall()[0]
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]
+        assert r["overestimate"] == r["est_count"] - r["true_count"]
+        assert r["overestimate"] <= 4 * 2.7183 * n_total / 256 + 1
