@@ -214,6 +214,8 @@ HEADLINE = [
     "shapley_coverage_attribution",
     "propensity_caliper_match_att",
     "stream_cms_user_counts",
+    "ndcg_truncation_eval",
+    "isotonic_calibration_pava",
 ]
 
 REPEATS = 2

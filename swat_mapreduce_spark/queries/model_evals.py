@@ -822,3 +822,157 @@ def propensity_caliper_match_att(
             ).alias("mean_prop_matched_control"),
         )
     )
+
+
+# --- isotonic calibration (PAVA) of the quality classifier ----------------------
+# Zadrozny-Elkan calibration: fit a MONOTONE score->P(label) map for
+# the fixed-weight quality classifier (quality_linear_classifier,
+# llm_text3.py — label = lang='en'). Scores land on a bounded
+# centi-probability grid (<=101 cells), where the pool-adjacent-
+# violators solution has the closed minimax form iso(i) =
+# max_{j<=i} min_{k>=i} avg(pos[j..k] / n[j..k]) — so the "iterative"
+# PAVA becomes grid³ interval arithmetic over exact integer prefix
+# sums (bounded: all cumulative/interval tables are |grid|-sized
+# self-joins, no windows, no iteration, nothing corpus-sized after
+# the one scoring pass). Averages are exact-integer-derived doubles;
+# min/max over bit-identical doubles is engine-free.
+_ISO_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> len(t) > 0) AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id, lang,
+           least(1.0, len(toks) / 80.0) AS f_len,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS f_uniq,
+           len(list_filter(toks, x -> list_contains(
+               ['the', 'a', 'of', 'and', 'to', 'in', 'is'], x)))::DOUBLE
+               / len(toks) AS f_stop,
+           list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / len(toks) / 10.0 AS f_awl
+    FROM t
+),
+scored AS (
+    SELECT CAST(round((1.0 / (1.0 + exp(-(-2.0 + 2.0 * f_len
+               + 1.5 * f_uniq + -1.0 * f_stop + 0.5 * f_awl))))
+               * 100) AS BIGINT) AS u,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM f
+),
+grid AS (
+    SELECT u, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT a.u, a.n, a.pos,
+           sum(b.n)::BIGINT AS cn, sum(b.pos)::BIGINT AS cp
+    FROM grid a JOIN grid b ON b.u <= a.u
+    GROUP BY a.u, a.n, a.pos
+),
+iv AS (
+    SELECT j.u AS ju, k.u AS ku,
+           (k.cp - j.cp + j.pos)::DOUBLE
+               / (k.cn - j.cn + j.n) AS avg_jk
+    FROM cum j JOIN cum k ON j.u <= k.u
+),
+inner_min AS (
+    SELECT g.u, iv.ju, min(iv.avg_jk) AS m
+    FROM grid g JOIN iv ON iv.ju <= g.u AND iv.ku >= g.u
+    GROUP BY g.u, iv.ju
+),
+iso AS (SELECT u, max(m) AS iso_rate FROM inner_min GROUP BY u)
+SELECT g.u::BIGINT AS score_centi, g.n AS n_docs, g.pos AS n_pos,
+       round(g.pos * 1.0 / g.n * 10000) / 10000 + 0.0 AS raw_rate,
+       round(i.iso_rate * 1000000) / 1000000 + 0.0 AS iso_rate
+FROM grid g JOIN iso i ON i.u = g.u
+"""
+
+
+@register("isotonic_calibration_pava", oracle=_ISO_ORACLE)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.queries.llm_text3 import _QW
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", ws_tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks").cast("double")
+    f_len = F.least(F.lit(1.0), n / 80.0)
+    f_uniq = F.size(F.array_distinct("toks")).cast("double") / n
+    stop_arr = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    f_stop = (
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+        .cast("double")
+        / n
+    )
+    f_awl = (
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n
+        / 10.0
+    )
+    z = (
+        F.lit(_QW["bias"])
+        + _QW["len"] * f_len
+        + _QW["uniq"] * f_uniq
+        + _QW["stop"] * f_stop
+        + _QW["awl"] * f_awl
+    )
+    scored = docs.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * 100)
+        .cast("long")
+        .alias("u"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grid = scored.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    b = grid.select(
+        F.col("u").alias("bu"), F.col("n").alias("bn"), F.col("pos").alias("bp")
+    )
+    cum = (
+        grid.join(b, F.col("bu") <= F.col("u"))
+        .groupBy("u", "n", "pos")
+        .agg(F.sum("bn").alias("cn"), F.sum("bp").alias("cp"))
+    )
+    j = cum.select(
+        F.col("u").alias("ju"),
+        F.col("n").alias("jn"),
+        F.col("pos").alias("jp"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = cum.select(
+        F.col("u").alias("ku"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    iv = j.join(k, F.col("ju") <= F.col("ku")).select(
+        "ju",
+        "ku",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp")).cast("double")
+            / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+        ).alias("avg_jk"),
+    )
+    inner_min = (
+        grid.select("u")
+        .join(iv, (F.col("ju") <= F.col("u")) & (F.col("ku") >= F.col("u")))
+        .groupBy("u", "ju")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = inner_min.groupBy("u").agg(F.max("m").alias("iso_rate"))
+    return grid.join(iso, "u").select(
+        F.col("u").alias("score_centi"),
+        F.col("n").alias("n_docs"),
+        F.col("pos").alias("n_pos"),
+        R.r(F.col("pos").cast("double") / F.col("n"), 4).alias("raw_rate"),
+        R.r("iso_rate", 6).alias("iso_rate"),
+    )

@@ -2080,3 +2080,159 @@ def alignment_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     side.unpersist()
     return out
+
+
+# --- NDCG of the truncated-embedding ranking --------------------------------
+# The graded-relevance complement to matryoshka_truncation_audit
+# (set overlap) and ranking_rbo_similarity (rank agreement): NDCG@10
+# of the 16-dim-truncated cosine ranking, with gains taken from the
+# FULL-dimension cosine (clamped at 0) — "how much of the ideal
+# ranking's utility does the cheap ranking keep". Discount constants
+# 1/log2(i+1) are PYTHON-COMPUTED double literals embedded in both
+# engines (no runtime libm anywhere); every dcg term is
+# round(gain·disc·1e8) summed as int64, so NDCG is a ratio of exact
+# integers. Same fixed hash-ordered query sample + one corpus pass as
+# the MRL audit; ranks from per-query partitioned windows (bounded by
+# corpus x Q, never global).
+_NDCG_K = 10
+_NDCG_DISC = [1.0 / __import__("math").log2(i + 1) for i in range(1, 11)]
+
+
+def _ndcg_disc_sql(rank_col: str) -> str:
+    cases = " ".join(
+        f"WHEN {i + 1} THEN {d!r}" for i, d in enumerate(_NDCG_DISC)
+    )
+    return f"(CASE {rank_col} {cases} END)"
+
+
+_NDCG_ORACLE = f"""
+WITH {{dims}},
+q AS (SELECT vec_id AS qid FROM embeddings
+      ORDER BY {{qhash}}, vec_id LIMIT {_MRL_Q}),
+full_s AS (
+    SELECT q.qid, d.vec_id,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    GROUP BY q.qid, d.vec_id
+),
+trunc_s AS (
+    SELECT q.qid, d.vec_id,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid AND qd.i <= {_MRL_DIM}
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    GROUP BY q.qid, d.vec_id
+),
+ranked AS (
+    SELECT f.qid, f.vec_id, greatest(0.0, f.c) AS gain,
+           row_number() OVER (PARTITION BY f.qid
+                              ORDER BY f.c DESC, f.vec_id) AS rf,
+           row_number() OVER (PARTITION BY f.qid
+                              ORDER BY t.c DESC, t.vec_id) AS rt
+    FROM full_s f JOIN trunc_s t
+      ON t.qid = f.qid AND t.vec_id = f.vec_id
+),
+dcg AS (
+    SELECT qid,
+           sum(CASE WHEN rt <= {_NDCG_K} THEN CAST(round(
+               gain * {_ndcg_disc_sql('rt')} * 100000000) AS BIGINT)
+               ELSE 0 END) AS dcg_u,
+           sum(CASE WHEN rf <= {_NDCG_K} THEN CAST(round(
+               gain * {_ndcg_disc_sql('rf')} * 100000000) AS BIGINT)
+               ELSE 0 END) AS idcg_u
+    FROM ranked GROUP BY qid
+)
+SELECT qid, dcg_u::BIGINT AS dcg_u, idcg_u::BIGINT AS idcg_u,
+       CASE WHEN idcg_u = 0 THEN NULL
+            ELSE round(dcg_u * 1.0 / idcg_u * 1000000) / 1000000 + 0.0
+       END AS ndcg_at_10
+FROM dcg
+"""
+
+
+@register(
+    "ndcg_truncation_eval",
+    oracle=_NDCG_ORACLE.format(dims=_DIMS_DUCK, qhash=_QS_HASH_DUCK),
+)
+def ndcg_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = _query_sample(
+        emb,
+        _MRL_Q,
+        [
+            F.col("vec_id").alias("qid"),
+            A.as_double_array(F.col("embedding")).alias("qv"),
+        ],
+    )
+    vec = A.as_double_array(F.col("embedding"))
+    scored = (
+        emb.select("vec_id", vec.alias("v"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c_full"),
+            R.r(
+                A.cosine(
+                    F.slice(F.col("v"), 1, _MRL_DIM),
+                    F.slice(F.col("qv"), 1, _MRL_DIM),
+                ),
+                4,
+            ).alias("c_trunc"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(
+        F.desc("c_trunc"), F.asc("vec_id")
+    )
+    gain = F.greatest(F.lit(0.0), F.col("c_full"))
+
+    def disc_of(rank_col):
+        e = F.when(F.col(rank_col) == 1, F.lit(_NDCG_DISC[0]))
+        for i in range(1, _NDCG_K):
+            e = e.when(F.col(rank_col) == i + 1, F.lit(_NDCG_DISC[i]))
+        return e
+
+    ranked = scored.select(
+        "qid",
+        gain.alias("gain"),
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("rt") <= _NDCG_K,
+                F.round(
+                    F.col("gain") * disc_of("rt") * F.lit(1e8)
+                ).cast("long"),
+            ).otherwise(0)
+        ).alias("dcg_u"),
+        F.sum(
+            F.when(
+                F.col("rf") <= _NDCG_K,
+                F.round(
+                    F.col("gain") * disc_of("rf") * F.lit(1e8)
+                ).cast("long"),
+            ).otherwise(0)
+        ).alias("idcg_u"),
+    )
+    return dcg.select(
+        "qid",
+        "dcg_u",
+        "idcg_u",
+        F.when(F.col("idcg_u") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            R.r(
+                F.col("dcg_u").cast("double") / F.col("idcg_u"), 6
+            )
+        )
+        .alias("ndcg_at_10"),
+    )

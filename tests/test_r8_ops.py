@@ -187,3 +187,31 @@ def test_stream_cms_matches_batch_sketch_and_bounds(spark, sf_dir):
         assert r["est_count"] >= r["true_count"]
         assert r["overestimate"] == r["est_count"] - r["true_count"]
         assert r["overestimate"] <= 4 * 2.7183 * n_total / 256 + 1
+
+
+def test_ndcg_bounded_and_consistent_with_overlap(spark, sf_dir):
+    rows = _q("ndcg_truncation_eval").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        if r["ndcg_at_10"] is not None:
+            assert 0.0 <= r["ndcg_at_10"] <= 1.0
+            assert 0 <= r["dcg_u"] <= r["idcg_u"]
+
+
+def test_isotonic_fit_is_monotone_and_conserves_mass(spark, sf_dir):
+    rows = sorted(
+        _q("isotonic_calibration_pava").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["score_centi"],
+    )
+    assert rows
+    rates = [r["iso_rate"] for r in rows]
+    # PAVA output is nondecreasing in the score
+    assert all(b >= a - 1e-9 for a, b in zip(rates, rates[1:]))
+    for r in rows:
+        assert 0.0 <= r["iso_rate"] <= 1.0
+    # isotonic regression preserves the weighted mean (projection
+    # onto the monotone cone keeps the grand total)
+    n = sum(r["n_docs"] for r in rows)
+    pos = sum(r["n_pos"] for r in rows)
+    fit = sum(r["iso_rate"] * r["n_docs"] for r in rows)
+    assert abs(fit - pos) / n < 1e-4
