@@ -937,8 +937,12 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = grid.select(
         F.col("u").alias("bu"), F.col("n").alias("bn"), F.col("pos").alias("bp")
     )
+    # broadcast hints: every non-equi self-join side here is the
+    # bounded centi-grid (<=101 rows) or grid² intervals — hinting
+    # keeps the planner on BroadcastNestedLoopJoin instead of a
+    # CartesianProduct (no-cartesian census guarantee)
     cum = (
-        grid.join(b, F.col("bu") <= F.col("u"))
+        grid.join(F.broadcast(b), F.col("bu") <= F.col("u"))
         .groupBy("u", "n", "pos")
         .agg(F.sum("bn").alias("cn"), F.sum("bp").alias("cp"))
     )
@@ -954,7 +958,7 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").alias("kcn"),
         F.col("cp").alias("kcp"),
     )
-    iv = j.join(k, F.col("ju") <= F.col("ku")).select(
+    iv = j.join(F.broadcast(k), F.col("ju") <= F.col("ku")).select(
         "ju",
         "ku",
         (
@@ -964,7 +968,10 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inner_min = (
         grid.select("u")
-        .join(iv, (F.col("ju") <= F.col("u")) & (F.col("ku") >= F.col("u")))
+        .join(
+            F.broadcast(iv),
+            (F.col("ju") <= F.col("u")) & (F.col("ku") >= F.col("u")),
+        )
         .groupBy("u", "ju")
         .agg(F.min("avg_jk").alias("m"))
     )
