@@ -989,12 +989,12 @@ def shapley_coverage_attribution(
             "g"
         ),
     )
-    sh = D.shingle_table(docs, 3).join(grp, "doc_id")
-    masks = (
-        sh.select("shingle", "g")
-        .distinct()
-        .groupBy("shingle")
-        .agg(F.bit_or(F.expr("shiftleft(1L, g)")).alias("mask"))
+    # broadcast the 1-row-per-doc group map (the shingle explode is
+    # the big side); no distinct before the groupBy — bit_or is
+    # idempotent, duplicate (shingle, g) rows OR to the same mask
+    sh = D.shingle_table(docs, 3).join(F.broadcast(grp), "doc_id")
+    masks = sh.groupBy("shingle").agg(
+        F.bit_or(F.expr("shiftleft(1L, g)")).alias("mask")
     )
     mcnt = {
         int(r["mask"]): int(r["cnt"])
