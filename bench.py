@@ -216,6 +216,8 @@ HEADLINE = [
     "stream_cms_user_counts",
     "ndcg_truncation_eval",
     "isotonic_calibration_pava",
+    "dp_noisy_counts_audit",
+    "mi_lang_source_dependence",
 ]
 
 REPEATS = 2

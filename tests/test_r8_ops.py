@@ -215,3 +215,30 @@ def test_isotonic_fit_is_monotone_and_conserves_mass(spark, sf_dir):
     pos = sum(r["n_pos"] for r in rows)
     fit = sum(r["iso_rate"] * r["n_docs"] for r in rows)
     assert abs(fit - pos) / n < 1e-4
+
+
+def test_dp_noise_within_bounds_and_reproducible(spark, sf_dir):
+    rows = _q("dp_noisy_counts_audit").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["abs_err"] >= 0.0
+        assert abs((r["noisy_count"] - r["n_docs"]) - (
+            r["abs_err"] if r["noisy_count"] >= r["n_docs"]
+            else -r["abs_err"]
+        )) < 2e-4
+    # Laplace(1): ~95% of draws inside 3b; with 20 deterministic
+    # draws allow up to 3 outside
+    assert sum(1 for r in rows if not r["within_3b"]) <= 3
+
+
+def test_mi_information_inequalities(spark, sf_dir):
+    (r,) = _q("mi_lang_source_dependence").spark_fn(
+        spark, sf_dir
+    ).collect()
+    # 0 <= I(X;Y) <= min(H(X), H(Y)); entropies bounded by log2(k)
+    assert -1e-6 <= r["mi_bits"] <= min(
+        r["h_lang_bits"], r["h_source_bits"]
+    ) + 1e-6
+    assert 0.0 <= r["h_lang_bits"] <= 2.33  # log2(5 langs)
+    assert 0.0 <= r["h_source_bits"] <= 4.33  # log2(20 sources)
+    assert -1e-6 <= r["nmi"] <= 1.0 + 1e-6
