@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from swat_mapreduce_spark.functions import hashing as _H
 from swat_mapreduce_spark.functions import rounding as R
 from swat_mapreduce_spark.functions.text import ws_tokens
 from swat_mapreduce_spark.queries import register
@@ -699,24 +700,41 @@ def kcenter_greedy_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of coreset selectors — Mirzasoleiman et al. 2020): greedily pick k
 # exemplars S maximizing F(S) = sum_v max(0, max_{s in S} cos(v, s)) —
 # the COVERAGE objective, where k-center (kcenter_greedy_coreset) is
-# the worst-case-radius one. Candidates are hash-bounded (vec_id % 25
-# = 0, ~|n|/25 rows); the pairwise candidate-similarity table is built
-# ONCE (candidates x corpus, candidate-bounded — never corpus²), and
-# each greedy step is one bounded aggregation over it plus a
-# TakeOrdered(1) argmax. Driver state = the chosen ids (the kmeans /
-# kcenter iterative pattern). Every cosine is an INTEGER unit —
-# round(cos·1e8) from per-dim integer-quantized dot terms — so the
-# max/sum lattice is pure int64 on Spark, DuckDB, and the driver
-# (CLAUDE.md gotcha 13a); argmax ties break on vec_id. The oracle
-# unrolls the same 4 steps as CTEs over the same sims table.
+# the worst-case-radius one. Candidates are a FIXED-COUNT hash-ordered
+# sample (the _query_sample pattern: the 64 lowest md5-unit vec_ids
+# under salt 'fl' — the r4 rule; the original vec_id % 25 pool was a
+# corpus FRACTION collected to the driver, VERDICT r8 #1); the
+# similarity table is built ONCE as a WIDE per-vid array of 64
+# candidate cosines (O(n·64) cells at any corpus size — never
+# corpus²), and each greedy step is ONE aggregation over it: with the
+# chosen set known on the driver, per-row coverage
+# greatest(0, arr[chosen...]) is computable from the row itself, so
+# no join, no checkpoint chain — K passes total. Driver state = 64
+# collected candidate vectors + the chosen ids (the kmeans / kcenter
+# iterative pattern). Every cosine is an INTEGER unit — round(cos·1e8)
+# from per-dim integer-quantized dot terms — so the max/sum lattice is
+# pure int64 on Spark, DuckDB, and the driver (CLAUDE.md gotcha 13a);
+# argmax ties break on vec_id. The oracle unrolls the same 4 steps as
+# CTEs over the same (corpus × 64-candidate) sims table.
 _FL_K = 4
-_FL_CAND_MOD = 25
+_FL_CANDS = 64  # fixed candidate-pool size at every corpus scale
 _FL_DIM = 64
+_FL_HASH_DUCK = _H.duck_hash_uint(_H.sql_salted("vec_id", "'fl'"), 8)
 
 _FL_SIMS_SQL = f"""
+cs AS MATERIALIZED (
+    SELECT vec_id FROM embeddings
+    ORDER BY {_FL_HASH_DUCK}, vec_id LIMIT {_FL_CANDS}
+),
 dims AS MATERIALIZED (
     SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
     FROM embeddings, generate_series(1, {_FL_DIM}) AS g(i)
+),
+cdims AS MATERIALIZED (
+    -- candidate dims PRE-FILTERED before the i-join: without this,
+    -- DuckDB's join order ran dims x dims on i first (~256M rows at
+    -- sf0.1, 36 s) instead of 64-candidate x corpus (3.8 s)
+    SELECT d.vec_id, d.i, d.x FROM dims d JOIN cs ON d.vec_id = cs.vec_id
 ),
 norms AS MATERIALIZED (
     SELECT vec_id, sum(CAST(round(x * x * 100000000) AS BIGINT)) AS q
@@ -731,7 +749,7 @@ sims AS MATERIALIZED (
                   * sqrt(nc.q::DOUBLE / 100000000)) * 100000000)
            AS BIGINT) AS cos_u
     FROM dims g
-    JOIN dims c ON c.i = g.i AND c.vec_id % {_FL_CAND_MOD} = 0
+    JOIN cdims c ON c.i = g.i
     JOIN norms ng ON ng.vec_id = g.vec_id
     JOIN norms nc ON nc.vec_id = c.vec_id
     GROUP BY g.vec_id, c.vec_id, ng.q, nc.q
@@ -801,35 +819,39 @@ def facility_location_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground = emb.select(
         F.col("vec_id").alias("vid"), "v", qnorm.alias("q")
     )
+    # fixed-count candidate pool: the 64 lowest hash-ordered vec_ids —
+    # a TakeOrderedAndProject subtree, so the collect() is a BOUNDED
+    # 64-row driver transfer at any corpus size (VERDICT r8 #1 fix)
     cands = (
-        emb.filter(F.col("vec_id") % _FL_CAND_MOD == 0)
-        .select(
+        emb.select(
             F.col("vec_id").alias("cid"),
             F.col("v").alias("cv"),
             qnorm.alias("cq"),
         )
+        .orderBy(_H.hash_uint(F.col("cid"), "fl", 8), F.asc("cid"))
+        .limit(_FL_CANDS)
     )
-    # The pair-similarity table is (corpus x candidates) — 64-dim
-    # quantized dots over 160k pairs at sf0.1. Higher-order-lambda
-    # expressions (zip_with + aggregate) are NOT whole-stage-codegen'd:
-    # the 10M per-element evals ran ~5 s. This is exactly the
-    # deliberate-Arrow-surface case: a chunked numpy kernel computes
-    # THE SAME integer-unit lattice — round_half_away((x*y)*1e8) per
-    # dim, exact int64 sums, one half-away rounding of the cosine —
-    # bit-identical to the oracle (IEEE multiply/divide/sqrt are
-    # deterministic; half-away rounding is floor(|t|+0.5)*sign, the
-    # F.round/DuckDB round procedure).
+    # The similarity table is (corpus x 64 candidates), produced as a
+    # WIDE per-vid array in candidate-cid order. Higher-order-lambda
+    # expressions (zip_with + aggregate) are NOT whole-stage-codegen'd
+    # at this volume, so this is the deliberate-Arrow-surface case: a
+    # chunked numpy kernel computes THE SAME integer-unit lattice —
+    # round_half_away((x*y)*1e8) per dim, exact int64 sums, one
+    # half-away rounding of the cosine — bit-identical to the oracle
+    # (IEEE multiply/divide/sqrt are deterministic; half-away rounding
+    # is floor(|t|+0.5)*sign, the F.round/DuckDB round procedure).
     cand_rows = sorted(
         (int(r["cid"]), [float(x) for x in r["cv"]], int(r["cq"]))
         for r in cands.collect()
     )
+    cids = [c for c, _, _ in cand_rows]
+    m = len(cids)
 
     def _sims_kernel(it):
         import numpy as np
         import pandas as pd
 
         cmat = np.array([v for _, v, _ in cand_rows], dtype=np.float64)
-        cids = np.array([c for c, _, _ in cand_rows], dtype=np.int64)
         cqs = np.array([q for _, _, q in cand_rows], dtype=np.float64)
 
         def half_away(t):
@@ -847,62 +869,54 @@ def facility_location_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.sqrt(qa / 1e8)[:, None] * np.sqrt(cqs / 1e8)[None, :]
                 )
                 cos_u = half_away(cos * 1e8).astype(np.int64)
-                m = len(cids)
                 yield pd.DataFrame(
                     {
-                        "vid": np.repeat(
-                            chunk["vid"].to_numpy().astype(np.int64), m
-                        ),
-                        "cid": np.tile(cids, len(chunk)),
-                        "cos_u": cos_u.reshape(-1),
+                        "vid": chunk["vid"].to_numpy().astype(np.int64),
+                        "cos_us": list(cos_u),
                     }
                 )
 
     sims = ground.mapInPandas(
-        _sims_kernel, "vid long, cid long, cos_u long"
+        _sims_kernel, "vid long, cos_us array<long>"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cur = ground.select("vid", F.lit(0).cast("long").alias("cur_u"))
+    # Greedy: the chosen set lives on the driver, so each row's
+    # current coverage greatest(0, cos_us[chosen...]) is a constant-
+    # size expression over the row itself — each step is ONE
+    # posexplode + 64-group aggregation producing all m candidate
+    # gains at once (no join, no checkpoint chain; K jobs total, the
+    # first also materializing the persist). posexplode, not a wide
+    # 64-column agg: the wide form's generated code ran ~1.1 s/step
+    # where this shape warms to ~0.35 s.
     chosen: list[tuple[int, int]] = []  # (cid, objective units)
-    persists = [sims]
+    pos_of = {c: j for j, c in enumerate(cids)}
     for _step in range(_FL_K):
-        taken = [c for c, _ in chosen]
-        gain = sims.join(cur, "vid")
-        if taken:
-            gain = gain.filter(~F.col("cid").isin(*taken))
-        top = (
-            gain.groupBy("cid")
-            .agg(
-                F.sum(F.greatest(F.col("cur_u"), F.col("cos_u"))).alias("u")
+        taken = {c for c, _ in chosen}
+        cur = F.greatest(
+            F.lit(0).cast("long"),
+            *[F.element_at("cos_us", pos_of[c] + 1) for c in taken],
+        ) if taken else F.lit(0).cast("long")
+        sums = {
+            int(r["j"]): int(r["u"])
+            for r in sims.select(
+                cur.alias("cur"), F.posexplode("cos_us").alias("j", "c")
             )
-            .orderBy(F.desc("u"), F.asc("cid"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append((int(top["cid"]), int(top["u"])))
-        # localCheckpoint, not persist: the coverage vector chains
-        # through one join per step, and persist() keeps the nested
-        # logical lineage (the kcore_peel_rounds lesson — analyzer
-        # time grows per step); checkpointing keeps every step's plan
-        # flat
-        cur = (
-            cur.join(
-                sims.filter(F.col("cid") == int(top["cid"])).select(
-                    "vid", "cos_u"
-                ),
-                "vid",
-            )
-            .select(
-                "vid",
-                F.greatest(F.col("cur_u"), F.col("cos_u")).alias("cur_u"),
-            )
-            .localCheckpoint()
-        )
+            .groupBy("j")
+            .agg(F.sum(F.greatest(F.col("cur"), F.col("c"))).alias("u"))
+            .collect()
+        }
+        best_cid, best_u = None, None
+        for j, cid in enumerate(cids):  # cid-ascending: first strict max
+            if cid in taken:
+                continue
+            u = sums[j]
+            if best_u is None or u > best_u:
+                best_cid, best_u = cid, u
+        chosen.append((best_cid, best_u))
     rows = [
         (step + 1, cid, _rp(u / 1e8, 6) + 0.0)
         for step, (cid, u) in enumerate(chosen)
     ]
-    for p in persists:
-        p.unpersist()
+    sims.unpersist()
     return spark.createDataFrame(
         rows, "step long, vec_id long, objective double"
     )

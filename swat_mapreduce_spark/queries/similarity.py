@@ -1931,20 +1931,24 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (same-label) pairs — lower is better — and UNIFORMITY =
 # log E[exp(-2·d²)] over ALL pairs — more negative means the space
 # spreads mass over the hypersphere instead of collapsing. Computed on
-# the deterministic vec_id%10 sample (pair volume sample²-bounded,
-# never corpus²). Determinism (gotcha 13a): d² = 2 - 2·cos with cos an
+# a FIXED-COUNT hash-ordered sample (the _query_sample pattern, r4 fix
+# — the 64 lowest md5-unit vec_ids under salt 'au'): pair volume is a
+# CONSTANT 64·63/2 = 2016 at every corpus size, where the original
+# vec_id%10 fraction sample grew quadratically (VERDICT r8 #2).
+# Determinism (gotcha 13a): d² = 2 - 2·cos with cos an
 # integer 1e-8 unit from quantized per-dim dot terms; the alignment
 # sum uses integer 1e-8 units of d², and each exp(-2d²) term is
 # snapped to an integer 1e-12 unit before the order-free sum (the
 # doremi DECIMAL-snapped-exp pattern), so the final ln sees the same
 # exact rational on both engines.
-_AU_MOD = 10
+_AU_Q = 64  # fixed sample size at every corpus scale
 _AU_DIM = 64
+_AU_HASH_DUCK = _H.duck_hash_uint(_H.sql_salted("vec_id", "'au'"), 8)
 
 _AU_ORACLE = f"""
 WITH samp AS (
     SELECT vec_id, label, embedding FROM embeddings
-    WHERE vec_id % {_AU_MOD} = 0
+    ORDER BY {_AU_HASH_DUCK}, vec_id LIMIT {_AU_Q}
 ),
 dims AS MATERIALIZED (
     SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
@@ -1993,12 +1997,15 @@ FROM lab
 def alignment_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
+    # fixed-count sample: TakeOrderedAndProject subtree, bounded at
+    # any corpus size (never a corpus fraction — VERDICT r8 #2)
     samp = (
         read_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % _AU_MOD == 0)
         .select(
             "vec_id", "label", A.as_double_array(F.col("embedding")).alias("v")
         )
+        .orderBy(_H.hash_uint(F.col("vec_id"), "au", 8), F.asc("vec_id"))
+        .limit(_AU_Q)
     )
 
     def units(term):

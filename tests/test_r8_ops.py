@@ -48,10 +48,26 @@ def test_facility_location_objective_monotone(spark, sf_dir):
     # maximization never loses coverage by adding an exemplar)
     objs = [r["objective"] for r in rows]
     assert all(b >= a - 1e-9 for a, b in zip(objs, objs[1:]))
-    # all chosen ids come from the candidate pool and are distinct
+    # all chosen ids come from the fixed-count hash-ordered candidate
+    # pool (r9 rework of the r8 vec_id%25 fraction pool) and are
+    # distinct
+    from pyspark.sql import functions as F
+
+    from swat_mapreduce_spark.functions import hashing as _H
+    from swat_mapreduce_spark.queries.data_selection import _FL_CANDS
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    pool = {
+        r["vec_id"]
+        for r in read_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy(_H.hash_uint(F.col("vec_id"), "fl", 8), "vec_id")
+        .limit(_FL_CANDS)
+        .collect()
+    }
     ids = [r["vec_id"] for r in rows]
     assert len(set(ids)) == 4
-    assert all(v % 25 == 0 for v in ids)
+    assert all(v in pool for v in ids)
 
 
 def test_bcubed_bounds_and_f1_consistency(spark, sf_dir):
