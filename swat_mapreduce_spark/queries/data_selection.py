@@ -983,9 +983,10 @@ own AS (
     SELECT gs.g, vs.v AS own_coverage
     FROM gs JOIN vs ON vs.s = (1 << gs.g)
 )
-SELECT n.g AS grp, d.n_docs, o.own_coverage,
+SELECT n.g AS grp, coalesce(d.n_docs, 0)::BIGINT AS n_docs,
+       o.own_coverage,
        round(n.num * 1.0 / 120 * 10000) / 10000 + 0.0 AS shapley_value
-FROM num n JOIN docs_g d ON d.g = n.g JOIN own o ON o.g = n.g
+FROM num n LEFT JOIN docs_g d ON d.g = n.g JOIN own o ON o.g = n.g
 """
 
 

@@ -72,13 +72,19 @@ GROUP BY src_a, src_b
 @register("jsd_source_divergence", oracle=_JSD_ORACLE)
 def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    # gotcha 10: sequence(1, length(text)) on an EMPTY text descends
+    # ([1, 0] — two ''-char rows) while DuckDB's generate_series(1, 0)
+    # is empty; guard the degenerate bound (ADVICE r8)
     ch = docs.select(
         "source",
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)), "
-                "i -> substring(text, i, 1))"
-            )
+            F.when(
+                F.length("text") >= 1,
+                F.expr(
+                    "transform(sequence(1, length(text)), "
+                    "i -> substring(text, i, 1))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("c"),
     )
     cnt = ch.groupBy("source", "c").agg(
@@ -237,8 +243,11 @@ def dp_noisy_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity leak language (or vice versa)", the question before
 # stratifying a split on either column. Cells are |langs| x |sources|
 # bounded after one corpus groupBy; every plogp term is snapped to an
-# integer 1e-8 unit before the order-free sum (the jsd pattern), so
-# MI/H/NMI are ratios of exact int64 sums.
+# integer 1e-6 unit before the order-free sum (the jsd pattern — the
+# 1e-6 grid, NOT 1e-8, per this file's header: it gives JVM-vs-libm
+# log ULP differences 100x margin; final roundings relax to 4dp so
+# the grid keeps that margin over the output quantum — ADVICE r8),
+# so MI/H/NMI are ratios of exact int64 sums.
 _MI_ORACLE = """
 WITH c AS (
     SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2
@@ -249,29 +258,29 @@ tot AS (SELECT sum(n)::BIGINT AS n_tot FROM c),
 mi_u AS (
     SELECT sum(CAST(round((c.n::DOUBLE / t.n_tot)
                * log2((c.n::DOUBLE * t.n_tot) / (nl.n_l::DOUBLE * ns.n_s))
-               * 100000000) AS BIGINT))::BIGINT AS u,
+               * 1000000) AS BIGINT))::BIGINT AS u,
            count(*)::BIGINT AS n_cells
     FROM c JOIN nl USING (lang) JOIN ns USING (source), tot t
 ),
 hl_u AS (
     SELECT sum(CAST(round(-(n_l::DOUBLE / t.n_tot)
-               * log2(n_l::DOUBLE / t.n_tot) * 100000000) AS BIGINT))
+               * log2(n_l::DOUBLE / t.n_tot) * 1000000) AS BIGINT))
                ::BIGINT AS u
     FROM nl, tot t
 ),
 hs_u AS (
     SELECT sum(CAST(round(-(n_s::DOUBLE / t.n_tot)
-               * log2(n_s::DOUBLE / t.n_tot) * 100000000) AS BIGINT))
+               * log2(n_s::DOUBLE / t.n_tot) * 1000000) AS BIGINT))
                ::BIGINT AS u
     FROM ns, tot t
 )
 SELECT t.n_tot AS n_docs, m.n_cells,
-       round(m.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0 AS mi_bits,
-       round(hl.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0
+       round(m.u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS mi_bits,
+       round(hl.u * 1.0 / 1000000 * 10000) / 10000 + 0.0
            AS h_lang_bits,
-       round(hs.u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0
+       round(hs.u * 1.0 / 1000000 * 10000) / 10000 + 0.0
            AS h_source_bits,
-       round(m.u * 1.0 / least(hl.u, hs.u) * 1000000) / 1000000 + 0.0
+       round(m.u * 1.0 / least(hl.u, hs.u) * 10000) / 10000 + 0.0
            AS nmi
 FROM mi_u m, hl_u hl, hs_u hs, tot t
 """
@@ -298,7 +307,7 @@ def mi_lang_source_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") * F.col("n_tot"))
             / (F.col("n_l").cast("double") * F.col("n_s"))
         )
-        * F.lit(1e8)
+        * F.lit(1e6)
     )
     mi_u = j.agg(
         F.sum(F.round(term).cast("long")).alias("u"),
@@ -309,7 +318,7 @@ def mi_lang_source_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = F.col(col).cast("double") / F.col("n_tot")
         return cnt_df.crossJoin(F.broadcast(tot)).agg(
             F.sum(
-                F.round(-p * F.log2(p) * F.lit(1e8)).cast("long")
+                F.round(-p * F.log2(p) * F.lit(1e6)).cast("long")
             ).alias("u")
         )
 
@@ -322,17 +331,17 @@ def mi_lang_source_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_tot").cast("long").alias("n_docs"),
             "n_cells",
-            R.r(F.col("u").cast("double") / F.lit(1e8), 6).alias("mi_bits"),
-            R.r(F.col("hl_u").cast("double") / F.lit(1e8), 6).alias(
+            R.r(F.col("u").cast("double") / F.lit(1e6), 4).alias("mi_bits"),
+            R.r(F.col("hl_u").cast("double") / F.lit(1e6), 4).alias(
                 "h_lang_bits"
             ),
-            R.r(F.col("hs_u").cast("double") / F.lit(1e8), 6).alias(
+            R.r(F.col("hs_u").cast("double") / F.lit(1e6), 4).alias(
                 "h_source_bits"
             ),
             R.r(
                 F.col("u").cast("double")
                 / F.least(F.col("hl_u"), F.col("hs_u")).cast("double"),
-                6,
+                4,
             ).alias("nmi"),
         )
     )

@@ -657,6 +657,13 @@ def jackknife_keep_rate_stderr(
 # pairs are blocked on the centile grid +/-1 — never treated x control
 # cartesian), nearest-with-replacement, ties broken through ONE
 # exact scalar key |diff|*1e7 + control_id (< 2^53 — gotcha 9).
+# The key is lexicographic (diff first, then id) ONLY while
+# control_id < 1e7: |diff| is an integer count of 1e-6 propensity
+# units, so adjacent diffs are 1e7 apart in key space. user_id tops
+# out ~1.5e3 at current testdata (3+ orders of margin); the Spark side
+# assert_true's the bound per candidate row so a larger future ID
+# domain fails LOUDLY instead of silently picking an engine-dependent
+# match (ADVICE r8).
 # Determinism: propensity snapped to integer 1e-6 units (the one exp),
 # ATT from exact cents sums.
 _PSM_SPLIT = "2024-01-16"
@@ -779,6 +786,16 @@ def propensity_caliper_match_att(
         (
             F.abs(F.col("t_p") - F.col("c_p")) * F.lit(10_000_000)
             + F.col("c_id")
+            # lexicographic-bound guard: assert_true yields NULL when
+            # the bound holds (coalesce keeps it un-prunable) and
+            # throws if a future ID domain ever reaches the 1e7
+            # multiplier
+            + F.coalesce(
+                F.assert_true(F.col("c_id") < F.lit(10_000_000)).cast(
+                    "long"
+                ),
+                F.lit(0),
+            )
         ).alias("k"),
     )
     matched = cand.groupBy("t_id").agg(

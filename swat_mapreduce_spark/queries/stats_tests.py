@@ -600,8 +600,12 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = perm.crossJoin(F.broadcast(obs))
 
     # wide exact arithmetic: decimal(19,0) operands widen products to
-    # DECIMAL(38,0) (scale 0 — no silent scale loss, gotcha 8), so an
-    # overflow past 1e38 errors instead of wrapping (ADVICE r7)
+    # DECIMAL(38,0) (scale 0 — no silent scale loss, gotcha 8). NOTE
+    # on overflow past 1e38: with spark.sql.ansi.enabled unset (this
+    # repo sets no ANSI conf) Spark returns NULL, which a filter
+    # treats as false — the row silently drops from the count rather
+    # than raising; the values here stay far below 1e38 at any
+    # realistic SF (ADVICE r8 correction of the r7 comment)
     def _d(name: str):
         return F.col(name).cast("decimal(19,0)")
 
@@ -1153,7 +1157,8 @@ def trimmed_mean_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # need NO per-user pass beyond the sums: adj_mean_g = mean_y_g -
 # theta*(mean_x_g - mean_x), all from exact integer cents sums (the
 # per-user x·y / x² cross-moments go through HUGEINT/DECIMAL so sf1+
-# magnitudes cannot wrap — CLAUDE.md gotcha on exact-integer sums).
+# magnitudes fit exactly — CLAUDE.md gotcha on exact-integer sums;
+# note past 38 digits non-ANSI Spark would return NULL, not raise).
 # rho² = cov²/(var_x·var_y) reports the achievable variance reduction.
 _CUPED_SPLIT = "2024-01-16"
 
