@@ -500,12 +500,23 @@ _SENTINEL_STAGE_CACHE: dict[str, str] = {}
 
 
 def staged_events_with_flush_sentinels(
-    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str | None = None,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Stage events.parquet as FOUR files — the real data in two
     files, then two far-future sentinel files (one 'click' + one
     'purchase' row each, user_id < 0) — and return a
     maxFilesPerTrigger=1 file stream over them.
+
+    ``max_files_per_trigger`` sets the replay granularity: watermark-
+    dependent consumers (the outer joins, watermark dedup) need 1 —
+    one file per micro-batch so the sentinel batches advance and then
+    apply the watermark — while watermark-FREE foreachBatch folds
+    (monoid accumulators) can take 2 files per batch: still >=2
+    genuine micro-batches (cross-batch accumulation exercised), half
+    the per-batch fixed cost (gotcha 12).
 
     With ``stage_dir=None`` (the normal path) the staged directory is
     CACHED per (sf_dir) for the process lifetime and shared by every
@@ -555,7 +566,7 @@ def staged_events_with_flush_sentinels(
         if cached is not None and os.path.isdir(cached):
             return (
                 spark.readStream.schema(ev.schema)
-                .option("maxFilesPerTrigger", "1")
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
                 .parquet(cached)
             )
         import atexit
@@ -590,7 +601,7 @@ def staged_events_with_flush_sentinels(
             seen |= new
     return (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(stage_dir)
     )
 
