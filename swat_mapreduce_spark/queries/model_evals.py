@@ -1000,3 +1000,126 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.col("pos").cast("double") / F.col("n"), 4).alias("raw_rate"),
         R.r("iso_rate", 6).alias("iso_rate"),
     )
+
+
+# --- unbiased pass@k estimator ---------------------------------------------------
+# The HumanEval/Codex eval primitive (Chen et al. 2021): with n
+# deterministic attempts per task and c successes, the UNBIASED
+# estimator of pass@k is 1 − C(n−c, k)/C(n, k) — never the biased
+# 1−(1−c/n)^k. Attempts are the repo's md5 stand-in for sampled
+# generations: attempt i of doc d succeeds iff
+# hash_uint(d:':pk:':i) % 100 < t_d, with per-doc difficulty
+# t_d = 10 + hash_uint(d:':pd') % 61 (10..70%) so the c distribution
+# is heterogeneous (uniform difficulty would make pass@k ≈ pass@1
+# scaled — a vacuous check). EXACT arithmetic throughout: per doc the
+# estimator times C(n,k) is the integer C(n,k) − C(n−c,k) (a CASE
+# lookup of Python-computed binomials, identical literals in both
+# engines), so the corpus mean is a ratio of exact int64 sums with
+# one final double division. Scale: ONE corpus scan computing c
+# row-locally (10 md5 calls/doc, no explode, no shuffle) then a
+# 3-row bounded agg.
+_PK_N = 10
+_PK_KS = (1, 5, 10)
+
+
+def _comb(n: int, k: int) -> int:
+    import math as _m
+
+    return _m.comb(n, k) if 0 <= k <= n else 0
+
+
+def _pk_case(k: int, col: str) -> str:
+    """SQL CASE mapping c -> C(n,k) - C(n-c,k) (the per-doc unbiased
+    numerator times the constant denominator C(n,k))."""
+    whens = " ".join(
+        f"WHEN {c} THEN {_comb(_PK_N, k) - _comb(_PK_N - c, k)}"
+        for c in range(_PK_N + 1)
+    )
+    return f"(CASE {col} {whens} END)"
+
+
+_PK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           (10 + ('0x' || substr(md5(doc_id || ':pd'), 1, 8))::BIGINT % 61)
+               AS thr
+    FROM documents
+),
+c AS (
+    SELECT t.doc_id,
+           sum(CASE WHEN ('0x' || substr(md5(t.doc_id || ':pk:' || g.i),
+                          1, 8))::BIGINT % 100 < t.thr
+                    THEN 1 ELSE 0 END)::BIGINT AS c
+    FROM t, generate_series(0, {_PK_N - 1}) AS g(i)
+    GROUP BY t.doc_id
+),
+k AS (SELECT unnest([{", ".join(str(k) for k in _PK_KS)}]) AS k),
+agg AS (
+    SELECT k.k,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE k.k
+               WHEN 1 THEN {_pk_case(1, "c.c")}
+               WHEN 5 THEN {_pk_case(5, "c.c")}
+               ELSE {_pk_case(10, "c.c")} END)::BIGINT AS num,
+           sum(CASE WHEN c.c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_any
+    FROM c, k GROUP BY k.k
+)
+SELECT k AS at_k, n_docs, n_any AS n_docs_any_success,
+       round(num * 1.0
+             / (n_docs * (CASE k WHEN 1 THEN {_comb(_PK_N, 1)}
+                          WHEN 5 THEN {_comb(_PK_N, 5)}
+                          ELSE {_comb(_PK_N, 10)} END))
+             * 10000) / 10000 + 0.0 AS pass_at_k
+FROM agg
+"""
+
+
+@register("pass_at_k_estimator", oracle=_PK_ORACLE)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    thr = (
+        "10 + cast(conv(substr(md5(concat(cast(doc_id as string), ':pd')),"
+        " 1, 8), 16, 10) as bigint) % 61"
+    )
+    succ = (
+        "case when cast(conv(substr(md5(concat(cast(doc_id as string),"
+        " ':pk:', cast(i as string))), 1, 8), 16, 10) as bigint) % 100"
+        f" < ({thr}) then 1 else 0 end"
+    )
+    c = docs.selectExpr(
+        "doc_id",
+        "aggregate(transform(sequence(0, "
+        f"{_PK_N - 1}), i -> {succ}), 0L, (a, x) -> a + x) as c",
+    )
+    outs = []
+    for k in _PK_KS:
+        case = _pk_case(k, "c")
+        outs.append(
+            c.selectExpr(
+                f"{k}L as at_k",
+                "c",
+                f"cast({case} as bigint) as num",
+            )
+            .groupBy("at_k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_docs_any_success"),
+                F.sum("num").alias("num"),
+            )
+            .select(
+                "at_k",
+                "n_docs",
+                "n_docs_any_success",
+                R.r(
+                    F.col("num").cast("double")
+                    / (F.col("n_docs") * F.lit(_comb(_PK_N, k))),
+                    4,
+                ).alias("pass_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1585,3 +1585,140 @@ def sliding_p50_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events_7d"),
         (F.col("p50c").cast("double") / F.lit(100)).alias("p50_value"),
     )
+
+
+# --- Adamic-Adar link prediction over the co-purchase graph ---------------------
+# The classic common-neighbor link predictor (Adamic & Adar 2003):
+# for part pairs NOT yet co-purchased, score = Σ_z 1/ln(deg(z)) over
+# common neighbors z in the PROMO co-purchase graph — the "which
+# products will be bought together next" primitive. Wedge volume is
+# Σ_z d(z)² (the triangle-count bound); existing edges are removed
+# with a left-anti join so the output is genuinely PREDICTED links.
+# Determinism: each 1/ln(deg) weight is snapped to an INTEGER 1e-6
+# unit before the order-free sum (the MI/jsd grid — ln ULP noise gets
+# ~1e-7 relative slack vs the rounding boundary, audited by
+# tieaudit); ranking and the top-20 cut order by the exact integer
+# score with (a, b) tie-break. Wedge centers always have deg >= 2, so
+# ln(deg) >= ln 2 — no division hazard.
+_AA_TOPN = 20
+
+_AA_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL
+    SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (
+    -- deg-1 nodes generate no wedges but ln(1)=0 would still be
+    -- evaluated: guard the weight (NULL never joins into a wedge)
+    SELECT u, count(*)::BIGINT AS d,
+           CASE WHEN count(*) >= 2
+                THEN CAST(round(1000000.0 / ln(count(*))) AS BIGINT)
+           END AS w_u
+    FROM und GROUP BY u
+),
+wedges AS (
+    SELECT n1.v AS a, n2.v AS b, d.w_u
+    FROM und n1
+    JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN deg d ON d.u = n1.u
+),
+cand AS (
+    SELECT w.a, w.b,
+           sum(w.w_u)::BIGINT AS score_u,
+           count(*)::BIGINT AS n_common
+    FROM wedges w
+    LEFT JOIN edges e ON e.pa = w.a AND e.pb = w.b
+    WHERE e.pa IS NULL
+    GROUP BY w.a, w.b
+)
+SELECT a AS part_a, b AS part_b, n_common,
+       round(score_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS aa_score
+FROM cand
+ORDER BY score_u DESC, a, b
+LIMIT 20
+"""
+
+
+@register("adamic_adar_link_prediction", oracle=_AA_ORACLE)
+def adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    # deg-1 guard mirrors the oracle: ln(1)=0 is never divided by
+    deg = und.groupBy("u").agg(
+        F.when(
+            F.count(F.lit(1)) >= 2,
+            F.round(F.lit(1e6) / F.log(F.count(F.lit(1)))).cast("long"),
+        ).alias("w_u")
+    )
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    wedges = (
+        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .join(deg, F.col("u") == F.col("z"))
+        .select("a", "b", "w_u")
+    )
+    cand = (
+        wedges.join(
+            edges,
+            (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("w_u").alias("score_u"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    out = (
+        cand.orderBy(F.desc("score_u"), F.asc("a"), F.asc("b"))
+        .limit(_AA_TOPN)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            R.r(F.col("score_u").cast("double") / F.lit(1e6), 4).alias(
+                "aa_score"
+            ),
+        )
+    )
+    rows = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -1272,3 +1272,210 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r("theta", 6).alias("theta"),
         R.r("rho2", 6).alias("rho2"),
     )
+
+
+# --- Welch's unequal-variance t-test ---------------------------------------
+# The workhorse two-sample mean test (Welch 1947) the experimentation
+# stack was missing: purchase value by variant (user_id % 2), UNEQUAL
+# variances, Welch-Satterthwaite df. Determinism: group moments are
+# exact integer cents sums (n, Σx, Σx² — the squared-cents sum goes
+# through DECIMAL(38,0), gotcha 2/8); everything after is IEEE
+# +,-,*,/,sqrt on exact-int-derived doubles — NO libm call anywhere,
+# so both engines compute bit-identical t and df before the one final
+# 4dp rounding. significant_z = |t| > 1.96 (normal approximation; the
+# t CDF needs an incomplete beta neither engine exposes portably).
+_WELCH_ORACLE = """
+WITH v AS (
+    SELECT (user_id % 2)::BIGINT AS variant,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT variant,
+           count(*)::BIGINT AS n,
+           sum(cents)::BIGINT AS s,
+           sum(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+    FROM v GROUP BY 1
+),
+w AS (
+    SELECT a.n AS na, b.n AS nb,
+           a.s::DOUBLE / a.n AS ma, b.s::DOUBLE / b.n AS mb,
+           (a.ss::DOUBLE - (a.s::DOUBLE * a.s::DOUBLE) / a.n)
+               / (a.n - 1) AS va,
+           (b.ss::DOUBLE - (b.s::DOUBLE * b.s::DOUBLE) / b.n)
+               / (b.n - 1) AS vb
+    FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
+)
+SELECT na, nb,
+       round(ma / 100 * 10000) / 10000 + 0.0 AS mean_a,
+       round(mb / 100 * 10000) / 10000 + 0.0 AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb) * 10000) / 10000 + 0.0
+           AS t_stat,
+       round(((va / na + vb / nb) * (va / na + vb / nb))
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)) * 100) / 100 + 0.0
+           AS welch_df,
+       abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant_z
+FROM w
+"""
+
+
+@register("welch_ttest_value_by_variant", oracle=_WELCH_ORACLE)
+def welch_ttest_value_by_variant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One corpus scan to two moment rows; all test math on those.
+    At 100 TB this is a single map-side-combined groupBy to 2 rows —
+    the cheapest possible shuffle shape."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (
+        F.col("ssa").cast("double")
+        - (F.col("sa").cast("double") * F.col("sa").cast("double"))
+        / F.col("na")
+    ) / (F.col("na") - 1)
+    vb = (
+        F.col("ssb").cast("double")
+        - (F.col("sb").cast("double") * F.col("sb").cast("double"))
+        / F.col("nb")
+    ) / (F.col("nb") - 1)
+    sa2 = va / F.col("na") + vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(sa2)
+    df = (sa2 * sa2) / (
+        (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
+        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return j.select(
+        "na",
+        "nb",
+        R.r(ma / 100, 4).alias("mean_a"),
+        R.r(mb / 100, 4).alias("mean_b"),
+        R.r(t, 4).alias("t_stat"),
+        R.r(df, 2).alias("welch_df"),
+        (F.abs(t) > F.lit(1.96)).alias("significant_z"),
+    )
+
+
+# --- sequential probability ratio test (SPRT) over daily conversion -------------
+# Wald's SPRT — the sequential A/B stopping rule a pipeline runs to
+# stop an experiment EARLY: daily purchase-conversion counts feed a
+# cumulative log-likelihood ratio for H1: p=0.20 vs H0: p=0.15, with
+# Wald boundaries ln((1-β)/α) / ln(β/(1-α)) at α=β=0.05. NO runtime
+# libm anywhere: the four log constants are PYTHON-COMPUTED integer
+# 1e-8-unit literals embedded in both engines, so each day's LLR
+# increment x·L1 + (n−x)·L0 and its running sum are exact int64
+# arithmetic; only the final display division is floating point.
+# Both the running state per day and the overall first-crossing
+# decision are emitted. Scale: one corpus scan to the ≤ ~30-day
+# count table; the cumulative window runs on that bounded table.
+import math as _math
+
+_SPRT_P0 = 0.15
+_SPRT_P1 = 0.20
+_SPRT_L1_U = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1e8)  # per success
+_SPRT_L0_U = round(
+    _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e8
+)  # per failure
+_SPRT_LNA_U = round(_math.log(0.95 / 0.05) * 1e8)  # accept H1 above
+_SPRT_LNB_U = round(_math.log(0.05 / 0.95) * 1e8)  # accept H0 below
+
+_SPRT_ORACLE = f"""
+WITH d AS (
+    SELECT ts::DATE AS day,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS x,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+),
+c AS (
+    SELECT day, x, n,
+           sum(x * {_SPRT_L1_U} + (n - x) * ({_SPRT_L0_U}))
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cum_u
+    FROM d
+),
+s AS (
+    SELECT day, x, n, cum_u,
+           CASE WHEN cum_u >= {_SPRT_LNA_U} THEN 'accept_h1'
+                WHEN cum_u <= {_SPRT_LNB_U} THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM c
+)
+SELECT s.day, s.x AS n_success, s.n AS n_trials,
+       round(s.cum_u * 1.0 / 100000000 * 10000) / 10000 + 0.0 AS cum_llr,
+       s.state,
+       s.day = (SELECT min(day) FROM s WHERE state <> 'continue')
+           AS is_decision_day
+FROM s
+"""
+
+
+@register("sprt_sequential_conversion", oracle=_SPRT_ORACLE)
+def sprt_sequential_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded-input window: the daily table is calendar-bounded
+    c = d.withColumn(
+        "cum_u",
+        F.sum(
+            F.col("x") * F.lit(_SPRT_L1_U)
+            + (F.col("n") - F.col("x")) * F.lit(_SPRT_L0_U)
+        ).over(w),
+    )
+    state = (
+        F.when(F.col("cum_u") >= _SPRT_LNA_U, "accept_h1")
+        .when(F.col("cum_u") <= _SPRT_LNB_U, "accept_h0")
+        .otherwise("continue")
+    )
+    s = c.withColumn("state", state)
+    first = s.filter(F.col("state") != "continue").agg(
+        F.min("day").alias("dec_day")
+    )
+    return s.crossJoin(F.broadcast(first)).select(
+        "day",
+        F.col("x").alias("n_success"),
+        F.col("n").alias("n_trials"),
+        R.r(F.col("cum_u").cast("double") / F.lit(1e8), 4).alias(
+            "cum_llr"
+        ),
+        "state",
+        (F.col("day") == F.col("dec_day")).alias("is_decision_day"),
+    )

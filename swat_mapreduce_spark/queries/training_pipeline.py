@@ -955,3 +955,78 @@ def stratified_neyman_allocation(
         .cast("long")
         .alias("final_alloc"),
     )
+
+
+# --- UniMax language-budget allocation -------------------------------------------
+# UniMax (Chung et al. 2023) — the PaLM-2-era alternative to
+# temperature sampling (temperature_mix_sources): allocate a total
+# training budget across languages by WATERFILLING with a per-language
+# epoch cap, instead of a power-law rate. Languages are processed in
+# ascending cap order; at each step the language takes
+# min(cap, b_rem div k_rem) docs (integer fair share of what remains),
+# so low-resource languages cap out at max_epochs=1 pass and the
+# surplus flows to higher-resource ones — no language is oversampled
+# past its cap and none is starved. EXACT integer arithmetic end to
+# end (budget = total*8 div 10, integer div shares), so both engines
+# walk the identical allocation sequence: the oracle unrolls the walk
+# as a recursive CTE over the cap-ordered language list; the Spark
+# side folds the same list driver-side (|langs|-bounded metadata,
+# the kmeans-pattern driver state). Scale: ONE map-side-combined
+# groupBy to |langs| rows; everything after is metadata.
+_UNIMAX_EPOCHS = 1  # cap = n_docs * 1 (one full pass max)
+
+_UNIMAX_ORACLE = """
+WITH RECURSIVE l AS (
+    SELECT lang, count(*)::BIGINT AS n,
+           row_number() OVER (ORDER BY count(*), lang) AS i
+    FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS k FROM l),
+rec AS (
+    SELECT 0::BIGINT AS i, (t * 8) // 10 AS b_rem, k AS k_rem,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS alloc
+    FROM tot
+    UNION ALL
+    SELECT l.i,
+           r.b_rem - least(l.n, r.b_rem // r.k_rem),
+           r.k_rem - 1,
+           l.lang, l.n,
+           least(l.n, r.b_rem // r.k_rem)
+    FROM rec r JOIN l ON l.i = r.i + 1
+)
+SELECT lang, n AS n_docs, alloc AS alloc_docs,
+       (alloc = n) AS capped,
+       round(alloc * 1.0 / n * 10000) / 10000 + 0.0 AS epochs
+FROM rec WHERE i >= 1
+"""
+
+
+@register("unimax_budget_allocation", oracle=_UNIMAX_ORACLE)
+def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.queries.curation import _rp
+
+    counts = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )  # bounded driver state: |langs| rows
+    langs = sorted((int(r["n"]), r["lang"]) for r in counts)
+    total = sum(n for n, _ in langs)
+    b_rem = (total * 8) // 10
+    k_rem = len(langs)
+    rows = []
+    for n, lang in langs:
+        cap = n * _UNIMAX_EPOCHS
+        alloc = min(cap, b_rem // k_rem)
+        b_rem -= alloc
+        k_rem -= 1
+        rows.append(
+            (lang, n, alloc, alloc == n, _rp(alloc / n, 4) + 0.0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs long, alloc_docs long, capped boolean,"
+        " epochs double",
+    )
