@@ -1040,3 +1040,159 @@ def shapley_coverage_attribution(
         rows,
         "grp long, n_docs long, own_coverage long, shapley_value double",
     )
+
+
+# --- RHO-loss data selection ------------------------------------------------------
+# Reducible-holdout-loss selection (Mindermann et al. 2022): score
+# each doc by rho = NLL under the TRAINING model (char-bigram LM on
+# the full corpus) minus NLL under the REFERENCE model (same family
+# trained on the clean 'en' subset — the holdout proxy); high rho =
+# learnable-but-not-yet-learnt, the points worth training on next.
+# Both models share Laplace smoothing over the FULL corpus bigram
+# vocabulary so the reference assigns finite probability everywhere.
+# Determinism (the charlm decimal shape, gotcha 13a/8): each
+# per-bigram ln is snapped to DECIMAL(20,6) and multiplied by the
+# DECIMAL(10,0) count — per-doc sums are EXACT decimals, so the rho
+# ranking key (sum_ref − sum_train)/n is one IEEE division of exact
+# inputs, identical across engines; top-20 cut tie-breaks on doc_id.
+# Scale: ONE bigram explode → per-doc count table persisted and
+# reused by both model builds and the scoring join; both models are
+# charset²-bounded broadcasts.
+_RHO_TOPN = 20
+
+_RHO_ORACLE = """
+WITH bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, length(text) - 1),
+                                 i -> substring(text, i, 2))) AS b
+    FROM documents
+),
+bgc AS (
+    SELECT doc_id, b, count(*) AS cd FROM bg GROUP BY doc_id, b
+),
+mf AS (SELECT b, sum(cd)::BIGINT AS c FROM bgc GROUP BY b),
+mr AS (
+    SELECT bgc.b, sum(bgc.cd)::BIGINT AS c
+    FROM bgc JOIN documents d ON d.doc_id = bgc.doc_id
+    WHERE d.lang = 'en'
+    GROUP BY bgc.b
+),
+st AS (
+    SELECT (SELECT sum(c) FROM mf)::BIGINT AS tf,
+           (SELECT coalesce(sum(c), 0) FROM mr)::BIGINT AS tr,
+           (SELECT count(*) FROM mf)::BIGINT AS v
+),
+scored AS (
+    SELECT bgc.doc_id,
+           sum(bgc.cd)::BIGINT AS n,
+           sum(CAST(ln((mf.c + 1)::DOUBLE / (st.tf + st.v))
+                    AS DECIMAL(20,6))
+               * CAST(bgc.cd AS DECIMAL(10,0))) AS sum_f,
+           sum(CAST(ln((coalesce(mr.c, 0) + 1)::DOUBLE / (st.tr + st.v))
+                    AS DECIMAL(20,6))
+               * CAST(bgc.cd AS DECIMAL(10,0))) AS sum_r
+    FROM bgc
+    JOIN mf ON mf.b = bgc.b
+    LEFT JOIN mr ON mr.b = bgc.b
+    CROSS JOIN st
+    GROUP BY bgc.doc_id
+)
+SELECT s.doc_id, d.lang, s.n AS n_bigrams,
+       round((-s.sum_f::DOUBLE / s.n) * 10000) / 10000 + 0.0
+           AS nll_train,
+       round((-s.sum_r::DOUBLE / s.n) * 10000) / 10000 + 0.0 AS nll_ref,
+       round(((s.sum_r - s.sum_f)::DOUBLE / s.n) * 10000) / 10000 + 0.0
+           AS rho
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY (s.sum_r - s.sum_f)::DOUBLE / s.n DESC, s.doc_id
+LIMIT 20
+"""
+
+
+@register("rho_loss_selection", oracle=_RHO_ORACLE)
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    bgc = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mf = bgc.groupBy("b").agg(F.sum("cd").cast("long").alias("c"))
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    mr = (
+        bgc.join(F.broadcast(en), "doc_id", "left_semi")
+        .groupBy("b")
+        .agg(F.sum("cd").cast("long").alias("cr"))
+    )
+    st = mf.agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    ).crossJoin(
+        F.broadcast(
+            mr.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("tr"))
+        )
+    )
+    dec = "decimal(20,6)"
+    scored = (
+        bgc.join(F.broadcast(mf), "b")
+        .join(F.broadcast(mr), "b", "left")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "cd",
+            (
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tf") + F.col("v"))
+                ).cast(dec)
+                * F.col("cd").cast("decimal(10,0)")
+            ).alias("lpf"),
+            (
+                F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tr") + F.col("v"))
+                ).cast(dec)
+                * F.col("cd").cast("decimal(10,0)")
+            ).alias("lpr"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cd").cast("long").alias("n"),
+            F.sum("lpf").alias("sum_f"),
+            F.sum("lpr").alias("sum_r"),
+        )
+    )
+    key = (F.col("sum_r") - F.col("sum_f")).cast("double") / F.col("n")
+    out = (
+        scored.join(
+            F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+        )
+        .orderBy(key.desc(), F.asc("doc_id"))
+        .limit(_RHO_TOPN)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").alias("n_bigrams"),
+            R.r((-F.col("sum_f").cast("double")) / F.col("n"), 4).alias(
+                "nll_train"
+            ),
+            R.r((-F.col("sum_r").cast("double")) / F.col("n"), 4).alias(
+                "nll_ref"
+            ),
+            R.r(key, 4).alias("rho"),
+        )
+    )
+    rows = out.collect()
+    bgc.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -221,3 +221,211 @@ def modality_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("vec_id").alias("n_with_embedding"),
         (F.count(F.lit(1)) - F.count("vec_id")).alias("n_text_only"),
     )
+
+
+# --- perceptual-hash near-duplicate recall (planted variants) --------------------
+# The image-dedup primitive over the binary-payload stand-in: a 32-bit
+# AVERAGE HASH (aHash — the pHash family's oracle-able member) built
+# from the payload's code points: split the payload into 32 equal
+# segments, bit_i = (segment mean > whole-payload mean), compared in
+# EXACT integer cross-multiplication (s_sum·t_len > t_sum·s_len — no
+# division, bit-identical on both engines). Near-dup = Hamming ≤ 3,
+# indexed by 4 bands of 8 bits: pigeonhole guarantees ≤3 bit errors
+# leave ≥1 clean band, so the band index has PERFECT recall on true
+# ≤3 pairs in theory — this query MEASURES it against planted
+# variants (a fixed-count 64-doc hash-ordered sample, gotcha 14, each
+# with its last byte replaced), since the testdata has no natural
+# byte-level near-dups below sf0.1. Scale: one corpus code-point pass
+# → 32-segment table → one 32-bit int per doc; the variant probe is
+# O(64·bands) against the banded index, never corpus².
+_PH_SEGS = 32
+_PH_BANDS = 4
+_PH_T = 3
+_PH_Q = 64
+_PH_HASH_DUCK = "('0x' || substr(md5(doc_id || ':ph'), 1, 8))::BIGINT"
+
+_PH_SQL = """
+{name}_ch AS (
+    -- scalar-list generate_series (the jsd/charlm idiom): the TABLE
+    -- form rejects lateral column bounds
+    SELECT doc_id, length(t) AS l,
+           unnest(list_transform(generate_series(1, length(t)),
+                                 i -> [i, unicode(substring(t, i, 1))]))
+               AS pc
+    FROM {src}
+),
+{name}_seg AS (
+    SELECT doc_id, ((pc[1] - 1) * 32) // l AS seg,
+           sum(pc[2])::BIGINT AS s_sum, count(*)::BIGINT AS s_len
+    FROM {name}_ch GROUP BY 1, 2
+),
+{name}_doc AS (
+    SELECT doc_id, sum(s_sum)::BIGINT AS t_sum,
+           sum(s_len)::BIGINT AS t_len
+    FROM {name}_seg GROUP BY 1
+),
+{name} AS (
+    SELECT s.doc_id,
+           sum(CASE WHEN s.s_sum * d.t_len > d.t_sum * s.s_len
+                    THEN 1 << s.seg ELSE 0 END)::BIGINT AS h
+    FROM {name}_seg s JOIN {name}_doc d ON d.doc_id = s.doc_id
+    GROUP BY s.doc_id
+)"""
+
+_PH_ORACLE = f"""
+WITH corpus_t AS (SELECT doc_id, text AS t FROM documents),
+samp AS (
+    SELECT doc_id, substring(text, 1, length(text) - 1) || 'x' AS t
+    FROM documents
+    ORDER BY {_PH_HASH_DUCK}, doc_id LIMIT {_PH_Q}
+),
+{_PH_SQL.format(name="cph", src="corpus_t")},
+{_PH_SQL.format(name="vph", src="samp")},
+cband AS (
+    SELECT c.doc_id, g.b, (c.h >> (8 * g.b)) & 255 AS val
+    FROM cph c, generate_series(0, {_PH_BANDS - 1}) AS g(b)
+),
+vband AS (
+    SELECT v.doc_id, g.b, (v.h >> (8 * g.b)) & 255 AS val
+    FROM vph v, generate_series(0, {_PH_BANDS - 1}) AS g(b)
+),
+cand AS (
+    SELECT DISTINCT v.doc_id AS vid, c.doc_id AS cid
+    FROM vband v JOIN cband c ON c.b = v.b AND c.val = v.val
+),
+truth AS (
+    SELECT v.doc_id,
+           bit_count(xor(v.h::BIT, c.h::BIT))::BIGINT AS hd,
+           exists(SELECT 1 FROM cand
+                  WHERE cand.vid = v.doc_id AND cand.cid = v.doc_id)
+               AS band_hit
+    FROM vph v JOIN cph c ON c.doc_id = v.doc_id
+)
+SELECT count(*)::BIGINT AS n_planted,
+       sum(CASE WHEN hd <= {_PH_T} THEN 1 ELSE 0 END)::BIGINT
+           AS n_true_close,
+       sum(CASE WHEN band_hit THEN 1 ELSE 0 END)::BIGINT AS n_band_hits,
+       sum(CASE WHEN band_hit AND hd <= {_PH_T} THEN 1 ELSE 0 END)::BIGINT
+           AS n_detected,
+       round(sum(CASE WHEN band_hit AND hd <= {_PH_T} THEN 1 ELSE 0 END)
+             * 10000.0
+             / sum(CASE WHEN hd <= {_PH_T} THEN 1 ELSE 0 END)) / 10000
+           + 0.0 AS band_recall,
+       round(sum(hd) * 10000.0 / count(*)) / 10000 + 0.0
+           AS mean_hamming
+FROM truth
+"""
+
+
+def _phash_table(df: DataFrame) -> DataFrame:
+    """(doc_id, h): 32-bit average-hash over the code points of column
+    ``t`` — exact integer bit derivation (see module comment)."""
+    ch = df.select(
+        "doc_id",
+        F.length("t").alias("l"),
+        F.posexplode(
+            F.when(
+                F.length("t") >= 1,
+                F.expr("transform(sequence(1, length(t)), "
+                       "i -> ascii(substring(t, i, 1)))"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p0", "cp"),
+    )
+    seg = ch.groupBy(
+        "doc_id", ((F.col("p0") * _PH_SEGS) / F.col("l")).cast("long").alias("seg")
+    ).agg(
+        F.sum("cp").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_len"),
+    )
+    doc = seg.groupBy("doc_id").agg(
+        F.sum("s_sum").alias("t_sum"), F.sum("s_len").alias("t_len")
+    )
+    return (
+        seg.join(doc, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s_sum") * F.col("t_len")
+                    > F.col("t_sum") * F.col("s_len"),
+                    # column-typed shift count needs the SQL form
+                    F.expr("shiftleft(1L, cast(seg as int))"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("h")
+        )
+    )
+
+
+@register("phash_neardup_recall", oracle=_PH_ORACLE)
+def phash_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import hashing as _H
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", F.col("text").alias("t"))
+    samp = (
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.expr("substring(text, 1, length(text) - 1)"), F.lit("x")
+            ).alias("t"),
+        )
+        .orderBy(_H.hash_uint(F.col("doc_id"), "ph", 8), F.asc("doc_id"))
+        .limit(_PH_Q)
+    )
+    cph = _phash_table(corpus)
+    vph = _phash_table(samp)
+
+    def bands(ph, idc):
+        return ph.select(
+            F.col("doc_id").alias(idc),
+            F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("b"),
+            "h",
+        ).select(
+            idc,
+            "b",
+            F.expr("shiftright(h, cast(b * 8 as int)) & 255").alias("val"),
+        )
+
+    cand = (
+        bands(F.broadcast(vph), "vid")
+        .join(bands(cph, "cid"), ["b", "val"])
+        .select("vid", "cid")
+        .distinct()
+    )
+    hit = cand.filter(F.col("vid") == F.col("cid")).select(
+        F.col("vid").alias("doc_id"), F.lit(True).alias("band_hit")
+    )
+    truth = (
+        vph.select("doc_id", F.col("h").alias("hv"))
+        .join(cph.select("doc_id", F.col("h").alias("hc")), "doc_id")
+        .join(F.broadcast(hit), "doc_id", "left")
+        .select(
+            F.bit_count(
+                F.col("hv").bitwiseXOR(F.col("hc"))
+            ).cast("long").alias("hd"),
+            F.coalesce(F.col("band_hit"), F.lit(False)).alias("band_hit"),
+        )
+    )
+    close = F.when(F.col("hd") <= _PH_T, 1).otherwise(0)
+    det = F.when(F.col("band_hit") & (F.col("hd") <= _PH_T), 1).otherwise(0)
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted"),
+        F.sum(close).cast("long").alias("n_true_close"),
+        F.sum(F.when(F.col("band_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_band_hits"),
+        F.sum(det).cast("long").alias("n_detected"),
+        (
+            F.round(F.sum(det) * F.lit(10000.0) / F.sum(close))
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("band_recall"),
+        (
+            F.round(F.sum("hd") * F.lit(10000.0) / F.count(F.lit(1)))
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("mean_hamming"),
+    )

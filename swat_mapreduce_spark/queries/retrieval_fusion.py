@@ -309,3 +309,112 @@ def ranking_rbo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rbo_ppm"),
     )
+
+
+# --- query-likelihood retrieval with Dirichlet smoothing -------------------------
+# The language-modeling retrieval family (Ponte & Croft 1998; Zhai &
+# Lafferty 2001) next to the repo's BM25: score(q,d) =
+# Σ_t ln((tf_td + μ·p(t|C)) / (dl_d + μ)), μ = 300 — the standard
+# Dirichlet-prior smoothing that backs short-document retrieval in
+# Lucene/Anserini. Collection stats (corpus term frequency, total
+# token count) come from ONE corpus scan; every per-(doc, term) log
+# term is snapped to an INTEGER 1e-6 unit (the MI/jsd grid) before
+# the 3-term sum, so ranking and the top-10 cut order by exact int64
+# score with doc_id tie-break. The ln input expression is
+# parenthesized IDENTICALLY in both engines.
+_QL_TERMS = ("merge", "scan", "sort")
+_QL_MU = 300.0
+
+def _ql_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf_{i}"
+        for i, w in enumerate(_QL_TERMS)
+    )
+    cf_cols = ", ".join(
+        f"sum(tf_{i})::BIGINT AS cf_{i}" for i in range(len(_QL_TERMS))
+    )
+    score = " + ".join(
+        f"CAST(round(ln((tf_{i} + {_QL_MU} * (s.cf_{i}::DOUBLE / s.tt))"
+        f" / (dl + {_QL_MU})) * 1000000) AS BIGINT)"
+        for i in range(len(_QL_TERMS))
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+m AS (
+    SELECT doc_id, len(t) AS dl, {tf_cols} FROM toks
+),
+s AS (
+    SELECT sum(dl)::BIGINT AS tt, {cf_cols} FROM m
+),
+sc AS (
+    SELECT doc_id, dl, ({score}) AS score_u,
+           (tf_0 + tf_1 + tf_2)::BIGINT AS n_query_hits
+    FROM m CROSS JOIN s
+)
+SELECT doc_id, dl AS doc_len, n_query_hits,
+       round(score_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS ql_score
+FROM sc
+ORDER BY score_u DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("ql_dirichlet_retrieval", oracle=_ql_oracle())
+def ql_dirichlet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.col("text"))
+
+    def tf_of(word: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(w).alias(f"tf_{i}") for i, w in enumerate(_QL_TERMS)],
+    )
+    s = m.agg(
+        F.sum("dl").alias("tt"),
+        *[
+            F.sum(F.col(f"tf_{i}")).cast("long").alias(f"cf_{i}")
+            for i in range(len(_QL_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_QL_TERMS)):
+        term = F.round(
+            F.log(
+                (
+                    F.col(f"tf_{i}")
+                    + F.lit(_QL_MU)
+                    * (F.col(f"cf_{i}").cast("double") / F.col("tt"))
+                )
+                / (F.col("dl") + F.lit(_QL_MU))
+            )
+            * F.lit(1e6)
+        ).cast("long")
+        score = term if score is None else score + term
+    sc = m.crossJoin(F.broadcast(s)).select(
+        "doc_id",
+        "dl",
+        score.alias("score_u"),
+        (F.col("tf_0") + F.col("tf_1") + F.col("tf_2"))
+        .cast("long")
+        .alias("n_query_hits"),
+    )
+    return (
+        sc.orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("dl").alias("doc_len"),
+            "n_query_hits",
+            R.r(F.col("score_u").cast("double") / F.lit(1e6), 4).alias(
+                "ql_score"
+            ),
+        )
+    )

@@ -2243,3 +2243,189 @@ def ndcg_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_at_10"),
     )
+
+
+# --- InfoNCE contrastive-loss audit ----------------------------------------------
+# The NT-Xent/InfoNCE number (Oord et al. 2018; Chen et al. 2020) a
+# contrastive-embedding trainer monitors, computed on the fixed
+# 64-vector hash-ordered sample (salt 'nce' — constant 64·63 directed
+# pairs at any corpus size, gotcha 14): per anchor, positive = the
+# best same-label candidate, loss = ln Σ_j exp(cos_ij/τ) − ln e_pos,
+# plus top-1 label accuracy. Determinism: cosines are integer 1e-8
+# units (the AU lattice); each exp(cos·5) term is snapped to an
+# INTEGER 1e-11 unit (max term exp(5)·1e11 ≈ 1.5e13, 63-term sums
+# ≤ 9.3e14 — exact int64 AND exact as double under 2^53), so both
+# engines take ln of identical exact rationals; per-anchor losses
+# snap to 1e-6 units before the order-free mean. The positive's term
+# is max(e_u | same label) — exp is monotone in the integer cosine,
+# so the VALUE equals the max-cosine positive's term with no
+# tie-break needed; accuracy compares max-same vs max-diff term
+# values (ties count as correct on both engines).
+_NCE_Q = 64
+_NCE_TAU_INV = 5.0  # tau = 0.2
+_NCE_HASH_DUCK = _H.duck_hash_uint(_H.sql_salted("vec_id", "'nce'"), 8)
+
+_NCE_ORACLE = f"""
+WITH samp AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    ORDER BY {_NCE_HASH_DUCK}, vec_id LIMIT {_NCE_Q}
+),
+dims AS MATERIALIZED (
+    SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS x
+    FROM samp, generate_series(1, {_AU_DIM}) AS g(i)
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, sum(CAST(round(x * x * 100000000) AS BIGINT)) AS q
+    FROM dims GROUP BY 1
+),
+pairs AS MATERIALIZED (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           CAST(round(
+               (sum(CAST(round(a.x * b.x * 100000000) AS BIGINT))::DOUBLE
+                / 100000000)
+               / (sqrt(na.q::DOUBLE / 100000000)
+                  * sqrt(nb.q::DOUBLE / 100000000)) * 100000000)
+           AS BIGINT) AS cos_u
+    FROM dims a
+    JOIN dims b ON b.i = a.i AND a.vec_id <> b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY a.vec_id, b.vec_id, na.q, nb.q
+),
+terms AS (
+    SELECT p.va, (la.label = lb.label) AS same,
+           CAST(round(exp((p.cos_u::DOUBLE / 100000000)
+                          * {_NCE_TAU_INV}) * 100000000000) AS BIGINT)
+               AS e_u
+    FROM pairs p
+    JOIN samp la ON la.vec_id = p.va
+    JOIN samp lb ON lb.vec_id = p.vb
+),
+anch AS (
+    SELECT va,
+           sum(e_u)::BIGINT AS sum_e,
+           max(CASE WHEN same THEN e_u END)::BIGINT AS pos_e,
+           max(CASE WHEN NOT same THEN e_u END)::BIGINT AS neg_e
+    FROM terms GROUP BY va
+),
+loss AS (
+    SELECT va,
+           CAST(round((ln(sum_e::DOUBLE) - ln(pos_e::DOUBLE)) * 1000000)
+                AS BIGINT) AS l_u,
+           (pos_e >= coalesce(neg_e, 0)) AS correct
+    FROM anch WHERE pos_e IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_anchors,
+       round(sum(l_u) * 1.0 / count(*) / 1000000 * 10000) / 10000 + 0.0
+           AS mean_infonce,
+       sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_top1_correct,
+       round(sum(CASE WHEN correct THEN 1 ELSE 0 END) * 10000.0
+             / count(*)) / 10000 + 0.0 AS top1_accuracy
+FROM loss
+"""
+
+
+@register("infonce_temperature_audit", oracle=_NCE_ORACLE)
+def infonce_temperature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    samp = (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", A.as_double_array(F.col("embedding")).alias("v")
+        )
+        .orderBy(_H.hash_uint(F.col("vec_id"), "nce", 8), F.asc("vec_id"))
+        .limit(_NCE_Q)
+    )
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    qnorm = F.aggregate(
+        F.transform(F.col("v"), lambda x: units(x * x)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    side = samp.select("vec_id", "label", "v", qnorm.alias("q")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = side.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("v").alias("xa"),
+        F.col("q").alias("qa"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("xb"),
+        F.col("q").alias("qb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: units(x * y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cos_u = (
+        F.round(
+            (qdot.cast("double") / F.lit(1e8))
+            / (
+                F.sqrt(F.col("qa").cast("double") / F.lit(1e8))
+                * F.sqrt(F.col("qb").cast("double") / F.lit(1e8))
+            )
+            * F.lit(1e8)
+        ).cast("long")
+    )
+    e_u = F.round(
+        F.exp((cos_u.cast("double") / F.lit(1e8)) * F.lit(_NCE_TAU_INV))
+        * F.lit(1e11)
+    ).cast("long")
+    terms = a.join(b, F.col("va") != F.col("vb")).select(
+        "va",
+        (F.col("la") == F.col("lb")).alias("same"),
+        e_u.alias("e_u"),
+    )
+    anch = terms.groupBy("va").agg(
+        F.sum("e_u").alias("sum_e"),
+        F.max(F.when(F.col("same"), F.col("e_u"))).alias("pos_e"),
+        F.max(F.when(~F.col("same"), F.col("e_u"))).alias("neg_e"),
+    )
+    loss = anch.filter(F.col("pos_e").isNotNull()).select(
+        F.round(
+            (
+                F.log(F.col("sum_e").cast("double"))
+                - F.log(F.col("pos_e").cast("double"))
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("l_u"),
+        (F.col("pos_e") >= F.coalesce(F.col("neg_e"), F.lit(0))).alias(
+            "correct"
+        ),
+    )
+    out = loss.agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        R.r(
+            F.sum("l_u").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            4,
+        ).alias("mean_infonce"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_top1_correct"),
+        # mirror the oracle's exact IEEE ordering: round(s*1e4/n)/1e4
+        (
+            F.round(
+                F.sum(F.when(F.col("correct"), 1).otherwise(0))
+                * F.lit(10000.0)
+                / F.count(F.lit(1))
+            )
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("top1_accuracy"),
+    )
+    rows = out.collect()
+    side.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -500,3 +500,159 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.col("res").cast("double"), 2).alias("residual"),
         )
     )
+
+
+# --- Holt-Winters additive seasonal smoothing (DOW cycle) -----------------------
+# Triple exponential smoothing (Winters 1960) over daily revenue with
+# a 7-day additive season — the forecasting upgrade of
+# holt_linear_forecast for series with day-of-week structure. State =
+# [level, trend, s_next..s_last] (9 decimals; the seasonal queue
+# rotates one slot per step). Division-free init keeps every state
+# decimal EXACT from day one: l0 = y7, b0 = 0, s_i = y_i − l0 over
+# the first week; the fold then walks days 8..N with α=0.5, β=0.3,
+# γ=0.4 (exact DECIMAL(2,1) literals), each component rounded to
+# 6dp after every step — both engines walk identical decimal
+# sequences (the holt_linear pattern). Forecast h=1..7 reads the
+# rotated seasonal queue directly. Scale: one daily money-sum
+# shuffle; the fold runs over the ≤ ~30-day calendar-bounded array.
+_HW_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate::DATE AS day,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+                AS DECIMAL(20,6)) AS rev
+    FROM orders GROUP BY 1
+),
+ser AS (
+    SELECT list(rev ORDER BY day) AS ys, max(day) AS last_d,
+           count(*)::BIGINT AS n
+    FROM daily
+),
+init AS (
+    SELECT ys, last_d, n,
+           list_concat(
+               [ys[7], CAST(0 AS DECIMAL(20,6))],
+               list_transform(ys[1:7], y -> CAST(round(y - ys[7], 6)
+                                                 AS DECIMAL(20,6)))) AS st0
+    FROM ser
+),
+fin AS (
+    -- DuckDB 1.0 list_reduce has no init arg: the fold list carries
+    -- 9-element lists, with st0 as the first element and each later
+    -- y encoded [y, 0×8] (the holt_linear [y, 0] trick generalized)
+    SELECT last_d, n,
+           list_reduce(list_prepend(st0,
+               list_transform(ys[8:], v -> list_concat([v],
+                   list_transform(generate_series(1, 8),
+                                  z -> CAST(0 AS DECIMAL(20,6)))))),
+               (acc, x) -> list_concat(
+               [CAST(round(CAST(0.5 AS DECIMAL(2,1)) * (x[1] - acc[3])
+                     + CAST(0.5 AS DECIMAL(2,1)) * (acc[1] + acc[2]), 6)
+                     AS DECIMAL(20,6)),
+                CAST(round(CAST(0.3 AS DECIMAL(2,1))
+                     * (CAST(round(CAST(0.5 AS DECIMAL(2,1)) * (x[1] - acc[3])
+                          + CAST(0.5 AS DECIMAL(2,1)) * (acc[1] + acc[2]),
+                          6) AS DECIMAL(20,6)) - acc[1])
+                     + CAST(0.7 AS DECIMAL(2,1)) * acc[2], 6)
+                     AS DECIMAL(20,6))],
+               list_concat(acc[4:9],
+               [CAST(round(CAST(0.4 AS DECIMAL(2,1))
+                     * (x[1] - CAST(round(CAST(0.5 AS DECIMAL(2,1))
+                          * (x[1] - acc[3])
+                          + CAST(0.5 AS DECIMAL(2,1)) * (acc[1] + acc[2]),
+                          6) AS DECIMAL(20,6)))
+                     + CAST(0.6 AS DECIMAL(2,1)) * acc[3], 6)
+                     AS DECIMAL(20,6))]))) AS s
+    FROM init
+)
+SELECT h::BIGINT AS h, (last_d + to_days(h::INT))::DATE AS f_day,
+       round((s[1] + h * s[2] + s[2 + h])::DOUBLE * 100) / 100 + 0.0
+           AS forecast_revenue,
+       round(s[1]::DOUBLE * 100) / 100 + 0.0 AS level,
+       round(s[2]::DOUBLE * 100) / 100 + 0.0 AS trend,
+       round(s[2 + h]::DOUBLE * 100) / 100 + 0.0 AS seasonal
+FROM fin, (SELECT unnest(generate_series(1, 7)) AS h)
+"""
+
+
+@register("holt_winters_dow_forecast", oracle=_HW_ORACLE)
+def holt_winters_dow_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(20,6)"
+    al = F.lit("0.5").cast("decimal(2,1)")
+    al1 = F.lit("0.5").cast("decimal(2,1)")
+    be = F.lit("0.3").cast("decimal(2,1)")
+    be1 = F.lit("0.7").cast("decimal(2,1)")
+    ga = F.lit("0.4").cast("decimal(2,1)")
+    ga1 = F.lit("0.6").cast("decimal(2,1)")
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(R.money_sum(F.col("o_totalprice")).cast(dec).alias("rev"))
+    ser = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "rev"))).alias("sd"),
+        F.max("day").alias("last_d"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.transform("sd", lambda s: s["rev"]).alias("ys"), "last_d", "n"
+    )
+    y7 = F.element_at("ys", 7)
+    init = ser.select(
+        "ys",
+        "last_d",
+        "n",
+        F.concat(
+            F.array(y7, F.lit(0).cast(dec)),
+            F.transform(
+                F.slice("ys", 1, 7),
+                lambda y: F.round(y - y7, 6).cast(dec),
+            ),
+        ).alias("st0"),
+    )
+
+    def _lvl(acc, y):
+        return F.round(
+            al * (y - F.element_at(acc, 3))
+            + al1 * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            6,
+        ).cast(dec)
+
+    def _step(acc, y):
+        lv = _lvl(acc, y)
+        tr = F.round(
+            be * (lv - F.element_at(acc, 1)) + be1 * F.element_at(acc, 2),
+            6,
+        ).cast(dec)
+        sn = F.round(
+            ga * (y - lv) + ga1 * F.element_at(acc, 3), 6
+        ).cast(dec)
+        return F.concat(F.array(lv, tr), F.slice(acc, 4, 6), F.array(sn))
+
+    fin = init.select(
+        "last_d",
+        "n",
+        F.aggregate(
+            F.slice(
+                F.col("ys"), 8, F.greatest(F.lit(0), F.size("ys") - 7)
+            ),
+            F.col("st0"),
+            _step,
+        ).alias("s"),
+    )
+    hs = fin.select(
+        "last_d", "s", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h")
+    )
+    sh = F.element_at("s", F.col("h").cast("int") + 2)
+    return hs.select(
+        F.col("h").cast("long").alias("h"),
+        F.date_add("last_d", F.col("h").cast("int")).alias("f_day"),
+        R.r(
+            (
+                F.element_at("s", 1)
+                + F.col("h") * F.element_at("s", 2)
+                + sh
+            ).cast("double"),
+            2,
+        ).alias("forecast_revenue"),
+        R.r(F.element_at("s", 1).cast("double"), 2).alias("level"),
+        R.r(F.element_at("s", 2).cast("double"), 2).alias("trend"),
+        R.r(sh.cast("double"), 2).alias("seasonal"),
+    )

@@ -1,0 +1,155 @@
+"""Round-9 operators: pinned against independent invariants (not just
+the DuckDB oracle hash)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _q(name):
+    from swat_mapreduce_spark.queries import load_all
+
+    return load_all()[name]
+
+
+def test_welch_t_matches_closed_form(spark, sf_dir):
+    (r,) = _q("welch_ttest_value_by_variant").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert r["na"] > 1 and r["nb"] > 1
+    assert r["welch_df"] > 1
+    # df is bounded by min(na,nb)-1 .. na+nb-2 (Welch-Satterthwaite)
+    assert min(r["na"], r["nb"]) - 1 <= r["welch_df"] <= r["na"] + r["nb"] - 2
+    assert r["significant_z"] == (abs(r["t_stat"]) > 1.96) or abs(
+        abs(r["t_stat"]) - 1.96
+    ) < 1e-3
+
+
+def test_sprt_llr_recomputes_and_decides(spark, sf_dir):
+    rows = sorted(
+        _q("sprt_sequential_conversion").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) >= 5
+    # recompute the cumulative LLR in exact integer units
+    l1 = round(math.log(0.20 / 0.15) * 1e8)
+    l0 = round(math.log(0.80 / 0.85) * 1e8)
+    cum = 0
+    for r in rows:
+        cum += r["n_success"] * l1 + (r["n_trials"] - r["n_success"]) * l0
+        assert abs(r["cum_llr"] - cum / 1e8) < 1e-3
+    # the share of purchases is ~0.2 = H1, so H1 must be accepted
+    assert any(r["state"] == "accept_h1" for r in rows)
+    assert sum(1 for r in rows if r["is_decision_day"]) == 1
+
+
+def test_pass_at_k_monotone_and_bounded(spark, sf_dir):
+    rows = {
+        r["at_k"]: r
+        for r in _q("pass_at_k_estimator").spark_fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 5, 10}
+    # pass@k is nondecreasing in k and bounded by any-success rate
+    assert (
+        rows[1]["pass_at_k"]
+        <= rows[5]["pass_at_k"]
+        <= rows[10]["pass_at_k"] + 1e-9
+    )
+    n = rows[10]["n_docs"]
+    # pass@n is EXACTLY the any-success indicator mean
+    assert (
+        abs(rows[10]["pass_at_k"] - rows[10]["n_docs_any_success"] / n)
+        < 1e-3
+    )
+
+
+def test_adamic_adar_scores_positive_and_sorted(spark, sf_dir):
+    rows = _q("adamic_adar_link_prediction").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["aa_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_common"] >= 1
+        # each common neighbor contributes at most 1/ln(2) ~ 1.4427
+        assert r["aa_score"] <= r["n_common"] / math.log(2) + 1e-6
+
+
+def test_unimax_budget_and_caps(spark, sf_dir):
+    rows = _q("unimax_budget_allocation").spark_fn(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    budget = (total * 8) // 10
+    assert sum(r["alloc_docs"] for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r["alloc_docs"] <= r["n_docs"]
+        assert r["capped"] == (r["alloc_docs"] == r["n_docs"])
+        assert r["epochs"] <= 1.0
+    # the waterfill must cap at least one low-resource language and
+    # truncate the largest one at this budget
+    assert any(r["capped"] for r in rows)
+    big = max(rows, key=lambda r: r["n_docs"])
+    assert not big["capped"]
+
+
+def test_infonce_bounds(spark, sf_dir):
+    (r,) = _q("infonce_temperature_audit").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert 0 < r["n_anchors"] <= 64
+    # loss >= ln(1) = 0 (sum includes the positive term) and is
+    # bounded by ln(63) + 10 (cos range /tau = [-5, 5])
+    assert 0.0 <= r["mean_infonce"] <= math.log(63) + 10.0
+    assert 0.0 <= r["top1_accuracy"] <= 1.0
+    assert r["n_top1_correct"] <= r["n_anchors"]
+
+
+def test_ql_dirichlet_scores_negative_sorted(spark, sf_dir):
+    rows = _q("ql_dirichlet_retrieval").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["ql_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # log-probabilities: always negative
+        assert r["ql_score"] < 0
+        assert r["doc_len"] > 0
+    # top docs should actually contain query terms
+    assert rows[0]["n_query_hits"] > 0
+
+
+def test_rho_loss_top_docs(spark, sf_dir):
+    rows = _q("rho_loss_selection").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    rhos = [r["rho"] for r in rows]
+    assert rhos == sorted(rhos, reverse=True)
+    for r in rows:
+        assert r["nll_train"] > 0 and r["nll_ref"] > 0
+        assert abs(r["rho"] - (r["nll_train"] - r["nll_ref"])) < 2e-4
+
+
+def test_phash_recall_perfect_by_pigeonhole(spark, sf_dir):
+    (r,) = _q("phash_neardup_recall").spark_fn(spark, sf_dir).collect()
+    assert r["n_planted"] == 64
+    # 4 bands x 8 bits with <=3 bit errors: pigeonhole guarantees a
+    # clean band, so banding recall on true-close pairs is exactly 1
+    if r["n_true_close"] > 0:
+        assert r["band_recall"] == 1.0
+    assert r["n_detected"] <= r["n_true_close"] <= r["n_planted"]
+    assert 0.0 <= r["mean_hamming"] <= 32.0
+
+
+def test_holt_winters_seasonal_zero_sum_init(spark, sf_dir):
+    rows = sorted(
+        _q("holt_winters_dow_forecast").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["h"],
+    )
+    assert [r["h"] for r in rows] == list(range(1, 8))
+    lv, tr = rows[0]["level"], rows[0]["trend"]
+    for r in rows:
+        assert r["level"] == lv and r["trend"] == tr
+        assert abs(
+            r["forecast_revenue"] - (lv + r["h"] * tr + r["seasonal"])
+        ) < 0.05
+    days = [r["f_day"] for r in rows]
+    assert len(set(days)) == 7
