@@ -2429,3 +2429,185 @@ def infonce_temperature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     side.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- kernel two-sample test: MMD embedding drift ---------------------------------
+# Maximum Mean Discrepancy (Gretton et al. 2012) between two
+# embedding slices — the kernel two-sample test a pipeline runs to ask
+# "did the embedding distribution drift between groups" where KS/PSI
+# only see scalars. Groups = label parity; each side is a FIXED-COUNT
+# 32-vector hash-ordered sample (gotcha 14 — constant pair volume).
+# Unbiased MMD² = mean_{i≠j∈A} k + mean_{i≠j∈B} k − 2·mean_{A×B} k
+# with the RBF kernel k = exp(−d²), d² = 2−2cos on the integer 1e-8
+# cosine lattice; every kernel term snaps to an INTEGER 1e-12 unit
+# (the AU pattern) so the three means are ratios of exact int64 sums
+# with one IEEE division each.
+_MMD_Q = 32
+
+_MMD_SAMP = """
+samp AS (
+    SELECT vec_id, label, embedding,
+           (label % 2 = 0) AS grp_a,
+           row_number() OVER (
+               PARTITION BY label % 2
+               ORDER BY ('0x' || substr(md5(vec_id || ':mmd'), 1, 8))::BIGINT,
+                        vec_id) AS rn
+    FROM embeddings
+    QUALIFY rn <= 32
+)"""
+
+_MMD_ORACLE = f"""
+WITH {_MMD_SAMP},
+dims AS MATERIALIZED (
+    SELECT vec_id, grp_a, g.i, embedding[g.i]::DOUBLE AS x
+    FROM samp, generate_series(1, {_AU_DIM}) AS g(i)
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, sum(CAST(round(x * x * 100000000) AS BIGINT)) AS q
+    FROM dims GROUP BY 1
+),
+pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           any_value(a.grp_a) AS ga, any_value(b.grp_a) AS gb,
+           CAST(round(exp(-(2.0 - 2.0 * (CAST(round(
+               (sum(CAST(round(a.x * b.x * 100000000) AS BIGINT))::DOUBLE
+                / 100000000)
+               / (sqrt(na.q::DOUBLE / 100000000)
+                  * sqrt(nb.q::DOUBLE / 100000000)) * 100000000)
+           AS BIGINT)::DOUBLE / 100000000))) * 1000000000000) AS BIGINT)
+               AS k_u
+    FROM dims a
+    JOIN dims b ON b.i = a.i AND a.vec_id <> b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY a.vec_id, b.vec_id, na.q, nb.q
+),
+agg AS (
+    SELECT sum(CASE WHEN ga AND gb THEN k_u ELSE 0 END)::BIGINT AS saa,
+           sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END)::BIGINT AS naa,
+           sum(CASE WHEN NOT ga AND NOT gb THEN k_u ELSE 0 END)::BIGINT
+               AS sbb,
+           sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)::BIGINT
+               AS nbb,
+           sum(CASE WHEN ga <> gb THEN k_u ELSE 0 END)::BIGINT AS sab,
+           sum(CASE WHEN ga <> gb THEN 1 ELSE 0 END)::BIGINT AS nab
+    FROM pairs
+)
+SELECT (SELECT count(*) FROM samp WHERE grp_a)::BIGINT AS n_a,
+       (SELECT count(*) FROM samp WHERE NOT grp_a)::BIGINT AS n_b,
+       round(saa * 1.0 / naa / 1000000000000 * 1000000) / 1000000 + 0.0
+           AS mean_k_within_a,
+       round(sbb * 1.0 / nbb / 1000000000000 * 1000000) / 1000000 + 0.0
+           AS mean_k_within_b,
+       round(sab * 1.0 / nab / 1000000000000 * 1000000) / 1000000 + 0.0
+           AS mean_k_cross,
+       round((saa * 1.0 / naa + sbb * 1.0 / nbb - 2.0 * (sab * 1.0 / nab))
+             / 1000000000000 * 1000000) / 1000000 + 0.0 AS mmd2
+FROM agg
+"""
+
+
+@register("mmd_embedding_drift", oracle=_MMD_ORACLE)
+def mmd_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2 == 0).alias("grp_a"),
+        A.as_double_array(F.col("embedding")).alias("v"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("grp_a").orderBy(
+            _H.hash_uint(F.col("vec_id"), "mmd", 8), F.asc("vec_id")
+        )
+    )
+    samp = emb.withColumn("rn", rn).filter(F.col("rn") <= _MMD_Q)
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    qnorm = F.aggregate(
+        F.transform(F.col("v"), lambda x: units(x * x)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    side = samp.select(
+        "vec_id", "grp_a", "v", qnorm.alias("q")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = side.select(
+        F.col("vec_id").alias("va"),
+        F.col("grp_a").alias("ga"),
+        F.col("v").alias("xa"),
+        F.col("q").alias("qa"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vb"),
+        F.col("grp_a").alias("gb"),
+        F.col("v").alias("xb"),
+        F.col("q").alias("qb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: units(x * y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cos = (
+        F.round(
+            (qdot.cast("double") / F.lit(1e8))
+            / (
+                F.sqrt(F.col("qa").cast("double") / F.lit(1e8))
+                * F.sqrt(F.col("qb").cast("double") / F.lit(1e8))
+            )
+            * F.lit(1e8)
+        ).cast("long")
+    ).cast("double") / F.lit(1e8)
+    k_u = F.round(
+        F.exp(-(F.lit(2.0) - F.lit(2.0) * cos)) * F.lit(1e12)
+    ).cast("long")
+    pairs = a.join(b, F.col("va") != F.col("vb")).select(
+        "ga", "gb", k_u.alias("k_u")
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("ga") & F.col("gb"), F.col("k_u")).otherwise(0))
+        .alias("saa"),
+        F.sum(F.when(F.col("ga") & F.col("gb"), 1).otherwise(0))
+        .cast("long")
+        .alias("naa"),
+        F.sum(
+            F.when(~F.col("ga") & ~F.col("gb"), F.col("k_u")).otherwise(0)
+        ).alias("sbb"),
+        F.sum(F.when(~F.col("ga") & ~F.col("gb"), 1).otherwise(0))
+        .cast("long")
+        .alias("nbb"),
+        F.sum(
+            F.when(F.col("ga") != F.col("gb"), F.col("k_u")).otherwise(0)
+        ).alias("sab"),
+        F.sum(F.when(F.col("ga") != F.col("gb"), 1).otherwise(0))
+        .cast("long")
+        .alias("nab"),
+    )
+    ns = side.agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    maa = F.col("saa") * F.lit(1.0) / F.col("naa")
+    mbb = F.col("sbb") * F.lit(1.0) / F.col("nbb")
+    mab = F.col("sab") * F.lit(1.0) / F.col("nab")
+    out = agg.crossJoin(F.broadcast(ns)).select(
+        "n_a",
+        "n_b",
+        R.r(maa / F.lit(1e12), 6).alias("mean_k_within_a"),
+        R.r(mbb / F.lit(1e12), 6).alias("mean_k_within_b"),
+        R.r(mab / F.lit(1e12), 6).alias("mean_k_cross"),
+        R.r(
+            (maa + mbb - F.lit(2.0) * mab) / F.lit(1e12), 6
+        ).alias("mmd2"),
+    )
+    rows = out.collect()
+    side.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -1479,3 +1479,167 @@ def sprt_sequential_conversion(
         "state",
         (F.col("day") == F.col("dec_day")).alias("is_decision_day"),
     )
+
+
+# --- 1-D Wasserstein (earth-mover) distance between length distributions --------
+# The optimal-transport drift measure next to KS (max CDF gap) and PSI
+# (binned KL): W1 = ∫|F_a − F_b| dv over the doc-length axis between
+# the 'en' slice and the rest of the corpus — unlike KS it weighs HOW
+# FAR mass must move, the right number for "did the length profile
+# shift". EXACT arithmetic: on the sorted distinct-length grid,
+# |F_a − F_b|·gap = |ca·nb − cb·na|·gap / (na·nb) has an integer
+# numerator — summed as DECIMAL(38,0), divided ONCE at the end. The
+# grid is bounded by the length domain (≤ ~600 rows at any corpus
+# size), so the cumulative windows are bounded-input.
+_W1_ORACLE = """
+WITH v AS (
+    SELECT length(text)::BIGINT AS len, (lang = 'en') AS a FROM documents
+),
+tot AS (
+    SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+           sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS nb
+    FROM v
+),
+g AS (
+    SELECT len,
+           sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS cb
+    FROM v GROUP BY len
+),
+c AS (
+    SELECT len,
+           sum(ca) OVER w AS fa, sum(cb) OVER w AS fb,
+           lead(len) OVER (ORDER BY len) AS nxt
+    FROM g WINDOW w AS (ORDER BY len
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+    SELECT sum(CAST(abs(fa * t.nb - fb * t.na) AS DECIMAL(38,0))
+               * (nxt - len)) AS num,
+           count(*)::BIGINT AS n_grid
+    FROM c, tot t WHERE nxt IS NOT NULL
+)
+SELECT t.na, t.nb, s.n_grid,
+       round(s.num::DOUBLE / (t.na * t.nb) * 10000) / 10000 + 0.0
+           AS w1_distance
+FROM s, tot t
+"""
+
+
+@register("wasserstein1d_length_drift", oracle=_W1_ORACLE)
+def wasserstein1d_length_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    v = read_table(spark, sf_dir, "documents").select(
+        F.length("text").cast("long").alias("len"),
+        (F.col("lang") == "en").alias("a"),
+    )
+    tot = v.agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1)).cast("long").alias("nb"),
+    )
+    g = v.groupBy("len").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded-input windows: the grid is the distinct-length domain
+    c = g.select(
+        "len",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+        F.lead("len").over(Window.orderBy("len")).alias("nxt"),
+    )
+    s = (
+        c.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")
+                ).cast("decimal(38,0)")
+                * (F.col("nxt") - F.col("len"))
+            ).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_grid"),
+        )
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        "n_grid",
+        R.r(
+            F.col("num").cast("double") / (F.col("na") * F.col("nb")), 4
+        ).alias("w1_distance"),
+    )
+
+
+# --- k-anonymity / l-diversity release audit -------------------------------------
+# The governance check before releasing quasi-identifier columns
+# (Sweeney 2002; Machanavajjhala 2007): group the corpus by the QI
+# tuple (source, 100-char length bucket) and report how much of the
+# corpus sits in groups smaller than k=5 (re-identifiable) and in
+# groups whose sensitive attribute (lang) has fewer than l=2 distinct
+# values (attribute-disclosable). All exact integer counts — one
+# corpus groupBy to the bounded QI-cell table, one rollup.
+_KANON_K = 5
+_KANON_L = 2
+
+_KANON_ORACLE = f"""
+WITH q AS (
+    SELECT source, (length(text) // 100)::BIGINT AS len_bucket,
+           count(*)::BIGINT AS n,
+           count(DISTINCT lang)::BIGINT AS l_div
+    FROM documents GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_groups,
+       sum(n)::BIGINT AS n_rows,
+       min(n)::BIGINT AS min_group_size,
+       sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END)::BIGINT
+           AS n_groups_below_k,
+       sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)::BIGINT
+           AS n_rows_below_k,
+       round(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) * 10000.0
+             / sum(n)) / 10000 + 0.0 AS share_below_k,
+       min(l_div)::BIGINT AS min_l_diversity,
+       sum(CASE WHEN l_div < {_KANON_L} THEN n ELSE 0 END)::BIGINT
+           AS n_rows_below_l
+FROM q
+"""
+
+
+@register("k_anonymity_audit", oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy(
+            "source",
+            (F.length("text").cast("long") / 100)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("lang").cast("long").alias("l_div"),
+        )
+    )
+    below_k = F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(below_k).cast("long").alias("n_rows_below_k"),
+        (
+            F.round(F.sum(below_k) * F.lit(10000.0) / F.sum("n"))
+            / F.lit(10000.0)
+            + F.lit(0.0)
+        ).alias("share_below_k"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.sum(F.when(F.col("l_div") < _KANON_L, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_l"),
+    )

@@ -656,3 +656,157 @@ def holt_winters_dow_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.element_at("s", 2).cast("double"), 2).alias("trend"),
         R.r(sh.cast("double"), 2).alias("seasonal"),
     )
+
+
+# --- 1-D Kalman filter (local-level model) over daily revenue -------------------
+# The state-space smoothing primitive (Kalman 1960) next to the
+# EWMA/Holt family: local-level model x_t = x_{t-1} + w (Q), y_t =
+# x_t + v (R), filtered over the calendar-bounded daily revenue
+# series. ALL state is INTEGER: x in exact cents, P/Q/R in exact
+# cents² int64 (never decimal→double casts — gotcha 13a's fragile
+# construct); R derives from the series itself (round((Σy/n/5)²) —
+# one exact-int-derived IEEE expression), Q = R div 10. Per step the
+# gain K = round(P'·1e6/(P'+R)) is an integer 1e-6 unit from an
+# exact-int division, and the updates round once each:
+# x += round((K/1e6)·(y−x)), P = round(((1e6−K)/1e6)·P') — identical
+# IEEE sequences on both engines. The fold walks the ≤ ~30-day array;
+# corpus work is one daily money-sum shuffle.
+_KALMAN_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate::DATE AS day,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+    FROM orders GROUP BY 1
+),
+ser AS (
+    SELECT list(y ORDER BY day) AS ys, list(day ORDER BY day) AS ds,
+           count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+    FROM daily
+),
+prm AS (
+    SELECT ys, ds, n,
+           CAST(round((sy::DOUBLE / n / 5) * (sy::DOUBLE / n / 5))
+                AS BIGINT) AS r,
+           CAST(round((sy::DOUBLE / n / 5) * (sy::DOUBLE / n / 5))
+                AS BIGINT) // 10 AS q
+    FROM ser
+),
+walk AS (
+    -- fold state [x, P, K_last]; each y encoded [y, 0, 0]
+    SELECT ds, n, r, q,
+           list_reduce(
+               list_prepend([ys[1], r, CAST(0 AS BIGINT)],
+                   list_transform(ys[2:], v -> [v, CAST(0 AS BIGINT),
+                                                CAST(0 AS BIGINT)])),
+               (acc, e) -> [
+                   acc[1] + CAST(round(
+                       (CAST(round((acc[2] + q) * 1000000.0
+                                   / (acc[2] + q + r)) AS BIGINT)
+                        / 1000000.0) * (e[1] - acc[1])) AS BIGINT),
+                   CAST(round(((1000000 - CAST(round((acc[2] + q)
+                        * 1000000.0 / (acc[2] + q + r)) AS BIGINT))
+                        / 1000000.0) * (acc[2] + q)) AS BIGINT),
+                   CAST(round((acc[2] + q) * 1000000.0
+                              / (acc[2] + q + r)) AS BIGINT)]) AS st
+    FROM prm
+)
+SELECT n AS n_days, ds[CAST(n AS INT)] AS last_day,
+       round(st[1] / 100.0 * 100) / 100 + 0.0 AS filtered_level,
+       round(st[2] / 100.0 / 100.0 * 100) / 100 + 0.0 AS error_var_dollars2,
+       round(st[3] / 1000000.0 * 10000) / 10000 + 0.0 AS last_gain,
+       round(r / 100.0 / 100.0 * 100) / 100 + 0.0 AS obs_var_dollars2
+FROM walk
+"""
+
+
+@register("kalman_filter_daily", oracle=_KALMAN_ORACLE)
+def kalman_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    ser = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.max("day").alias("last_day"),
+    ).select(
+        F.transform("sd", lambda s: s["y"]).alias("ys"),
+        "n",
+        "sy",
+        "last_day",
+    )
+    rd = F.col("sy").cast("double") / F.col("n") / F.lit(5)
+    prm = ser.select(
+        "ys",
+        "n",
+        "last_day",
+        F.round(rd * rd).cast("long").alias("r"),
+        (F.round(rd * rd).cast("long") / F.lit(10))
+        .cast("long")
+        .alias("q"),
+    )
+
+    def _gain(acc):
+        # K_u = round((P'+0)·1e6 / (P'+R)) with P' = P + Q
+        return F.round(
+            (F.element_at(acc, 2) + F.col("q"))
+            * F.lit(1e6)
+            / (F.element_at(acc, 2) + F.col("q") + F.col("r"))
+        ).cast("long")
+
+    def _step(acc, e):
+        k = _gain(acc)
+        x = F.element_at(acc, 1) + F.round(
+            (k / F.lit(1e6)) * (F.element_at(e, 1) - F.element_at(acc, 1))
+        ).cast("long")
+        p = F.round(
+            ((F.lit(1000000) - k) / F.lit(1e6))
+            * (F.element_at(acc, 2) + F.col("q"))
+        ).cast("long")
+        return F.array(x, p, k)
+
+    walk = prm.select(
+        "n",
+        "last_day",
+        "r",
+        F.aggregate(
+            F.transform(
+                F.slice("ys", 2, F.greatest(F.lit(0), F.size("ys") - 1)),
+                lambda v: F.array(
+                    v, F.lit(0).cast("long"), F.lit(0).cast("long")
+                ),
+            ),
+            F.array(
+                F.element_at("ys", 1), F.col("r"), F.lit(0).cast("long")
+            ),
+            _step,
+        ).alias("st"),
+    )
+    hundredth = F.lit(100.0)
+    return walk.select(
+        F.col("n").cast("long").alias("n_days"),
+        "last_day",
+        (
+            F.round(F.element_at("st", 1) / hundredth * 100) / 100
+            + F.lit(0.0)
+        ).alias("filtered_level"),
+        (
+            F.round(
+                F.element_at("st", 2) / hundredth / hundredth * 100
+            )
+            / 100
+            + F.lit(0.0)
+        ).alias("error_var_dollars2"),
+        (
+            F.round(F.element_at("st", 3) / F.lit(1e6) * 10000) / 10000
+            + F.lit(0.0)
+        ).alias("last_gain"),
+        (
+            F.round(F.col("r") / hundredth / hundredth * 100) / 100
+            + F.lit(0.0)
+        ).alias("obs_var_dollars2"),
+    )

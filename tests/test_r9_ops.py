@@ -153,3 +153,42 @@ def test_holt_winters_seasonal_zero_sum_init(spark, sf_dir):
         ) < 0.05
     days = [r["f_day"] for r in rows]
     assert len(set(days)) == 7
+
+
+def test_wasserstein_nonneg_and_bounded(spark, sf_dir):
+    (r,) = _q("wasserstein1d_length_drift").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert r["na"] > 0 and r["nb"] > 0
+    assert r["n_grid"] > 10
+    # W1 between distributions on [0, max_len] is within that range
+    assert 0.0 <= r["w1_distance"] <= 600.0
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    (r,) = _q("k_anonymity_audit").spark_fn(spark, sf_dir).collect()
+    assert r["n_groups"] > 0
+    assert r["n_rows_below_k"] <= r["n_rows"]
+    assert r["n_groups_below_k"] <= r["n_groups"]
+    assert 0.0 <= r["share_below_k"] <= 1.0
+    assert 1 <= r["min_l_diversity"] <= 5
+    assert r["min_group_size"] >= 1
+
+
+def test_mmd_kernel_bounds(spark, sf_dir):
+    (r,) = _q("mmd_embedding_drift").spark_fn(spark, sf_dir).collect()
+    assert r["n_a"] == 32 and r["n_b"] == 32
+    # RBF kernel values live in (0, 1]; d^2 in [0, 4] -> k >= e^-4
+    for c in ("mean_k_within_a", "mean_k_within_b", "mean_k_cross"):
+        assert 0.018 <= r[c] <= 1.0
+    # unbiased MMD^2 can be slightly negative but is bounded
+    assert -1.0 <= r["mmd2"] <= 2.0
+
+
+def test_kalman_state_sane(spark, sf_dir):
+    (r,) = _q("kalman_filter_daily").spark_fn(spark, sf_dir).collect()
+    assert r["n_days"] >= 10
+    assert r["filtered_level"] > 0
+    # steady-state error variance is below the observation variance
+    assert 0 < r["error_var_dollars2"] < r["obs_var_dollars2"]
+    assert 0.0 < r["last_gain"] < 1.0
