@@ -1722,3 +1722,148 @@ def adamic_adar_link_prediction(
     rows = out.collect()
     edges.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- modularity of a node partition ------------------------------------------------
+# Newman-Girvan modularity Q = Σ_c [ m_c/m − (d_c/2m)² ] of the BRAND
+# partition over the PROMO co-purchase graph — the community-quality
+# number a clustering pipeline reports before trusting graph
+# communities. EXACT rational arithmetic: per community the
+# contribution is (4·m·m_c − d_c²) / (4·m²) with integer numerator
+# and denominator (products ≤ 4m² fit int64 far past test scale), so
+# both engines divide identical exact integers once per row. One
+# distinct-edge derivation (the triangle-count subtree), one
+# broadcast node→community map, bounded |brands| output.
+_MODULARITY_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+com AS (SELECT p_partkey AS p, p_brand AS c FROM part),
+m AS (SELECT count(*)::BIGINT AS m FROM edges),
+lab AS (
+    SELECT ca.c AS ca, cb.c AS cb
+    FROM edges e JOIN com ca ON ca.p = e.pa JOIN com cb ON cb.p = e.pb
+),
+intra AS (
+    SELECT ca AS c, count(*)::BIGINT AS m_c FROM lab
+    WHERE ca = cb GROUP BY 1
+),
+deg AS (
+    SELECT c, sum(d)::BIGINT AS d_c, count(*)::BIGINT AS n_nodes
+    FROM (
+        SELECT com.c, u.p, count(*)::BIGINT AS d
+        FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges) u
+        JOIN com ON com.p = u.p
+        GROUP BY com.c, u.p
+    ) GROUP BY c
+),
+rows_ AS (
+    SELECT d.c, d.n_nodes, coalesce(i.m_c, 0)::BIGINT AS intra_edges,
+           d.d_c AS degree_sum,
+           (4 * m.m * coalesce(i.m_c, 0) - d.d_c * d.d_c)::BIGINT AS num,
+           (4 * m.m * m.m)::BIGINT AS den
+    FROM deg d LEFT JOIN intra i ON i.c = d.c, m
+)
+SELECT c AS community, n_nodes, intra_edges, degree_sum,
+       round(num * 1.0 / den * 1000000) / 1000000 + 0.0 AS contribution,
+       round((SELECT sum(num) FROM rows_) * 1.0 / den * 1000000)
+           / 1000000 + 0.0 AS modularity
+FROM rows_
+"""
+
+
+@register("graph_modularity_partition", oracle=_MODULARITY_ORACLE)
+def graph_modularity_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = read_table(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    com = part.select(F.col("p_partkey").alias("p"), F.col("p_brand").alias("c"))
+    m_val = edges.count()  # materializes the persist; bounded driver int
+    lab = (
+        edges.join(
+            F.broadcast(com.select(F.col("p").alias("pa"), F.col("c").alias("ca"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(com.select(F.col("p").alias("pb"), F.col("c").alias("cb"))),
+            "pb",
+        )
+    )
+    intra = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_c"))
+    )
+    und = edges.select(F.col("pa").alias("p")).unionAll(
+        edges.select(F.col("pb").alias("p"))
+    )
+    deg = (
+        und.join(F.broadcast(com), "p")
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .groupBy("c")
+        .agg(
+            F.sum("d").cast("long").alias("d_c"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    rows = deg.join(intra, "c", "left").select(
+        "c",
+        "n_nodes",
+        F.coalesce(F.col("m_c"), F.lit(0)).cast("long").alias("intra_edges"),
+        F.col("d_c").alias("degree_sum"),
+        (
+            F.lit(4 * m_val) * F.coalesce(F.col("m_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        )
+        .cast("long")
+        .alias("num"),
+    )
+    den = 4 * m_val * m_val
+    tot = rows.agg(F.sum("num").alias("tnum"))
+    out = rows.crossJoin(F.broadcast(tot)).select(
+        F.col("c").alias("community"),
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        (
+            F.round(F.col("num") * F.lit(1.0) / F.lit(den) * 1000000)
+            / 1000000
+            + F.lit(0.0)
+        ).alias("contribution"),
+        (
+            F.round(F.col("tnum") * F.lit(1.0) / F.lit(den) * 1000000)
+            / 1000000
+            + F.lit(0.0)
+        ).alias("modularity"),
+    )
+    res = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(res, out.schema)

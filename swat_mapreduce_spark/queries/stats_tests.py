@@ -1643,3 +1643,166 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_below_l"),
     )
+
+
+# --- UCB1 bandit allocation replay ------------------------------------------------
+# The adaptive-experimentation primitive (Auer et al. 2002): replay
+# the UCB1 policy over the daily two-arm conversion series (arm =
+# user_id % 2) — each day the policy plays the arm with the highest
+# upper confidence index mean + sqrt(2·ln t / plays) and observes
+# that day's (conversions, trials). Days 1-2 force one play per arm.
+# Determinism: means are IEEE divisions of exact int sums; the full
+# index snaps to an INTEGER 1e-6 unit before the comparison (ties →
+# arm 0), so the walk is identical on both engines — the Spark side
+# folds the ≤ ~30-day bounded metadata driver-side with the shared
+# Decimal-HALF_UP quantizer (gotcha 13a: never bare round()); the
+# oracle replays the identical walk as a recursive CTE. Scale: one
+# corpus scan to the |days|×|arms| count table; the walk is metadata.
+_UCB_ORACLE = """
+WITH RECURSIVE d AS (
+    SELECT day, row_number() OVER (ORDER BY day) AS i, x0, n0, x1, n1
+    FROM (
+        SELECT ts::DATE AS day,
+               sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS x0,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n0,
+               sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS x1,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n1
+        FROM events GROUP BY 1
+    )
+),
+rec AS (
+    SELECT d2.day, 2::BIGINT AS i, 1::BIGINT AS chosen,
+           CAST(NULL AS BIGINT) AS i0_u, CAST(NULL AS BIGINT) AS i1_u,
+           1::BIGINT AS p0, d1.x0 AS xs0, d1.n0 AS ns0,
+           1::BIGINT AS p1, d2.x1 AS xs1, d2.n1 AS ns1
+    FROM d d1, d d2 WHERE d1.i = 1 AND d2.i = 2
+    UNION ALL
+    SELECT d.day, d.i,
+           CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN 0 ELSE 1 END,
+           CAST(round((r.xs0 * 1.0 / r.ns0
+                + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT),
+           CAST(round((r.xs1 * 1.0 / r.ns1
+                + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT),
+           r.p0 + CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN 1 ELSE 0 END,
+           r.xs0 + CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN d.x0 ELSE 0 END,
+           r.ns0 + CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN d.n0 ELSE 0 END,
+           r.p1 + CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN 0 ELSE 1 END,
+           r.xs1 + CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN 0 ELSE d.x1 END,
+           r.ns1 + CASE WHEN CAST(round((r.xs0 * 1.0 / r.ns0
+                     + sqrt(2.0 * ln(d.i) / r.p0)) * 1000000) AS BIGINT)
+                  >= CAST(round((r.xs1 * 1.0 / r.ns1
+                     + sqrt(2.0 * ln(d.i) / r.p1)) * 1000000) AS BIGINT)
+                THEN 0 ELSE d.n1 END
+    FROM rec r JOIN d ON d.i = r.i + 1
+)
+SELECT day, i AS t, chosen AS chosen_arm,
+       round(i0_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS idx_arm0,
+       round(i1_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS idx_arm1,
+       p0 AS plays_arm0, p1 AS plays_arm1
+FROM rec
+UNION ALL
+SELECT d.day, 1, 0, NULL, NULL, 1, 0 FROM d WHERE d.i = 1
+"""
+
+
+@register("ucb1_arm_allocation_replay", oracle=_UCB_ORACLE)
+def ucb1_arm_allocation_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from swat_mapreduce_spark.queries.curation import _ri, _rp
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 0)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x0"),
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 1)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x1"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+        .orderBy("day")
+        .collect()
+    )  # bounded driver state: |days| rows
+    rows = []
+    if len(daily) >= 2:
+        d1, d2 = daily[0], daily[1]
+        rows.append((d1["day"], 1, 0, None, None, 1, 0))
+        rows.append((d2["day"], 2, 1, None, None, 1, 1))
+        p0, xs0, ns0 = 1, int(d1["x0"]), int(d1["n0"])
+        p1, xs1, ns1 = 1, int(d2["x1"]), int(d2["n1"])
+        for i in range(3, len(daily) + 1):
+            d = daily[i - 1]
+            i0 = _ri(xs0 / ns0 + math.sqrt(2.0 * math.log(i) / p0), 6)
+            i1 = _ri(xs1 / ns1 + math.sqrt(2.0 * math.log(i) / p1), 6)
+            if i0 >= i1:
+                chosen = 0
+                p0, xs0, ns0 = p0 + 1, xs0 + int(d["x0"]), ns0 + int(d["n0"])
+            else:
+                chosen = 1
+                p1, xs1, ns1 = p1 + 1, xs1 + int(d["x1"]), ns1 + int(d["n1"])
+            rows.append(
+                (
+                    d["day"],
+                    i,
+                    chosen,
+                    _rp(i0 / 1e6, 4) + 0.0,
+                    _rp(i1 / 1e6, 4) + 0.0,
+                    p0,
+                    p1,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "day date, t long, chosen_arm long, idx_arm0 double,"
+        " idx_arm1 double, plays_arm0 long, plays_arm1 long",
+    )

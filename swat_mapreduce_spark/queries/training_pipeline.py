@@ -1030,3 +1030,155 @@ def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs long, alloc_docs long, capped boolean,"
         " epochs double",
     )
+
+
+# --- PPS systematic sampling + Hansen-Hurwitz audit ------------------------------
+# Probability-proportional-to-size SYSTEMATIC sampling (Madow 1949) —
+# the deterministic PPS design a pipeline uses to draw an audit
+# sample weighted by document size: K=50 centered sampling points
+# t_k = (2k+1)·W/2K over the doc_id-ordered cumulative n_chars axis;
+# doc i is hit once per point inside [cum_i, cum_i + w_i). EXACT
+# integer hit counting: hits_i = g(2K·cum_end) − g(2K·cum_start)
+# with g(X) = ((X−1) div W + 1) div 2 — no floats anywhere in
+# selection, and Σ hits = K exactly (every point lands in exactly one
+# interval — pinned in tests). The audit estimates total corpus
+# TOKENS via Hansen-Hurwitz Σ hits·y_i·W/(K·w_i), each per-doc term
+# snapped to an integer 1e-4 unit before the order-free sum. Scale:
+# the cumulative axis uses the bucketed distributed prefix sum (the
+# pack_sequences pattern) — no global window; everything else is one
+# corpus scan + a bounded rollup.
+_PPS_K = 50
+
+_PPS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, n_chars AS w,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> len(x) > 0))::BIGINT AS y,
+           coalesce(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS cum
+    FROM documents
+),
+t AS (SELECT sum(w)::BIGINT AS big_w, sum(y)::BIGINT AS toks FROM d),
+h AS (
+    SELECT d.doc_id, d.w, d.y,
+           (((2 * {_PPS_K} * (d.cum + d.w)) - 1) // t.big_w + 1) // 2
+           - (((2 * {_PPS_K} * d.cum) - 1) // t.big_w + 1) // 2 AS hits,
+           t.big_w, t.toks
+    FROM d, t
+),
+s AS (
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+           sum(hits)::BIGINT AS n_hits_total,
+           any_value(toks)::BIGINT AS total_tokens,
+           sum(CAST(round(hits * ((y * big_w)::DOUBLE
+               / ({_PPS_K} * w)) * 10000) AS BIGINT))::BIGINT AS est_u
+    FROM h
+)
+SELECT n_docs, {_PPS_K}::BIGINT AS k_points, n_selected, n_hits_total,
+       total_tokens,
+       round(est_u / 10000.0 * 100) / 100 + 0.0 AS hh_estimate_tokens,
+       round(abs(est_u / 10000.0 - total_tokens) / total_tokens * 10000)
+           / 10000 + 0.0 AS rel_error
+FROM s
+"""
+
+
+@register("pps_systematic_sample", oracle=_PPS_ORACLE)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    parts = 8
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if mn is None:
+        mn, mx = 0, 0
+    span = mx - mn + 1
+    bucket = F.floor(((F.col("doc_id") - mn) * parts) / span).cast("int")
+    bucketed = docs.withColumn("_b", bucket)
+    totals = {
+        r["_b"]: r["t"]
+        for r in bucketed.groupBy("_b").agg(F.sum("w").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(parts):
+        offsets.append(acc)
+        acc += totals.get(b, 0)
+    big_w = acc
+    offset_map = F.create_map(
+        *[F.lit(x) for b in range(parts) for x in (b, offsets[b])]
+    )
+    wnd = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        F.element_at(offset_map, F.col("_b"))
+        + F.coalesce(F.sum("w").over(wnd), F.lit(0))
+    ).cast("long")
+
+    def g(x):
+        return ((x - 1) / F.lit(big_w)).cast("long") + 1
+
+    lo = F.lit(2 * _PPS_K) * cum
+    hi = F.lit(2 * _PPS_K) * (cum + F.col("w"))
+    # integer floor division via double-div + cast: every operand is
+    # a nonnegative exact int < 2^53, so truncation == floor exactly
+    h = bucketed.select(
+        "doc_id",
+        "w",
+        "y",
+        (
+            (((hi - 1) / F.lit(big_w)).cast("long") + 1) / F.lit(2)
+        ).cast("long").alias("_gh"),
+        (
+            (((lo - 1) / F.lit(big_w)).cast("long") + 1) / F.lit(2)
+        ).cast("long").alias("_gl"),
+    ).select(
+        "doc_id",
+        "w",
+        "y",
+        (F.col("_gh") - F.col("_gl")).alias("hits"),
+    )
+    toks = docs.agg(F.sum("y").alias("toks")).first()["toks"]
+    s = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+        F.sum("hits").cast("long").alias("n_hits_total"),
+        F.sum(
+            F.round(
+                F.col("hits")
+                * (
+                    (F.col("y") * F.lit(big_w)).cast("double")
+                    / (F.lit(_PPS_K) * F.col("w"))
+                )
+                * F.lit(10000)
+            ).cast("long")
+        ).alias("est_u"),
+    )
+    return s.select(
+        "n_docs",
+        F.lit(_PPS_K).cast("long").alias("k_points"),
+        "n_selected",
+        "n_hits_total",
+        F.lit(int(toks)).cast("long").alias("total_tokens"),
+        (
+            F.round(F.col("est_u") / F.lit(10000.0) * 100) / 100
+            + F.lit(0.0)
+        ).alias("hh_estimate_tokens"),
+        (
+            F.round(
+                F.abs(F.col("est_u") / F.lit(10000.0) - F.lit(int(toks)))
+                / F.lit(int(toks))
+                * 10000
+            )
+            / 10000
+            + F.lit(0.0)
+        ).alias("rel_error"),
+    )

@@ -509,6 +509,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "pmi_top_bigrams",
     # rank numbering over the two TakeOrdered top-10 role cuts
     "hits_hubs_authorities",
+    # cumulative LLR over the per-day table (calendar-bounded, r9)
+    "sprt_sequential_conversion",
+    # CDF cumulatives + lead over the distinct-length domain (r9)
+    "wasserstein1d_length_drift",
 }
 
 

@@ -192,3 +192,51 @@ def test_kalman_state_sane(spark, sf_dir):
     # steady-state error variance is below the observation variance
     assert 0 < r["error_var_dollars2"] < r["obs_var_dollars2"]
     assert 0.0 < r["last_gain"] < 1.0
+
+
+def test_modularity_identities(spark, sf_dir):
+    rows = _q("graph_modularity_partition").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) >= 5
+    q = rows[0]["modularity"]
+    for r in rows:
+        assert r["modularity"] == q
+        assert -1.0 <= r["contribution"] <= 1.0
+    # sum of contributions equals total modularity (within rounding)
+    assert abs(sum(r["contribution"] for r in rows) - q) < 1e-3 * len(rows)
+    # degree sums count each edge endpoint once: sum d_c = 2m
+    total_deg = sum(r["degree_sum"] for r in rows)
+    assert total_deg % 2 == 0
+    assert sum(r["intra_edges"] for r in rows) <= total_deg // 2
+    assert -1.0 <= q <= 1.0
+
+
+def test_ucb1_forced_init_and_play_accounting(spark, sf_dir):
+    rows = sorted(
+        _q("ucb1_arm_allocation_replay").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["t"],
+    )
+    assert [r["t"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["chosen_arm"] == 0 and rows[1]["chosen_arm"] == 1
+    for r in rows[2:]:
+        assert r["chosen_arm"] in (0, 1)
+        assert r["idx_arm0"] is not None and r["idx_arm1"] is not None
+        # play counts accumulate to t
+        assert r["plays_arm0"] + r["plays_arm1"] == r["t"]
+        # the chosen arm had the (weakly) higher snapped index
+        if r["chosen_arm"] == 0:
+            assert r["idx_arm0"] >= r["idx_arm1"] - 1e-4
+        else:
+            assert r["idx_arm1"] > r["idx_arm0"] - 1e-4
+
+
+def test_pps_hits_sum_to_k(spark, sf_dir):
+    (r,) = _q("pps_systematic_sample").spark_fn(spark, sf_dir).collect()
+    # every sampling point lands in exactly one doc interval
+    assert r["n_hits_total"] == r["k_points"] == 50
+    assert 0 < r["n_selected"] <= 50
+    assert r["total_tokens"] > 0
+    # Hansen-Hurwitz over a size-proportional design is close when
+    # tokens correlate with chars: generous 25% guard
+    assert r["rel_error"] < 0.25
