@@ -218,6 +218,24 @@ HEADLINE = [
     "isotonic_calibration_pava",
     "dp_noisy_counts_audit",
     "mi_lang_source_dependence",
+    # round-9 additions
+    "welch_ttest_value_by_variant",
+    "sprt_sequential_conversion",
+    "pass_at_k_estimator",
+    "adamic_adar_link_prediction",
+    "unimax_budget_allocation",
+    "infonce_temperature_audit",
+    "ql_dirichlet_retrieval",
+    "rho_loss_selection",
+    "phash_neardup_recall",
+    "holt_winters_dow_forecast",
+    "wasserstein1d_length_drift",
+    "k_anonymity_audit",
+    "mmd_embedding_drift",
+    "kalman_filter_daily",
+    "graph_modularity_partition",
+    "ucb1_arm_allocation_replay",
+    "pps_systematic_sample",
 ]
 
 REPEATS = 2
