@@ -52,6 +52,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text5,
         llm_text6,
         llm_text7,
+        llm_text8,
         model_evals,
         multimodal,
         python_udf_surfaces,

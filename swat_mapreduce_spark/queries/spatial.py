@@ -215,3 +215,155 @@ def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "cy", "cx")
         .limit(20)
     )
+
+
+# --- DBSCAN point classification (core / border / noise) -------------------------
+# The density-clustering front half of DBSCAN (Ester et al. 1996)
+# over the synthetic geo points: eps = 50 km, minPts = 4 neighbors —
+# a point is CORE with >= minPts others within eps, BORDER if not
+# core but within eps of a core, NOISE otherwise. Neighbor pairs come
+# from the same exact grid-cell blocking as spatial_grid_radius_join
+# (cell 2° covers 50 km everywhere the radius-100 bound already
+# holds), so candidate volume stays density-bounded — never N². The
+# eps comparison runs on the 2dp-snapped haversine (the family's
+# established cross-engine distance grid). Output: one bounded
+# summary row.
+_DBSCAN_EPS_KM = 50.0
+_DBSCAN_MINPTS = 4
+
+_DBSCAN_ORACLE = f"""
+WITH {_POINTS_DUCK},
+cells AS (
+    SELECT vec_id, lat, lon,
+           floor(lat / {_CELL_DEG})::BIGINT AS cy,
+           floor(lon / {_CELL_DEG})::BIGINT AS cx
+    FROM pts
+),
+probe AS (
+    SELECT c.vec_id, c.lat, c.lon,
+           c.cy + dy.d AS py, c.cx + dx.d AS px
+    FROM cells c,
+         generate_series(-1, 1) AS dy(d),
+         generate_series(-1, 1) AS dx(d)
+),
+nbr AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM probe a
+    JOIN cells b ON b.cy = a.py AND b.cx = a.px
+                AND a.vec_id <> b.vec_id
+    WHERE round({_HAV_DUCK} * 100) / 100 <= {_DBSCAN_EPS_KM}
+),
+deg AS (SELECT va, count(*)::BIGINT AS k FROM nbr GROUP BY va),
+core AS (SELECT va FROM deg WHERE k >= {_DBSCAN_MINPTS}),
+border AS (
+    SELECT DISTINCT n.va
+    FROM nbr n JOIN core c ON c.va = n.vb
+    WHERE n.va NOT IN (SELECT va FROM core)
+)
+SELECT (SELECT count(*) FROM pts)::BIGINT AS n_points,
+       (SELECT count(*) FROM core)::BIGINT AS n_core,
+       (SELECT count(*) FROM border)::BIGINT AS n_border,
+       ((SELECT count(*) FROM pts) - (SELECT count(*) FROM core)
+        - (SELECT count(*) FROM border))::BIGINT AS n_noise,
+       (SELECT max(k) FROM deg)::BIGINT AS max_neighbors
+"""
+
+
+@register("dbscan_core_points", oracle=_DBSCAN_ORACLE)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        (F.element_at(F.col("embedding"), 1).cast("double") * _LAT_SCALE)
+        .alias("lat"),
+        (F.element_at(F.col("embedding"), 2).cast("double") * _LON_SCALE)
+        .alias("lon"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL_DEG).alias("cy"),
+        F.floor(F.col("lon") / _CELL_DEG).alias("cx"),
+    ).persist()
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dy ->"
+        " transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
+    )
+    probe = cells.select(
+        F.col("vec_id").alias("va"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        "cy",
+        "cx",
+        offsets.alias("o"),
+    ).select(
+        "va",
+        "a_lat",
+        "a_lon",
+        (F.col("cy") + F.col("o.dy")).alias("py"),
+        (F.col("cx") + F.col("o.dx")).alias("px"),
+    )
+    bb = cells.select(
+        F.col("vec_id").alias("vb"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cy").alias("bcy"),
+        F.col("cx").alias("bcx"),
+    )
+    hav = (
+        F.lit(2.0 * _EARTH_KM)
+        * F.asin(
+            F.sqrt(
+                F.pow(
+                    F.sin(F.radians(F.col("b_lat") - F.col("a_lat")) / 2), 2
+                )
+                + F.cos(F.radians("a_lat"))
+                * F.cos(F.radians("b_lat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("b_lon") - F.col("a_lon")) / 2),
+                    2,
+                )
+            )
+        )
+    )
+    nbr = (
+        probe.join(
+            bb,
+            (F.col("bcy") == F.col("py"))
+            & (F.col("bcx") == F.col("px"))
+            & (F.col("va") != F.col("vb")),
+        )
+        .filter(F.round(hav * 100) / 100 <= F.lit(_DBSCAN_EPS_KM))
+        .select("va", "vb")
+        .persist()
+    )
+    deg = nbr.groupBy("va").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    core = deg.filter(F.col("k") >= _DBSCAN_MINPTS).select("va")
+    border = (
+        nbr.join(
+            F.broadcast(core.select(F.col("va").alias("vb"))), "vb"
+        )
+        .select("va")
+        .join(F.broadcast(core), "va", "left_anti")
+        .distinct()
+    )
+    n_points = pts.count()
+    n_core = core.count()
+    n_border = border.count()
+    max_k = deg.agg(F.max("k").alias("m")).first()["m"]
+    nbr.unpersist()
+    cells.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_points,
+                n_core,
+                n_border,
+                n_points - n_core - n_border,
+                int(max_k) if max_k is not None else None,
+            )
+        ],
+        "n_points long, n_core long, n_border long, n_noise long,"
+        " max_neighbors long",
+    )

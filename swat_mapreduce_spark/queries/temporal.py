@@ -2154,3 +2154,85 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- sequential-pattern support (a -> b within horizon) --------------------------
+# The sequence-mining primitive (the 2-sequence core of
+# PrefixSpan/SPADE): for every ORDERED event-type pair (a, b), the
+# number of users with at least one a-event followed by a b-event
+# within 1 hour — "what do users do next", with ordering and a time
+# horizon (journey_transition_matrix counts only ADJACENT steps;
+# market_basket is unordered). Support is an exact distinct-user
+# count; share = support / total users, one IEEE division. Scale: the
+# candidate join is user-keyed and horizon-bounded (per-user activity
+# × |event types| — the as-of/interval-join family, never corpus²);
+# the (a, b) output is |types|² bounded.
+_SEQ_HORIZON_US = 3_600_000_000
+
+_SEQPAT_ORACLE = f"""
+WITH u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events),
+hits AS (
+    SELECT DISTINCT a.event_type AS type_a, b.event_type AS type_b,
+           a.user_id
+    FROM events a
+    JOIN events b ON b.user_id = a.user_id
+               AND b.ts > a.ts
+               AND epoch_us(b.ts) - epoch_us(a.ts) <= {_SEQ_HORIZON_US}
+)
+SELECT h.type_a, h.type_b,
+       count(*)::BIGINT AS n_users_support,
+       round(count(*) * 10000.0 / u.n_users) / 10000 + 0.0
+           AS support_share
+FROM hits h, u
+GROUP BY h.type_a, h.type_b, u.n_users
+"""
+
+
+@register("seq_pattern_support", oracle=_SEQPAT_ORACLE)
+def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    a = ev.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (
+                F.unix_micros("ts_b") - F.unix_micros("ts_a")
+                <= F.lit(_SEQ_HORIZON_US)
+            ),
+        )
+        .select("type_a", "type_b", "ua")
+        .distinct()
+    )
+    u = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    return (
+        hits.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_support"))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_support",
+            (
+                F.round(
+                    F.col("n_users_support")
+                    * F.lit(10000.0)
+                    / F.col("n_users")
+                )
+                / 10000
+                + F.lit(0.0)
+            ).alias("support_share"),
+        )
+    )

@@ -240,3 +240,47 @@ def test_pps_hits_sum_to_k(spark, sf_dir):
     # Hansen-Hurwitz over a size-proportional design is close when
     # tokens correlate with chars: generous 25% guard
     assert r["rel_error"] < 0.25
+
+
+def test_seq_pattern_full_matrix_and_bounds(spark, sf_dir):
+    rows = _q("seq_pattern_support").spark_fn(spark, sf_dir).collect()
+    # at sf>=0.001 every ordered type pair has support (dense events)
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 < r["n_users_support"]
+        assert 0.0 < r["support_share"] <= 1.0
+
+
+def test_dbscan_partition_of_points(spark, sf_dir):
+    (r,) = _q("dbscan_core_points").spark_fn(spark, sf_dir).collect()
+    assert r["n_core"] + r["n_border"] + r["n_noise"] == r["n_points"]
+    assert r["n_core"] >= 0 and r["n_border"] >= 0 and r["n_noise"] >= 0
+    if r["n_core"] > 0:
+        assert r["max_neighbors"] >= 4
+
+
+def test_rake_phrases_scores(spark, sf_dir):
+    rows = _q("rake_keyword_extraction").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    stops = {"the", "a", "of", "and", "to", "in", "is"}
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert 1 <= len(words) <= 4
+        assert len(words) == r["n_words"]
+        assert not (set(words) & stops)
+        # word score deg/freq is at most the max phrase length, so a
+        # phrase of n words scores at most 4n
+        assert 0 < r["rake_score"] <= 4.0 * r["n_words"]
+
+
+def test_g2_nonneg_sorted_min_count(spark, sf_dir):
+    rows = _q("dunning_g2_collocations").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    g2s = [r["g2"] for r in rows]
+    assert g2s == sorted(g2s, reverse=True)
+    for r in rows:
+        assert r["n_bigram"] >= 5
+        # top-20 collocations carry real signal
+        assert r["g2"] > 0
