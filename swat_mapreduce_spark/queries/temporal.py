@@ -2236,3 +2236,123 @@ def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support_share"),
         )
     )
+
+
+# --- entropy rate of the event-type Markov chain ---------------------------------
+# The information-theoretic sequel to journey_transition_matrix: the
+# per-step entropy rate H = −Σ_i π_i Σ_j p_ij log2 p_ij of the
+# first-order event-type chain, with the stationary distribution π
+# from TWO power-iteration steps on the transition matrix starting
+# uniform — "how predictable is the next user action". The chain is
+# |types|² bounded metadata after one corpus window pass, so the
+# iteration runs driver-side (kmeans pattern) on exact integer
+# transition counts: every π update is a ratio of exact integer
+# products snapped to 1e-8 units (multiply-round-divide, gotcha 13a),
+# every plogp term snaps to 1e-6 units before the order-free sum; the
+# oracle replays the identical two steps in SQL over the same counts.
+_MKE_PI_U = 100_000_000  # 1e-8 pi units
+_MKE_H_U = 1_000_000  # 1e-6 entropy-term units
+
+_MKE_ORACLE = f"""
+WITH seq AS (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+                                  event_id) AS b
+    FROM events
+),
+c AS (
+    SELECT a, b, count(*)::BIGINT AS n FROM seq WHERE b IS NOT NULL
+    GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(n)::BIGINT AS ra FROM c GROUP BY 1),
+types AS (SELECT count(*)::BIGINT AS k FROM ra),
+-- pi_0 uniform in 1e-8 units; two exact snapped updates
+p1 AS (
+    SELECT c.b AS t,
+           sum(CAST(round(({_MKE_PI_U} / types.k) * (c.n::DOUBLE / ra.ra))
+                    AS BIGINT))::BIGINT AS pi_u
+    FROM c JOIN ra USING (a), types
+    GROUP BY c.b
+),
+p2 AS (
+    SELECT c.b AS t,
+           sum(CAST(round(p1.pi_u * (c.n::DOUBLE / ra.ra)) AS BIGINT))
+               ::BIGINT AS pi_u
+    FROM c JOIN ra USING (a) JOIN p1 ON p1.t = c.a
+    GROUP BY c.b
+),
+rowh AS (
+    SELECT c.a,
+           sum(CAST(round(-(c.n::DOUBLE / ra.ra)
+                    * log2(c.n::DOUBLE / ra.ra) * {_MKE_H_U}) AS BIGINT))
+               ::BIGINT AS h_u
+    FROM c JOIN ra USING (a)
+    GROUP BY c.a
+)
+SELECT p2.t AS event_type,
+       round(p2.pi_u * 1.0 / {_MKE_PI_U} * 10000) / 10000 + 0.0
+           AS stationary_pi,
+       round(rowh.h_u * 1.0 / {_MKE_H_U} * 10000) / 10000 + 0.0
+           AS row_entropy_bits,
+       round((SELECT sum(CAST(round((q.pi_u * 1.0 / {_MKE_PI_U})
+                     * rh.h_u) AS BIGINT))
+              FROM p2 q JOIN rowh rh ON rh.a = q.t) * 1.0
+             / {_MKE_H_U} * 10000) / 10000 + 0.0 AS entropy_rate_bits
+FROM p2 JOIN rowh ON rowh.a = p2.t
+"""
+
+
+@register("markov_entropy_rate", oracle=_MKE_ORACLE)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.queries.curation import _ri, _rp
+
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"),
+    )
+    c = {
+        (r["a"], r["b"]): int(r["n"])
+        for r in seq.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # bounded driver state: |types|^2 cells
+    ra: dict[str, int] = {}
+    for (va, _), n in c.items():
+        ra[va] = ra.get(va, 0) + n
+    types = sorted(ra)
+    k = len(types)
+    # FLOAT division, mirroring the oracle's ({_MKE_PI_U} / k) double —
+    # an integer // here would diverge whenever k does not divide 1e8
+    pi: dict = {t: _MKE_PI_U / k for t in types}
+    for _step in range(2):
+        nxt = {t: 0 for t in types}
+        for (va, vb), n in sorted(c.items()):
+            nxt[vb] += _ri(pi[va] * (n / ra[va]), 0)
+        pi = nxt
+    rowh = {t: 0 for t in types}
+    for (va, vb), n in sorted(c.items()):
+        import math
+
+        p = n / ra[va]
+        rowh[va] += _ri(-p * math.log2(p) * _MKE_H_U, 0)
+    rate_u = sum(
+        _ri((pi[t] * 1.0 / _MKE_PI_U) * rowh[t], 0) for t in types
+    )
+    rows = [
+        (
+            t,
+            _rp(pi[t] / _MKE_PI_U, 4) + 0.0,
+            _rp(rowh[t] / _MKE_H_U, 4) + 0.0,
+            _rp(rate_u / _MKE_H_U, 4) + 0.0,
+        )
+        for t in types
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, stationary_pi double,"
+        " row_entropy_bits double, entropy_rate_bits double",
+    )

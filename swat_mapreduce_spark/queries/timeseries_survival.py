@@ -810,3 +810,126 @@ def kalman_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("obs_var_dollars2"),
     )
+
+
+# --- Fano-factor burstiness of per-user arrivals ---------------------------------
+# Index of dispersion F = var/mean of each user's DAILY event counts
+# (zero-filled over the observed calendar span) — the burstiness
+# monitor separating Poisson-like users (F ≈ 1) from bursty ones
+# (F > 1). EXACT moments: with d calendar days, per-user Σx and Σx²
+# over NONZERO days are exact ints and the zero days contribute
+# nothing, so var·d² = d·Σx² − (Σx)² is an exact integer — the Fano
+# classification (F > 1 ⟺ d·(d·Σx² − (Σx)²) > (d−1)·d·Σx) compares
+# exact int64 products, no floats in the decision. One corpus
+# groupBy(user, day) pass, one per-user rollup, bounded summary.
+_FANO_ORACLE = """
+WITH span AS (
+    SELECT (date_diff('day', min(ts::DATE), max(ts::DATE)) + 1)::BIGINT
+        AS d
+    FROM events
+),
+ud AS (
+    SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS x
+    FROM events GROUP BY 1, 2
+),
+u AS (
+    SELECT user_id, sum(x)::BIGINT AS sx,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+           count(*)::BIGINT AS n_active_days
+    FROM ud GROUP BY 1
+),
+f AS (
+    SELECT u.user_id, u.sx, u.n_active_days, span.d,
+           (span.d * u.sxx - CAST(u.sx AS DECIMAL(38,0)) * u.sx) AS vnum,
+           -- F > 1  <=>  d*(d*sxx - sx^2) > (d-1)*d*sx
+           (span.d * (span.d * u.sxx - CAST(u.sx AS DECIMAL(38,0)) * u.sx)
+            > (span.d - 1) * span.d * CAST(u.sx AS DECIMAL(38,0)))
+               AS bursty
+    FROM u, span
+)
+SELECT count(*)::BIGINT AS n_users,
+       any_value(d)::BIGINT AS n_days,
+       sum(CASE WHEN bursty THEN 1 ELSE 0 END)::BIGINT AS n_bursty,
+       round(sum(CASE WHEN bursty THEN 1 ELSE 0 END) * 10000.0
+             / count(*)) / 10000 + 0.0 AS bursty_share,
+       round(sum(CAST(round(vnum::DOUBLE / (d - 1) / d
+                 / (sx * 1.0 / d) * 1000000) AS BIGINT)) * 1.0
+             / count(*) / 1000000 * 10000) / 10000 + 0.0 AS mean_fano
+FROM f
+"""
+
+
+@register("fano_burstiness_users", oracle=_FANO_ORACLE)
+def fano_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    u = ud.groupBy("user_id").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+    )
+    f = u.crossJoin(F.broadcast(span)).select(
+        "sx",
+        "d",
+        (
+            F.col("d") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).alias("vnum"),
+        (
+            F.col("d")
+            * (
+                F.col("d") * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            )
+            > (F.col("d") - 1)
+            * F.col("d")
+            * F.col("sx").cast("decimal(38,0)")
+        ).alias("bursty"),
+    )
+    fano_u = F.round(
+        F.col("vnum").cast("double")
+        / (F.col("d") - 1)
+        / F.col("d")
+        / (F.col("sx") * F.lit(1.0) / F.col("d"))
+        * F.lit(1000000)
+    ).cast("long")
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.first("d").alias("n_days"),
+        F.sum(F.when(F.col("bursty"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bursty"),
+        (
+            F.round(
+                F.sum(F.when(F.col("bursty"), 1).otherwise(0))
+                * F.lit(10000.0)
+                / F.count(F.lit(1))
+            )
+            / 10000
+            + F.lit(0.0)
+        ).alias("bursty_share"),
+        (
+            F.round(
+                F.sum(fano_u)
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / F.lit(1000000)
+                * 10000
+            )
+            / 10000
+            + F.lit(0.0)
+        ).alias("mean_fano"),
+    )

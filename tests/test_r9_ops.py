@@ -284,3 +284,29 @@ def test_g2_nonneg_sorted_min_count(spark, sf_dir):
         assert r["n_bigram"] >= 5
         # top-20 collocations carry real signal
         assert r["g2"] > 0
+
+
+def test_markov_entropy_identities(spark, sf_dir):
+    rows = _q("markov_entropy_rate").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    rate = rows[0]["entropy_rate_bits"]
+    pis = [r["stationary_pi"] for r in rows]
+    assert abs(sum(pis) - 1.0) < 1e-2
+    k = len(rows)
+    for r in rows:
+        assert r["entropy_rate_bits"] == rate
+        # row entropy over k symbols is bounded by log2(k)
+        assert 0.0 <= r["row_entropy_bits"] <= math.log2(k) + 1e-6
+    # the rate is a pi-weighted mean of row entropies
+    lo = min(r["row_entropy_bits"] for r in rows)
+    hi = max(r["row_entropy_bits"] for r in rows)
+    assert lo - 1e-3 <= rate <= hi + 1e-3
+
+
+def test_fano_summary_bounds(spark, sf_dir):
+    (r,) = _q("fano_burstiness_users").spark_fn(spark, sf_dir).collect()
+    assert r["n_users"] > 0
+    assert r["n_days"] >= 10
+    assert 0 <= r["n_bursty"] <= r["n_users"]
+    assert 0.0 <= r["bursty_share"] <= 1.0
+    assert r["mean_fano"] > 0.0
