@@ -1806,3 +1806,713 @@ def ucb1_arm_allocation_replay(
         "day date, t long, chosen_arm long, idx_arm0 double,"
         " idx_arm1 double, plays_arm0 long, plays_arm1 long",
     )
+
+
+# --- one-way ANOVA F-test: order value by priority -------------------------------
+# The classic k-group mean test completing the Welch pair: does mean
+# order value differ across the 5 priority classes? One corpus scan to
+# k moment rows (n, Σcents BIGINT, Σcents² DECIMAL(38,0) — gotcha
+# 2/8), then SSB/SSW assembled from per-group terms SNAPPED to integer
+# 1e6-cents² units before the cross-group sum (a 5-double sum is
+# accumulation-order-dependent; snapped int64 sums are not — the same
+# discipline as markov_entropy_rate). F and η² are IEEE ratios of the
+# exact snapped integers; significance compares the unrounded F
+# against the embedded F(4,∞) 5% critical value — no libm anywhere.
+# Scale: map-side-combined groupBy to 5 rows; nothing else moves.
+_ANOVA_T_U = 1_000_000  # snap SSB/SSW terms to 1e6 cents^2 units
+_ANOVA_F_CRIT = 2.3719  # F(4, inf) at alpha = 0.05
+
+_ANOVA_ORACLE = f"""
+WITH v AS (
+    SELECT o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+m AS (
+    SELECT priority, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+           sum(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+    FROM v GROUP BY 1
+),
+g AS (
+    SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS gs,
+           count(*)::BIGINT AS k
+    FROM m
+),
+terms AS (
+    SELECT m.priority, m.n, m.s,
+           CAST(round(m.n * (m.s::DOUBLE / m.n - g.gs::DOUBLE / g.nn)
+                      * (m.s::DOUBLE / m.n - g.gs::DOUBLE / g.nn)
+                      / {_ANOVA_T_U}) AS BIGINT) AS ssb_u,
+           CAST(round((m.ss::DOUBLE
+                       - (m.s::DOUBLE * m.s::DOUBLE) / m.n)
+                      / {_ANOVA_T_U}) AS BIGINT) AS ssw_u
+    FROM m, g
+),
+f AS (
+    SELECT g.nn, g.k,
+           sum(terms.ssb_u)::BIGINT AS ssb,
+           sum(terms.ssw_u)::BIGINT AS ssw
+    FROM terms, g GROUP BY 1, 2
+)
+SELECT t.priority, t.n AS n_orders,
+       round(t.s::DOUBLE / t.n / 100 * 10000) / 10000 + 0.0
+           AS mean_value,
+       round((f.ssb::DOUBLE / (f.k - 1)) / (f.ssw::DOUBLE / (f.nn - f.k))
+             * 10000) / 10000 + 0.0 AS f_stat,
+       round(f.ssb::DOUBLE / (f.ssb + f.ssw) * 1000000) / 1000000 + 0.0
+           AS eta_squared,
+       (f.ssb::DOUBLE / (f.k - 1)) / (f.ssw::DOUBLE / (f.nn - f.k))
+           > {_ANOVA_F_CRIT} AS significant
+FROM terms t, f
+"""
+
+
+@register("anova_oneway_f", oracle=_ANOVA_ORACLE)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side-combined scan to 5 moment rows; every cross-group
+    reduction is an exact snapped-int64 sum, so the plan is a single
+    shuffle of 5 rows at any corpus size."""
+    v = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = v.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    g = m.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mj = F.col("s").cast("double") / F.col("n")
+    gm = F.col("gs").cast("double") / F.col("nn")
+    terms = m.crossJoin(F.broadcast(g)).select(
+        "priority",
+        "n",
+        "s",
+        "nn",
+        "k",
+        F.round(F.col("n") * (mj - gm) * (mj - gm) / F.lit(_ANOVA_T_U))
+        .cast("long")
+        .alias("ssb_u"),
+        F.round(
+            (
+                F.col("ss").cast("double")
+                - (F.col("s").cast("double") * F.col("s").cast("double"))
+                / F.col("n")
+            )
+            / F.lit(_ANOVA_T_U)
+        )
+        .cast("long")
+        .alias("ssw_u"),
+    )
+    f = terms.groupBy("nn", "k").agg(
+        F.sum("ssb_u").cast("long").alias("ssb"),
+        F.sum("ssw_u").cast("long").alias("ssw"),
+    )
+    fstat = (F.col("ssb").cast("double") / (F.col("k") - 1)) / (
+        F.col("ssw").cast("double") / (F.col("nn") - F.col("k"))
+    )
+    return terms.select("priority", "n", "s").crossJoin(
+        F.broadcast(f)
+    ).select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        R.r(F.col("s").cast("double") / F.col("n") / 100, 4).alias(
+            "mean_value"
+        ),
+        R.r(fstat, 4).alias("f_stat"),
+        R.r(
+            F.col("ssb").cast("double") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_squared"),
+        (fstat > F.lit(_ANOVA_F_CRIT)).alias("significant"),
+    )
+
+
+# --- Kruskal-Wallis H: document length by language ------------------------------
+# The k-group rank test (nonparametric ANOVA): does the n_chars
+# distribution differ across languages? Ranks never touch per-row
+# windows: midranks with ties live on the DISTINCT-LENGTH domain
+# (rank2(v) = 2·cum_below(v) + t_v + 1, an exact integer in half-rank
+# units), so the only ordered pass is a cumulative over the bounded
+# length-domain table (global-window allowlist, same rationale as
+# ks_two_sample_lengths). Per-group rank sums R2_g = Σ c_gv·rank2(v)
+# go through DECIMAL(38,0) so the N² magnitude cannot wrap; the
+# Σ R2_g²/n_g cross-group reduction snaps each term to integer units
+# before summing (order-free). H = 3/(N(N+1))·ΣR2²/n − 3(N+1) (the
+# half-unit algebra folds 12/4 → 3); the tie correction
+# C = 1 − Σ(t³−t)/(N³−N) is a ratio of exact integers.
+_KW_CHI2_CRIT = 9.4877  # chi2(4 df) at alpha = 0.05
+
+_KW_ORACLE = f"""
+WITH t AS (
+    SELECT n_chars AS v, count(*)::BIGINT AS tv
+    FROM documents GROUP BY 1
+),
+r AS (
+    SELECT v, tv,
+           (2 * (sum(tv) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tv)
+            + tv + 1)::BIGINT AS rank2
+    FROM t
+),
+c AS (
+    SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+    FROM documents GROUP BY 1, 2
+),
+gr AS (
+    SELECT c.lang, sum(c.c)::BIGINT AS n_g,
+           sum(CAST(c.c AS DECIMAL(38,0)) * r.rank2) AS r2_g
+    FROM c JOIN r USING (v) GROUP BY 1
+),
+nn AS (SELECT sum(n_g)::BIGINT AS n FROM gr),
+hsum AS (
+    SELECT sum(CAST(round(gr.r2_g::DOUBLE * gr.r2_g::DOUBLE / gr.n_g)
+                    AS BIGINT))::BIGINT AS rq_u,
+           count(*)::BIGINT AS k
+    FROM gr
+),
+ties AS (
+    SELECT coalesce(sum(CAST(tv AS DECIMAL(38,0)) * tv * tv - tv), 0)
+               AS tie3
+    FROM t WHERE tv > 1
+),
+h AS (
+    SELECT nn.n, hsum.k,
+           3.0 * hsum.rq_u / (nn.n * (nn.n + 1.0)) - 3.0 * (nn.n + 1)
+               AS h_raw,
+           1.0 - ties.tie3::DOUBLE
+                 / (CAST(nn.n AS DECIMAL(38,0)) * nn.n * nn.n - nn.n)
+                     ::DOUBLE AS cc
+    FROM nn, hsum, ties
+)
+SELECT gr.lang, gr.n_g AS n_docs,
+       round(gr.r2_g::DOUBLE / (2.0 * gr.n_g) * 10000) / 10000 + 0.0
+           AS mean_rank,
+       round(h.h_raw * 10000) / 10000 + 0.0 AS h_stat,
+       round(h.h_raw / h.cc * 10000) / 10000 + 0.0 AS h_adjusted,
+       (h.k - 1)::BIGINT AS df,
+       h.h_raw / h.cc > {_KW_CHI2_CRIT} AS significant
+FROM gr, h
+"""
+
+
+@register("kruskal_wallis_length_by_lang", oracle=_KW_ORACLE)
+def kruskal_wallis_length_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two corpus scans collapse to the (length-domain) and
+    (lang × length) count tables; every ordered pass runs on the
+    bounded length domain, so rank math never shuffles documents."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    t = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("tv")
+    )
+    r = t.withColumn(
+        "rank2",
+        (
+            2
+            * (
+                F.sum("tv").over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("tv")
+            )
+            + F.col("tv")
+            + 1
+        ).cast("long"),
+    )
+    c = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gr = (
+        c.join(F.broadcast(r.select("v", "rank2")), "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("rank2")
+            ).alias("r2_g"),
+        )
+    )
+    nn = gr.agg(F.sum("n_g").cast("long").alias("n"))
+    hsum = gr.agg(
+        F.sum(
+            F.round(
+                F.col("r2_g").cast("double")
+                * F.col("r2_g").cast("double")
+                / F.col("n_g")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rq_u"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ties = t.filter(F.col("tv") > 1).agg(
+        F.coalesce(
+            F.sum(
+                F.col("tv").cast("decimal(38,0)") * F.col("tv")
+                * F.col("tv")
+                - F.col("tv")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("tie3")
+    )
+    h = (
+        nn.crossJoin(F.broadcast(hsum))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "k",
+            (
+                F.lit(3.0) * F.col("rq_u")
+                / (F.col("n") * (F.col("n") + F.lit(1.0)))
+                - F.lit(3.0) * (F.col("n") + 1)
+            ).alias("h_raw"),
+            (
+                F.lit(1.0)
+                - F.col("tie3").cast("double")
+                / (
+                    F.col("n").cast("decimal(38,0)") * F.col("n")
+                    * F.col("n")
+                    - F.col("n")
+                ).cast("double")
+            ).alias("cc"),
+        )
+    )
+    return gr.crossJoin(F.broadcast(h)).select(
+        "lang",
+        F.col("n_g").alias("n_docs"),
+        R.r(
+            F.col("r2_g").cast("double") / (F.lit(2.0) * F.col("n_g")), 4
+        ).alias("mean_rank"),
+        R.r("h_raw", 4).alias("h_stat"),
+        R.r(F.col("h_raw") / F.col("cc"), 4).alias("h_adjusted"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        (F.col("h_raw") / F.col("cc") > F.lit(_KW_CHI2_CRIT)).alias(
+            "significant"
+        ),
+    )
+
+
+# --- Spearman rank correlation: daily event count vs daily value ----------------
+# Monotone-association monitor between two daily metrics (how many
+# events vs how much value). Midranks come from a SELF-JOIN on the
+# calendar-bounded day table — r2_i = Σ_j (2·[m_j<m_i] + [m_j=m_i]) + 1
+# in exact half-rank integer units, no window at all — and ρ is the
+# Pearson form on those integers: every sum is exact int64, the only
+# floating point is the final ratio/sqrt (IEEE, no libm), then one
+# 6dp rounding. The daily value rank key is the exact DECIMAL(30,8)
+# sum (gotcha 2), so rank comparisons cannot be flipped by double
+# accumulation noise. Scale: one corpus scan to |days| rows; the
+# O(|days|²) rank join is calendar-bounded metadata.
+_SPEAR_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, count(*)::BIGINT AS m,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+rk AS (
+    SELECT a.day,
+           (sum(CASE WHEN b.m < a.m THEN 2
+                     WHEN b.m = a.m THEN 1 ELSE 0 END) + 1)::BIGINT AS rm,
+           (sum(CASE WHEN b.x < a.x THEN 2
+                     WHEN b.x = a.x THEN 1 ELSE 0 END) + 1)::BIGINT AS rx
+    FROM daily a, daily b GROUP BY a.day
+),
+s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(rm)::BIGINT AS sm, sum(rx)::BIGINT AS sx,
+           sum(rm * rx)::BIGINT AS smx,
+           sum(rm * rm)::BIGINT AS smm,
+           sum(rx * rx)::BIGINT AS sxx
+    FROM rk
+)
+SELECT n AS n_days,
+       round((n * smx - sm * sx)::DOUBLE
+             / sqrt((n * smm - sm * sm)::DOUBLE
+                    * (n * sxx - sx * sx)::DOUBLE) * 1000000)
+           / 1000000 + 0.0 AS rho_spearman,
+       round((n * smx - sm * sx)::DOUBLE
+             / sqrt((n * smm - sm * sm)::DOUBLE
+                    * (n * sxx - sx * sx)::DOUBLE)
+             * sqrt((n - 2) / (1.0
+                 - ((n * smx - sm * sx)::DOUBLE
+                    / sqrt((n * smm - sm * sm)::DOUBLE
+                           * (n * sxx - sx * sx)::DOUBLE))
+                   * ((n * smx - sm * sx)::DOUBLE
+                      / sqrt((n * smm - sm * sm)::DOUBLE
+                             * (n * sxx - sx * sx)::DOUBLE))))
+             * 10000) / 10000 + 0.0 AS t_stat
+FROM s
+"""
+
+
+@register("spearman_corr_daily", oracle=_SPEAR_ORACLE)
+def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("x"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("m").alias("ma"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(F.col("m").alias("mb"), F.col("x").alias("xb"))
+    rk = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy("da")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mb") < F.col("ma"), 2)
+                    .when(F.col("mb") == F.col("ma"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("rm"),
+            (
+                F.sum(
+                    F.when(F.col("xb") < F.col("xa"), 2)
+                    .when(F.col("xb") == F.col("xa"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("rx"),
+        )
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rm").cast("long").alias("sm"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum(F.col("rm") * F.col("rx")).cast("long").alias("smx"),
+        F.sum(F.col("rm") * F.col("rm")).cast("long").alias("smm"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("smx") - F.col("sm") * F.col("sx")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    rho = num / den
+    t = rho * F.sqrt((F.col("n") - 2) / (F.lit(1.0) - rho * rho))
+    return s.select(
+        F.col("n").alias("n_days"),
+        R.r(rho, 6).alias("rho_spearman"),
+        R.r(t, 4).alias("t_stat"),
+    )
+
+
+# --- Kendall tau-b: daily event count vs daily value ----------------------------
+# The concordance twin of Spearman: tau-b with full tie correction
+# over the same two daily metrics. All four pair classes (concordant,
+# discordant, tied-in-m, tied-in-x) are exact integer counts from the
+# day-pair join (calendar-bounded: |days|·(|days|−1)/2 pairs of
+# metadata); tau_b = (C−D)/√((n0−n1)(n0−n2)) is the only floating
+# point, computed identically in IEEE on both engines from the same
+# int64 inputs. The value key is the exact DECIMAL daily sum, so tie
+# detection is exact (gotcha 2).
+_KT_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, count(*)::BIGINT AS m,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+p AS (
+    SELECT CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END
+               AS dm,
+           CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+               AS dx
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+s AS (
+    SELECT count(*)::BIGINT AS n0,
+           sum(CASE WHEN dm * dx > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+           sum(CASE WHEN dm * dx < 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN dm = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+           sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::BIGINT AS n2
+    FROM p
+),
+nn AS (SELECT count(*)::BIGINT AS n_days FROM daily)
+SELECT nn.n_days, s.n0 AS n_pairs, s.c AS concordant, s.d AS discordant,
+       round((s.c - s.d)::DOUBLE
+             / sqrt((s.n0 - s.n1)::DOUBLE * (s.n0 - s.n2)::DOUBLE)
+             * 1000000) / 1000000 + 0.0 AS tau_b
+FROM s, nn
+"""
+
+
+@register("kendall_tau_daily", oracle=_KT_ORACLE)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("x"),
+        )
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("m").alias("ma"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("m").alias("mb"),
+        F.col("x").alias("xb"),
+    )
+    dm = (
+        F.when(F.col("mb") > F.col("ma"), 1)
+        .when(F.col("mb") < F.col("ma"), -1)
+        .otherwise(0)
+    )
+    dx = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    p = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        dm.alias("dm"), dx.alias("dx")
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("dm") * F.col("dx") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("dm") * F.col("dx") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("dm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return s.crossJoin(F.broadcast(nn)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        R.r(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --- Brown-Forsythe variance-equality test: length by source --------------------
+# Levene's test with group MEDIANS (Brown-Forsythe 1974) — are the
+# document-length SPREADS equal across sources? Medians come from
+# per-source cumulative counts on the (source × distinct-length) grid
+# (a PARTITIONED window over bounded grid rows — never a per-document
+# sort): med2_s = v@ceil(n/2) + v@(floor(n/2)+1) in exact half-unit
+# integers, so z2 = |2·len − med2_s| is an exact integer per grid
+# cell. Group moments Σc·z2 / Σc·z2² are exact int64; the two ANOVA
+# reductions over the 20 group terms snap each term to 1e-4 units
+# before the cross-group sum (order-free, same discipline as
+# anova_oneway_f); W is an IEEE ratio of those snapped integers
+# against the embedded F(19,∞) 5% critical value.
+_BF_T_U = 10_000  # snap cross-group ANOVA terms to 1e-4 units
+_BF_F_CRIT = 1.5865  # F(19, inf) at alpha = 0.05
+
+_BF_ORACLE = f"""
+WITH c AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM documents GROUP BY 1, 2
+),
+cum AS (
+    SELECT source, v, c,
+           sum(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cm
+    FROM c
+),
+ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM c GROUP BY 1),
+med AS (
+    SELECT cum.source,
+           (min(CASE WHEN cum.cm >=
+                    CAST(floor((ns.n_s + 1) / 2.0) AS BIGINT)
+                    THEN cum.v END)
+            + min(CASE WHEN cum.cm >=
+                    CAST(floor(ns.n_s / 2.0) AS BIGINT) + 1
+                    THEN cum.v END))::BIGINT AS med2
+    FROM cum JOIN ns USING (source) GROUP BY 1
+),
+z AS (
+    SELECT c.source, ns.n_s,
+           sum(c.c * abs(2 * c.v - med.med2))::BIGINT AS s1,
+           sum(c.c * abs(2 * c.v - med.med2)
+               * abs(2 * c.v - med.med2))::BIGINT AS s2
+    FROM c JOIN med USING (source) JOIN ns USING (source)
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT sum(n_s)::BIGINT AS nn, sum(s1)::BIGINT AS sz,
+           count(*)::BIGINT AS k
+    FROM z
+),
+terms AS (
+    SELECT z.source, z.n_s, z.s1,
+           CAST(round(z.n_s * (z.s1::DOUBLE / z.n_s - g.sz::DOUBLE / g.nn)
+                      * (z.s1::DOUBLE / z.n_s - g.sz::DOUBLE / g.nn)
+                      * {_BF_T_U}) AS BIGINT) AS num_u,
+           CAST(round((z.s2 - (z.s1::DOUBLE * z.s1::DOUBLE) / z.n_s)
+                      * {_BF_T_U}) AS BIGINT) AS den_u
+    FROM z, g
+),
+w AS (
+    SELECT g.nn, g.k, sum(terms.num_u)::BIGINT AS num,
+           sum(terms.den_u)::BIGINT AS den
+    FROM terms, g GROUP BY 1, 2
+)
+SELECT m.source, ns.n_s AS n_docs,
+       round(m.med2 / 2.0 * 10) / 10 + 0.0 AS median_chars,
+       round(t.s1::DOUBLE / (2.0 * ns.n_s) * 10000) / 10000 + 0.0
+           AS mean_absdev,
+       round(((w.nn - w.k)::DOUBLE / (w.k - 1)) * w.num / w.den
+             * 10000) / 10000 + 0.0 AS w_stat,
+       ((w.nn - w.k)::DOUBLE / (w.k - 1)) * w.num / w.den > {_BF_F_CRIT}
+           AS significant
+FROM med m JOIN ns USING (source) JOIN terms t ON t.source = m.source, w
+"""
+
+
+@register("brown_forsythe_length_by_source", oracle=_BF_ORACLE)
+def brown_forsythe_length_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One corpus scan to the (source × length) grid; the ordered pass
+    is a PARTITIONED cumulative over grid rows, so no document-level
+    sort or global window exists anywhere in the plan."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = c.withColumn(
+        "cm",
+        F.sum("c")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    ns = c.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    med = (
+        cum.join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cm")
+                        >= F.floor((F.col("n_s") + 1) / F.lit(2.0)).cast(
+                            "long"
+                        ),
+                        F.col("v"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cm")
+                        >= F.floor(F.col("n_s") / F.lit(2.0)).cast("long")
+                        + 1,
+                        F.col("v"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    z2 = F.abs(2 * F.col("v") - F.col("med2"))
+    z = (
+        c.join(F.broadcast(med), "source")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source", "n_s")
+        .agg(
+            F.sum(F.col("c") * z2).cast("long").alias("s1"),
+            F.sum(F.col("c") * z2 * z2).cast("long").alias("s2"),
+        )
+    )
+    g = z.agg(
+        F.sum("n_s").cast("long").alias("nn"),
+        F.sum("s1").cast("long").alias("sz"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    zbar_s = F.col("s1").cast("double") / F.col("n_s")
+    zbar = F.col("sz").cast("double") / F.col("nn")
+    terms = z.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_s",
+        "s1",
+        F.round(
+            F.col("n_s") * (zbar_s - zbar) * (zbar_s - zbar)
+            * F.lit(_BF_T_U)
+        )
+        .cast("long")
+        .alias("num_u"),
+        F.round(
+            (
+                F.col("s2")
+                - (F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / F.col("n_s")
+            )
+            * F.lit(_BF_T_U)
+        )
+        .cast("long")
+        .alias("den_u"),
+    )
+    w = terms.groupBy().agg(
+        F.sum("num_u").cast("long").alias("num"),
+        F.sum("den_u").cast("long").alias("den"),
+    ).crossJoin(F.broadcast(g))
+    wstat = (
+        (F.col("nn") - F.col("k")).cast("double") / (F.col("k") - 1)
+    ) * F.col("num") / F.col("den")
+    return (
+        med.join(F.broadcast(ns), "source")
+        .join(
+            F.broadcast(terms.select("source", "s1")), "source"
+        )
+        .crossJoin(F.broadcast(w))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            R.r(F.col("med2") / F.lit(2.0), 1).alias("median_chars"),
+            R.r(
+                F.col("s1").cast("double") / (F.lit(2.0) * F.col("n_s")),
+                4,
+            ).alias("mean_absdev"),
+            R.r(wstat, 4).alias("w_stat"),
+            (wstat > F.lit(_BF_F_CRIT)).alias("significant"),
+        )
+    )

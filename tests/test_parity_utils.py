@@ -513,6 +513,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "sprt_sequential_conversion",
     # CDF cumulatives + lead over the distinct-length domain (r9)
     "wasserstein1d_length_drift",
+    # midrank cumulative over the distinct-length domain (r9)
+    "kruskal_wallis_length_by_lang",
 }
 
 

@@ -310,3 +310,64 @@ def test_fano_summary_bounds(spark, sf_dir):
     assert 0 <= r["n_bursty"] <= r["n_users"]
     assert 0.0 <= r["bursty_share"] <= 1.0
     assert r["mean_fano"] > 0.0
+
+
+def test_anova_f_consistent_with_eta_squared(spark, sf_dir):
+    rows = _q("anova_oneway_f").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    f = rows[0]["f_stat"]
+    eta2 = rows[0]["eta_squared"]
+    n = sum(r["n_orders"] for r in rows)
+    for r in rows:
+        assert r["f_stat"] == f and r["eta_squared"] == eta2
+        assert r["mean_value"] > 0
+    assert 0.0 <= eta2 < 1.0
+    # F and eta^2 are two forms of the same ratio:
+    # F = (eta2/(k-1)) / ((1-eta2)/(N-k))
+    k = 5
+    f_from_eta = (eta2 / (k - 1)) / ((1 - eta2) / (n - k))
+    assert abs(f - f_from_eta) < max(0.01, 0.01 * abs(f))
+
+
+def test_kruskal_wallis_rank_identities(spark, sf_dir):
+    rows = _q("kruskal_wallis_length_by_lang").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 5
+    n = sum(r["n_docs"] for r in rows)
+    # weighted mean of group mean-ranks is the global mean rank (N+1)/2
+    wsum = sum(r["mean_rank"] * r["n_docs"] for r in rows)
+    assert abs(wsum / n - (n + 1) / 2.0) < 0.01
+    h = rows[0]["h_stat"]
+    assert rows[0]["h_adjusted"] >= h - 1e-9  # ties only inflate H
+    assert h >= 0.0
+    assert rows[0]["df"] == 4
+
+
+def test_spearman_in_range_and_matches_kendall_sign(spark, sf_dir):
+    (s,) = _q("spearman_corr_daily").spark_fn(spark, sf_dir).collect()
+    (k,) = _q("kendall_tau_daily").spark_fn(spark, sf_dir).collect()
+    assert -1.0 <= s["rho_spearman"] <= 1.0
+    assert -1.0 <= k["tau_b"] <= 1.0
+    assert s["n_days"] == k["n_days"] >= 10
+    assert k["n_pairs"] == k["n_days"] * (k["n_days"] - 1) // 2
+    assert k["concordant"] + k["discordant"] <= k["n_pairs"]
+    # both measure the same monotone association; when either is
+    # decisive they must agree in sign
+    if abs(s["rho_spearman"]) > 0.1 and abs(k["tau_b"]) > 0.05:
+        assert (s["rho_spearman"] > 0) == (k["tau_b"] > 0)
+
+
+def test_brown_forsythe_median_bounds(spark, sf_dir):
+    rows = _q("brown_forsythe_length_by_source").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 20
+    w = rows[0]["w_stat"]
+    for r in rows:
+        assert r["w_stat"] == w
+        assert r["n_docs"] > 0
+        # mean |dev from median| is positive and below the length range
+        assert 0.0 < r["mean_absdev"] < r["median_chars"] * 20
+        assert 40 <= r["median_chars"] <= 600
+    assert w >= 0.0
