@@ -310,3 +310,490 @@ def dunning_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     bc.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- Yule's K and Simpson's D: vocabulary richness per language -----------------
+# Yule (1944) characteristic K = 10⁴·(Σc_w² − N)/N² and Simpson's
+# repeat-rate D = Σc_w(c_w−1)/(N(N−1)) — the two classical lexical
+# richness constants a corpus datacard reports per language. Both are
+# ratios of EXACT integers (token counts and squared type counts —
+# Σc² goes through DECIMAL(38,0) so web-scale type counts cannot
+# wrap), so the only floating point is one final division per
+# statistic. Scale: one tokenize pass into the (lang × word) count
+# table (vocab-bounded shuffle, map-side combined), then a |langs|-row
+# rollup.
+_YULE_ORACLE = """
+WITH tok AS (
+    SELECT lang, u.w
+    FROM documents,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> len(x) > 0)) AS u(w)
+),
+c AS (
+    SELECT lang, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+),
+m AS (
+    SELECT lang, sum(c)::BIGINT AS n, count(*)::BIGINT AS v,
+           sum(CAST(c AS DECIMAL(38,0)) * c) AS c2,
+           sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS crep
+    FROM c GROUP BY 1
+)
+SELECT lang, n AS n_tokens, v AS n_types,
+       round((c2 - n)::DOUBLE / (n::DOUBLE * n) * 10000 * 10000) / 10000
+           + 0.0 AS yule_k,
+       round(crep::DOUBLE / (n::DOUBLE * (n - 1)) * 1000000) / 1000000
+           + 0.0 AS simpson_d,
+       round(v::DOUBLE / n * 1000000) / 1000000 + 0.0 AS ttr
+FROM m
+"""
+
+
+@register("yule_k_vocab_richness", oracle=_YULE_ORACLE)
+def yule_k_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", ws_tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select("lang", F.explode("toks").alias("w"))
+    c = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("c2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)
+        ).alias("crep"),
+    )
+    return m.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        R.r(
+            (F.col("c2") - F.col("n")).cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+            * 10000,
+            4,
+        ).alias("yule_k"),
+        R.r(
+            F.col("crep").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("simpson_d"),
+        R.r(F.col("v").cast("double") / F.col("n"), 6).alias("ttr"),
+    )
+
+
+# --- MSTTR: mean segmental type-token ratio per language ------------------------
+# Johnson (1944) MSTTR-25 — the length-robust lexical-diversity score
+# (raw TTR shrinks with document length; segmenting at a fixed 25
+# tokens removes the bias): split each document's token stream into
+# consecutive FULL 25-token segments (trailing partial dropped, the
+# standard convention), take each segment's distinct-type count, and
+# average TTR over segments per language. Every segment TTR is an
+# exact integer ratio (distinct count / 25 → 1e-6 units), so the
+# language mean is a ratio of exact int64 sums. Scale: positions come
+# from posexplode inside the array domain (no window at all); the
+# (doc, segment) distinct-count is a map-side-combinable groupBy.
+_MSTTR_SEG = 25
+_MSTTR_U = 1_000_000
+
+_MSTTR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang, t.i AS pos, t.w
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> len(x) > 0),
+                   (w, i) -> struct_pack(i := i, w := w))) AS t
+        FROM documents
+    )
+),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+seg AS (
+    SELECT tok.doc_id, tok.lang,
+           CAST(floor((tok.pos - 1) / {_MSTTR_SEG}.0) AS BIGINT) AS seg,
+           tok.w
+    FROM tok JOIN nt USING (doc_id)
+    WHERE CAST(floor((tok.pos - 1) / {_MSTTR_SEG}.0) AS BIGINT)
+          < CAST(floor(nt.n / {_MSTTR_SEG}.0) AS BIGINT)
+),
+sttr AS (
+    SELECT lang, doc_id, seg,
+           CAST(round(count(DISTINCT w) * {_MSTTR_U}.0 / {_MSTTR_SEG})
+                AS BIGINT) AS ttr_u
+    FROM seg GROUP BY 1, 2, 3
+)
+SELECT lang, count(*)::BIGINT AS n_segments,
+       round(sum(ttr_u)::DOUBLE / count(*) / {_MSTTR_U} * 10000) / 10000
+           + 0.0 AS msttr,
+       round(min(ttr_u) * 1.0 / {_MSTTR_U} * 10000) / 10000 + 0.0
+           AS min_seg_ttr,
+       round(max(ttr_u) * 1.0 / {_MSTTR_U} * 10000) / 10000 + 0.0
+           AS max_seg_ttr
+FROM sttr GROUP BY 1
+"""
+
+
+@register("msttr_lexical_diversity", oracle=_MSTTR_ORACLE)
+def msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos0", "w"),
+    )
+    seg_col = F.floor(F.col("pos0") / F.lit(float(_MSTTR_SEG))).cast("long")
+    full = F.floor(F.col("n") / F.lit(float(_MSTTR_SEG))).cast("long")
+    seg = tok.filter(seg_col < full).select(
+        "doc_id", "lang", seg_col.alias("seg"), "w"
+    )
+    sttr = seg.groupBy("lang", "doc_id", "seg").agg(
+        F.round(
+            F.countDistinct("w") * F.lit(float(_MSTTR_U)) / _MSTTR_SEG
+        )
+        .cast("long")
+        .alias("ttr_u")
+    )
+    return sttr.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        R.r(
+            F.sum("ttr_u").cast("double") / F.count(F.lit(1)) / _MSTTR_U,
+            4,
+        ).alias("msttr"),
+        R.r(F.min("ttr_u") * F.lit(1.0) / _MSTTR_U, 4).alias(
+            "min_seg_ttr"
+        ),
+        R.r(F.max("ttr_u") * F.lit(1.0) / _MSTTR_U, 4).alias(
+            "max_seg_ttr"
+        ),
+    )
+
+
+# --- Burrows' Delta: stylometric distance between sources -----------------------
+# Burrows (2002) Delta — the standard authorship-attribution /
+# style-drift measure: over the corpus's 20 most-frequent words, each
+# source's relative frequency is z-scored across sources and
+# Delta(s1,s2) = mean_w |z1 − z2|. The closest pairs flag sources
+# with near-identical generation style (a provenance signal for
+# training-data curation). Determinism: relative frequencies are
+# integer 1e-6 units (round(c·1e6/T)), so Σf and Σf² across the 20
+# sources are exact int64; σ is one sqrt on exact-int-derived doubles
+# and each z snaps to integer 1e-6 units before the pair sum — the
+# top-10 cut orders by an exact int64 key with lexicographic pair
+# tie-break. Scale: one tokenize pass to the (source × word) count
+# table; everything after lives on 20-source × 20-word metadata.
+_BD_MFW = 20
+_BD_F_U = 1_000_000  # relative frequency units
+_BD_Z_U = 1_000_000  # z-score units
+_BD_TOPN = 10
+
+_BD_ORACLE = f"""
+WITH tok AS (
+    SELECT source, u.w
+    FROM documents,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> len(x) > 0)) AS u(w)
+),
+cw AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+mfw AS (
+    SELECT w FROM (
+        SELECT w, sum(c)::BIGINT AS tot FROM cw GROUP BY 1
+    ) ORDER BY tot DESC, w LIMIT {_BD_MFW}
+),
+ts AS (SELECT source, sum(c)::BIGINT AS t FROM cw GROUP BY 1),
+f AS (
+    SELECT s.source, m.w,
+           CAST(round(coalesce(cw.c, 0) * {_BD_F_U}.0 / s.t) AS BIGINT)
+               AS f_u
+    FROM ts s CROSS JOIN mfw m
+    LEFT JOIN cw ON cw.source = s.source AND cw.w = m.w
+),
+stat AS (
+    SELECT w, count(*)::BIGINT AS k, sum(f_u)::BIGINT AS sf,
+           sum(f_u * f_u)::BIGINT AS sff
+    FROM f GROUP BY 1
+),
+z AS (
+    SELECT f.source, f.w,
+           CAST(round((f.f_u - stat.sf::DOUBLE / stat.k)
+                      / sqrt(stat.sff::DOUBLE / stat.k
+                             - (stat.sf::DOUBLE / stat.k)
+                               * (stat.sf::DOUBLE / stat.k))
+                      * {_BD_Z_U}) AS BIGINT) AS z_u
+    FROM f JOIN stat USING (w)
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           sum(abs(a.z_u - b.z_u))::BIGINT AS dz_u,
+           count(*)::BIGINT AS n_words
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       round(dz_u * 1.0 / n_words / {_BD_Z_U} * 10000) / 10000 + 0.0
+           AS delta
+FROM pairs
+ORDER BY dz_u, source_a, source_b
+LIMIT {_BD_TOPN}
+"""
+
+
+@register("burrows_delta_sources", oracle=_BD_ORACLE)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", ws_tokens(F.col("text")).alias("toks")
+    )
+    cw = (
+        docs.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mfw = (
+        cw.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("tot"))
+        .orderBy(F.col("tot").desc(), "w")
+        .limit(_BD_MFW)
+        .select("w")
+    )
+    ts = cw.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    f = (
+        ts.crossJoin(F.broadcast(mfw))
+        .join(F.broadcast(cw.join(F.broadcast(mfw), "w")),
+              ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0))
+                * F.lit(float(_BD_F_U))
+                / F.col("t")
+            )
+            .cast("long")
+            .alias("f_u"),
+        )
+    )
+    stat = f.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("f_u").cast("long").alias("sf"),
+        F.sum(F.col("f_u") * F.col("f_u")).cast("long").alias("sff"),
+    )
+    mu = F.col("sf").cast("double") / F.col("k")
+    sd = F.sqrt(F.col("sff").cast("double") / F.col("k") - mu * mu)
+    z = f.join(F.broadcast(stat), "w").select(
+        "source",
+        "w",
+        F.round((F.col("f_u") - mu) / sd * F.lit(_BD_Z_U))
+        .cast("long")
+        .alias("z_u"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"),
+        F.col("w").alias("w_a"),
+        F.col("z_u").alias("za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("w_b"),
+        F.col("z_u").alias("zb"),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("w_a") == F.col("w_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb")))
+            .cast("long")
+            .alias("dz_u"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+    return (
+        pairs.orderBy("dz_u", "source_a", "source_b")
+        .limit(_BD_TOPN)
+        .select(
+            "source_a",
+            "source_b",
+            R.r(
+                F.col("dz_u") * F.lit(1.0) / F.col("n_words") / _BD_Z_U,
+                4,
+            ).alias("delta"),
+        )
+    )
+
+
+# --- TextRank keywords: PageRank over the word co-occurrence graph --------------
+# Mihalcea & Tarau (2004) TextRank — the graph-based sibling of RAKE:
+# non-stopword tokens co-occurring within a 2-token window form an
+# undirected weighted graph and two damped (d=0.85) PageRank steps
+# from the uniform 1.0 start rank the vocabulary. Determinism is the
+# pagerank_2iter discipline: scores live in integer 1e-8 units and
+# EVERY per-edge contribution snaps to an integer unit
+# (round(0.85·s_j·n_ji/W_j)) before the exact int64 in-sum, so both
+# iterations and the top-15 cut order by exact integers with
+# lexicographic tie-break; the oracle unrolls both steps in SQL.
+# Scale: window-bounded edge volume (≤ 2 pairs per token position),
+# vocab-bounded graph tables, TakeOrdered final cut.
+_TR_S_U = 100_000_000  # 1e-8 score units
+_TR_D = 0.85
+_TR_BASE_U = 15_000_000  # (1 - d) in score units
+_TR_TOPN = 15
+
+_TR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, t.i AS pos, t.w
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> len(x) > 0),
+                   (w, i) -> struct_pack(i := i, w := w))) AS t
+        FROM documents
+    )
+    WHERE NOT list_contains({_RAKE_STOP_SQL}, t.w)
+),
+co AS (
+    SELECT a.w AS wa, b.w AS wb, count(*)::BIGINT AS n
+    FROM tok a JOIN tok b
+      ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+    WHERE a.w <> b.w
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT wa AS src, wb AS dst, sum(n)::BIGINT AS n FROM (
+        SELECT wa, wb, n FROM co
+        UNION ALL
+        SELECT wb AS wa, wa AS wb, n FROM co
+    ) GROUP BY 1, 2
+),
+wd AS (SELECT src, sum(n)::BIGINT AS wdeg FROM e GROUP BY 1),
+s1 AS (
+    SELECT e.dst AS w,
+           {_TR_BASE_U} + sum(CAST(round({_TR_D} * {_TR_S_U} * e.n
+                                          / wd.wdeg) AS BIGINT))::BIGINT
+               AS s_u
+    FROM e JOIN wd ON wd.src = e.src
+    GROUP BY 1
+),
+s2 AS (
+    SELECT e.dst AS w,
+           {_TR_BASE_U} + sum(CAST(round({_TR_D} * s1.s_u * e.n
+                                          / wd.wdeg) AS BIGINT))::BIGINT
+               AS s_u
+    FROM e JOIN wd ON wd.src = e.src JOIN s1 ON s1.w = e.src
+    GROUP BY 1
+)
+SELECT s2.w AS word,
+       round(s2.s_u * 1.0 / {_TR_S_U} * 10000) / 10000 + 0.0
+           AS textrank_score,
+       (SELECT count(*) FROM e WHERE e.src = s2.w)::BIGINT
+           AS n_neighbors,
+       wd.wdeg AS w_degree
+FROM s2 JOIN wd ON wd.src = s2.w
+ORDER BY s2.s_u DESC, s2.w
+LIMIT {_TR_TOPN}
+"""
+
+
+@register("textrank_keywords", oracle=_TR_ORACLE)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _RAKE_STOPS])
+    tok = (
+        docs.select("doc_id", F.posexplode("toks").alias("pos0", "w"))
+        .filter(~F.array_contains(stop_arr, F.col("w")))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    a = tok.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"),
+        F.col("w").alias("wa"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
+        F.col("w").alias("wb"),
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("db") == F.col("da"))
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + 2)
+            & (F.col("wa") != F.col("wb")),
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    e = (
+        co.select(F.col("wa").alias("src"), F.col("wb").alias("dst"), "n")
+        .unionAll(
+            co.select(
+                F.col("wb").alias("src"), F.col("wa").alias("dst"), "n"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    e = e.persist()
+    wd = e.groupBy("src").agg(F.sum("n").cast("long").alias("wdeg"))
+
+    def _step(scores: DataFrame | None) -> DataFrame:
+        base = e.join(F.broadcast(wd), "src")
+        if scores is None:
+            term = F.round(
+                F.lit(_TR_D) * F.lit(_TR_S_U) * F.col("n") / F.col("wdeg")
+            )
+        else:
+            base = base.join(
+                F.broadcast(scores.withColumnRenamed("w", "src")), "src"
+            )
+            term = F.round(
+                F.lit(_TR_D) * F.col("s_u") * F.col("n") / F.col("wdeg")
+            )
+        return base.groupBy(F.col("dst").alias("w")).agg(
+            (F.lit(_TR_BASE_U) + F.sum(term.cast("long")))
+            .cast("long")
+            .alias("s_u")
+        )
+
+    s2 = _step(_step(None))
+    nb = e.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    out = (
+        s2.join(F.broadcast(wd.withColumnRenamed("src", "w")), "w")
+        .join(F.broadcast(nb), "w")
+        .orderBy(F.col("s_u").desc(), "w")
+        .limit(_TR_TOPN)
+        .select(
+            F.col("w").alias("word"),
+            R.r(F.col("s_u") * F.lit(1.0) / _TR_S_U, 4).alias(
+                "textrank_score"
+            ),
+            "n_neighbors",
+            F.col("wdeg").alias("w_degree"),
+        )
+    )
+    rows = out.collect()
+    e.unpersist()
+    return spark.createDataFrame(rows, out.schema)

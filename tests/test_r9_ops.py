@@ -371,3 +371,49 @@ def test_brown_forsythe_median_bounds(spark, sf_dir):
         assert 0.0 < r["mean_absdev"] < r["median_chars"] * 20
         assert 40 <= r["median_chars"] <= 600
     assert w >= 0.0
+
+
+def test_yule_k_identities(spark, sf_dir):
+    rows = _q("yule_k_vocab_richness").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r["n_types"] <= r["n_tokens"]
+        assert r["yule_k"] >= 0.0
+        # Simpson's D is a probability; TTR in (0, 1]
+        assert 0.0 <= r["simpson_d"] <= 1.0
+        assert 0.0 < r["ttr"] <= 1.0
+        # K and D estimate the same repeat rate: K ~ 1e4 * D for
+        # large N (exact identity is K = 1e4*(sum c^2 - N)/N^2)
+        assert abs(r["yule_k"] / 10000.0 - r["simpson_d"]) < 0.01
+
+
+def test_msttr_bounds(spark, sf_dir):
+    rows = _q("msttr_lexical_diversity").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_segments"] > 0
+        # segment TTR is (distinct of 25)/25, in [1/25, 1]
+        assert 1.0 / 25 <= r["min_seg_ttr"] <= r["msttr"] <= r[
+            "max_seg_ttr"
+        ] <= 1.0
+
+
+def test_burrows_delta_pairs(spark, sf_dir):
+    rows = _q("burrows_delta_sources").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    deltas = [r["delta"] for r in rows]
+    assert deltas == sorted(deltas)  # closest pairs first
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["delta"] >= 0.0
+
+
+def test_textrank_scores_form(spark, sf_dir):
+    rows = _q("textrank_keywords").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    scores = [r["textrank_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # damped PR scores sit above the (1-d) floor
+        assert r["textrank_score"] >= 0.15 - 1e-9
+        assert 1 <= r["n_neighbors"] <= r["w_degree"]
