@@ -910,3 +910,176 @@ def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("total_chars"),
         R.r(g, 6).alias("gini"),
     )
+
+
+# --- Theil index decomposition of char mass across sources -----------------------
+# Theil (1967) entropy inequality index over document lengths, with
+# the exact between/within decomposition T = T_between + T_within —
+# the curation audit that answers "is corpus length inequality driven
+# by source mix or by spread inside sources?". Grid discipline: every
+# (v/μ)·ln(v/μ) term is computed once per distinct length cell (the
+# bounded length domain / source×length grid — never per document)
+# and snapped to an INTEGER 1e-6 unit before the order-free count-
+# weighted sums (the MI/jsd log-grid convention, gotcha 13a); the
+# between terms and the within mixture weights snap the same way, so
+# the decomposition identity holds to the snapping grid on both
+# engines. Scale: one corpus scan to the grid; everything after is
+# |sources| + |lengths| metadata.
+_THEIL_U = 1_000_000
+
+_THEIL_ORACLE = f"""
+WITH cell AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM documents GROUP BY 1, 2
+),
+src AS (
+    SELECT source, sum(c)::BIGINT AS n_s, sum(c * v)::BIGINT AS x_s
+    FROM cell GROUP BY 1
+),
+g AS (SELECT sum(n_s)::BIGINT AS n, sum(x_s)::BIGINT AS x FROM src),
+tot AS (
+    SELECT sum(cv.c * CAST(round((cv.v * g.n::DOUBLE / g.x)
+               * ln(cv.v * g.n::DOUBLE / g.x) * {_THEIL_U}) AS BIGINT))
+               ::BIGINT AS t_num
+    FROM (SELECT v, sum(c)::BIGINT AS c FROM cell GROUP BY 1) cv, g
+),
+ws AS (
+    SELECT cell.source,
+           sum(cell.c * CAST(round((cell.v * src.n_s::DOUBLE / src.x_s)
+               * ln(cell.v * src.n_s::DOUBLE / src.x_s) * {_THEIL_U})
+               AS BIGINT))::BIGINT AS ts_num
+    FROM cell JOIN src USING (source)
+    GROUP BY 1
+),
+per AS (
+    SELECT src.source, src.n_s, src.x_s, ws.ts_num,
+           CAST(round((src.x_s::DOUBLE / g.x)
+                * ln((src.x_s::DOUBLE / g.x) / (src.n_s::DOUBLE / g.n))
+                * {_THEIL_U}) AS BIGINT) AS b_u,
+           CAST(round(src.x_s::DOUBLE * ws.ts_num
+                      / (g.x::DOUBLE * src.n_s)) AS BIGINT) AS w_u
+    FROM src JOIN ws ON ws.source = src.source, g
+),
+roll AS (
+    SELECT sum(b_u)::BIGINT AS tb_u, sum(w_u)::BIGINT AS tw_u FROM per
+)
+SELECT per.source, per.n_s AS n_docs,
+       round(per.x_s::DOUBLE / per.n_s * 10000) / 10000 + 0.0
+           AS mean_chars,
+       round(per.ts_num::DOUBLE / (per.n_s * {_THEIL_U}.0) * 1000000)
+           / 1000000 + 0.0 AS theil_within_s,
+       round(per.b_u * 1.0 / {_THEIL_U} * 1000000) / 1000000 + 0.0
+           AS between_term,
+       round(tot.t_num::DOUBLE / (g.n * {_THEIL_U}.0) * 1000000)
+           / 1000000 + 0.0 AS theil_total,
+       round(roll.tb_u * 1.0 / {_THEIL_U} * 1000000) / 1000000 + 0.0
+           AS theil_between,
+       round(roll.tw_u * 1.0 / {_THEIL_U} * 1000000) / 1000000 + 0.0
+           AS theil_within
+FROM per, roll, tot, g
+"""
+
+
+@register("theil_index_sources", oracle=_THEIL_ORACLE)
+def theil_index_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    src = cell.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("x_s"),
+    )
+    g = src.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("x_s").cast("long").alias("x"),
+    )
+    cv = cell.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    ratio_tot = F.col("v") * F.col("n").cast("double") / F.col("x")
+    tot = (
+        cv.crossJoin(F.broadcast(g))
+        .select(
+            (
+                F.col("c")
+                * F.round(ratio_tot * F.log(ratio_tot) * F.lit(_THEIL_U))
+                .cast("long")
+            ).alias("t_cell")
+        )
+        .agg(F.sum("t_cell").cast("long").alias("t_num"))
+    )
+    ratio_s = F.col("v") * F.col("n_s").cast("double") / F.col("x_s")
+    ws = (
+        cell.join(F.broadcast(src), "source")
+        .select(
+            "source",
+            (
+                F.col("c")
+                * F.round(ratio_s * F.log(ratio_s) * F.lit(_THEIL_U))
+                .cast("long")
+            ).alias("w_cell"),
+        )
+        .groupBy("source")
+        .agg(F.sum("w_cell").cast("long").alias("ts_num"))
+    )
+    share = F.col("x_s").cast("double") / F.col("x")
+    per = (
+        src.join(F.broadcast(ws), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_s",
+            "x_s",
+            "ts_num",
+            "n",
+            "x",
+            F.round(
+                share
+                * F.log(share / (F.col("n_s").cast("double") / F.col("n")))
+                * F.lit(_THEIL_U)
+            )
+            .cast("long")
+            .alias("b_u"),
+            F.round(
+                F.col("x_s").cast("double")
+                * F.col("ts_num")
+                / (F.col("x").cast("double") * F.col("n_s"))
+            )
+            .cast("long")
+            .alias("w_u"),
+        )
+    )
+    roll = per.agg(
+        F.sum("b_u").cast("long").alias("tb_u"),
+        F.sum("w_u").cast("long").alias("tw_u"),
+    )
+    return (
+        per.crossJoin(F.broadcast(roll))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            R.r(F.col("x_s").cast("double") / F.col("n_s"), 4).alias(
+                "mean_chars"
+            ),
+            R.r(
+                F.col("ts_num").cast("double")
+                / (F.col("n_s") * F.lit(float(_THEIL_U))),
+                6,
+            ).alias("theil_within_s"),
+            R.r(F.col("b_u") * F.lit(1.0) / _THEIL_U, 6).alias(
+                "between_term"
+            ),
+            R.r(
+                F.col("t_num").cast("double")
+                / (F.col("n") * F.lit(float(_THEIL_U))),
+                6,
+            ).alias("theil_total"),
+            R.r(F.col("tb_u") * F.lit(1.0) / _THEIL_U, 6).alias(
+                "theil_between"
+            ),
+            R.r(F.col("tw_u") * F.lit(1.0) / _THEIL_U, 6).alias(
+                "theil_within"
+            ),
+        )
+    )

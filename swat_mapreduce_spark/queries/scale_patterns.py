@@ -1867,3 +1867,134 @@ def graph_modularity_partition(
     res = out.collect()
     edges.unpersist()
     return spark.createDataFrame(res, out.schema)
+
+
+# --- degree assortativity of the co-purchase graph -------------------------------
+# Newman (2002) degree assortativity r — do high-degree products
+# co-purchase with other high-degree products (hub-hub, r>0) or with
+# leaves (hub-spoke, r<0)? Computed as the Pearson correlation of
+# end-point degrees over the DOUBLED edge list (each undirected edge
+# once per direction), which is exactly Newman's estimator:
+# r = (2M·Σ_E' d_u d_v − (Σ_E' d_u)²) / (2M·Σ_E' d_u² − (Σ_E' d_u)²)
+# over the doubled list E' (node terms: Σ_E' d_u = Σd², Σ_E' d_u² =
+# Σd³ — the d³-scale moments). Every moment is an
+# exact integer through DECIMAL(38,0) (d³-scale sums wrap int64 on
+# web-scale graphs); the single final division is the only floating
+# point. Scale: the same distinct-edge derivation as
+# graph_triangle_count / adamic_adar (order-bounded pair volume);
+# moments are one map-side-combined aggregate over edges joined to
+# the degree table.
+_ASSORT_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL
+    SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY u),
+m AS (
+    SELECT count(*)::BIGINT AS m2,
+           sum(CAST(du.d AS DECIMAL(38,0)) * dv.d) AS sxy,
+           sum(CAST(du.d AS DECIMAL(38,0))) AS sx,
+           sum(CAST(du.d AS DECIMAL(38,0)) * du.d) AS sxx
+    FROM und
+    JOIN deg du ON du.u = und.u
+    JOIN deg dv ON dv.u = und.v
+),
+g AS (
+    SELECT count(*)::BIGINT AS n_nodes, sum(d)::BIGINT AS sum_d,
+           max(d)::BIGINT AS max_d
+    FROM deg
+)
+SELECT g.n_nodes, (m.m2 // 2)::BIGINT AS n_edges, g.max_d AS max_degree,
+       round(g.sum_d::DOUBLE / g.n_nodes * 10000) / 10000 + 0.0
+           AS mean_degree,
+       round((m.m2 * m.sxy - m.sx * m.sx)::DOUBLE
+             / (m.m2 * m.sxx - m.sx * m.sx)::DOUBLE * 1000000)
+           / 1000000 + 0.0 AS assortativity_r
+FROM m, g
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(
+            b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb"))
+        )
+        .select("pa", "pb")
+        .distinct()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("d_v"))
+    m = (
+        und.join(F.broadcast(du), F.col("u") == F.col("ju"))
+        .join(F.broadcast(dv), F.col("v") == F.col("jv"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m2"),
+            F.sum(
+                F.col("d_u").cast("decimal(38,0)") * F.col("d_v")
+            ).alias("sxy"),
+            F.sum(F.col("d_u").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                F.col("d_u").cast("decimal(38,0)") * F.col("d_u")
+            ).alias("sxx"),
+        )
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("sum_d"),
+        F.max("d").cast("long").alias("max_d"),
+    )
+    num = (
+        F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    den = (
+        F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.crossJoin(F.broadcast(g)).select(
+        "n_nodes",
+        F.floor(F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.col("max_d").alias("max_degree"),
+        R.r(F.col("sum_d").cast("double") / F.col("n_nodes"), 4).alias(
+            "mean_degree"
+        ),
+        R.r(num / den, 6).alias("assortativity_r"),
+    )

@@ -933,3 +933,320 @@ def fano_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_fano"),
     )
+
+
+# --- Page-Hinkley drift detection over daily mean value --------------------------
+# Page (1954) / Hinkley's sequential mean-shift detector — the
+# streaming-drift test a training pipeline runs on a quality metric:
+# m_T = Σ_t (x_t − x̄_t − δ) with running mean x̄_t, alarm when
+# m_T − min_{t≤T} m_t > λ (δ=0.05, λ=2.0 dollars). Every increment is
+# an exact-int-derived double (daily cents/count cumulatives) snapped
+# to an integer 1e-4-dollar unit BEFORE the cumulative sum, so m_t,
+# the running minimum, and the alarm comparison are exact int64
+# arithmetic on both engines. Scale: one corpus scan to the
+# calendar-bounded day table; the cumulatives are allowlisted
+# bounded-input windows (sprt/cusum pattern).
+_PH_DELTA = 0.05  # drift insensitivity (dollars)
+_PH_LAMBDA_U = 20_000  # alarm threshold: 2.0 dollars in 1e-4 units
+_PH_U = 10_000
+
+_PH_ORACLE = f"""
+WITH d AS (
+    SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+    FROM events GROUP BY 1
+),
+cumd AS (
+    SELECT day, n, c,
+           sum(n) OVER w::BIGINT AS nn, sum(c) OVER w::BIGINT AS cc
+    FROM d
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+inc AS (
+    SELECT day, n, c, nn, cc,
+           CAST(round((c::DOUBLE / (100.0 * n)
+                       - cc::DOUBLE / (100.0 * nn)
+                       - {_PH_DELTA}) * {_PH_U}) AS BIGINT) AS inc_u
+    FROM cumd
+),
+m AS (
+    SELECT day, n, c, inc_u,
+           sum(inc_u) OVER w::BIGINT AS m_u
+    FROM inc
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+mm AS (
+    SELECT day, n, c, m_u,
+           min(m_u) OVER w::BIGINT AS min_u
+    FROM m
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       round(c::DOUBLE / (100.0 * n) * 10000) / 10000 + 0.0
+           AS mean_value,
+       round(m_u * 1.0 / {_PH_U} * 10000) / 10000 + 0.0 AS ph_m,
+       round((m_u - min_u) * 1.0 / {_PH_U} * 10000) / 10000 + 0.0
+           AS ph_gap,
+       (m_u - min_u) > {_PH_LAMBDA_U} AS drift_alarm
+FROM mm
+"""
+
+
+@register("page_hinkley_drift_daily", oracle=_PH_ORACLE)
+def page_hinkley_drift_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumd = d.select(
+        "day",
+        "n",
+        "c",
+        F.sum("n").over(wcum).cast("long").alias("nn"),
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+    )
+    inc = cumd.withColumn(
+        "inc_u",
+        F.round(
+            (
+                F.col("c").cast("double") / (F.lit(100.0) * F.col("n"))
+                - F.col("cc").cast("double")
+                / (F.lit(100.0) * F.col("nn"))
+                - F.lit(_PH_DELTA)
+            )
+            * F.lit(_PH_U)
+        ).cast("long"),
+    )
+    m = inc.withColumn("m_u", F.sum("inc_u").over(wcum).cast("long"))
+    mm = m.withColumn("min_u", F.min("m_u").over(wcum).cast("long"))
+    return mm.select(
+        "day",
+        R.r(
+            F.col("c").cast("double") / (F.lit(100.0) * F.col("n")), 4
+        ).alias("mean_value"),
+        R.r(F.col("m_u") * F.lit(1.0) / _PH_U, 4).alias("ph_m"),
+        R.r(
+            (F.col("m_u") - F.col("min_u")) * F.lit(1.0) / _PH_U, 4
+        ).alias("ph_gap"),
+        ((F.col("m_u") - F.col("min_u")) > F.lit(_PH_LAMBDA_U)).alias(
+            "drift_alarm"
+        ),
+    )
+
+
+# --- Hurst exponent via rescaled-range (R/S) analysis ----------------------------
+# Hurst (1951) / Mandelbrot R/S — the long-range-dependence exponent
+# of the daily value series (H≈0.5 random walk, H>0.5 persistent):
+# for window sizes n ∈ {5, 10, 15} the 30-day series splits into
+# exact full blocks; each block's range R comes from within-block
+# cumulative deviations kept as EXACT integers in cents·n units
+# (W_k = n·ΣC_k − k·S, so no rational mean ever enters the running
+# max/min) and S is the population std from exact cents moments.
+# Each block's R/S snaps to a 1e-6-unit integer, each window's
+# log2(mean R/S) snaps to a 1e-6-unit integer (the MI/jsd log-grid
+# margin), and H is the OLS slope over the 3 (log2 n, log2 R/S)
+# points in PURE int64 arithmetic (3·Σxy − Σx·Σy)/(3·Σx² − (Σx)²) —
+# the log2(n) abscissas are Python-computed integer literals embedded
+# in both engines. Scale: one corpus scan to the calendar-bounded day
+# table; all block windows are PARTITIONED by (n, block).
+import math as _hmath
+
+_HURST_NS = (5, 10, 15)
+_HURST_U = 1_000_000
+_HURST_X_U = {n: round(_hmath.log2(n) * 1_000_000) for n in _HURST_NS}
+
+_HURST_ORACLE = f"""
+WITH d AS (
+    SELECT ts::DATE AS day,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT day, c,
+           (day - (SELECT min(day) FROM d) + 1)::BIGINT AS i
+    FROM d
+),
+rows_n AS (
+    SELECT n.n, idx.i, idx.c,
+           CAST(floor((idx.i - 1) / n.n::DOUBLE) AS BIGINT) AS blk,
+           ((idx.i - 1) % n.n + 1)::BIGINT AS pos
+    FROM idx CROSS JOIN (VALUES (5), (10), (15)) AS n(n)
+),
+cum AS (
+    SELECT n, blk, pos, c,
+           sum(c) OVER (PARTITION BY n, blk ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS cc
+    FROM rows_n
+),
+bt AS (
+    SELECT n, blk, sum(c)::BIGINT AS s,
+           sum(CAST(c AS DECIMAL(38,0)) * c) AS ss
+    FROM rows_n GROUP BY 1, 2
+),
+w AS (
+    SELECT cum.n, cum.blk,
+           max(cum.n * cum.cc - cum.pos * bt.s)::BIGINT AS maxw,
+           min(cum.n * cum.cc - cum.pos * bt.s)::BIGINT AS minw
+    FROM cum JOIN bt ON bt.n = cum.n AND bt.blk = cum.blk
+    GROUP BY 1, 2
+),
+rs AS (
+    SELECT w.n, w.blk,
+           CAST(round(((w.maxw - w.minw)::DOUBLE / w.n)
+                / sqrt((bt.ss::DOUBLE - (bt.s::DOUBLE * bt.s) / w.n)
+                       / w.n) * {_HURST_U}) AS BIGINT) AS rs_u
+    FROM w JOIN bt ON bt.n = w.n AND bt.blk = w.blk
+),
+pern AS (
+    SELECT n, count(*)::BIGINT AS nb, sum(rs_u)::BIGINT AS num,
+           CAST(round(log2(sum(rs_u)::DOUBLE / (count(*) * {_HURST_U}.0))
+                      * {_HURST_U}) AS BIGINT) AS y_u,
+           (CASE n WHEN 5 THEN {_HURST_X_U[5]}
+                   WHEN 10 THEN {_HURST_X_U[10]}
+                   ELSE {_HURST_X_U[15]} END)::BIGINT AS x_u
+    FROM rs GROUP BY 1
+),
+slope AS (
+    SELECT (3 * sum(x_u * y_u) - sum(x_u) * sum(y_u))::BIGINT AS num,
+           (3 * sum(x_u * x_u) - sum(x_u) * sum(x_u))::BIGINT AS den
+    FROM pern
+)
+SELECT pern.n AS n_window, pern.nb AS n_blocks,
+       round(pern.num::DOUBLE / (pern.nb * {_HURST_U}.0) * 10000)
+           / 10000 + 0.0 AS mean_rs,
+       round(pern.y_u * 1.0 / {_HURST_U} * 1000000) / 1000000 + 0.0
+           AS log2_rs,
+       round(slope.num::DOUBLE / slope.den * 1000000) / 1000000 + 0.0
+           AS hurst_h
+FROM pern, slope
+"""
+
+
+@register("hurst_exponent_rs", oracle=_HURST_ORACLE)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    mn = d.agg(F.min("day").alias("d0"))
+    idx = d.crossJoin(F.broadcast(mn)).select(
+        "c", (F.datediff(F.col("day"), F.col("d0")) + 1).alias("i")
+    )
+    ns = spark.createDataFrame([(n,) for n in _HURST_NS], "n long")
+    rows_n = idx.crossJoin(F.broadcast(ns)).select(
+        "n",
+        "c",
+        F.floor((F.col("i") - 1) / F.col("n").cast("double"))
+        .cast("long")
+        .alias("blk"),
+        ((F.col("i") - 1) % F.col("n") + 1).cast("long").alias("pos"),
+    )
+    wb = Window.partitionBy("n", "blk").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rows_n.withColumn("cc", F.sum("c").over(wb).cast("long"))
+    bt = rows_n.groupBy("n", "blk").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
+    )
+    wdev = F.col("n") * F.col("cc") - F.col("pos") * F.col("s")
+    w = (
+        cum.join(bt, ["n", "blk"])
+        .groupBy("n", "blk")
+        .agg(
+            F.max(wdev).cast("long").alias("maxw"),
+            F.min(wdev).cast("long").alias("minw"),
+        )
+    )
+    rs = w.join(bt, ["n", "blk"]).select(
+        "n",
+        F.round(
+            (
+                (F.col("maxw") - F.col("minw")).cast("double")
+                / F.col("n")
+            )
+            / F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - (F.col("s").cast("double") * F.col("s"))
+                    / F.col("n")
+                )
+                / F.col("n")
+            )
+            * F.lit(_HURST_U)
+        )
+        .cast("long")
+        .alias("rs_u"),
+    )
+    xmap = F.create_map(
+        *[
+            c
+            for n in _HURST_NS
+            for c in (F.lit(n), F.lit(_HURST_X_U[n]))
+        ]
+    )
+    pern = rs.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("rs_u").cast("long").alias("num"),
+    ).select(
+        "n",
+        "nb",
+        "num",
+        F.round(
+            F.log2(
+                F.col("num").cast("double")
+                / (F.col("nb") * F.lit(float(_HURST_U)))
+            )
+            * F.lit(_HURST_U)
+        )
+        .cast("long")
+        .alias("y_u"),
+        xmap[F.col("n")].cast("long").alias("x_u"),
+    )
+    slope = pern.agg(
+        (
+            3 * F.sum(F.col("x_u") * F.col("y_u"))
+            - F.sum("x_u") * F.sum("y_u")
+        )
+        .cast("long")
+        .alias("snum"),
+        (
+            3 * F.sum(F.col("x_u") * F.col("x_u"))
+            - F.sum("x_u") * F.sum("x_u")
+        )
+        .cast("long")
+        .alias("sden"),
+    )
+    return pern.crossJoin(F.broadcast(slope)).select(
+        F.col("n").alias("n_window"),
+        F.col("nb").alias("n_blocks"),
+        R.r(
+            F.col("num").cast("double")
+            / (F.col("nb") * F.lit(float(_HURST_U))),
+            4,
+        ).alias("mean_rs"),
+        R.r(F.col("y_u") * F.lit(1.0) / _HURST_U, 6).alias("log2_rs"),
+        R.r(
+            F.col("snum").cast("double") / F.col("sden"), 6
+        ).alias("hurst_h"),
+    )

@@ -515,6 +515,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "wasserstein1d_length_drift",
     # midrank cumulative over the distinct-length domain (r9)
     "kruskal_wallis_length_by_lang",
+    # PH cumulative/min over the per-day table (calendar-bounded, r9)
+    "page_hinkley_drift_daily",
 }
 
 

@@ -417,3 +417,60 @@ def test_textrank_scores_form(spark, sf_dir):
         # damped PR scores sit above the (1-d) floor
         assert r["textrank_score"] >= 0.15 - 1e-9
         assert 1 <= r["n_neighbors"] <= r["w_degree"]
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    (r,) = _q("graph_degree_assortativity").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert -1.0 <= r["assortativity_r"] <= 1.0
+    assert r["n_nodes"] > 0 and r["n_edges"] > 0
+    # handshake lemma: mean degree = 2E/V
+    assert abs(r["mean_degree"] - 2.0 * r["n_edges"] / r["n_nodes"]) < 0.01
+    assert r["max_degree"] < r["n_nodes"]
+
+
+def test_page_hinkley_monotone_min(spark, sf_dir):
+    rows = sorted(
+        _q("page_hinkley_drift_daily").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == 30
+    for r in rows:
+        assert r["ph_gap"] >= -1e-9  # gap = m - running min >= 0
+        assert r["drift_alarm"] == (r["ph_gap"] > 2.0) or abs(
+            r["ph_gap"] - 2.0
+        ) < 1e-3
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    rows = _q("theil_index_sources").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    r0 = rows[0]
+    # T = T_between + T_within holds to the snapping grid
+    assert abs(
+        r0["theil_total"] - (r0["theil_between"] + r0["theil_within"])
+    ) < 1e-3
+    assert r0["theil_total"] >= 0.0
+    assert r0["theil_between"] >= -1e-9
+    for r in rows:
+        assert r["theil_within_s"] >= 0.0  # per-source Theil >= 0
+
+
+def test_hurst_form(spark, sf_dir):
+    rows = {
+        r["n_window"]: r
+        for r in _q("hurst_exponent_rs").spark_fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {5, 10, 15}
+    assert rows[5]["n_blocks"] == 6
+    assert rows[10]["n_blocks"] == 3
+    assert rows[15]["n_blocks"] == 2
+    h = rows[5]["hurst_h"]
+    for r in rows.values():
+        assert r["hurst_h"] == h
+        assert r["mean_rs"] > 0
+        # R/S grows with window size
+    assert rows[5]["mean_rs"] <= rows[15]["mean_rs"] + 1e-9
+    # H plausible range for a real series (0 < H < 1 with slack)
+    assert -0.2 < h < 1.2
