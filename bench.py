@@ -236,6 +236,45 @@ HEADLINE = [
     "graph_modularity_partition",
     "ucb1_arm_allocation_replay",
     "pps_systematic_sample",
+    # round-9 batches 5-14
+    "seq_pattern_support",
+    "dbscan_core_points",
+    "rake_keyword_extraction",
+    "dunning_g2_collocations",
+    "markov_entropy_rate",
+    "fano_burstiness_users",
+    "anova_oneway_f",
+    "kruskal_wallis_length_by_lang",
+    "spearman_corr_daily",
+    "kendall_tau_daily",
+    "brown_forsythe_length_by_source",
+    "yule_k_vocab_richness",
+    "msttr_lexical_diversity",
+    "burrows_delta_sources",
+    "textrank_keywords",
+    "graph_degree_assortativity",
+    "page_hinkley_drift_daily",
+    "theil_index_sources",
+    "hurst_exponent_rs",
+    "simpson_paradox_audit",
+    "gumbel_block_maxima_evt",
+    "rm3_expansion_terms",
+    "good_turing_unseen_mass",
+    "durbin_watson_autocorr",
+    "jarque_bera_normality",
+    "breusch_pagan_heteroskedasticity",
+    "cooks_distance_daily",
+    "cohens_d_effect_size",
+    "power_analysis_mde",
+    "cramers_v_lang_source",
+    "anderson_darling_two_sample",
+    "spatial_knn_blocked",
+    "best_of_n_expected_score",
+    "pareto_frontier_quality",
+    "ipf_raking_weights",
+    "quantile_treatment_effect",
+    "mantel_haenszel_or",
+    "mcc_en_detector",
 ]
 
 REPEATS = 2

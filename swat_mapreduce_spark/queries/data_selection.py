@@ -1196,3 +1196,228 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     bgc.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- Pareto-frontier document selection --------------------------------------------
+# Multi-objective curation: the Pareto frontier of (length, lexical
+# diversity) — documents no other document strictly dominates on BOTH
+# axes — is the principled "keep the extremes" shortlist when two
+# quality signals trade off. Dominance is decided on EXACT integers
+# (n_chars, and per-doc TTR snapped to a 1e-6 unit from exact
+# distinct/total token counts); the frontier test runs against the
+# CUMULATIVE MAX of diversity over the bounded distinct-length grid
+# (strictly-longer ⇒ grid suffix), never a doc×doc pair join. Output
+# is the frontier cut to the 20 longest (doc_id tie-break). Scale:
+# one tokenize scan to per-doc (len, ttr_u) + a bounded-grid suffix
+# max; the frontier filter is a broadcast-grid lookup per doc.
+_PF_U = 1_000_000
+_PF_TOPN = 20
+
+_PF_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, n_chars AS len,
+           CAST(round(
+               len(list_distinct(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   x -> len(x) > 0))) * {_PF_U}.0
+               / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> len(x) > 0))) AS BIGINT) AS ttr_u
+    FROM documents
+),
+grid AS (
+    SELECT len, max(ttr_u)::BIGINT AS mx FROM d GROUP BY 1
+),
+sfx AS (
+    SELECT len,
+           max(mx) OVER (ORDER BY len DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS mx_above
+    FROM grid
+),
+frontier AS (
+    SELECT d.doc_id, d.len, d.ttr_u
+    FROM d JOIN sfx USING (len)
+    WHERE sfx.mx_above IS NULL OR d.ttr_u >= sfx.mx_above
+)
+SELECT doc_id, len AS n_chars,
+       round(ttr_u * 1.0 / {_PF_U} * 10000) / 10000 + 0.0 AS ttr
+FROM frontier
+ORDER BY len DESC, doc_id
+LIMIT {_PF_TOPN}
+"""
+
+
+@register("pareto_frontier_quality", oracle=_PF_ORACLE)
+def pareto_frontier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("len"),
+        ws_tokens(F.col("text")).alias("toks"),
+    )
+    d = docs.select(
+        "doc_id",
+        "len",
+        F.round(
+            F.size(F.array_distinct("toks"))
+            * F.lit(float(_PF_U))
+            / F.size("toks")
+        )
+        .cast("long")
+        .alias("ttr_u"),
+    )
+    grid = d.groupBy("len").agg(F.max("ttr_u").cast("long").alias("mx"))
+    wsfx = Window.orderBy(F.col("len").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sfx = grid.select(
+        "len", F.max("mx").over(wsfx).alias("mx_above")
+    )
+    frontier = d.join(F.broadcast(sfx), "len").filter(
+        F.col("mx_above").isNull() | (F.col("ttr_u") >= F.col("mx_above"))
+    )
+    return (
+        frontier.orderBy(F.col("len").desc(), "doc_id")
+        .limit(_PF_TOPN)
+        .select(
+            "doc_id",
+            F.col("len").alias("n_chars"),
+            R.r(F.col("ttr_u") * F.lit(1.0) / _PF_U, 4).alias("ttr"),
+        )
+    )
+
+
+# --- iterative proportional fitting (raking) weights --------------------------------
+# Deming & Stephan (1940) IPF/raking — the survey-reweighting step a
+# curation pipeline runs to hit TARGET marginals: starting from the
+# observed lang×source counts, two raking passes (rows to uniform
+# lang shares, then columns to uniform source shares) produce cell
+# weights whose weighted margins match the targets. Every weight
+# lives in integer 1e-8 units and each multiplicative update snaps
+# with multiply-round-divide (the kmeans/markov driver-free variant —
+# both passes are pure grid algebra, so the oracle unrolls them as
+# CTEs). Scale: the grid is |langs|×|sources| bounded metadata after
+# one corpus scan; weights broadcast back if a pipeline applies them.
+_IPF_U = 100_000_000
+
+_IPF_ORACLE = f"""
+WITH cell AS (
+    SELECT lang, source, count(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+),
+tot AS (
+    SELECT sum(n)::BIGINT AS n,
+           (SELECT count(DISTINCT lang) FROM cell)::BIGINT AS r,
+           (SELECT count(DISTINCT source) FROM cell)::BIGINT AS c
+    FROM cell
+),
+-- pass 1: scale each row so weighted lang share = 1/r
+w1 AS (
+    SELECT cell.lang, cell.source, cell.n,
+           CAST(round({_IPF_U}.0 * tot.n / (tot.r * rm.rn)) AS BIGINT)
+               AS w_u
+    FROM cell
+    JOIN (SELECT lang, sum(n)::BIGINT AS rn FROM cell GROUP BY 1) rm
+      USING (lang), tot
+),
+-- pass 2: scale each column so weighted source share = 1/c
+cm AS (
+    SELECT source, sum(CAST(n AS DECIMAL(38,0)) * w_u) AS cw
+    FROM w1 GROUP BY 1
+),
+w2 AS (
+    SELECT w1.lang, w1.source, w1.n,
+           CAST(round(w1.w_u * ({_IPF_U}.0 * tot.n / tot.c)
+                      / cm.cw::DOUBLE) AS BIGINT) AS w_u
+    FROM w1 JOIN cm USING (source), tot
+),
+margins AS (
+    SELECT lang, sum(CAST(n AS DECIMAL(38,0)) * w_u) AS lw
+    FROM w2 GROUP BY 1
+)
+SELECT w2.lang, w2.source, w2.n AS n_docs,
+       round(w2.w_u * 1.0 / {_IPF_U} * 1000000) / 1000000 + 0.0
+           AS rake_weight,
+       round(margins.lw::DOUBLE / ({_IPF_U}.0 * tot.n) * 1000000)
+           / 1000000 + 0.0 AS lang_share_after
+FROM w2 JOIN margins USING (lang), tot
+"""
+
+
+@register("ipf_raking_weights", oracle=_IPF_ORACLE)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rm = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    tot = (
+        cell.agg(F.sum("n").cast("long").alias("nt"))
+        .crossJoin(
+            F.broadcast(
+                cell.select("lang")
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("r"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cell.select("source")
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+        )
+    )
+    w1 = (
+        cell.join(F.broadcast(rm), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            "nt",
+            "r",
+            "c",
+            F.round(
+                F.lit(float(_IPF_U))
+                * F.col("nt")
+                / (F.col("r") * F.col("rn"))
+            )
+            .cast("long")
+            .alias("w_u"),
+        )
+    )
+    cm = w1.groupBy("source").agg(
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("w_u")).alias("cw")
+    )
+    w2 = w1.join(F.broadcast(cm), "source").select(
+        "lang",
+        "source",
+        "n",
+        "nt",
+        F.round(
+            F.col("w_u")
+            * (F.lit(float(_IPF_U)) * F.col("nt") / F.col("c"))
+            / F.col("cw").cast("double")
+        )
+        .cast("long")
+        .alias("w_u"),
+    )
+    margins = w2.groupBy("lang").agg(
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("w_u")).alias("lw")
+    )
+    return w2.join(F.broadcast(margins), "lang").select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        R.r(F.col("w_u") * F.lit(1.0) / _IPF_U, 6).alias("rake_weight"),
+        R.r(
+            F.col("lw").cast("double")
+            / (F.lit(float(_IPF_U)) * F.col("nt")),
+            6,
+        ).alias("lang_share_after"),
+    )

@@ -786,3 +786,135 @@ def label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance"
         ),
     )
+
+
+# --- RM3 pseudo-relevance-feedback query expansion --------------------------------
+# Lavrenko & Croft (2001) relevance models with RM3 interpolation
+# (Abdul-Jaleel 2004) — the classic query-expansion step after a BM25
+# first pass: the top-10 feedback documents' maximum-likelihood term
+# distributions average into a relevance model P(w|R) (uniform
+# feedback-document weights), interpolated with the original query
+# model at λ=0.5. Stopwords are excluded from expansion candidates.
+# Determinism: every P(w|d) = tf/dl snaps to an integer 1e-8 unit
+# before the cross-document sum, the feedback cut reuses the shared
+# 4dp-rounded BM25 score with doc_id tie-break, and the RM3 weight is
+# IEEE arithmetic on exact ints snapped once more at 1e-8 — the
+# top-15 cut orders by that exact integer with term tie-break.
+# Scale: the feedback set is a FIXED-COUNT TakeOrdered top-10 (never
+# a corpus fraction, CLAUDE.md gotcha 14); term stats come from one
+# tokenize pass over 10 documents.
+_RM3_LAMBDA = 0.5
+_RM3_FB = 10
+_RM3_TOPN = 15
+_RM3_U = 100_000_000
+_RM3_STOPS_SQL = "[" + ", ".join(
+    f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is")
+) + "]"
+
+
+def _rm3_oracle() -> str:
+    return f"""
+WITH {bm25_scored_sql()},
+top10 AS (
+    SELECT doc_id FROM bm25_scored ORDER BY bm25 DESC, doc_id
+    LIMIT {_RM3_FB}
+),
+fb AS (
+    SELECT t.doc_id, u.w, len(t.t) AS dl
+    FROM toks t JOIN top10 USING (doc_id), unnest(t.t) AS u(w)
+    WHERE NOT list_contains({_RM3_STOPS_SQL}, u.w)
+),
+pwd AS (
+    SELECT doc_id, w,
+           CAST(round(count(*) * {_RM3_U}.0 / any_value(dl)) AS BIGINT)
+               AS p_u
+    FROM fb GROUP BY doc_id, w
+),
+rm AS (
+    SELECT w, sum(p_u)::BIGINT AS sum_u FROM pwd GROUP BY w
+),
+q AS (SELECT unnest(['spark', 'hash', 'window']) AS w),
+rm3 AS (
+    SELECT rm.w,
+           q.w IS NOT NULL AS is_query_term,
+           rm.sum_u,
+           CAST(round({_RM3_LAMBDA}
+                      * (CASE WHEN q.w IS NOT NULL
+                              THEN {_RM3_U}.0 / 3 ELSE 0 END)
+                      + (1 - {_RM3_LAMBDA})
+                        * (rm.sum_u::DOUBLE / {_RM3_FB})) AS BIGINT)
+               AS rm3_u
+    FROM rm LEFT JOIN q ON q.w = rm.w
+)
+SELECT w AS term, is_query_term,
+       round(sum_u::DOUBLE / ({_RM3_FB}.0 * {_RM3_U}) * 1000000)
+           / 1000000 + 0.0 AS p_feedback,
+       round(rm3_u * 1.0 / {_RM3_U} * 1000000) / 1000000 + 0.0
+           AS rm3_weight
+FROM rm3
+ORDER BY rm3_u DESC, w
+LIMIT {_RM3_TOPN}
+"""
+
+
+@register("rm3_expansion_terms", oracle=_rm3_oracle())
+def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    top10 = (
+        bm25_scored(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RM3_FB)
+        .select("doc_id")
+    )
+    stops = ("the", "a", "of", "and", "to", "in", "is")
+    stop_arr = F.array(*[F.lit(w) for w in stops])
+    toks = docs.join(F.broadcast(top10), "doc_id", "semi").select(
+        "doc_id", T.ws_tokens(F.col("text")).alias("t")
+    )
+    fb = toks.select(
+        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("w")
+    ).filter(~F.array_contains(stop_arr, F.col("w")))
+    pwd = fb.groupBy("doc_id", "w").agg(
+        F.round(
+            F.count(F.lit(1)) * F.lit(float(_RM3_U)) / F.first("dl")
+        )
+        .cast("long")
+        .alias("p_u")
+    )
+    rm = pwd.groupBy("w").agg(F.sum("p_u").cast("long").alias("sum_u"))
+    q = spark.createDataFrame(
+        [("spark",), ("hash",), ("window",)], "qw string"
+    )
+    rm3 = rm.join(
+        F.broadcast(q), rm["w"] == q["qw"], "left"
+    ).select(
+        "w",
+        F.col("qw").isNotNull().alias("is_query_term"),
+        "sum_u",
+        F.round(
+            F.lit(_RM3_LAMBDA)
+            * F.when(
+                F.col("qw").isNotNull(), F.lit(float(_RM3_U)) / 3
+            ).otherwise(F.lit(0.0))
+            + (1 - _RM3_LAMBDA)
+            * (F.col("sum_u").cast("double") / _RM3_FB)
+        )
+        .cast("long")
+        .alias("rm3_u"),
+    )
+    return (
+        rm3.orderBy(F.col("rm3_u").desc(), "w")
+        .limit(_RM3_TOPN)
+        .select(
+            F.col("w").alias("term"),
+            "is_query_term",
+            R.r(
+                F.col("sum_u").cast("double")
+                / (F.lit(float(_RM3_FB)) * _RM3_U),
+                6,
+            ).alias("p_feedback"),
+            R.r(F.col("rm3_u") * F.lit(1.0) / _RM3_U, 6).alias(
+                "rm3_weight"
+            ),
+        )
+    )

@@ -797,3 +797,86 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     e.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- Good-Turing unseen mass + Chao1 vocabulary richness -------------------------
+# The crawl-coverage audit: how much token probability mass belongs
+# to vocabulary we have NOT yet seen? Good-Turing's missing-mass
+# estimate P₀ = V₁/N (Good 1953) and Chao1's lower-bound richness
+# V + V₁²/(2V₂) (Chao 1984), per language, from the
+# frequency-of-frequencies table. Every ingredient is an EXACT
+# integer (token total, singleton/doubleton type counts, V₁² through
+# DECIMAL(38,0)); the only floating point is the final display
+# divisions. Scale: one tokenize pass to the vocab-bounded
+# (lang × word) count table, then a |langs|-row rollup — the same
+# shape as yule_k_vocab_richness.
+_GT_ORACLE = """
+WITH tok AS (
+    SELECT lang, u.w
+    FROM documents,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> len(x) > 0)) AS u(w)
+),
+c AS (
+    SELECT lang, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+),
+m AS (
+    SELECT lang, sum(c)::BIGINT AS n, count(*)::BIGINT AS v,
+           count(*) FILTER (WHERE c = 1)::BIGINT AS v1,
+           count(*) FILTER (WHERE c = 2)::BIGINT AS v2
+    FROM c GROUP BY 1
+)
+SELECT lang, n AS n_tokens, v AS n_types, v1 AS n_singletons,
+       v2 AS n_doubletons,
+       round(v1::DOUBLE / n * 1000000) / 1000000 + 0.0
+           AS unseen_mass_gt,
+       round((v + (CAST(v1 AS DECIMAL(38,0)) * (v1 - 1))::DOUBLE
+              / (2.0 * (v2 + 1))) * 100) / 100 + 0.0 AS chao1_richness,
+       round(v::DOUBLE
+             / (v + (CAST(v1 AS DECIMAL(38,0)) * (v1 - 1))::DOUBLE
+                    / (2.0 * (v2 + 1)))
+             * 1000000) / 1000000 + 0.0 AS coverage_share
+FROM m
+"""
+
+
+@register("good_turing_unseen_mass", oracle=_GT_ORACLE)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import rounding as R
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", ws_tokens(F.col("text")).alias("toks")
+    )
+    c = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    chao_extra = (
+        F.col("v1").cast("decimal(38,0)") * (F.col("v1") - 1)
+    ).cast("double") / (F.lit(2.0) * (F.col("v2") + 1))
+    return m.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("v1").alias("n_singletons"),
+        F.col("v2").alias("n_doubletons"),
+        R.r(F.col("v1").cast("double") / F.col("n"), 6).alias(
+            "unseen_mass_gt"
+        ),
+        R.r(F.col("v") + chao_extra, 2).alias("chao1_richness"),
+        R.r(
+            F.col("v").cast("double") / (F.col("v") + chao_extra), 6
+        ).alias("coverage_share"),
+    )

@@ -1123,3 +1123,227 @@ def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- best-of-n expected reward via order statistics --------------------------------
+# The BoN scaling curve (Nakano et al. 2021 WebGPT appendix; the
+# standard alignment-eval estimator): with n=8 deterministic stand-in
+# reward scores per doc, the UNBIASED estimate of E[max of n_pick
+# samples drawn WITHOUT replacement] is Σ_i s_(i)·C(i−1,k−1)/C(n,k)
+# over the sorted scores — never the biased "mean of one random
+# subset". Scores are md5 stand-ins (hash_uint % 10000), sorting and
+# the weighted sum are ROW-LOCAL array ops (no explode, no shuffle),
+# binomial weights are Python-computed literals embedded in both
+# engines, and every per-doc numerator is an exact int64 — the corpus
+# mean is one ratio of exact sums per k. Scale: ONE corpus scan + a
+# 4-row bounded agg.
+_BON_N = 8
+_BON_KS = (1, 2, 4, 8)
+_BON_SCALE = 10_000
+
+
+def _bon_weights(k: int) -> list:
+    import math as _m
+
+    return [
+        _m.comb(i - 1, k - 1) if i - 1 >= k - 1 else 0
+        for i in range(1, _BON_N + 1)
+    ]
+
+
+_BON_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           list_sort(list_transform(generate_series(0, {_BON_N - 1}),
+               i -> ('0x' || substr(md5(doc_id || ':bn:' || i), 1, 8))
+                        ::BIGINT % {_BON_SCALE})) AS ls
+    FROM documents
+),
+nums AS (
+    SELECT doc_id,
+{",".join(
+    f"           list_sum(list_transform(generate_series(1, {_BON_N}),"
+    f" i -> ls[i] * ({_bon_weights(k)}[i])))::BIGINT AS num_{k}"
+    for k in _BON_KS
+)}
+    FROM s
+),
+k AS (SELECT unnest([{", ".join(str(k) for k in _BON_KS)}]) AS k),
+agg AS (
+    SELECT k.k, count(*)::BIGINT AS n_docs,
+           sum(CASE k.k {" ".join(
+               f"WHEN {k} THEN num_{k}" for k in _BON_KS)} END)::BIGINT
+               AS num
+    FROM nums, k GROUP BY k.k
+)
+SELECT k AS n_pick, n_docs,
+       round(num * 1.0
+             / (n_docs * (CASE k {" ".join(
+                 f"WHEN {k} THEN {sum(_bon_weights(k))}"
+                 for k in _BON_KS)} END))
+             / {_BON_SCALE} * 100 * 10000) / 10000 + 0.0
+           AS expected_best_score
+FROM agg
+"""
+
+
+@register("best_of_n_expected_score", oracle=_BON_ORACLE)
+def best_of_n_expected_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    s = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_sort(transform(sequence(0, {_BON_N - 1}), i ->"
+            " cast(conv(substr(md5(concat(cast(doc_id as string),"
+            " ':bn:', cast(i as string))), 1, 8), 16, 10) as bigint)"
+            f" % {_BON_SCALE}))"
+        ).alias("ls"),
+    )
+    num_cols = []
+    for k in _BON_KS:
+        ws = _bon_weights(k)
+        warr = "array(" + ", ".join(
+            f"{w}L" for w in ws
+        ) + ")"
+        num_cols.append(
+            F.expr(
+                f"cast(aggregate(zip_with(ls, {warr},"
+                " (s, w) -> s * w), 0L, (acc, x) -> acc + x) as bigint)"
+            ).alias(f"num_{k}")
+        )
+    nums = s.select("doc_id", *num_cols)
+    kdf = spark.createDataFrame([(k,) for k in _BON_KS], "k long")
+    case_num = None
+    for k in _BON_KS:
+        br = F.when(F.col("k") == k, F.col(f"num_{k}"))
+        case_num = br if case_num is None else case_num.when(
+            F.col("k") == k, F.col(f"num_{k}")
+        )
+    agg = (
+        nums.crossJoin(F.broadcast(kdf))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(case_num).cast("long").alias("num"),
+        )
+    )
+    den_case = None
+    for k in _BON_KS:
+        tot = sum(_bon_weights(k))
+        br = F.when(F.col("k") == k, F.lit(tot))
+        den_case = br if den_case is None else den_case.when(
+            F.col("k") == k, F.lit(tot)
+        )
+    return agg.select(
+        F.col("k").alias("n_pick"),
+        "n_docs",
+        R.r(
+            F.col("num")
+            * F.lit(1.0)
+            / (F.col("n_docs") * den_case)
+            / _BON_SCALE
+            * 100,
+            4,
+        ).alias("expected_best_score"),
+    )
+
+
+# --- Matthews correlation of the thresholded en-detector ----------------------------
+# Matthews (1975) / phi coefficient — the single-number binary score
+# that stays honest under class imbalance (accuracy and F1 both
+# inflate when one class dominates): threshold the shared
+# fixed-weight logistic en-detector at 0.5 and score against the true
+# label. The DECIMAL(6,4) score threshold comparison is exact; MCC,
+# F1, balanced accuracy, and prevalence are ratios of the four exact
+# integer confusion cells (TP·TN−FP·FN through DECIMAL(38,0) so
+# web-scale cells cannot wrap). Scale: one corpus scan to 4 integers.
+_MCC_THRESH = "0.5000"
+
+_MCC_ORACLE = f"""
+WITH {_SCORE_DUCK},
+cells AS (
+    SELECT count(*) FILTER (WHERE score >= {_MCC_THRESH} AND pos)
+               ::BIGINT AS tp,
+           count(*) FILTER (WHERE score >= {_MCC_THRESH} AND NOT pos)
+               ::BIGINT AS fp,
+           count(*) FILTER (WHERE score < {_MCC_THRESH} AND pos)
+               ::BIGINT AS fn,
+           count(*) FILTER (WHERE score < {_MCC_THRESH} AND NOT pos)
+               ::BIGINT AS tn
+    FROM scored
+)
+SELECT tp, fp, fn, tn,
+       round((CAST(tp AS DECIMAL(38,0)) * tn
+              - CAST(fp AS DECIMAL(38,0)) * fn)::DOUBLE
+             / sqrt((tp + fp)::DOUBLE * (tp + fn) * (tn + fp)
+                    * (tn + fn)) * 1000000) / 1000000 + 0.0 AS mcc,
+       round(2.0 * tp / (2.0 * tp + fp + fn) * 1000000) / 1000000 + 0.0
+           AS f1,
+       round((tp::DOUBLE / (tp + fn) + tn::DOUBLE / (tn + fp)) / 2
+             * 1000000) / 1000000 + 0.0 AS balanced_accuracy,
+       round((tp + fn)::DOUBLE / (tp + fp + fn + tn) * 1000000)
+           / 1000000 + 0.0 AS prevalence
+FROM cells
+"""
+
+
+@register("mcc_en_detector", oracle=_MCC_ORACLE)
+def mcc_en_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    thr = F.lit(_MCC_THRESH).cast("decimal(6,4)")
+    cells = sc.agg(
+        F.sum(F.when((F.col("score") >= thr) & F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when((F.col("score") >= thr) & ~F.col("pos"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("score") < thr) & F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(
+            F.when((F.col("score") < thr) & ~F.col("pos"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tn"),
+    )
+    num = (
+        F.col("tp").cast("decimal(38,0)") * F.col("tn")
+        - F.col("fp").cast("decimal(38,0)") * F.col("fn")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        R.r(num / den, 6).alias("mcc"),
+        R.r(
+            F.lit(2.0)
+            * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+        R.r(
+            (
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+                + F.col("tn").cast("double") / (F.col("tn") + F.col("fp"))
+            )
+            / 2,
+            6,
+        ).alias("balanced_accuracy"),
+        R.r(
+            (F.col("tp") + F.col("fn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("prevalence"),
+    )

@@ -367,3 +367,154 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points long, n_core long, n_border long, n_noise long,"
         " max_neighbors long",
     )
+
+
+# --- blocked k-nearest-neighbor join ----------------------------------------------
+# The kNN companion to the radius join: for a FIXED-COUNT hash-ordered
+# sample of 16 query points (CLAUDE.md gotcha 14 — never a corpus
+# fraction), the 5 nearest neighbors WITHIN THE 3×3 CELL NEIGHBORHOOD
+# — the same probe-bounded semantic as an IVF index probe (documented:
+# a neighbor outside the 3×3 block is out of scope by construction,
+# exactly like nprobe-bounded IVF recall; the 2° cell ≥ 100 km makes
+# anything missed ≥ ~100 km away). Ranking runs on the family's
+# 2dp-snapped haversine as an exact integer centi-km key with vec_id
+# tie-break, so top-5 cuts are exact on both engines. Scale: candidate
+# volume = 16 queries × bounded neighborhood density; ranking windows
+# are PARTITIONED per query.
+_KNN_Q = 16
+_KNN_K = 5
+
+from swat_mapreduce_spark.functions import hashing as _H
+
+_KNN_HASH_DUCK = _H.duck_hash_uint(_H.sql_salted("vec_id", "'knn'"), 8)
+
+_KNN_ORACLE = f"""
+WITH {_POINTS_DUCK},
+cells AS (
+    SELECT vec_id, lat, lon,
+           floor(lat / {_CELL_DEG})::BIGINT AS cy,
+           floor(lon / {_CELL_DEG})::BIGINT AS cx
+    FROM pts
+),
+q AS (
+    SELECT vec_id, lat, lon, cy, cx FROM cells
+    ORDER BY {_KNN_HASH_DUCK}, vec_id
+    LIMIT {_KNN_Q}
+),
+probe AS (
+    SELECT q.vec_id, q.lat, q.lon,
+           q.cy + dy.d AS py, q.cx + dx.d AS px
+    FROM q, generate_series(-1, 1) AS dy(d),
+            generate_series(-1, 1) AS dx(d)
+),
+cand AS (
+    SELECT a.vec_id AS q_vec, b.vec_id AS n_vec,
+           CAST(round({_HAV_DUCK} * 100) AS BIGINT) AS dist_cm
+    FROM probe a
+    JOIN cells b ON b.cy = a.py AND b.cx = a.px
+                AND b.vec_id <> a.vec_id
+),
+ranked AS (
+    SELECT q_vec, n_vec, dist_cm,
+           row_number() OVER (PARTITION BY q_vec
+                              ORDER BY dist_cm, n_vec) AS rk
+    FROM cand
+)
+SELECT q_vec, rk::BIGINT AS rank, n_vec,
+       round(dist_cm * 1.0 / 100 * 100) / 100 + 0.0 AS dist_km
+FROM ranked WHERE rk <= {_KNN_K}
+"""
+
+
+@register("spatial_knn_blocked", oracle=_KNN_ORACLE)
+def spatial_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        (F.element_at(F.col("embedding"), 1).cast("double") * _LAT_SCALE)
+        .alias("lat"),
+        (F.element_at(F.col("embedding"), 2).cast("double") * _LON_SCALE)
+        .alias("lon"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL_DEG).alias("cy"),
+        F.floor(F.col("lon") / _CELL_DEG).alias("cx"),
+    )
+    q = cells.orderBy(
+        _H.hash_uint(F.col("vec_id"), "knn", 8), F.asc("vec_id")
+    ).limit(_KNN_Q)
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dy ->"
+        " transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
+    )
+    probe = q.select(
+        F.col("vec_id").alias("q_vec"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        "cy",
+        "cx",
+        offsets.alias("o"),
+    ).select(
+        "q_vec",
+        "a_lat",
+        "a_lon",
+        (F.col("cy") + F.col("o.dy")).alias("py"),
+        (F.col("cx") + F.col("o.dx")).alias("px"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("n_vec"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        "cy",
+        "cx",
+    )
+    hav = (
+        2
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(
+                    F.sin(F.radians(F.col("b_lat") - F.col("a_lat")) / 2),
+                    2,
+                )
+                + F.cos(F.radians("a_lat"))
+                * F.cos(F.radians("b_lat"))
+                * F.pow(
+                    F.sin(
+                        F.radians(F.col("b_lon") - F.col("a_lon")) / 2
+                    ),
+                    2,
+                )
+            )
+        )
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(
+            b,
+            (F.col("py") == F.col("cy"))
+            & (F.col("px") == F.col("cx"))
+            & (F.col("n_vec") != F.col("q_vec")),
+        )
+        .select(
+            "q_vec",
+            "n_vec",
+            F.round(hav * 100).cast("long").alias("dist_cm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_vec").orderBy("dist_cm", "n_vec")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            "q_vec",
+            "rank",
+            "n_vec",
+            R.r(F.col("dist_cm") * F.lit(1.0) / 100, 2).alias("dist_km"),
+        )
+    )

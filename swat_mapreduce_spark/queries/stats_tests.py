@@ -2516,3 +2516,1434 @@ def brown_forsythe_length_by_source(
             (wstat > F.lit(_BF_F_CRIT)).alias("significant"),
         )
     )
+
+
+# --- Simpson's paradox audit: value-vs-time slope per priority vs pooled ---------
+# The aggregation-reversal detector (Simpson 1951; Blyth 1972): does
+# the ordinary-least-squares slope of order value against order date
+# FLIP SIGN between the pooled corpus and the per-priority groups?
+# (The classic trap when a pipeline trends a metric without
+# conditioning on mix shift.) Every slope's SIGN is decided on the
+# EXACT DECIMAL(38,0) numerator n·Σxy − Σx·Σy (denominator is
+# positive), so the reversal flag can never be flipped by float noise;
+# the displayed slopes are IEEE ratios of those exact decimals. Scale:
+# one scan to 5 + 1 moment rows (map-side combined), nothing else.
+_SIMPSON_ORACLE = """
+WITH v AS (
+    SELECT o_orderpriority AS priority,
+           (o_orderdate::DATE - DATE '1995-01-01')::BIGINT AS x,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders
+),
+m AS (
+    SELECT priority, count(*)::BIGINT AS n,
+           sum(CAST(x AS DECIMAL(38,0))) AS sx,
+           sum(CAST(y AS DECIMAL(38,0))) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+    FROM v GROUP BY 1
+),
+p AS (
+    SELECT sum(n)::BIGINT AS n, sum(sx) AS sx, sum(sy) AS sy,
+           sum(sxy) AS sxy, sum(sxx) AS sxx
+    FROM m
+),
+sl AS (
+    SELECT m.priority, m.n,
+           (m.n * m.sxy - m.sx * m.sy) AS g_num,
+           (m.n * m.sxx - m.sx * m.sx) AS g_den,
+           (p.n * p.sxy - p.sx * p.sy) AS p_num,
+           (p.n * p.sxx - p.sx * p.sx) AS p_den
+    FROM m, p
+)
+SELECT priority, n AS n_orders,
+       round(g_num::DOUBLE / g_den::DOUBLE / 100 * 1000000) / 1000000
+           + 0.0 AS slope_per_day,
+       round(p_num::DOUBLE / p_den::DOUBLE / 100 * 1000000) / 1000000
+           + 0.0 AS pooled_slope_per_day,
+       (CASE WHEN g_num > 0 THEN 1 WHEN g_num < 0 THEN -1 ELSE 0 END)
+       <> (CASE WHEN p_num > 0 THEN 1 WHEN p_num < 0 THEN -1 ELSE 0 END)
+           AS sign_reversed
+FROM sl
+"""
+
+
+@register("simpson_paradox_audit", oracle=_SIMPSON_ORACLE)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01")
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    m = v.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+    )
+    p = m.agg(
+        F.sum("n").cast("long").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+    g_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    g_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    p_num = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    p_den = F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    sgn = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)  # noqa: E731
+    return m.crossJoin(F.broadcast(p)).select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        R.r(g_num.cast("double") / g_den.cast("double") / 100, 6).alias(
+            "slope_per_day"
+        ),
+        R.r(p_num.cast("double") / p_den.cast("double") / 100, 6).alias(
+            "pooled_slope_per_day"
+        ),
+        (sgn(g_num) != sgn(p_num)).alias("sign_reversed"),
+    )
+
+
+# --- Gumbel extreme-value fit over daily maxima ----------------------------------
+# Block-maxima EVT (Gumbel 1958): the daily maximum event value is
+# fitted with a Gumbel distribution by method of moments
+# (β = s·√6/π, μ = m − γ·β) and return levels x_p = μ − β·ln(−ln p)
+# are reported for p ∈ {0.90, 0.95, 0.99} with the observed
+# exceedance counts — the tail-risk audit for a metric pipeline.
+# Determinism: daily maxima are exact integer cents (max of exact
+# ints); m and s come from exact int64/DECIMAL moments; γ, √6/π and
+# the three ln(−ln p) values are PYTHON-COMPUTED double literals
+# embedded identically in both engines, so every product chain is
+# identical IEEE arithmetic with no runtime libm. Scale: one corpus
+# scan to the calendar-bounded day table; the fit is a 1-row moment
+# aggregate joined to a 3-row literal table.
+import math as _gmath
+
+_GUM_GAMMA = 0.5772156649015329
+_GUM_SQRT6_PI = _gmath.sqrt(6.0) / _gmath.pi
+_GUM_PS = (0.90, 0.95, 0.99)
+_GUM_LNLN = {p: _gmath.log(-_gmath.log(p)) for p in _GUM_PS}
+
+_GUMBEL_ORACLE = f"""
+WITH d AS (
+    SELECT ts::DATE AS day,
+           max(CAST(round(value * 100) AS BIGINT))::BIGINT AS mx
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT count(*)::BIGINT AS n, sum(mx)::BIGINT AS s,
+           sum(CAST(mx AS DECIMAL(38,0)) * mx) AS ss
+    FROM d
+),
+fit AS (
+    SELECT n, s::DOUBLE / n AS mean_c,
+           sqrt((ss::DOUBLE - (s::DOUBLE * s) / n) / n) AS std_c
+    FROM m
+),
+ps AS (
+    SELECT t.p::DOUBLE AS p, t.lnln
+    FROM (VALUES (0.90, {_GUM_LNLN[0.90]!r}),
+                 (0.95, {_GUM_LNLN[0.95]!r}),
+                 (0.99, {_GUM_LNLN[0.99]!r})) AS t(p, lnln)
+),
+rl AS (
+    SELECT ps.p, fit.n, fit.mean_c, fit.std_c,
+           fit.std_c * {_GUM_SQRT6_PI!r} AS beta_c,
+           fit.mean_c - {_GUM_GAMMA!r} * fit.std_c * {_GUM_SQRT6_PI!r}
+               AS mu_c,
+           (fit.mean_c - {_GUM_GAMMA!r} * fit.std_c * {_GUM_SQRT6_PI!r})
+               - fit.std_c * {_GUM_SQRT6_PI!r} * ps.lnln AS x_c
+    FROM fit, ps
+)
+SELECT rl.p, rl.n AS n_days,
+       round(rl.mean_c / 100 * 10000) / 10000 + 0.0 AS mean_max,
+       round(rl.std_c / 100 * 10000) / 10000 + 0.0 AS std_max,
+       round(rl.mu_c / 100 * 10000) / 10000 + 0.0 AS gumbel_mu,
+       round(rl.beta_c / 100 * 10000) / 10000 + 0.0 AS gumbel_beta,
+       round(rl.x_c / 100 * 10000) / 10000 + 0.0 AS return_level,
+       (SELECT count(*) FROM d WHERE d.mx > rl.x_c)::BIGINT AS n_exceed
+FROM rl
+"""
+
+
+@register("gumbel_block_maxima_evt", oracle=_GUMBEL_ORACLE)
+def gumbel_block_maxima_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("mx")
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("ss"),
+    )
+    mean_c = F.col("s").cast("double") / F.col("n")
+    std_c = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+        )
+        / F.col("n")
+    )
+    fit = m.select(
+        "n", mean_c.alias("mean_c"), std_c.alias("std_c")
+    )
+    ps = spark.createDataFrame(
+        [(p, _GUM_LNLN[p]) for p in _GUM_PS], "p double, lnln double"
+    )
+    beta_c = F.col("std_c") * F.lit(_GUM_SQRT6_PI)
+    mu_c = F.col("mean_c") - F.lit(_GUM_GAMMA) * beta_c
+    x_c = mu_c - beta_c * F.col("lnln")
+    rl = fit.crossJoin(F.broadcast(ps)).select(
+        "p", "n", "mean_c", "std_c",
+        beta_c.alias("beta_c"), mu_c.alias("mu_c"), x_c.alias("x_c"),
+    )
+    exceed = (
+        rl.select("p", "x_c")
+        .join(d)
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("mx") > F.col("x_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exceed")
+        )
+    )
+    return rl.join(F.broadcast(exceed), "p").select(
+        "p",
+        F.col("n").alias("n_days"),
+        R.r(F.col("mean_c") / 100, 4).alias("mean_max"),
+        R.r(F.col("std_c") / 100, 4).alias("std_max"),
+        R.r(F.col("mu_c") / 100, 4).alias("gumbel_mu"),
+        R.r(F.col("beta_c") / 100, 4).alias("gumbel_beta"),
+        R.r(F.col("x_c") / 100, 4).alias("return_level"),
+        "n_exceed",
+    )
+
+
+# =============================================================================
+# Round-9 regression diagnostics over the daily revenue-vs-time OLS.
+# Shared discipline: the simple regression y = a + b·x over the
+# calendar-bounded day table (x = day index, y = daily cents) is fit
+# from EXACT DECIMAL(38,0) moments; a, b and every residual
+# e_i = y_i − a − b·x_i are then identical IEEE doubles on both
+# engines, and each residual SNAPS to an integer 1e-2-cent unit
+# before any sum of squares — so all diagnostic statistics are ratios
+# of exact int64/DECIMAL values. One corpus scan feeds all of it.
+# =============================================================================
+_DIAG_E_U = 100  # residual snap: 1e-2 cent units
+
+
+def _diag_daily_sql() -> str:
+    """Shared oracle CTE: day table + OLS fit + snapped residuals."""
+    return f"""d AS (
+    SELECT (ts::DATE - DATE '2024-01-01')::BIGINT AS x,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+    FROM events GROUP BY 1
+),
+mom AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CAST(x AS DECIMAL(38,0))) AS sx,
+           sum(CAST(y AS DECIMAL(38,0))) AS sy,
+           sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+    FROM d
+),
+fit AS (
+    SELECT n, sx, sy,
+           (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+               AS b,
+           (sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE
+                         / (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) / n
+               AS a
+    FROM mom
+),
+res AS (
+    SELECT d.x, d.y, fit.n,
+           CAST(round((d.y - fit.a - fit.b * d.x) * {_DIAG_E_U})
+                AS BIGINT) AS e_u
+    FROM d, fit
+)"""
+
+
+# --- Durbin-Watson serial-correlation test ----------------------------------------
+# Durbin & Watson (1950): DW = Σ(e_t − e_{t−1})²/Σe_t² on the OLS
+# residuals — DW≈2 means independent errors, <1.5 positive serial
+# correlation (the "my daily metric has momentum the model misses"
+# check). Consecutive days pair by date arithmetic (runs-test
+# pattern, no window); both sums are exact int64 on snapped
+# residuals. Scale: one corpus scan to the day table.
+_DW_ORACLE = f"""
+WITH {_diag_daily_sql()},
+pairs AS (
+    SELECT b.e_u - a.e_u AS de_u
+    FROM res a JOIN res b ON b.x = a.x + 1
+),
+s AS (
+    SELECT (SELECT sum(de_u * de_u) FROM pairs)::BIGINT AS num,
+           sum(e_u * e_u)::BIGINT AS den,
+           any_value(n)::BIGINT AS n
+    FROM res
+)
+SELECT n AS n_days,
+       round(num::DOUBLE / den * 10000) / 10000 + 0.0 AS dw_stat,
+       CASE WHEN num::DOUBLE / den < 1.5 THEN 'positive_autocorr'
+            WHEN num::DOUBLE / den > 2.5 THEN 'negative_autocorr'
+            ELSE 'independent' END AS verdict
+FROM s
+"""
+
+
+@register("durbin_watson_autocorr", oracle=_DW_ORACLE)
+def durbin_watson_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _diag_residuals(spark, sf_dir)
+    a = res.select(F.col("x").alias("xa"), F.col("e_u").alias("ea"))
+    b = res.select(F.col("x").alias("xb"), F.col("e_u").alias("eb"))
+    num = (
+        a.join(F.broadcast(b), F.col("xb") == F.col("xa") + 1)
+        .agg(
+            F.sum(
+                (F.col("eb") - F.col("ea")) * (F.col("eb") - F.col("ea"))
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    s = res.agg(
+        F.sum(F.col("e_u") * F.col("e_u")).cast("long").alias("den"),
+        F.first("n").cast("long").alias("n"),
+    )
+    dw = F.col("num").cast("double") / F.col("den")
+    return s.crossJoin(F.broadcast(num)).select(
+        F.col("n").alias("n_days"),
+        R.r(dw, 4).alias("dw_stat"),
+        F.when(dw < 1.5, "positive_autocorr")
+        .when(dw > 2.5, "negative_autocorr")
+        .otherwise("independent")
+        .alias("verdict"),
+    )
+
+
+def _diag_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark side of _diag_daily_sql: (x, y, n, e_u)."""
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    mom = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+    )
+    bb = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    fit = mom.select(
+        "n",
+        "sx",
+        "sy",
+        bb.alias("b"),
+        (
+            (F.col("sy").cast("double") - bb * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("a"),
+    )
+    return d.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "y",
+        "n",
+        F.round(
+            (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+            * F.lit(_DIAG_E_U)
+        )
+        .cast("long")
+        .alias("e_u"),
+    )
+
+
+# --- Jarque-Bera normality test over daily revenue --------------------------------
+# Jarque & Bera (1980): JB = n/6·(S² + (K−3)²/4) from skewness and
+# kurtosis — is the daily revenue distribution normal enough for
+# z-score monitors to be trusted? Standardized values
+# u_i = (y_i − ȳ)/s snap to integer 1e-6 units before the third/
+# fourth-moment sums (DECIMAL(38,0): u⁴ is 1e24-scale), so Σu³/Σu⁴
+# are exact on both engines; ȳ and s are IEEE on exact cents moments.
+# Scale: one corpus scan to the day table, one moment aggregate.
+_JB_U = 1_000_000
+_JB_CHI2_CRIT = 5.9915  # chi2(2 df) at alpha = 0.05
+
+_JB_ORACLE = f"""
+WITH d AS (
+    SELECT ts::DATE AS day,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+           sum(CAST(y AS DECIMAL(38,0)) * y) AS ss
+    FROM d
+),
+fit AS (
+    SELECT n, s::DOUBLE / n AS mean_c,
+           sqrt((ss::DOUBLE - (s::DOUBLE * s) / n) / n) AS std_c
+    FROM m
+),
+u AS (
+    SELECT fit.n,
+           CAST(round((d.y - fit.mean_c) / fit.std_c * {_JB_U})
+                AS BIGINT) AS u_u
+    FROM d, fit
+),
+agg AS (
+    SELECT any_value(n)::BIGINT AS n,
+           sum(CAST(u_u AS DECIMAL(38,0)) * u_u * u_u) AS s3,
+           sum(CAST(u_u AS DECIMAL(38,0)) * u_u * u_u * u_u) AS s4
+    FROM u
+),
+jb AS (
+    SELECT n,
+           s3::DOUBLE / (n * {_JB_U}.0 * {_JB_U} * {_JB_U}) AS skew,
+           s4::DOUBLE / (n * {_JB_U}.0 * {_JB_U} * {_JB_U} * {_JB_U})
+               AS kurt
+    FROM agg
+)
+SELECT n AS n_days,
+       round(skew * 1000000) / 1000000 + 0.0 AS skewness,
+       round(kurt * 1000000) / 1000000 + 0.0 AS kurtosis,
+       round(n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+             * 10000) / 10000 + 0.0 AS jb_stat,
+       n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+           > {_JB_CHI2_CRIT} AS reject_normality
+FROM jb
+"""
+
+
+@register("jarque_bera_normality", oracle=_JB_ORACLE)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+            )
+            / F.col("n")
+        ).alias("std_c"),
+    )
+    u = d.crossJoin(F.broadcast(fit)).select(
+        "n",
+        F.round(
+            (F.col("y") - F.col("mean_c")) / F.col("std_c") * F.lit(_JB_U)
+        )
+        .cast("long")
+        .alias("u_u"),
+    )
+    du = F.col("u_u").cast("decimal(38,0)")
+    agg = u.agg(
+        F.first("n").cast("long").alias("n"),
+        F.sum(du * F.col("u_u") * F.col("u_u")).alias("s3"),
+        F.sum(du * F.col("u_u") * F.col("u_u") * F.col("u_u")).alias("s4"),
+    )
+    uf = float(_JB_U)
+    skew = F.col("s3").cast("double") / (F.col("n") * uf * uf * uf)
+    kurt = F.col("s4").cast("double") / (
+        F.col("n") * uf * uf * uf * uf
+    )
+    jb = F.col("n") / F.lit(6.0) * (
+        skew * skew + (kurt - 3) * (kurt - 3) / 4
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        R.r(skew, 6).alias("skewness"),
+        R.r(kurt, 6).alias("kurtosis"),
+        R.r(jb, 4).alias("jb_stat"),
+        (jb > F.lit(_JB_CHI2_CRIT)).alias("reject_normality"),
+    )
+
+
+# --- Breusch-Pagan heteroskedasticity test ----------------------------------------
+# Breusch & Pagan (1979), Koenker's studentized form: BP = n·R² of
+# the auxiliary regression of squared OLS residuals on x — does the
+# daily revenue model's error VARIANCE drift over time? Squared
+# snapped residuals g_i = e_u² are exact int64; the auxiliary-R²
+# moments go through DECIMAL(38,0) (g² is 1e28-scale); BP compares
+# against the embedded chi²(1) critical value. Scale: one corpus scan
+# to the day table; two moment aggregates.
+_BP_CHI2_CRIT = 3.8415  # chi2(1 df) at alpha = 0.05
+
+_BP_ORACLE = f"""
+WITH {_diag_daily_sql()},
+g AS (SELECT x, n, CAST(e_u AS DECIMAL(38,0)) * e_u AS g FROM res),
+aux AS (
+    SELECT any_value(n)::BIGINT AS n,
+           sum(CAST(x AS DECIMAL(38,0))) AS sx,
+           sum(CAST(g AS DECIMAL(38,0))) AS sg,
+           sum(CAST(x AS DECIMAL(38,0)) * g) AS sxg,
+           sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+           sum(CAST(g AS DECIMAL(38,0)) * g) AS sgg
+    FROM g
+),
+r2 AS (
+    SELECT n,
+           ((n * sxg - sx * sg)::DOUBLE * (n * sxg - sx * sg)::DOUBLE)
+           / ((n * sxx - sx * sx)::DOUBLE * (n * sgg - sg * sg)::DOUBLE)
+               AS r2
+    FROM aux
+)
+SELECT n AS n_days,
+       round(r2 * 1000000) / 1000000 + 0.0 AS aux_r2,
+       round(n * r2 * 10000) / 10000 + 0.0 AS bp_stat,
+       n * r2 > {_BP_CHI2_CRIT} AS heteroskedastic
+FROM r2
+"""
+
+
+@register("breusch_pagan_heteroskedasticity", oracle=_BP_ORACLE)
+def breusch_pagan_heteroskedasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    res = _diag_residuals(spark, sf_dir)
+    g = res.select(
+        "x",
+        "n",
+        (F.col("e_u").cast("decimal(38,0)") * F.col("e_u")).alias("g"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dg = F.col("g").cast("decimal(38,0)")
+    aux = g.agg(
+        F.first("n").cast("long").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dg).alias("sg"),
+        F.sum(dx * F.col("g")).alias("sxg"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dg * F.col("g")).alias("sgg"),
+    )
+    num = (
+        F.col("n") * F.col("sxg") - F.col("sx") * F.col("sg")
+    ).cast("double")
+    r2 = (num * num) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast(
+            "double"
+        )
+    )
+    bp = F.col("n") * r2
+    return aux.select(
+        F.col("n").alias("n_days"),
+        R.r(r2, 6).alias("aux_r2"),
+        R.r(bp, 4).alias("bp_stat"),
+        (bp > F.lit(_BP_CHI2_CRIT)).alias("heteroskedastic"),
+    )
+
+
+# --- Cook's distance: influential days in the daily revenue regression ------------
+# Cook (1977): D_i = e_i²·h_i / (p·s²·(1−h_i)²) with the CLOSED-FORM
+# simple-regression leverage h_i = 1/n + (x_i−x̄)²/Σ(x−x̄)² — which
+# days single-handedly steer the revenue trend line? Residuals are
+# the shared snapped integers (so e² and s² = Σe_u²/(n−2) live in the
+# same exact units and cancel); leverages are IEEE rationals of exact
+# integer moments; each D snaps to a 1e-8 integer unit so the top-10
+# cut orders exactly with day tie-break. Flag: D > 4/n (the standard
+# screening threshold). Scale: one corpus scan to the day table.
+_COOK_U = 100_000_000
+_COOK_TOPN = 10
+
+_COOK_ORACLE = f"""
+WITH {_diag_daily_sql()},
+lev AS (
+    SELECT res.x, res.e_u, res.n, mom.sx, mom.sxx,
+           1.0 / res.n
+           + (res.x - mom.sx::DOUBLE / res.n)
+             * (res.x - mom.sx::DOUBLE / res.n)
+             / (mom.sxx::DOUBLE - mom.sx::DOUBLE * mom.sx::DOUBLE
+                                  / res.n) AS h
+    FROM res, mom
+),
+s2 AS (
+    SELECT sum(e_u * e_u)::DOUBLE / (any_value(n) - 2) AS s2 FROM res
+),
+dd AS (
+    SELECT lev.x, lev.e_u, lev.h, lev.n,
+           CAST(round(lev.e_u::DOUBLE * lev.e_u * lev.h
+                      / (2.0 * s2.s2 * (1 - lev.h) * (1 - lev.h))
+                      * {_COOK_U}) AS BIGINT) AS d_u
+    FROM lev, s2
+)
+SELECT (DATE '2024-01-01' + INTERVAL (x) DAY)::DATE AS day,
+       round(e_u * 1.0 / {_DIAG_E_U} / 100 * 10000) / 10000 + 0.0
+           AS residual_dollars,
+       round(h * 1000000) / 1000000 + 0.0 AS leverage,
+       round(d_u * 1.0 / {_COOK_U} * 1000000) / 1000000 + 0.0
+           AS cooks_d,
+       d_u > CAST(round(4.0 / n * {_COOK_U}) AS BIGINT) AS influential
+FROM dd
+ORDER BY d_u DESC, x
+LIMIT {_COOK_TOPN}
+"""
+
+
+@register("cooks_distance_daily", oracle=_COOK_ORACLE)
+def cooks_distance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _diag_residuals(spark, sf_dir)
+    mom = res.agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).alias("sxx"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    h = (
+        F.lit(1.0) / F.col("n")
+        + (F.col("x") - xbar)
+        * (F.col("x") - xbar)
+        / (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n")
+        )
+    )
+    lev = res.crossJoin(F.broadcast(mom)).select(
+        "x", "e_u", "n", h.alias("h")
+    )
+    s2 = res.agg(
+        (
+            F.sum(F.col("e_u") * F.col("e_u")).cast("double")
+            / (F.first("n") - 2)
+        ).alias("s2")
+    )
+    d_u = F.round(
+        F.col("e_u").cast("double")
+        * F.col("e_u")
+        * F.col("h")
+        / (
+            F.lit(2.0)
+            * F.col("s2")
+            * (1 - F.col("h"))
+            * (1 - F.col("h"))
+        )
+        * F.lit(_COOK_U)
+    ).cast("long")
+    dd = lev.crossJoin(F.broadcast(s2)).select(
+        "x", "e_u", "h", "n", d_u.alias("d_u")
+    )
+    return (
+        dd.orderBy(F.col("d_u").desc(), "x")
+        .limit(_COOK_TOPN)
+        .select(
+            F.date_add(F.lit("2024-01-01"), F.col("x").cast("int")).alias(
+                "day"
+            ),
+            R.r(
+                F.col("e_u") * F.lit(1.0) / _DIAG_E_U / 100, 4
+            ).alias("residual_dollars"),
+            R.r("h", 6).alias("leverage"),
+            R.r(F.col("d_u") * F.lit(1.0) / _COOK_U, 6).alias("cooks_d"),
+            (
+                F.col("d_u")
+                > F.round(F.lit(4.0) / F.col("n") * F.lit(_COOK_U)).cast(
+                    "long"
+                )
+            ).alias("influential"),
+        )
+    )
+
+
+# --- Cohen's d / Hedges' g effect size for the variant split ----------------------
+# The effect-size companion to welch_ttest: standardized mean
+# difference of purchase value between variants with the pooled-SD
+# Cohen's d, small-sample Hedges' g correction J = 1 − 3/(4m−9), and
+# the large-sample 95% CI on d. Group moments are the exact integer
+# cents sums (squared cents through DECIMAL(38,0)); everything after
+# is IEEE on exact ints + embedded literals — no runtime libm.
+# Scale: one map-side-combined scan to 2 moment rows.
+_EFF_ORACLE = """
+WITH v AS (
+    SELECT (user_id % 2)::BIGINT AS variant,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT variant, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+           sum(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+    FROM v GROUP BY 1
+),
+w AS (
+    SELECT a.n AS na, b.n AS nb,
+           a.s::DOUBLE / a.n AS ma, b.s::DOUBLE / b.n AS mb,
+           (a.ss::DOUBLE - (a.s::DOUBLE * a.s::DOUBLE) / a.n) AS ssa,
+           (b.ss::DOUBLE - (b.s::DOUBLE * b.s::DOUBLE) / b.n) AS ssb
+    FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
+),
+d AS (
+    SELECT na, nb, ma, mb,
+           (ma - mb) / sqrt((ssa + ssb) / (na + nb - 2)) AS d,
+           1.0 - 3.0 / (4.0 * (na + nb) - 9) AS j,
+           sqrt((na + nb)::DOUBLE / (na::DOUBLE * nb)
+                + ((ma - mb) / sqrt((ssa + ssb) / (na + nb - 2)))
+                  * ((ma - mb) / sqrt((ssa + ssb) / (na + nb - 2)))
+                  / (2.0 * (na + nb))) AS se
+    FROM w
+)
+SELECT na, nb,
+       round((ma - mb) / 100 * 10000) / 10000 + 0.0 AS mean_diff,
+       round(d * 1000000) / 1000000 + 0.0 AS cohens_d,
+       round(d * j * 1000000) / 1000000 + 0.0 AS hedges_g,
+       round((d - 1.96 * se) * 1000000) / 1000000 + 0.0 AS d_ci_low,
+       round((d + 1.96 * se) * 1000000) / 1000000 + 0.0 AS d_ci_high,
+       CASE WHEN abs(d) < 0.2 THEN 'negligible'
+            WHEN abs(d) < 0.5 THEN 'small'
+            WHEN abs(d) < 0.8 THEN 'medium' ELSE 'large' END
+           AS magnitude
+FROM d
+"""
+
+
+@register("cohens_d_effect_size", oracle=_EFF_ORACLE)
+def cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ss"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa0"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb0"),
+    )
+    j0 = a.crossJoin(F.broadcast(b))
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    ssa = F.col("ssa0").cast("double") - (
+        F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) / F.col("na")
+    ssb = F.col("ssb0").cast("double") - (
+        F.col("sb").cast("double") * F.col("sb").cast("double")
+    ) / F.col("nb")
+    d = (ma - mb) / F.sqrt(
+        (ssa + ssb) / (F.col("na") + F.col("nb") - 2)
+    )
+    jj = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("na") + F.col("nb")) - 9
+    )
+    se = F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na").cast("double") * F.col("nb"))
+        + d * d / (F.lit(2.0) * (F.col("na") + F.col("nb")))
+    )
+    return j0.select(
+        "na",
+        "nb",
+        R.r((ma - mb) / 100, 4).alias("mean_diff"),
+        R.r(d, 6).alias("cohens_d"),
+        R.r(d * jj, 6).alias("hedges_g"),
+        R.r(d - F.lit(1.96) * se, 6).alias("d_ci_low"),
+        R.r(d + F.lit(1.96) * se, 6).alias("d_ci_high"),
+        F.when(F.abs(d) < 0.2, "negligible")
+        .when(F.abs(d) < 0.5, "small")
+        .when(F.abs(d) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# --- A/B power analysis: MDE and required sample size -----------------------------
+# The pre-registration arithmetic every experimentation pipeline
+# needs: given the observed per-user purchase-value variance, (a) the
+# minimum detectable effect at α=0.05 two-sided for power ∈
+# {0.80, 0.90} at the CURRENT per-variant n, and (b) the per-variant
+# n required to detect a $1.00 effect — MDE = (z_{α/2}+z_β)·√(2s²/n),
+# n_req = 2s²(z_{α/2}+z_β)²/Δ². The z quantiles are embedded literals
+# (1.959964, 0.841621, 1.281552); s² is pooled from exact integer
+# cents moments; everything after is IEEE. Scale: one
+# map-side-combined scan to 2 moment rows joined to a 2-row literal
+# power table.
+_PWR_Z_A = 1.959964  # z_{0.975}
+_PWR_ZB = {0.80: 0.841621, 0.90: 1.281552}
+_PWR_TARGET_C = 100.0  # $1.00 target effect in cents
+
+_PWR_ORACLE = f"""
+WITH v AS (
+    SELECT (user_id % 2)::BIGINT AS variant,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT variant, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+           sum(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+    FROM v GROUP BY 1
+),
+pool AS (
+    SELECT sum(n)::BIGINT AS n_total,
+           CAST(round(sum(n) / 2.0) AS BIGINT) AS n_arm,
+           sum(ss::DOUBLE - (s::DOUBLE * s) / n) / (sum(n) - 2) AS s2
+    FROM m
+),
+pw AS (
+    SELECT t.power::DOUBLE AS power, t.zb
+    FROM (VALUES (0.80, {_PWR_ZB[0.80]!r}),
+                 (0.90, {_PWR_ZB[0.90]!r})) AS t(power, zb)
+)
+SELECT pw.power, pool.n_arm,
+       round(sqrt(pool.s2) / 100 * 10000) / 10000 + 0.0 AS pooled_sd,
+       round(({_PWR_Z_A} + pw.zb) * sqrt(2 * pool.s2 / pool.n_arm)
+             / 100 * 10000) / 10000 + 0.0 AS mde_dollars,
+       CAST(ceil(2 * pool.s2 * ({_PWR_Z_A} + pw.zb)
+                 * ({_PWR_Z_A} + pw.zb)
+                 / ({_PWR_TARGET_C} * {_PWR_TARGET_C})) AS BIGINT)
+           AS n_per_arm_for_1dollar
+FROM pool, pw
+"""
+
+
+@register("power_analysis_mde", oracle=_PWR_ORACLE)
+def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ss"),
+    )
+    pool = m.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.round(F.sum("n") / F.lit(2.0)).cast("long").alias("n_arm"),
+        (
+            F.sum(
+                F.col("ss").cast("double")
+                - (F.col("s").cast("double") * F.col("s").cast("double"))
+                / F.col("n")
+            )
+            / (F.sum("n") - 2)
+        ).alias("s2"),
+    )
+    pw = spark.createDataFrame(
+        [(p, _PWR_ZB[p]) for p in (0.80, 0.90)], "power double, zb double"
+    )
+    mde = (F.lit(_PWR_Z_A) + F.col("zb")) * F.sqrt(
+        2 * F.col("s2") / F.col("n_arm")
+    )
+    nreq = F.ceil(
+        2
+        * F.col("s2")
+        * (F.lit(_PWR_Z_A) + F.col("zb"))
+        * (F.lit(_PWR_Z_A) + F.col("zb"))
+        / F.lit(_PWR_TARGET_C * _PWR_TARGET_C)
+    ).cast("long")
+    return pool.crossJoin(F.broadcast(pw)).select(
+        "power",
+        "n_arm",
+        R.r(F.sqrt(F.col("s2")) / 100, 4).alias("pooled_sd"),
+        R.r(mde / 100, 4).alias("mde_dollars"),
+        nreq.alias("n_per_arm_for_1dollar"),
+    )
+
+
+# --- bias-corrected Cramér's V: lang × source association strength ----------------
+# The EFFECT-SIZE companion to chi2_independence_lang_source:
+# Bergsma's (2013) bias-corrected Cramér's V over the |langs|×|sources|
+# contingency table — χ² tells you association exists; V tells you
+# whether it is big enough to matter for stratification decisions.
+# Each cell's (O−E)²/E term snaps to an integer 1e-6 unit before the
+# order-free sum (E is an exact-integer ratio); the φ²/row/column
+# corrections are IEEE rationals of exact counts. Scale: one scan to
+# the bounded contingency grid.
+_CV_U = 1_000_000
+
+_CV_ORACLE = f"""
+WITH cell AS (
+    SELECT lang, source, count(*)::BIGINT AS o
+    FROM documents GROUP BY 1, 2
+),
+rmar AS (SELECT lang, sum(o)::BIGINT AS rn FROM cell GROUP BY 1),
+cmar AS (SELECT source, sum(o)::BIGINT AS cn FROM cell GROUP BY 1),
+nn AS (
+    SELECT sum(o)::BIGINT AS n,
+           (SELECT count(*) FROM rmar)::BIGINT AS r,
+           (SELECT count(*) FROM cmar)::BIGINT AS c
+    FROM cell
+),
+grid AS (
+    SELECT rmar.lang, cmar.source, rmar.rn, cmar.cn,
+           coalesce(cell.o, 0)::BIGINT AS o
+    FROM rmar CROSS JOIN cmar
+    LEFT JOIN cell ON cell.lang = rmar.lang
+                  AND cell.source = cmar.source
+),
+chi AS (
+    SELECT sum(CAST(round(
+               (grid.o - grid.rn::DOUBLE * grid.cn / nn.n)
+               * (grid.o - grid.rn::DOUBLE * grid.cn / nn.n)
+               / (grid.rn::DOUBLE * grid.cn / nn.n) * {_CV_U})
+               AS BIGINT))::BIGINT AS chi_u
+    FROM grid, nn
+),
+v AS (
+    SELECT nn.n, nn.r, nn.c,
+           chi.chi_u * 1.0 / {_CV_U} AS chi2,
+           greatest(0.0, chi.chi_u * 1.0 / ({_CV_U}.0 * nn.n)
+                    - (nn.r - 1.0) * (nn.c - 1) / (nn.n - 1)) AS phi2c,
+           nn.r - (nn.r - 1.0) * (nn.r - 1) / (nn.n - 1) AS rt,
+           nn.c - (nn.c - 1.0) * (nn.c - 1) / (nn.n - 1) AS ct
+    FROM nn, chi
+)
+SELECT n AS n_docs, r AS n_langs, c AS n_sources,
+       round(chi2 * 10000) / 10000 + 0.0 AS chi2_stat,
+       round(sqrt(chi2 / (n * least(r - 1, c - 1))) * 1000000)
+           / 1000000 + 0.0 AS cramers_v,
+       round(sqrt(phi2c / least(rt - 1, ct - 1)) * 1000000) / 1000000
+           + 0.0 AS cramers_v_corrected
+FROM v
+"""
+
+
+@register("cramers_v_lang_source", oracle=_CV_ORACLE)
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rmar = cell.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
+    cmar = cell.groupBy("source").agg(
+        F.sum("o").cast("long").alias("cn")
+    )
+    nn = cell.agg(F.sum("o").cast("long").alias("n")).crossJoin(
+        F.broadcast(rmar.agg(F.count(F.lit(1)).cast("long").alias("r")))
+    ).crossJoin(
+        F.broadcast(cmar.agg(F.count(F.lit(1)).cast("long").alias("c")))
+    )
+    grid = (
+        rmar.crossJoin(F.broadcast(cmar))
+        .join(F.broadcast(cell), ["lang", "source"], "left")
+        .select(
+            "rn", "cn", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    chi = (
+        grid.crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                (F.col("o") - e) * (F.col("o") - e) / e * F.lit(_CV_U)
+            )
+            .cast("long")
+            .alias("t_u")
+        )
+        .agg(F.sum("t_u").cast("long").alias("chi_u"))
+    )
+    chi2 = F.col("chi_u") * F.lit(1.0) / _CV_U
+    phi2c = F.greatest(
+        F.lit(0.0),
+        F.col("chi_u") * F.lit(1.0) / (F.lit(float(_CV_U)) * F.col("n"))
+        - (F.col("r") - F.lit(1.0)) * (F.col("c") - 1) / (F.col("n") - 1),
+    )
+    rt = F.col("r") - (F.col("r") - F.lit(1.0)) * (F.col("r") - 1) / (
+        F.col("n") - 1
+    )
+    ct = F.col("c") - (F.col("c") - F.lit(1.0)) * (F.col("c") - 1) / (
+        F.col("n") - 1
+    )
+    return nn.crossJoin(F.broadcast(chi)).select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        R.r(chi2, 4).alias("chi2_stat"),
+        R.r(
+            F.sqrt(
+                chi2
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        R.r(
+            F.sqrt(phi2c / F.least(rt - 1, ct - 1)), 6
+        ).alias("cramers_v_corrected"),
+    )
+
+
+# --- Anderson-Darling two-sample test: en vs rest document lengths ----------------
+# Scholz & Stephens (1987) k-sample Anderson-Darling (k=2) in the
+# tie-corrected midrank form — the TAIL-SENSITIVE complement to
+# ks_two_sample_lengths (KS sees the middle of the distribution; AD
+# weights the tails). With half-unit integers B2_j = 2·cum_j − l_j
+# and M2_ij = 2·cum_ij − l_ij on the bounded distinct-length grid,
+# every term is t_ij = l_j·Δ²/(N·(B2(2N−B2) − N·l_j)·n_i) with
+# Δ = N·M2_ij − n_i·B2_j an exact int64 — each term snaps to a 1e-8
+# integer unit before the order-free sum, and A² = (N−1)/N · Σ. The
+# raw statistic has mean k−1 = 1 under H0; we flag against the
+# asymptotic 5% point ≈ 2.492 of the unstandardized 2-sample A²
+# (documented approximation — the exact cutoff needs the
+# Scholz-Stephens variance machinery). Scale: the ks_two_sample
+# shape — one scan to the (sample × length) grid, cumulatives on the
+# bounded length domain (allowlisted).
+_AD_U = 100_000_000
+_AD_CRIT_APPROX = 2.492
+
+_AD_ORACLE = f"""
+WITH d AS (
+    SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS g,
+           n_chars AS v
+    FROM documents
+),
+l AS (
+    SELECT v, count(*)::BIGINT AS l,
+           (2 * (sum(count(*)) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            - count(*))::BIGINT AS b2
+    FROM d GROUP BY v
+),
+ns AS (SELECT g, count(*)::BIGINT AS n_i FROM d GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM d),
+cg AS (
+    SELECT g, v, count(*)::BIGINT AS li FROM d GROUP BY 1, 2
+),
+mg AS (
+    SELECT ns.g, l.v, l.l, l.b2, ns.n_i,
+           (2 * sum(coalesce(cg.li, 0)) OVER (PARTITION BY ns.g
+                 ORDER BY l.v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+            - coalesce(cg.li, 0))::BIGINT AS m2
+    FROM ns CROSS JOIN l
+    LEFT JOIN cg ON cg.g = ns.g AND cg.v = l.v
+),
+terms AS (
+    SELECT mg.g,
+           CAST(round(
+               mg.l * ((nn.n * mg.m2 - mg.n_i * mg.b2)::DOUBLE
+                       * (nn.n * mg.m2 - mg.n_i * mg.b2))
+               / (nn.n::DOUBLE * (mg.b2 * (2 * nn.n - mg.b2)
+                                  - nn.n * mg.l) * mg.n_i)
+               * {_AD_U}) AS BIGINT) AS t_u
+    FROM mg, nn
+    WHERE mg.b2 * (2 * nn.n - mg.b2) - nn.n * mg.l > 0
+),
+a2 AS (
+    SELECT sum(t_u)::BIGINT AS s_u FROM terms
+)
+SELECT nn.n AS n_total,
+       (SELECT n_i FROM ns WHERE g = 'en')::BIGINT AS n_en,
+       (SELECT n_i FROM ns WHERE g = 'rest')::BIGINT AS n_rest,
+       round((nn.n - 1.0) / nn.n * a2.s_u / {_AD_U} * 10000) / 10000
+           + 0.0 AS a2_stat,
+       (nn.n - 1.0) / nn.n * a2.s_u / {_AD_U} > {_AD_CRIT_APPROX}
+           AS reject_same_dist
+FROM nn, a2
+"""
+
+
+@register("anderson_darling_two_sample", oracle=_AD_ORACLE)
+def anderson_darling_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", "en").otherwise("rest").alias("g"),
+        F.col("n_chars").alias("v"),
+    )
+    wl = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    l = (
+        d.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("l"))
+        .withColumn(
+            "b2",
+            (2 * F.sum("l").over(wl) - F.col("l")).cast("long"),
+        )
+    )
+    ns = d.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cg = d.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("li")
+    )
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mg = (
+        ns.crossJoin(F.broadcast(l))
+        .join(F.broadcast(cg), ["g", "v"], "left")
+        .withColumn(
+            "m2",
+            (
+                2 * F.sum(F.coalesce("li", F.lit(0))).over(wg)
+                - F.coalesce("li", F.lit(0))
+            ).cast("long"),
+        )
+    )
+    delta = F.col("n") * F.col("m2") - F.col("n_i") * F.col("b2")
+    den_i = F.col("b2") * (2 * F.col("n") - F.col("b2")) - F.col(
+        "n"
+    ) * F.col("l")
+    terms = (
+        mg.crossJoin(F.broadcast(nn))
+        .filter(den_i > 0)
+        .select(
+            F.round(
+                F.col("l")
+                * (delta.cast("double") * delta)
+                / (F.col("n").cast("double") * den_i * F.col("n_i"))
+                * F.lit(_AD_U)
+            )
+            .cast("long")
+            .alias("t_u")
+        )
+    )
+    a2 = terms.agg(F.sum("t_u").cast("long").alias("s_u"))
+    n_en = ns.filter(F.col("g") == "en").select(
+        F.col("n_i").alias("n_en")
+    )
+    n_rest = ns.filter(F.col("g") == "rest").select(
+        F.col("n_i").alias("n_rest")
+    )
+    stat = (
+        (F.col("n") - F.lit(1.0))
+        / F.col("n")
+        * F.col("s_u")
+        / F.lit(float(_AD_U))
+    )
+    return (
+        nn.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(n_en))
+        .crossJoin(F.broadcast(n_rest))
+        .select(
+            F.col("n").alias("n_total"),
+            "n_en",
+            "n_rest",
+            R.r(stat, 4).alias("a2_stat"),
+            (stat > F.lit(_AD_CRIT_APPROX)).alias("reject_same_dist"),
+        )
+    )
+
+
+# --- quantile treatment effects: purchase value by variant -------------------------
+# The distributional complement to the mean tests (welch/cohens_d):
+# QTE(p) = Q_treat(p) − Q_control(p) at p ∈ {0.25, 0.50, 0.75} —
+# does the variant shift the whole distribution or only a tail?
+# Quantiles are the exact type-1 order statistic (smallest value with
+# cum ≥ ceil(p·n)) read off per-variant cumulative counts on the
+# bounded distinct-cents grid — integer thresholds via
+# ceil-as-arithmetic, zero float comparisons anywhere; QTE is an
+# exact integer cents difference. Scale: one scan to the
+# (variant × cents) grid; cumulatives are PARTITIONED by variant.
+_QTE_PS = (25, 50, 75)  # percent, exact integers
+
+_QTE_ORACLE = f"""
+WITH v AS (
+    SELECT (user_id % 2)::BIGINT AS variant,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+g AS (
+    SELECT variant, cents, count(*)::BIGINT AS c FROM v GROUP BY 1, 2
+),
+cum AS (
+    SELECT variant, cents, c,
+           sum(c) OVER (PARTITION BY variant ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS cm
+    FROM g
+),
+ns AS (SELECT variant, sum(c)::BIGINT AS n FROM g GROUP BY 1),
+p AS (SELECT unnest([{", ".join(str(p) for p in _QTE_PS)}]) AS p),
+qq AS (
+    SELECT p.p, cum.variant,
+           min(CASE WHEN cum.cm * 100 >= p.p * ns.n
+                    THEN cum.cents END)::BIGINT AS q
+    FROM cum JOIN ns USING (variant), p
+    GROUP BY 1, 2
+)
+SELECT a.p::BIGINT AS percentile,
+       round(a.q / 100.0 * 100) / 100 + 0.0 AS q_variant0,
+       round(b.q / 100.0 * 100) / 100 + 0.0 AS q_variant1,
+       round((b.q - a.q) / 100.0 * 100) / 100 + 0.0 AS qte_dollars
+FROM qq a JOIN qq b ON a.p = b.p AND a.variant = 0 AND b.variant = 1
+"""
+
+
+@register("quantile_treatment_effect", oracle=_QTE_ORACLE)
+def quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    v = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = v.groupBy("variant", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = g.withColumn(
+        "cm",
+        F.sum("c")
+        .over(
+            Window.partitionBy("variant")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    ns = g.groupBy("variant").agg(F.sum("c").cast("long").alias("n"))
+    p = spark.createDataFrame([(x,) for x in _QTE_PS], "p long")
+    qq = (
+        cum.join(F.broadcast(ns), "variant")
+        .crossJoin(F.broadcast(p))
+        .groupBy("p", "variant")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") * 100 >= F.col("p") * F.col("n"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("q")
+        )
+    )
+    a = qq.filter(F.col("variant") == 0).select(
+        F.col("p").alias("pa"), F.col("q").alias("qa")
+    )
+    b = qq.filter(F.col("variant") == 1).select(
+        F.col("p").alias("pb"), F.col("q").alias("qb")
+    )
+    return a.join(F.broadcast(b), F.col("pa") == F.col("pb")).select(
+        F.col("pa").alias("percentile"),
+        R.r(F.col("qa") / F.lit(100.0), 2).alias("q_variant0"),
+        R.r(F.col("qb") / F.lit(100.0), 2).alias("q_variant1"),
+        R.r((F.col("qb") - F.col("qa")) / F.lit(100.0), 2).alias(
+            "qte_dollars"
+        ),
+    )
+
+
+# --- Mantel-Haenszel common odds ratio across language strata ----------------------
+# Mantel & Haenszel (1959) — the confounding-aware association test:
+# is "even-numbered source" associated with "long document"
+# (n_chars > 250) AFTER stratifying by language? OR_MH =
+# Σ a·d/n / Σ b·c/n with the Cochran-MH chi-square (continuity-
+# corrected) against chi²(1). Every 2×2 cell is an exact integer; the
+# per-stratum rational terms (ad/n, bc/n, E, Var) snap to integer
+# 1e-6 units before the order-free sums, so the pooled OR and the
+# CMH decision are ratios/comparisons of exact int64 on both engines.
+# Scale: one scan to |langs| strata cells; everything after is
+# bounded metadata.
+_MH_U = 1_000_000
+_MH_CHI2_CRIT = 3.8415
+
+_MH_ORACLE = f"""
+WITH d AS (
+    SELECT lang,
+           (CAST(substr(source, 4) AS BIGINT) % 2 = 0) AS exposed,
+           (n_chars > 250) AS long_doc
+    FROM documents
+),
+s AS (
+    SELECT lang,
+           count(*) FILTER (WHERE exposed AND long_doc)::BIGINT AS a,
+           count(*) FILTER (WHERE exposed AND NOT long_doc)::BIGINT AS b,
+           count(*) FILTER (WHERE NOT exposed AND long_doc)::BIGINT AS c,
+           count(*) FILTER (WHERE NOT exposed AND NOT long_doc)::BIGINT
+               AS dd,
+           count(*)::BIGINT AS n
+    FROM d GROUP BY 1
+),
+t AS (
+    SELECT lang, a, b, c, dd, n,
+           CAST(round(a * dd * {_MH_U}.0 / n) AS BIGINT) AS adn_u,
+           CAST(round(b * c * {_MH_U}.0 / n) AS BIGINT) AS bcn_u,
+           CAST(round((a + b) * (a + c) * {_MH_U}.0 / n) AS BIGINT)
+               AS e_u,
+           CAST(round((a + b)::DOUBLE * (c + dd) * (a + c) * (b + dd)
+                      * {_MH_U} / (n::DOUBLE * n * (n - 1))) AS BIGINT)
+               AS var_u
+    FROM s
+),
+pool AS (
+    SELECT sum(adn_u)::BIGINT AS sad, sum(bcn_u)::BIGINT AS sbc,
+           sum(a * {_MH_U} - e_u)::BIGINT AS dev_u,
+           sum(var_u)::BIGINT AS svar
+    FROM t
+)
+SELECT t.lang, t.a, t.b, t.c, t.dd AS d, 
+       round(CASE WHEN t.b * t.c > 0
+                  THEN (t.a::DOUBLE * t.dd) / (t.b::DOUBLE * t.c)
+             END * 10000) / 10000 + 0.0 AS stratum_or,
+       round(pool.sad * 1.0 / pool.sbc * 10000) / 10000 + 0.0 AS mh_or,
+       round((abs(pool.dev_u * 1.0 / {_MH_U}) - 0.5)
+             * (abs(pool.dev_u * 1.0 / {_MH_U}) - 0.5)
+             / (pool.svar * 1.0 / {_MH_U}) * 10000) / 10000 + 0.0
+           AS cmh_stat,
+       (abs(pool.dev_u * 1.0 / {_MH_U}) - 0.5)
+       * (abs(pool.dev_u * 1.0 / {_MH_U}) - 0.5)
+       / (pool.svar * 1.0 / {_MH_U}) > {_MH_CHI2_CRIT} AS significant
+FROM t, pool
+"""
+
+
+@register("mantel_haenszel_or", oracle=_MH_ORACLE)
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.substring("source", 4, 10).cast("long") % 2 == 0).alias(
+            "exposed"
+        ),
+        (F.col("n_chars") > 250).alias("long_doc"),
+    )
+    s = d.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("exposed") & F.col("long_doc"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(F.col("exposed") & ~F.col("long_doc"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(~F.col("exposed") & F.col("long_doc"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(~F.col("exposed") & ~F.col("long_doc"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("dd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    uf = float(_MH_U)
+    t = s.select(
+        "lang",
+        "a",
+        "b",
+        "c",
+        "dd",
+        "n",
+        F.round(F.col("a") * F.col("dd") * F.lit(uf) / F.col("n"))
+        .cast("long")
+        .alias("adn_u"),
+        F.round(F.col("b") * F.col("c") * F.lit(uf) / F.col("n"))
+        .cast("long")
+        .alias("bcn_u"),
+        F.round(
+            (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("c"))
+            * F.lit(uf)
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("e_u"),
+        F.round(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("dd"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("dd"))
+            * F.lit(_MH_U)
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * (F.col("n") - 1)
+            )
+        )
+        .cast("long")
+        .alias("var_u"),
+    )
+    pool = t.agg(
+        F.sum("adn_u").cast("long").alias("sad"),
+        F.sum("bcn_u").cast("long").alias("sbc"),
+        F.sum(F.col("a") * F.lit(_MH_U) - F.col("e_u"))
+        .cast("long")
+        .alias("dev_u"),
+        F.sum("var_u").cast("long").alias("svar"),
+    )
+    dev = F.abs(F.col("dev_u") * F.lit(1.0) / _MH_U) - 0.5
+    cmh = dev * dev / (F.col("svar") * F.lit(1.0) / _MH_U)
+    return t.crossJoin(F.broadcast(pool)).select(
+        "lang",
+        "a",
+        "b",
+        "c",
+        F.col("dd").alias("d"),
+        R.r(
+            F.when(
+                F.col("b") * F.col("c") > 0,
+                (F.col("a").cast("double") * F.col("dd"))
+                / (F.col("b").cast("double") * F.col("c")),
+            ),
+            4,
+        ).alias("stratum_or"),
+        R.r(F.col("sad") * F.lit(1.0) / F.col("sbc"), 4).alias("mh_or"),
+        R.r(cmh, 4).alias("cmh_stat"),
+        (cmh > F.lit(_MH_CHI2_CRIT)).alias("significant"),
+    )

@@ -517,6 +517,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "kruskal_wallis_length_by_lang",
     # PH cumulative/min over the per-day table (calendar-bounded, r9)
     "page_hinkley_drift_daily",
+    # AD midrank cumulatives over the distinct-length domain (r9)
+    "anderson_darling_two_sample",
+    # suffix max over the distinct-length grid (r9)
+    "pareto_frontier_quality",
 }
 
 

@@ -474,3 +474,278 @@ def test_hurst_form(spark, sf_dir):
     assert rows[5]["mean_rs"] <= rows[15]["mean_rs"] + 1e-9
     # H plausible range for a real series (0 < H < 1 with slack)
     assert -0.2 < h < 1.2
+
+
+def test_simpson_slopes_exact_sign_logic(spark, sf_dir):
+    rows = _q("simpson_paradox_audit").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    pooled = rows[0]["pooled_slope_per_day"]
+    for r in rows:
+        assert r["pooled_slope_per_day"] == pooled
+        # the flag must agree with the displayed slope signs except
+        # within rounding distance of zero
+        if abs(r["slope_per_day"]) > 1e-5 and abs(pooled) > 1e-5:
+            assert r["sign_reversed"] == (
+                (r["slope_per_day"] > 0) != (pooled > 0)
+            )
+
+
+def test_gumbel_return_levels_monotone(spark, sf_dir):
+    rows = {
+        r["p"]: r
+        for r in _q("gumbel_block_maxima_evt").spark_fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {0.90, 0.95, 0.99}
+    # higher p -> higher return level, fewer exceedances
+    assert (
+        rows[0.90]["return_level"]
+        < rows[0.95]["return_level"]
+        < rows[0.99]["return_level"]
+    )
+    assert rows[0.90]["n_exceed"] >= rows[0.95]["n_exceed"] >= rows[
+        0.99
+    ]["n_exceed"]
+    r = rows[0.95]
+    assert r["gumbel_beta"] > 0
+    assert r["gumbel_mu"] < r["mean_max"]  # mu = mean - gamma*beta
+    assert r["n_exceed"] <= r["n_days"]
+
+
+def test_rm3_weights_form(spark, sf_dir):
+    rows = _q("rm3_expansion_terms").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    ws = [r["rm3_weight"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["p_feedback"] <= 1.0
+        if r["is_query_term"]:
+            # query terms get the lambda/3 floor
+            assert r["rm3_weight"] >= 0.5 / 3 - 1e-6
+        else:
+            # pure feedback terms are bounded by (1-lambda)
+            assert r["rm3_weight"] <= 0.5 + 1e-9
+    assert any(r["is_query_term"] for r in rows)
+    assert any(not r["is_query_term"] for r in rows)
+
+
+def test_good_turing_identities(spark, sf_dir):
+    rows = _q("good_turing_unseen_mass").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_singletons"] <= r["n_types"]
+        assert 0.0 <= r["unseen_mass_gt"] <= 1.0
+        # Chao1 is a lower-bound richness >= observed types
+        assert r["chao1_richness"] >= r["n_types"] - 1e-9
+        assert 0.0 < r["coverage_share"] <= 1.0
+        assert abs(
+            r["unseen_mass_gt"] - r["n_singletons"] / r["n_tokens"]
+        ) < 1e-5
+
+
+def test_durbin_watson_range(spark, sf_dir):
+    (r,) = _q("durbin_watson_autocorr").spark_fn(spark, sf_dir).collect()
+    assert r["n_days"] == 30
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    v = r["verdict"]
+    if r["dw_stat"] < 1.5:
+        assert v == "positive_autocorr"
+    elif r["dw_stat"] > 2.5:
+        assert v == "negative_autocorr"
+    else:
+        assert v == "independent"
+
+
+def test_jarque_bera_moment_bounds(spark, sf_dir):
+    (r,) = _q("jarque_bera_normality").spark_fn(spark, sf_dir).collect()
+    assert r["n_days"] == 30
+    # standardized kurtosis is >= 1 + skew^2 (moment inequality)
+    assert r["kurtosis"] >= 1 + r["skewness"] ** 2 - 0.01
+    assert r["jb_stat"] >= 0.0
+    jb = r["n_days"] / 6.0 * (
+        r["skewness"] ** 2 + (r["kurtosis"] - 3) ** 2 / 4
+    )
+    assert abs(jb - r["jb_stat"]) < 0.01
+
+
+def test_breusch_pagan_r2_range(spark, sf_dir):
+    (r,) = _q("breusch_pagan_heteroskedasticity").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert 0.0 <= r["aux_r2"] <= 1.0
+    assert abs(r["bp_stat"] - r["n_days"] * r["aux_r2"]) < 0.01
+    assert r["heteroskedastic"] == (r["bp_stat"] > 3.8415) or abs(
+        r["bp_stat"] - 3.8415
+    ) < 0.01
+
+
+def test_cooks_distance_sorted_leverage_bounds(spark, sf_dir):
+    rows = _q("cooks_distance_daily").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    ds = [r["cooks_d"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    for r in rows:
+        # simple-regression leverage bounds: 1/n <= h <= 1
+        assert 1.0 / 30 - 1e-9 <= r["leverage"] <= 1.0
+        assert r["cooks_d"] >= 0.0
+        assert r["influential"] == (r["cooks_d"] > 4.0 / 30) or abs(
+            r["cooks_d"] - 4.0 / 30
+        ) < 1e-4
+
+
+def test_cohens_d_ci_and_magnitude(spark, sf_dir):
+    (r,) = _q("cohens_d_effect_size").spark_fn(spark, sf_dir).collect()
+    assert r["na"] > 1 and r["nb"] > 1
+    assert r["d_ci_low"] <= r["cohens_d"] <= r["d_ci_high"]
+    # Hedges' g shrinks toward zero and preserves sign
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-9
+    assert (r["hedges_g"] >= 0) == (r["cohens_d"] >= 0)
+    m = abs(r["cohens_d"])
+    expect = (
+        "negligible" if m < 0.2 else
+        "small" if m < 0.5 else
+        "medium" if m < 0.8 else "large"
+    )
+    assert r["magnitude"] == expect
+
+
+def test_power_mde_monotonicity(spark, sf_dir):
+    rows = {
+        r["power"]: r
+        for r in _q("power_analysis_mde").spark_fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0.80, 0.90}
+    # more power -> larger MDE at fixed n, larger n at fixed effect
+    assert rows[0.90]["mde_dollars"] > rows[0.80]["mde_dollars"] > 0
+    assert (
+        rows[0.90]["n_per_arm_for_1dollar"]
+        > rows[0.80]["n_per_arm_for_1dollar"]
+        > 0
+    )
+    assert rows[0.80]["pooled_sd"] > 0
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    (r,) = _q("cramers_v_lang_source").spark_fn(spark, sf_dir).collect()
+    assert r["n_langs"] == 5 and r["n_sources"] == 20
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert 0.0 <= r["cramers_v_corrected"] <= 1.0
+    # bias correction shrinks V
+    assert r["cramers_v_corrected"] <= r["cramers_v"] + 1e-9
+    assert r["chi2_stat"] >= 0.0
+
+
+def test_anderson_darling_form(spark, sf_dir):
+    (r,) = _q("anderson_darling_two_sample").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert r["n_en"] + r["n_rest"] == r["n_total"]
+    assert r["a2_stat"] >= 0.0
+    # A2 has mean k-1=1 under H0; any real value stays far below N
+    assert r["a2_stat"] < r["n_total"]
+    assert r["reject_same_dist"] == (r["a2_stat"] > 2.492) or abs(
+        r["a2_stat"] - 2.492
+    ) < 1e-3
+
+
+def test_spatial_knn_sorted_within_query(spark, sf_dir):
+    rows = _q("spatial_knn_blocked").spark_fn(spark, sf_dir).collect()
+    assert rows
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["q_vec"], []).append(r)
+    assert len(byq) <= 16
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        ds = [r["dist_km"] for r in rs]
+        assert ds == sorted(ds)
+        for r in rs:
+            assert r["n_vec"] != q
+            # 3x3 of 2-degree cells bounds the reach well under 700 km
+            assert 0.0 <= r["dist_km"] < 700.0
+
+
+def test_best_of_n_monotone(spark, sf_dir):
+    rows = {
+        r["n_pick"]: r
+        for r in _q("best_of_n_expected_score").spark_fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    # E[max of k] is nondecreasing in k; k=1 is the plain mean
+    assert (
+        rows[1]["expected_best_score"]
+        <= rows[2]["expected_best_score"]
+        <= rows[4]["expected_best_score"]
+        <= rows[8]["expected_best_score"]
+    )
+    for r in rows.values():
+        assert 0.0 <= r["expected_best_score"] <= 100.0
+
+
+def test_pareto_frontier_is_nondominated(spark, sf_dir):
+    rows = _q("pareto_frontier_quality").spark_fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # no emitted row may be STRICTLY dominated (longer AND more
+    # diverse) by another emitted row; equal lengths never dominate
+    for a in rows:
+        for b in rows:
+            assert not (
+                b["n_chars"] > a["n_chars"] and b["ttr"] > a["ttr"] + 1e-9
+            ), (a, b)
+
+
+def test_ipf_margins_converge_toward_uniform(spark, sf_dir):
+    rows = _q("ipf_raking_weights").spark_fn(spark, sf_dir).collect()
+    # observed cells only (empty lang x source cells stay zero in IPF)
+    assert 90 <= len(rows) <= 100
+    for r in rows:
+        assert r["rake_weight"] > 0.0
+        # after the column pass, lang margins are NEAR 1/5 (raking
+        # converges, one row+col pass gets close but not exact)
+        assert abs(r["lang_share_after"] - 0.2) < 0.05
+
+
+def test_qte_quantiles_ordered(spark, sf_dir):
+    rows = {
+        r["percentile"]: r
+        for r in _q("quantile_treatment_effect").spark_fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {25, 50, 75}
+    for v in ("q_variant0", "q_variant1"):
+        assert rows[25][v] <= rows[50][v] <= rows[75][v]
+    for r in rows.values():
+        assert abs(
+            r["qte_dollars"] - (r["q_variant1"] - r["q_variant0"])
+        ) < 0.011
+
+
+def test_mantel_haenszel_pooled_or_bounded_by_strata(spark, sf_dir):
+    rows = _q("mantel_haenszel_or").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    mh = rows[0]["mh_or"]
+    ors = [r["stratum_or"] for r in rows if r["stratum_or"] is not None]
+    assert ors, "every stratum degenerate?"
+    # the MH pooled OR is a weighted combination: within strata range
+    assert min(ors) - 1e-9 <= mh <= max(ors) + 1e-9
+    for r in rows:
+        assert r["a"] + r["b"] + r["c"] + r["d"] > 0
+        assert r["mh_or"] == mh
+
+
+def test_mcc_consistency(spark, sf_dir):
+    (r,) = _q("mcc_en_detector").spark_fn(spark, sf_dir).collect()
+    n = r["tp"] + r["fp"] + r["fn"] + r["tn"]
+    assert n > 0
+    assert -1.0 <= r["mcc"] <= 1.0
+    assert 0.0 <= r["f1"] <= 1.0
+    assert 0.0 <= r["balanced_accuracy"] <= 1.0
+    assert abs(r["prevalence"] - (r["tp"] + r["fn"]) / n) < 1e-5
+    # non-degenerate detector on this corpus
+    assert (r["tp"] + r["fp"]) > 0 and (r["fn"] + r["tn"]) > 0
