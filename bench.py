@@ -275,6 +275,9 @@ HEADLINE = [
     "quantile_treatment_effect",
     "mantel_haenszel_or",
     "mcc_en_detector",
+    "pettitt_changepoint",
+    "granger_causality_daily",
+    "sinkhorn_ot_lengths",
 ]
 
 REPEATS = 2

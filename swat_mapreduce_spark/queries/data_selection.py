@@ -1421,3 +1421,215 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lang_share_after"),
     )
+
+
+# --- Sinkhorn entropic optimal transport: en → rest length mass -------------------
+# Cuturi (2013) Sinkhorn-Knopp — the entropic-OT coupling between the
+# en and non-en document-length distributions over 100-char buckets:
+# "how much length mass must move, and where, to make en look like
+# the rest" — the domain-matching primitive for mix correction.
+# Kernel K = exp(−|i−j|/ε), ε=2: since the cost is an integer bucket
+# distance, ALL kernel entries are PYTHON-COMPUTED double literals
+# (no runtime libm). Two full (u, v) scaling passes run on the
+# bounded bucket grid with every scaling vector snapped to integer
+# 1e-8 units and every K·vec contraction snapped per term to 1e-12
+# units before the exact int64 sum — the oracle unrolls all four
+# updates as CTEs. Output: the top-15 coupling cells by snapped mass
+# + the total transport cost. Scale: one corpus scan to ≤ ~12 bucket
+# marginals; everything after is constant-size grid algebra.
+import math as _smath
+
+_SK_EPS = 2.0
+_SK_MAXD = 11
+_SK_K = {d: _smath.exp(-d / _SK_EPS) for d in range(_SK_MAXD + 1)}
+_SK_U = 100_000_000  # scaling-vector units (1e-8)
+_SK_T = 10_000  # extra contraction-term snap (1e-12 total)
+_SK_TOPN = 15
+
+
+def _sk_k_sql(dexpr: str) -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {_SK_K[d]!r}" for d in range(_SK_MAXD + 1)
+    )
+    return f"(CASE least({dexpr}, {_SK_MAXD}) {whens} END)"
+
+
+_SK_ORACLE = f"""
+WITH d AS (
+    SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS g,
+           CAST(floor(n_chars / 100.0) AS BIGINT) AS b
+    FROM documents
+),
+r AS (SELECT b, count(*)::BIGINT AS cnt FROM d WHERE g = 'en' GROUP BY 1),
+c AS (SELECT b, count(*)::BIGINT AS cnt FROM d WHERE g = 'rest' GROUP BY 1),
+nr AS (SELECT sum(cnt)::BIGINT AS n FROM r),
+nc AS (SELECT sum(cnt)::BIGINT AS n FROM c),
+v0 AS (SELECT b, {_SK_U}::BIGINT AS v_u FROM c),
+u1 AS (
+    SELECT r.b,
+           CAST(round(r.cnt * 1e20 / (nr.n::DOUBLE * kv.s)) AS BIGINT)
+               AS u_u
+    FROM r, nr,
+    LATERAL (
+        SELECT sum(CAST(round({_sk_k_sql("abs(r.b - v0.b)")}
+                   * v0.v_u * {_SK_T}) AS BIGINT))::BIGINT AS s
+        FROM v0
+    ) kv
+),
+v1 AS (
+    SELECT c.b,
+           CAST(round(c.cnt * 1e20 / (nc.n::DOUBLE * ku.s)) AS BIGINT)
+               AS v_u
+    FROM c, nc,
+    LATERAL (
+        SELECT sum(CAST(round({_sk_k_sql("abs(c.b - u1.b)")}
+                   * u1.u_u * {_SK_T}) AS BIGINT))::BIGINT AS s
+        FROM u1
+    ) ku
+),
+u2 AS (
+    SELECT r.b,
+           CAST(round(r.cnt * 1e20 / (nr.n::DOUBLE * kv.s)) AS BIGINT)
+               AS u_u
+    FROM r, nr,
+    LATERAL (
+        SELECT sum(CAST(round({_sk_k_sql("abs(r.b - v1.b)")}
+                   * v1.v_u * {_SK_T}) AS BIGINT))::BIGINT AS s
+        FROM v1
+    ) kv
+),
+v2 AS (
+    SELECT c.b,
+           CAST(round(c.cnt * 1e20 / (nc.n::DOUBLE * ku.s)) AS BIGINT)
+               AS v_u
+    FROM c, nc,
+    LATERAL (
+        SELECT sum(CAST(round({_sk_k_sql("abs(c.b - u2.b)")}
+                   * u2.u_u * {_SK_T}) AS BIGINT))::BIGINT AS s
+        FROM u2
+    ) ku
+),
+plan_t AS (
+    SELECT u2.b AS i, v2.b AS j, abs(u2.b - v2.b)::BIGINT AS cost,
+           CAST(round(u2.u_u::DOUBLE * {_sk_k_sql("abs(u2.b - v2.b)")}
+                * v2.v_u / 1e6) AS BIGINT) AS mass_u
+    FROM u2, v2
+),
+tot AS (
+    SELECT sum(CAST(mass_u AS DECIMAL(38,0)) * cost) AS cost_u,
+           sum(mass_u)::BIGINT AS mass_tot
+    FROM plan_t
+)
+SELECT p.i AS bucket_en, p.j AS bucket_rest, p.cost,
+       round(p.mass_u * 1.0 / 1e10 * 1000000) / 1000000 + 0.0
+           AS plan_mass,
+       round(tot.cost_u::DOUBLE / tot.mass_tot * 10000) / 10000 + 0.0
+           AS mean_transport_cost
+FROM plan_t p, tot
+ORDER BY p.mass_u DESC, p.i, p.j
+LIMIT {_SK_TOPN}
+"""
+
+
+@register("sinkhorn_ot_lengths", oracle=_SK_ORACLE)
+def sinkhorn_ot_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", "en").otherwise("rest").alias("g"),
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("b"),
+    )
+    r = (
+        docs.filter(F.col("g") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    c = (
+        docs.filter(F.col("g") == "rest")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    nr = r.agg(F.sum("cnt").cast("long").alias("n"))
+    nc = c.agg(F.sum("cnt").cast("long").alias("n"))
+
+    def k_col(dcol):
+        expr = None
+        dd = F.least(dcol, F.lit(_SK_MAXD))
+        for d in range(_SK_MAXD + 1):
+            br = F.when(dd == d, F.lit(_SK_K[d]))
+            expr = br if expr is None else expr.when(dd == d, F.lit(_SK_K[d]))
+        return expr
+
+    def scale_pass(marg, n1, other, ocol):
+        """One Sinkhorn scaling update: new vec over marg's buckets."""
+        o = other.select(
+            F.col("b").alias("ob"), F.col(ocol).alias("ov")
+        )
+        contract = (
+            marg.select("b", "cnt")
+            .crossJoin(F.broadcast(o))
+            .select(
+                "b",
+                "cnt",
+                F.round(
+                    k_col(F.abs(F.col("b") - F.col("ob")))
+                    * F.col("ov")
+                    * F.lit(_SK_T)
+                )
+                .cast("long")
+                .alias("t_u"),
+            )
+            .groupBy("b", "cnt")
+            .agg(F.sum("t_u").cast("long").alias("s"))
+        )
+        return contract.crossJoin(F.broadcast(n1)).select(
+            "b",
+            F.round(
+                F.col("cnt")
+                * F.lit(1e20)
+                / (F.col("n").cast("double") * F.col("s"))
+            )
+            .cast("long")
+            .alias("vec_u"),
+        )
+
+    v0 = c.select("b", F.lit(_SK_U).cast("long").alias("vec_u"))
+    u1 = scale_pass(r, nr, v0, "vec_u")
+    v1 = scale_pass(c, nc, u1, "vec_u")
+    u2 = scale_pass(r, nr, v1, "vec_u")
+    v2 = scale_pass(c, nc, u2, "vec_u")
+    ui = u2.select(F.col("b").alias("i"), F.col("vec_u").alias("u_u"))
+    vj = v2.select(F.col("b").alias("j"), F.col("vec_u").alias("v_u"))
+    plan = ui.crossJoin(F.broadcast(vj)).select(
+        "i",
+        "j",
+        F.abs(F.col("i") - F.col("j")).cast("long").alias("cost"),
+        F.round(
+            F.col("u_u").cast("double")
+            * k_col(F.abs(F.col("i") - F.col("j")))
+            * F.col("v_u")
+            / F.lit(1e6)
+        )
+        .cast("long")
+        .alias("mass_u"),
+    )
+    tot = plan.agg(
+        F.sum(F.col("mass_u").cast("decimal(38,0)") * F.col("cost")).alias(
+            "cost_u"
+        ),
+        F.sum("mass_u").cast("long").alias("mass_tot"),
+    )
+    return (
+        plan.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("mass_u").desc(), "i", "j")
+        .limit(_SK_TOPN)
+        .select(
+            F.col("i").alias("bucket_en"),
+            F.col("j").alias("bucket_rest"),
+            "cost",
+            R.r(F.col("mass_u") * F.lit(1.0) / 1e10, 6).alias(
+                "plan_mass"
+            ),
+            R.r(
+                F.col("cost_u").cast("double") / F.col("mass_tot"), 4
+            ).alias("mean_transport_cost"),
+        )
+    )

@@ -3947,3 +3947,226 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(cmh, 4).alias("cmh_stat"),
         (cmh > F.lit(_MH_CHI2_CRIT)).alias("significant"),
     )
+
+
+# --- Pettitt rank-based changepoint test ------------------------------------------
+# Pettitt (1979) — the nonparametric single-changepoint test (the
+# rank-based cousin of CUSUM, robust to outliers): U_t = Σ_{i≤t,j>t}
+# sgn(x_j − x_i) over the daily value series, changepoint at
+# argmax |U_t|, significance via the closed-form approximation
+# p ≈ 2·exp(−6K²/(n³+n²)). Every U_t is an exact integer from the
+# calendar-bounded day-pair table (sign comparisons on DECIMAL-exact
+# daily sums); the argmax breaks ties on the earlier day. The exp is
+# the single transcendental, snapped at 8dp like the KS p-value.
+# Scale: one corpus scan to |days| rows; pairs are bounded metadata.
+_PETTITT_ORACLE = """
+WITH d AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+u AS (
+    SELECT t.day,
+           sum(CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS u_t
+    FROM d t
+    JOIN d a ON a.day <= t.day
+    JOIN d b ON b.day > t.day
+    GROUP BY t.day
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM d),
+k AS (
+    SELECT u.day, abs(u.u_t)::BIGINT AS au, u.u_t
+    FROM u ORDER BY abs(u.u_t) DESC, u.day LIMIT 1
+)
+SELECT k.day AS changepoint_day, k.u_t AS u_stat, nn.n AS n_days,
+       round(least(1.0, 2 * exp(-6.0 * k.au * k.au
+             / (nn.n::DOUBLE * nn.n * nn.n + nn.n::DOUBLE * nn.n)))
+             * 100000000) / 100000000 + 0.0 AS p_approx,
+       least(1.0, 2 * exp(-6.0 * k.au * k.au
+             / (nn.n::DOUBLE * nn.n * nn.n + nn.n::DOUBLE * nn.n)))
+           < 0.05 AS significant
+FROM k, nn
+"""
+
+
+@register("pettitt_changepoint", oracle=_PETTITT_ORACLE)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
+    )
+    t = d.select(F.col("day").alias("td"))
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    u = (
+        t.join(F.broadcast(a), F.col("da") <= F.col("td"))
+        .join(F.broadcast(b), F.col("db") > F.col("td"))
+        .groupBy("td")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("u_t")
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = u.orderBy(F.abs(F.col("u_t")).desc(), "td").limit(1)
+    nd = F.col("n").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0)
+            * F.abs(F.col("u_t"))
+            * F.abs(F.col("u_t"))
+            / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+        ),
+    )
+    return k.crossJoin(F.broadcast(nn)).select(
+        F.col("td").alias("changepoint_day"),
+        F.col("u_t").alias("u_stat"),
+        F.col("n").alias("n_days"),
+        R.r(p, 8).alias("p_approx"),
+        (p < F.lit(0.05)).alias("significant"),
+    )
+
+
+# --- Granger causality: does daily event count predict next-day value? -------------
+# Granger (1969), lag-1 bivariate form: does adding yesterday's event
+# COUNT improve the autoregressive prediction of today's revenue?
+# F = (SSE_r − SSE_u)/(SSE_u/(n−3)) comparing the restricted AR(1)
+# against the unrestricted 2-regressor OLS, both solved in closed
+# form from n-scaled centered moments (T11 = nΣuu − ΣuΣu, … — all
+# EXACT DECIMAL(38,0) products of integer cents/counts; the scale
+# cancels in F). Lag pairs come from date arithmetic (day+1 join, no
+# window). The critical value 4.2252 = F(1, 26) at α=0.05 matches the
+# 30-day series (n_obs = 29); it is embedded as a literal. Scale: one
+# corpus scan to the day table; the regression is bounded metadata.
+_GRANGER_F_CRIT = 4.2252
+
+_GRANGER_ORACLE = """
+WITH d AS (
+    SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+    FROM events GROUP BY 1
+),
+p AS (
+    SELECT b.y AS yt, a.y AS u, a.x AS v
+    FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY
+),
+m AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CAST(u AS DECIMAL(38,0))) AS su,
+           sum(CAST(v AS DECIMAL(38,0))) AS sv,
+           sum(CAST(yt AS DECIMAL(38,0))) AS sy,
+           sum(CAST(u AS DECIMAL(38,0)) * u) AS suu,
+           sum(CAST(v AS DECIMAL(38,0)) * v) AS svv,
+           sum(CAST(u AS DECIMAL(38,0)) * v) AS suv,
+           sum(CAST(u AS DECIMAL(38,0)) * yt) AS suy,
+           sum(CAST(v AS DECIMAL(38,0)) * yt) AS svy,
+           sum(CAST(yt AS DECIMAL(38,0)) * yt) AS syy
+    FROM p
+),
+t AS (
+    SELECT n,
+           (n * suu - su * su)::DOUBLE AS t11,
+           (n * svv - sv * sv)::DOUBLE AS t22,
+           (n * suv - su * sv)::DOUBLE AS t12,
+           (n * suy - su * sy)::DOUBLE AS t1y,
+           (n * svy - sv * sy)::DOUBLE AS t2y,
+           (n * syy - sy * sy)::DOUBLE AS tyy
+    FROM m
+),
+f AS (
+    SELECT n, t1y, t2y,
+           (t1y * t22 - t2y * t12) / (t11 * t22 - t12 * t12) AS b,
+           (t2y * t11 - t1y * t12) / (t11 * t22 - t12 * t12) AS c,
+           tyy - t1y * t1y / t11 AS sse_r,
+           tyy - ((t1y * t22 - t2y * t12) / (t11 * t22 - t12 * t12))
+                 * t1y
+               - ((t2y * t11 - t1y * t12) / (t11 * t22 - t12 * t12))
+                 * t2y AS sse_u
+    FROM t
+)
+SELECT n AS n_obs,
+       round(b * 1000000) / 1000000 + 0.0 AS ar_coef,
+       round(c / 100 * 1000000) / 1000000 + 0.0
+           AS count_coef_dollars,
+       round((sse_r - sse_u) / (sse_u / (n - 3)) * 10000) / 10000 + 0.0
+           AS f_stat,
+       (sse_r - sse_u) / (sse_u / (n - 3)) > {CRIT} AS granger_causes
+FROM f
+""".replace("{CRIT}", str(_GRANGER_F_CRIT))
+
+
+@register("granger_causality_daily", oracle=_GRANGER_ORACLE)
+def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("da"), F.col("y").alias("u"),
+        F.col("x").alias("v"),
+    )
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yt"))
+    p = a.join(
+        F.broadcast(b), F.col("db") == F.date_add(F.col("da"), 1)
+    ).select("yt", "u", "v")
+    dc = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dc("u")).alias("su"),
+        F.sum(dc("v")).alias("sv"),
+        F.sum(dc("yt")).alias("sy"),
+        F.sum(dc("u") * F.col("u")).alias("suu"),
+        F.sum(dc("v") * F.col("v")).alias("svv"),
+        F.sum(dc("u") * F.col("v")).alias("suv"),
+        F.sum(dc("u") * F.col("yt")).alias("suy"),
+        F.sum(dc("v") * F.col("yt")).alias("svy"),
+        F.sum(dc("yt") * F.col("yt")).alias("syy"),
+    )
+    t = m.select(
+        "n",
+        (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+        .cast("double")
+        .alias("t11"),
+        (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+        .cast("double")
+        .alias("t22"),
+        (F.col("n") * F.col("suv") - F.col("su") * F.col("sv"))
+        .cast("double")
+        .alias("t12"),
+        (F.col("n") * F.col("suy") - F.col("su") * F.col("sy"))
+        .cast("double")
+        .alias("t1y"),
+        (F.col("n") * F.col("svy") - F.col("sv") * F.col("sy"))
+        .cast("double")
+        .alias("t2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("tyy"),
+    )
+    det = F.col("t11") * F.col("t22") - F.col("t12") * F.col("t12")
+    bb = (F.col("t1y") * F.col("t22") - F.col("t2y") * F.col("t12")) / det
+    cc = (F.col("t2y") * F.col("t11") - F.col("t1y") * F.col("t12")) / det
+    sse_r = F.col("tyy") - F.col("t1y") * F.col("t1y") / F.col("t11")
+    sse_u = F.col("tyy") - bb * F.col("t1y") - cc * F.col("t2y")
+    fstat = (sse_r - sse_u) / (sse_u / (F.col("n") - 3))
+    return t.select(
+        F.col("n").alias("n_obs"),
+        R.r(bb, 6).alias("ar_coef"),
+        R.r(cc / 100, 6).alias("count_coef_dollars"),
+        R.r(fstat, 4).alias("f_stat"),
+        (fstat > F.lit(_GRANGER_F_CRIT)).alias("granger_causes"),
+    )

@@ -749,3 +749,37 @@ def test_mcc_consistency(spark, sf_dir):
     assert abs(r["prevalence"] - (r["tp"] + r["fn"]) / n) < 1e-5
     # non-degenerate detector on this corpus
     assert (r["tp"] + r["fp"]) > 0 and (r["fn"] + r["tn"]) > 0
+
+
+def test_pettitt_u_is_max_and_p_valid(spark, sf_dir):
+    (r,) = _q("pettitt_changepoint").spark_fn(spark, sf_dir).collect()
+    assert r["n_days"] == 30
+    # |U| bounded by t*(n-t) <= (n/2)^2
+    assert abs(r["u_stat"]) <= 15 * 15
+    assert 0.0 < r["p_approx"] <= 1.0
+    assert r["significant"] == (r["p_approx"] < 0.05)
+
+
+def test_granger_f_nonnegative(spark, sf_dir):
+    (r,) = _q("granger_causality_daily").spark_fn(spark, sf_dir).collect()
+    assert r["n_obs"] == 29
+    # adding a regressor can only reduce SSE: F >= 0
+    assert r["f_stat"] >= -1e-6
+    assert r["granger_causes"] == (r["f_stat"] > 4.2252) or abs(
+        r["f_stat"] - 4.2252
+    ) < 1e-3
+
+
+def test_sinkhorn_plan_properties(spark, sf_dir):
+    rows = _q("sinkhorn_ot_lengths").spark_fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    masses = [r["plan_mass"] for r in rows]
+    assert masses == sorted(masses, reverse=True)
+    mtc = rows[0]["mean_transport_cost"]
+    for r in rows:
+        assert r["plan_mass"] >= 0.0
+        assert r["cost"] == abs(r["bucket_en"] - r["bucket_rest"])
+        assert r["mean_transport_cost"] == mtc
+    # entropic OT keeps mass near the diagonal: top cell is local
+    assert rows[0]["cost"] <= 2
+    assert 0.0 <= mtc <= 11.0
