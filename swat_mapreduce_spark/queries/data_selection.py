@@ -1258,7 +1258,7 @@ def pareto_frontier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("len"),
         ws_tokens(F.col("text")).alias("toks"),
     )
-    d = docs.select(
+    d = docs.filter(F.size("toks") > 0).select(
         "doc_id",
         "len",
         F.round(

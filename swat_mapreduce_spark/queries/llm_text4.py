@@ -820,9 +820,11 @@ top10 AS (
     LIMIT {_RM3_FB}
 ),
 fb AS (
+    -- dl > 0 guard (gotcha 10 family): an empty feedback doc would
+    -- make P(w|d) divide by zero
     SELECT t.doc_id, u.w, len(t.t) AS dl
     FROM toks t JOIN top10 USING (doc_id), unnest(t.t) AS u(w)
-    WHERE NOT list_contains({_RM3_STOPS_SQL}, u.w)
+    WHERE NOT list_contains({_RM3_STOPS_SQL}, u.w) AND len(t.t) > 0
 ),
 pwd AS (
     SELECT doc_id, w,
@@ -871,9 +873,13 @@ def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.join(F.broadcast(top10), "doc_id", "semi").select(
         "doc_id", T.ws_tokens(F.col("text")).alias("t")
     )
-    fb = toks.select(
-        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("w")
-    ).filter(~F.array_contains(stop_arr, F.col("w")))
+    fb = (
+        toks.select(
+            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("w")
+        )
+        .filter(~F.array_contains(stop_arr, F.col("w")))
+        .filter(F.col("dl") > 0)
+    )
     pwd = fb.groupBy("doc_id", "w").agg(
         F.round(
             F.count(F.lit(1)) * F.lit(float(_RM3_U)) / F.first("dl")

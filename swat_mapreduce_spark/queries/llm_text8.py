@@ -341,8 +341,8 @@ m AS (
 SELECT lang, n AS n_tokens, v AS n_types,
        round((c2 - n)::DOUBLE / (n::DOUBLE * n) * 10000 * 10000) / 10000
            + 0.0 AS yule_k,
-       round(crep::DOUBLE / (n::DOUBLE * (n - 1)) * 1000000) / 1000000
-           + 0.0 AS simpson_d,
+       CASE WHEN n > 1 THEN round(crep::DOUBLE / (n::DOUBLE * (n - 1))
+            * 1000000) / 1000000 + 0.0 END AS simpson_d,
        round(v::DOUBLE / n * 1000000) / 1000000 + 0.0 AS ttr
 FROM m
 """
@@ -378,10 +378,13 @@ def yule_k_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 10000,
             4,
         ).alias("yule_k"),
-        R.r(
-            F.col("crep").cast("double")
-            / (F.col("n").cast("double") * (F.col("n") - 1)),
-            6,
+        F.when(
+            F.col("n") > 1,
+            R.r(
+                F.col("crep").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+                6,
+            ),
         ).alias("simpson_d"),
         R.r(F.col("v").cast("double") / F.col("n"), 6).alias("ttr"),
     )
