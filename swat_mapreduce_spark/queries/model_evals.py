@@ -1347,3 +1347,108 @@ def mcc_en_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prevalence"),
     )
+
+
+# --- cumulative gains / lift table for the en-detector ------------------------------
+# The marketing-science eval for a ranking classifier: sort documents
+# by detector score (desc) and report, at each decile prefix, the
+# cumulative capture of positives (gains) and the lift over random.
+# Prefixes are EXACT: cumulative doc/positive counts live on the
+# bounded DECIMAL(6,4) score grid (ccnet value-level pattern, ≤ 10⁴
+# rows — allowlisted global window), the decile cut is the smallest
+# grid prefix with cum·10 ≥ k·n (integer arithmetic), and gains/lift
+# are exact-integer ratios. Ties share a score cell, so the chosen
+# prefix is deterministic on both engines. Scale: one corpus scan to
+# the score grid.
+_LIFT_ORACLE = f"""
+WITH {_SCORE_DUCK},
+g AS (
+    SELECT score, count(*)::BIGINT AS c,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT score,
+           sum(c) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)::BIGINT AS n_cum,
+           sum(cp) OVER (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)::BIGINT AS p_cum
+    FROM g
+),
+tot AS (
+    SELECT sum(c)::BIGINT AS n, sum(cp)::BIGINT AS p FROM g
+),
+k AS (SELECT unnest(generate_series(1, 10)) AS k),
+cut AS (
+    SELECT k.k, min(cum.score) AS cutoff_score,
+           min(cum.n_cum) AS n_cum
+    FROM k JOIN cum ON cum.n_cum * 10 >= k.k * (SELECT n FROM tot)
+    GROUP BY k.k
+),
+dec AS (
+    SELECT cut.k, cut.cutoff_score, cut.n_cum, cum.p_cum, tot.n, tot.p
+    FROM cut JOIN cum ON cum.score = cut.cutoff_score, tot
+)
+SELECT k::BIGINT AS decile,
+       cutoff_score::DOUBLE + 0.0 AS cutoff_score,
+       n_cum, p_cum AS pos_cum,
+       round(p_cum * 1.0 / p * 1000000) / 1000000 + 0.0 AS gain,
+       round((p_cum * 1.0 / n_cum) / (p * 1.0 / n) * 10000) / 10000
+           + 0.0 AS lift
+FROM dec
+"""
+
+
+@register("lift_gains_en_detector", oracle=_LIFT_ORACLE)
+def lift_gains_en_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    g = sc.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+    )
+    wc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "score",
+        F.sum("c").over(wc).cast("long").alias("n_cum"),
+        F.sum("cp").over(wc).cast("long").alias("p_cum"),
+    )
+    tot = g.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("cp").cast("long").alias("p"),
+    )
+    k = spark.createDataFrame([(i,) for i in range(1, 11)], "k long")
+    cut = (
+        k.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_cum") * 10 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(
+            F.min("score").alias("cutoff_score"),
+            F.min("n_cum").cast("long").alias("n_cum"),
+        )
+    )
+    dec = (
+        cut.join(
+            F.broadcast(cum.select("score", "p_cum")),
+            cut["cutoff_score"] == cum["score"],
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return dec.select(
+        F.col("k").alias("decile"),
+        F.col("cutoff_score").cast("double").alias("cutoff_score"),
+        "n_cum",
+        F.col("p_cum").alias("pos_cum"),
+        R.r(F.col("p_cum") * F.lit(1.0) / F.col("p"), 6).alias("gain"),
+        R.r(
+            (F.col("p_cum") * F.lit(1.0) / F.col("n_cum"))
+            / (F.col("p") * F.lit(1.0) / F.col("n")),
+            4,
+        ).alias("lift"),
+    )

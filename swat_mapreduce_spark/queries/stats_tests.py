@@ -4170,3 +4170,406 @@ def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(fstat, 4).alias("f_stat"),
         (fstat > F.lit(_GRANGER_F_CRIT)).alias("granger_causes"),
     )
+
+
+# --- Tukey HSD post-hoc pairwise comparisons after the ANOVA ------------------------
+# Tukey (1949) honestly-significant-difference — the post-hoc step
+# anova_oneway_f motivates: which PAIRS of priority classes actually
+# differ? |m_i − m_j| against HSD = q·√(MSW/2·(1/n_i+1/n_j)) with the
+# studentized-range critical value q(5, ∞) = 3.858 embedded as a
+# literal (5 groups, large df). MSW reuses the ANOVA's snapped
+# 1e6-cents² within terms (exact int64); means are exact-int ratios;
+# the 10 pairwise comparisons are bounded metadata. Scale: one
+# map-side-combined scan to 5 moment rows.
+_HSD_Q_CRIT = 3.858  # q(k=5, inf) at alpha = 0.05
+
+_HSD_ORACLE = f"""
+WITH v AS (
+    SELECT o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+m AS (
+    SELECT priority, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+           sum(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+    FROM v GROUP BY 1
+),
+w AS (
+    SELECT sum(CAST(round((ss::DOUBLE - (s::DOUBLE * s) / n)
+                          / {_ANOVA_T_U}) AS BIGINT))::BIGINT AS ssw,
+           sum(n)::BIGINT AS nn, count(*)::BIGINT AS k
+    FROM m
+),
+pairs AS (
+    SELECT a.priority AS priority_a, b.priority AS priority_b,
+           a.n AS na, b.n AS nb,
+           a.s::DOUBLE / a.n AS ma, b.s::DOUBLE / b.n AS mb,
+           w.ssw::DOUBLE * {_ANOVA_T_U} / (w.nn - w.k) AS msw
+    FROM m a JOIN m b ON a.priority < b.priority, w
+)
+SELECT priority_a, priority_b,
+       round((ma - mb) / 100 * 10000) / 10000 + 0.0 AS mean_diff,
+       round({_HSD_Q_CRIT} * sqrt(msw / 2 * (1.0 / na + 1.0 / nb))
+             / 100 * 10000) / 10000 + 0.0 AS hsd_threshold,
+       abs(ma - mb) > {_HSD_Q_CRIT} * sqrt(msw / 2 * (1.0 / na + 1.0 / nb))
+           AS significant
+FROM pairs
+"""
+
+
+@register("tukey_hsd_priorities", oracle=_HSD_ORACLE)
+def tukey_hsd_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = v.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ss"),
+    )
+    w = m.agg(
+        F.sum(
+            F.round(
+                (
+                    F.col("ss").cast("double")
+                    - (F.col("s").cast("double") * F.col("s").cast("double"))
+                    / F.col("n")
+                )
+                / F.lit(_ANOVA_T_U)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ssw"),
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    a = m.select(
+        F.col("priority").alias("priority_a"), F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = m.select(
+        F.col("priority").alias("priority_b"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("priority_a") < F.col("priority_b"))
+        .crossJoin(F.broadcast(w))
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    msw = (
+        F.col("ssw").cast("double")
+        * F.lit(_ANOVA_T_U)
+        / (F.col("nn") - F.col("k"))
+    )
+    hsd = F.lit(_HSD_Q_CRIT) * F.sqrt(
+        msw / 2 * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return pairs.select(
+        "priority_a",
+        "priority_b",
+        R.r((ma - mb) / 100, 4).alias("mean_diff"),
+        R.r(hsd / 100, 4).alias("hsd_threshold"),
+        (F.abs(ma - mb) > hsd).alias("significant"),
+    )
+
+
+# --- Storey π₀ estimate + q-values over the per-source KS tests --------------------
+# Storey (2002) / Storey-Tibshirani (2003) — the ADAPTIVE complement
+# to fdr_bh_source_length_tests: estimate the null fraction
+# π₀ = #{p > λ}/((1−λ)·m) at λ=0.5 from the same 20 per-source KS
+# drift p-values, then q(p_(i)) = min_{j≥i} π₀·m·p_(j)/j (monotone
+# suffix-min over the ranked bounded test table). The p-value
+# pipeline is byte-identical to the BH query's (exact integer ECDF
+# gap products, 8dp-snapped exp); π₀ is a ratio of exact integers and
+# each candidate q snaps to 1e-8 before the suffix-min, so ordering
+# and mins compare exact int64. Scale: identical to fdr_bh — grid on
+# the bounded length domain, then 20-row metadata.
+_STOREY_LAMBDA = 0.5
+_STOREY_Q_U = 100_000_000
+
+_STOREY_ORACLE = f"""
+WITH docs AS (SELECT source, n_chars FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n_all FROM docs),
+per_src AS (SELECT source, count(*)::BIGINT AS n_s FROM docs GROUP BY 1),
+vals AS (SELECT DISTINCT n_chars AS v FROM docs),
+grid AS (SELECT p.source, p.n_s, v.v FROM per_src p, vals v),
+cnt AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM docs GROUP BY 1, 2
+),
+cum AS (
+    SELECT g.source, g.n_s, g.v,
+           sum(coalesce(c.c, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.v
+           )::BIGINT AS cum_s
+    FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.v = g.v
+),
+cum_all_t AS (
+    SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum_all
+    FROM (SELECT n_chars AS v, count(*)::BIGINT AS c FROM docs GROUP BY 1)
+),
+gaps AS (
+    SELECT cum.source, cum.n_s, tot.n_all,
+           max(abs(cum.cum_s * (tot.n_all - cum.n_s)
+                   - (ca.cum_all - cum.cum_s) * cum.n_s))::BIGINT AS g
+    FROM cum JOIN cum_all_t ca ON ca.v = cum.v CROSS JOIN tot
+    GROUP BY 1, 2, 3
+),
+tests AS (
+    SELECT source,
+           round(least(1.0,
+               2.0 * exp(-2.0 * ((g::DOUBLE / (n_s * (n_all - n_s)))
+                                 * (g::DOUBLE / (n_s * (n_all - n_s))))
+                         * (n_s::DOUBLE * (n_all - n_s) / n_all)))
+               * 100000000) / 100000000 + 0.0 AS p_value
+    FROM gaps
+),
+m_t AS (
+    SELECT count(*)::BIGINT AS m,
+           sum(CASE WHEN p_value > {_STOREY_LAMBDA} THEN 1 ELSE 0 END)
+               ::BIGINT AS n_over
+    FROM tests
+),
+ranked AS (
+    SELECT t.source, t.p_value, m_t.m, m_t.n_over,
+           row_number() OVER (ORDER BY t.p_value, t.source) AS rk
+    FROM tests t, m_t
+),
+cand AS (
+    SELECT source, p_value, m, n_over, rk,
+           CAST(round(least(1.0,
+               (n_over::DOUBLE / ((1 - {_STOREY_LAMBDA}) * m))
+               * m * p_value / rk) * {_STOREY_Q_U}) AS BIGINT) AS cand_u
+    FROM ranked
+),
+qv AS (
+    SELECT source, p_value, m, n_over, rk,
+           min(cand_u) OVER (ORDER BY rk DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS q_u
+    FROM cand
+)
+SELECT source, p_value, rk::BIGINT AS p_rank,
+       round(n_over * 1.0 / ((1 - {_STOREY_LAMBDA}) * m) * 1000000)
+           / 1000000 + 0.0 AS pi0_hat,
+       round(q_u * 1.0 / {_STOREY_Q_U} * 100000000) / 100000000 + 0.0
+           AS q_value,
+       q_u <= CAST(round(0.05 * {_STOREY_Q_U}) AS BIGINT) AS discovery
+FROM qv
+"""
+
+
+@register("storey_qvalue_ks_tests", oracle=_STOREY_ORACLE)
+def storey_qvalue_ks_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    grid = per_src.crossJoin(F.broadcast(vals))
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = grid.join(F.broadcast(cnt), ["source", "v"], "left").withColumn(
+        "cum_s",
+        F.sum(F.coalesce("c", F.lit(0)))
+        .over(Window.partitionBy("source").orderBy("v"))
+        .cast("long"),
+    )
+    cum_all = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum_all", F.sum("c").over(Window.orderBy("v")).cast("long")
+        )
+        .select("v", "cum_all")
+    )
+    gaps = (
+        cum.join(F.broadcast(cum_all), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            )
+            .cast("long")
+            .alias("g")
+        )
+    )
+    d_raw = F.col("g").cast("double") / (
+        F.col("n_s") * (F.col("n_all") - F.col("n_s"))
+    )
+    lam = (
+        F.col("n_s").cast("double")
+        * (F.col("n_all") - F.col("n_s"))
+        / F.col("n_all")
+    )
+    p_raw = F.least(
+        F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * (d_raw * d_raw) * lam)
+    )
+    tests = gaps.select("source", R.r(p_raw, 8).alias("p_value"))
+    m_t = tests.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(
+            F.when(F.col("p_value") > F.lit(_STOREY_LAMBDA), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_over"),
+    )
+    ranked = tests.crossJoin(F.broadcast(m_t)).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("p_value", "source")).cast(
+            "long"
+        ),
+    )
+    pi0 = F.col("n_over").cast("double") / (
+        (1 - _STOREY_LAMBDA) * F.col("m")
+    )
+    cand = ranked.withColumn(
+        "cand_u",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                pi0 * F.col("m") * F.col("p_value") / F.col("rk"),
+            )
+            * F.lit(_STOREY_Q_U)
+        ).cast("long"),
+    )
+    qv = cand.withColumn(
+        "q_u",
+        F.min("cand_u")
+        .over(
+            Window.orderBy(F.col("rk").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    return qv.select(
+        "source",
+        "p_value",
+        F.col("rk").alias("p_rank"),
+        R.r(pi0, 6).alias("pi0_hat"),
+        R.r(F.col("q_u") * F.lit(1.0) / _STOREY_Q_U, 8).alias("q_value"),
+        (
+            F.col("q_u")
+            <= F.round(F.lit(0.05) * F.lit(_STOREY_Q_U)).cast("long")
+        ).alias("discovery"),
+    )
+
+
+# --- Cochran's Q: do three quality filters have equal pass rates? ------------------
+# Cochran (1950) — the k-filter generalization of McNemar: three
+# binary document filters (length ≥ 50 tokens; distinct-token ratio
+# ≥ 1/2; stopword ratio ≥ 1/20) applied to the SAME documents —
+# equal marginal pass rates? Q = (k−1)·(k·ΣC_j² − (ΣC_j)²)
+# / (k·ΣR_i − ΣR_i²) from exact integer column totals and per-doc row
+# sums (C² through DECIMAL(38,0)); the filter predicates are pure
+# integer comparisons (n_distinct·2 ≥ n, n_stop·20 ≥ n — no float
+# thresholds anywhere). Scale: ONE corpus scan computing all three
+# flags row-locally, then a 1-row moment aggregate.
+_CQ_CHI2_CRIT = 5.9915  # chi2(2 df) at alpha = 0.05
+
+_CQ_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END AS f1,
+           CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+                THEN 1 ELSE 0 END AS f2,
+           CASE WHEN len(list_filter(toks, x -> list_contains(
+                    ['the', 'a', 'of', 'and', 'to', 'in', 'is'], x)))
+                    * 20 >= len(toks)
+                THEN 1 ELSE 0 END AS f3
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+    ) WHERE len(toks) > 0
+),
+m AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(f1)::BIGINT AS c1, sum(f2)::BIGINT AS c2,
+           sum(f3)::BIGINT AS c3,
+           sum(f1 + f2 + f3)::BIGINT AS sr,
+           sum((f1 + f2 + f3) * (f1 + f2 + f3))::BIGINT AS sr2
+    FROM f
+),
+q AS (
+    SELECT n, c1, c2, c3,
+           (2.0 * (3.0 * (CAST(c1 AS DECIMAL(38,0)) * c1
+                          + CAST(c2 AS DECIMAL(38,0)) * c2
+                          + CAST(c3 AS DECIMAL(38,0)) * c3)::DOUBLE
+                   - (CAST(sr AS DECIMAL(38,0)) * sr)::DOUBLE))
+           / (3.0 * sr - sr2) AS q_stat
+    FROM m
+)
+SELECT n AS n_docs, c1 AS pass_length, c2 AS pass_diversity,
+       c3 AS pass_stopword,
+       round(q_stat * 10000) / 10000 + 0.0 AS q_stat,
+       q_stat > {_CQ_CHI2_CRIT} AS significant
+FROM q
+"""
+
+
+@register("cochran_q_filters", oracle=_CQ_ORACLE)
+def cochran_q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import ws_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    stop_arr = F.array(
+        *[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")]
+    )
+    f1 = F.when(F.size("toks") >= 50, 1).otherwise(0)
+    f2 = F.when(
+        F.size(F.array_distinct("toks")) * 2 >= F.size("toks"), 1
+    ).otherwise(0)
+    f3 = F.when(
+        F.size(
+            F.filter("toks", lambda x: F.array_contains(stop_arr, x))
+        )
+        * 20
+        >= F.size("toks"),
+        1,
+    ).otherwise(0)
+    f = docs.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3")
+    )
+    r = F.col("f1") + F.col("f2") + F.col("f3")
+    m = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f1").cast("long").alias("c1"),
+        F.sum("f2").cast("long").alias("c2"),
+        F.sum("f3").cast("long").alias("c3"),
+        F.sum(r).cast("long").alias("sr"),
+        F.sum(r * r).cast("long").alias("sr2"),
+    )
+    csq = (
+        F.col("c1").cast("decimal(38,0)") * F.col("c1")
+        + F.col("c2").cast("decimal(38,0)") * F.col("c2")
+        + F.col("c3").cast("decimal(38,0)") * F.col("c3")
+    ).cast("double")
+    srsq = (F.col("sr").cast("decimal(38,0)") * F.col("sr")).cast("double")
+    q = (F.lit(2.0) * (F.lit(3.0) * csq - srsq)) / (
+        F.lit(3.0) * F.col("sr") - F.col("sr2")
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("c1").alias("pass_length"),
+        F.col("c2").alias("pass_diversity"),
+        F.col("c3").alias("pass_stopword"),
+        R.r(q, 4).alias("q_stat"),
+        (q > F.lit(_CQ_CHI2_CRIT)).alias("significant"),
+    )

@@ -521,6 +521,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "anderson_darling_two_sample",
     # suffix max over the distinct-length grid (r9)
     "pareto_frontier_quality",
+    # pooled-ECDF cumsum over the length domain + rank/suffix-min over
+    # the |sources|-row test table (fdr_bh shape, r9)
+    "storey_qvalue_ks_tests",
+    # decile cumulative over the bounded DECIMAL(6,4) score grid (r9)
+    "lift_gains_en_detector",
 }
 
 

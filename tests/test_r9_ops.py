@@ -783,3 +783,66 @@ def test_sinkhorn_plan_properties(spark, sf_dir):
     # entropic OT keeps mass near the diagonal: top cell is local
     assert rows[0]["cost"] <= 2
     assert 0.0 <= mtc <= 11.0
+
+
+def test_tukey_hsd_pairs(spark, sf_dir):
+    rows = _q("tukey_hsd_priorities").spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert r["priority_a"] < r["priority_b"]
+        assert r["hsd_threshold"] > 0
+        assert r["significant"] == (
+            abs(r["mean_diff"]) > r["hsd_threshold"]
+        ) or abs(abs(r["mean_diff"]) - r["hsd_threshold"]) < 0.01
+
+
+def test_storey_qvalues_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(
+        _q("storey_qvalue_ks_tests").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    assert len(rows) == 20
+    pi0 = rows[0]["pi0_hat"]
+    qs = [r["q_value"] for r in rows]
+    # q-values are monotone nondecreasing in p-rank and within [0,1]
+    assert qs == sorted(qs)
+    for r in rows:
+        assert 0.0 <= r["q_value"] <= 1.0
+        assert r["pi0_hat"] == pi0
+        # q <= pi0 * BH-adjusted p at own rank (the pre-suffix-min cand)
+        assert r["q_value"] <= min(
+            1.0, pi0 * 20 * r["p_value"] / r["p_rank"]
+        ) + 1e-6
+        assert r["discovery"] == (r["q_value"] <= 0.05) or abs(
+            r["q_value"] - 0.05
+        ) < 1e-6
+    assert 0.0 <= pi0  # can exceed 1 before truncation? we don't truncate
+
+
+def test_cochran_q_nonneg(spark, sf_dir):
+    (r,) = _q("cochran_q_filters").spark_fn(spark, sf_dir).collect()
+    assert r["n_docs"] > 0
+    for c in ("pass_length", "pass_diversity", "pass_stopword"):
+        assert 0 <= r[c] <= r["n_docs"]
+    assert r["q_stat"] >= 0.0
+    assert r["significant"] == (r["q_stat"] > 5.9915) or abs(
+        r["q_stat"] - 5.9915
+    ) < 1e-3
+
+
+def test_lift_gains_monotone(spark, sf_dir):
+    rows = sorted(
+        _q("lift_gains_en_detector").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["gain"] for r in rows]
+    cuts = [r["cutoff_score"] for r in rows]
+    ns = [r["n_cum"] for r in rows]
+    assert gains == sorted(gains)  # cumulative gains nondecreasing
+    assert cuts == sorted(cuts, reverse=True)  # thresholds fall
+    assert ns == sorted(ns)
+    assert abs(rows[-1]["gain"] - 1.0) < 1e-9  # full prefix captures all
+    assert abs(rows[-1]["lift"] - 1.0) < 0.01  # full-prefix lift is 1
+    for r in rows:
+        assert r["lift"] >= 0.0
