@@ -1083,3 +1083,171 @@ def theil_index_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Shannon equitability of the language mix per source ---------------------------
+# Pielou (1966) evenness J = H/ln(k): is a source's language mix
+# balanced (J→1) or dominated by one language (J→0)? The per-source
+# entropy H = −Σ p·ln p uses the MI/jsd 1e-6-unit snapped plogp grid
+# over exact integer (source × lang) counts; the normalizer ln(k) is
+# a PYTHON-LITERAL lookup (k ≤ |langs| is tiny), so no runtime libm
+# shapes the ratio. Sources with a single language get NULL evenness
+# (ln 1 = 0), mirrored on both engines. Scale: one scan to the
+# bounded (source × lang) grid, a |sources|-row rollup.
+import math as _qmath
+
+_EVEN_U = 1_000_000
+_EVEN_MAX_K = 10
+_EVEN_LNK = {k: _qmath.log(k) for k in range(2, _EVEN_MAX_K + 1)}
+
+
+def _even_lnk_sql() -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN {_EVEN_LNK[k]!r}"
+        for k in range(2, _EVEN_MAX_K + 1)
+    )
+    return f"(CASE k {whens} END)::DOUBLE"
+
+
+_EVEN_ORACLE = f"""
+WITH c AS (
+    SELECT source, lang, count(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+),
+s AS (
+    SELECT source, sum(n)::BIGINT AS ns, count(*)::BIGINT AS k FROM c
+    GROUP BY 1
+),
+h AS (
+    SELECT c.source, s.ns, s.k,
+           sum(CAST(round(-(c.n::DOUBLE / s.ns)
+                          * ln(c.n::DOUBLE / s.ns) * {_EVEN_U})
+                    AS BIGINT))::BIGINT AS h_u
+    FROM c JOIN s USING (source)
+    GROUP BY 1, 2, 3
+)
+SELECT source, ns AS n_docs, k AS n_langs,
+       round(h_u * 1.0 / {_EVEN_U} * 1000000) / 1000000 + 0.0
+           AS entropy_nats,
+       CASE WHEN k > 1
+            THEN round(h_u * 1.0 / ({_EVEN_U} * {_even_lnk_sql()})
+                       * 1000000) / 1000000 + 0.0 END AS evenness_j
+FROM h
+"""
+
+
+@register("shannon_equitability_sources", oracle=_EVEN_ORACLE)
+def shannon_equitability_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("n").cast("double") / F.col("ns")
+    h = (
+        c.join(F.broadcast(s), "source")
+        .select(
+            "source",
+            "ns",
+            "k",
+            F.round(-p * F.log(p) * F.lit(_EVEN_U))
+            .cast("long")
+            .alias("t_u"),
+        )
+        .groupBy("source", "ns", "k")
+        .agg(F.sum("t_u").cast("long").alias("h_u"))
+    )
+    lnk = None
+    for k in range(2, _EVEN_MAX_K + 1):
+        br = F.when(F.col("k") == k, F.lit(_EVEN_LNK[k]))
+        lnk = br if lnk is None else lnk.when(
+            F.col("k") == k, F.lit(_EVEN_LNK[k])
+        )
+    return h.select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        F.col("k").alias("n_langs"),
+        R.r(F.col("h_u") * F.lit(1.0) / _EVEN_U, 6).alias("entropy_nats"),
+        F.when(
+            F.col("k") > 1,
+            R.r(
+                F.col("h_u") * F.lit(1.0) / (F.lit(float(_EVEN_U)) * lnk),
+                6,
+            ),
+        ).alias("evenness_j"),
+    )
+
+
+# --- birthday-collision audit of the doc-hash bucket space -------------------------
+# The hash-quality sanity check behind every LSH/banding design
+# decision: bucket documents by the md5-derived 16-bit hash
+# (M = 65536 buckets) and compare OBSERVED collisions (n − distinct
+# buckets) with the birthday-paradox expectation ≈ n²/2M (the
+# second-order closed form — no runtime pow, every input exact).
+# A healthy hash tracks the expectation; a ratio far above 1 means
+# the bucket key is skewed and banding math is lying. Also audits the
+# max bucket load vs the uniform mean. All counts exact integers; the
+# two ratios are the only floating point. Scale: one scan to the
+# bucket count table (≤ M rows).
+_BD_M = 65536
+
+_BD_ORACLE = f"""
+WITH h AS (
+    SELECT ('0x' || substr(md5(doc_id || ':bd'), 1, 8))::BIGINT
+               % {_BD_M} AS b
+    FROM documents
+),
+g AS (SELECT b, count(*)::BIGINT AS c FROM h GROUP BY 1),
+m AS (
+    SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_buckets,
+           max(c)::BIGINT AS max_load
+    FROM g
+)
+SELECT n AS n_docs, n_buckets, (n - n_buckets)::BIGINT AS collisions,
+       round(n::DOUBLE * n / (2.0 * {_BD_M}) * 10000) / 10000 + 0.0
+           AS expected_collisions,
+       round((n - n_buckets) / (n::DOUBLE * n / (2.0 * {_BD_M}))
+             * 10000) / 10000 + 0.0 AS collision_ratio,
+       max_load,
+       round(max_load / (n::DOUBLE / {_BD_M}) * 10000) / 10000 + 0.0
+           AS max_load_vs_uniform
+FROM m
+"""
+
+
+@register("birthday_collision_hash_audit", oracle=_BD_ORACLE)
+def birthday_collision_hash_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from swat_mapreduce_spark.functions import hashing as _H
+
+    h = read_table(spark, sf_dir, "documents").select(
+        (_H.hash_uint(F.col("doc_id"), "bd", 8) % _BD_M).alias("b")
+    )
+    g = h.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = g.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_load"),
+    )
+    nd = F.col("n").cast("double")
+    expc = nd * F.col("n") / (F.lit(2.0) * _BD_M)
+    return m.select(
+        F.col("n").alias("n_docs"),
+        "n_buckets",
+        (F.col("n") - F.col("n_buckets")).cast("long").alias("collisions"),
+        R.r(expc, 4).alias("expected_collisions"),
+        R.r((F.col("n") - F.col("n_buckets")) / expc, 4).alias(
+            "collision_ratio"
+        ),
+        "max_load",
+        R.r(
+            F.col("max_load") / (nd / F.lit(float(_BD_M))), 4
+        ).alias("max_load_vs_uniform"),
+    )

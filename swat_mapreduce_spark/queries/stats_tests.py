@@ -4573,3 +4573,174 @@ def cochran_q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(q, 4).alias("q_stat"),
         (q > F.lit(_CQ_CHI2_CRIT)).alias("significant"),
     )
+
+
+# --- Ljung-Box portmanteau test over daily-value autocorrelations ------------------
+# Ljung & Box (1978) — the portmanteau whiteness test on top of
+# acf_daily_lags: Q(m) = n(n+2)·Σ_{k≤m} r_k²/(n−k) for m = 1..7,
+# each against its chi²(m) 5% critical value (literal map). Each r_k
+# is the ACF's 1e-6-snapped integer (identical pipeline: exact
+# DECIMAL daily sums, 1e-8-unit product terms), each r²/(n−k) term
+# snaps to an integer 1e-12 unit, and the cumulative Σ runs over the
+# bounded 7-row lag table — so every Q and every decision compares
+# exact-int-derived doubles. Scale: one corpus scan to the day table;
+# everything after is constant-size.
+_LB_MAX_LAG = 7
+_LB_CRIT = {1: 3.8415, 2: 5.9915, 3: 7.8147, 4: 9.4877,
+            5: 11.0705, 6: 12.5916, 7: 14.0671}
+
+_LB_ORACLE = f"""
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+arr AS (
+    SELECT list(x::DOUBLE ORDER BY day) AS xs, count(*)::BIGINT AS n,
+           sum(x) AS sx
+    FROM daily
+),
+m AS (SELECT xs, n, (sx::DOUBLE) / n AS mu FROM arr),
+den AS (
+    SELECT xs, n, mu,
+           sum(CAST(round(((x - mu) * (x - mu)) * 100000000) AS BIGINT))
+               ::DOUBLE / 100000000 AS d
+    FROM m, unnest(xs) AS u(x)
+    GROUP BY xs, n, mu
+),
+r AS (
+    SELECT k.k AS lag, den.n,
+           CAST(round((SELECT sum(CAST(round(((xs[i] - mu)
+                           * (xs[i + k.k] - mu)) * 100000000) AS BIGINT))
+                       FROM unnest(generate_series(1,
+                           CAST(n - k.k AS INT))) AS g(i)
+                      )::DOUBLE / 100000000 / d * 1000000) AS BIGINT)
+               AS r_u
+    FROM den, generate_series(1, {_LB_MAX_LAG}) AS k(k)
+),
+t AS (
+    SELECT lag, n, r_u,
+           CAST(round(r_u::DOUBLE * r_u / (n - lag)) AS BIGINT) AS t_u
+    FROM r
+),
+q AS (
+    SELECT a.lag, a.n, a.r_u,
+           sum(b.t_u)::BIGINT AS cum_u
+    FROM t a JOIN t b ON b.lag <= a.lag
+    GROUP BY a.lag, a.n, a.r_u
+)
+SELECT lag AS m_lags,
+       round(r_u * 1.0 / 1000000 * 1000000) / 1000000 + 0.0 AS acf,
+       round(n * (n + 2.0) * cum_u / 1e12 * 10000) / 10000 + 0.0
+           AS q_stat,
+       n * (n + 2.0) * cum_u / 1e12 >
+           (CASE lag WHEN 1 THEN {_LB_CRIT[1]} WHEN 2 THEN {_LB_CRIT[2]}
+                 WHEN 3 THEN {_LB_CRIT[3]} WHEN 4 THEN {_LB_CRIT[4]}
+                 WHEN 5 THEN {_LB_CRIT[5]} WHEN 6 THEN {_LB_CRIT[6]}
+                 ELSE {_LB_CRIT[7]} END) AS reject_whiteness
+FROM q
+"""
+
+
+@register("ljung_box_daily", oracle=_LB_ORACLE)
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", F.col("x").cast("double").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    m = arr.select(
+        "xs", "n", (F.col("sx").cast("double") / F.col("n")).alias("mu")
+    )
+
+    def units(term):
+        return F.round(term * F.lit(1e8)).cast("long")
+
+    den_col = (
+        F.aggregate(
+            F.transform(
+                F.col("xs"),
+                lambda x: units((x - F.col("mu")) * (x - F.col("mu"))),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+        / F.lit(1e8)
+    ).alias("d")
+    den = m.select("xs", "n", "mu", den_col)
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, _LB_MAX_LAG + 1)], "lag long"
+    )
+
+    def num_u_col():
+        idx = F.sequence(F.lit(1), (F.col("n") - F.col("lag")).cast("int"))
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda i: units(
+                    (F.element_at(F.col("xs"), i) - F.col("mu"))
+                    * (
+                        F.element_at(
+                            F.col("xs"),
+                            (i + F.col("lag")).cast("int"),
+                        )
+                        - F.col("mu")
+                    )
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+    r = den.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        "n",
+        F.round(
+            num_u_col().cast("double") / F.lit(1e8) / F.col("d")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("r_u"),
+    )
+    t = r.select(
+        "lag",
+        "n",
+        "r_u",
+        F.round(
+            F.col("r_u").cast("double") * F.col("r_u")
+            / (F.col("n") - F.col("lag"))
+        )
+        .cast("long")
+        .alias("t_u"),
+    )
+    a = t.select(
+        F.col("lag").alias("la"), F.col("n").alias("n"),
+        F.col("r_u").alias("r_u"),
+    )
+    b = t.select(F.col("lag").alias("lb"), F.col("t_u").alias("t_u"))
+    q = (
+        a.join(F.broadcast(b), F.col("lb") <= F.col("la"))
+        .groupBy("la", "n", "r_u")
+        .agg(F.sum("t_u").cast("long").alias("cum_u"))
+    )
+    crit = None
+    for k in range(1, _LB_MAX_LAG + 1):
+        br = F.when(F.col("la") == k, F.lit(_LB_CRIT[k]))
+        crit = br if crit is None else crit.when(
+            F.col("la") == k, F.lit(_LB_CRIT[k])
+        )
+    qv = F.col("n") * (F.col("n") + F.lit(2.0)) * F.col("cum_u") / F.lit(
+        1e12
+    )
+    return q.select(
+        F.col("la").alias("m_lags"),
+        R.r(F.col("r_u") * F.lit(1.0) / 1e6, 6).alias("acf"),
+        R.r(qv, 4).alias("q_stat"),
+        (qv > crit).alias("reject_whiteness"),
+    )

@@ -846,3 +846,44 @@ def test_lift_gains_monotone(spark, sf_dir):
     assert abs(rows[-1]["lift"] - 1.0) < 0.01  # full-prefix lift is 1
     for r in rows:
         assert r["lift"] >= 0.0
+
+
+def test_ljung_box_cumulative(spark, sf_dir):
+    rows = sorted(
+        _q("ljung_box_daily").spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["m_lags"],
+    )
+    assert [r["m_lags"] for r in rows] == list(range(1, 8))
+    qs = [r["q_stat"] for r in rows]
+    assert qs == sorted(qs)  # Q is cumulative in m
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["q_stat"] >= 0.0
+
+
+def test_shannon_equitability_bounds(spark, sf_dir):
+    rows = _q("shannon_equitability_sources").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 20
+    import math
+    for r in rows:
+        assert r["entropy_nats"] >= -1e-9
+        assert r["entropy_nats"] <= math.log(max(2, r["n_langs"])) + 1e-6
+        if r["n_langs"] > 1:
+            assert 0.0 <= r["evenness_j"] <= 1.0 + 1e-9
+        else:
+            assert r["evenness_j"] is None
+
+
+def test_birthday_collision_identities(spark, sf_dir):
+    (r,) = _q("birthday_collision_hash_audit").spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert r["n_buckets"] <= min(r["n_docs"], 65536)
+    assert r["collisions"] == r["n_docs"] - r["n_buckets"]
+    assert r["expected_collisions"] > 0
+    # a sane md5-derived bucket key tracks the birthday expectation
+    # loosely (generous band: this is a sanity audit, not a CI gate)
+    assert 0.0 <= r["collision_ratio"] < 10.0
+    assert r["max_load"] >= 1
