@@ -887,3 +887,66 @@ def test_birthday_collision_identities(spark, sf_dir):
     # loosely (generous band: this is a sanity audit, not a CI gate)
     assert 0.0 <= r["collision_ratio"] < 10.0
     assert r["max_load"] >= 1
+
+
+# --- pure-Python identities for the embedded estimator constants -----------
+
+
+def test_bon_weights_normalize_to_binomial():
+    from swat_mapreduce_spark.queries.model_evals import (
+        _BON_KS, _BON_N, _bon_weights,
+    )
+
+    # sum_i C(i-1, k-1) over i=1..n is C(n, k): the order-statistic
+    # estimator's weights are a probability distribution over sorted
+    # positions once divided by C(n, k)
+    for k in _BON_KS:
+        ws = _bon_weights(k)
+        assert len(ws) == _BON_N
+        assert sum(ws) == math.comb(_BON_N, k)
+        # only positions >= k can be the max of a k-subset
+        assert all(w == 0 for w in ws[: k - 1])
+        assert all(ws[i] <= ws[i + 1] for i in range(k - 1, _BON_N - 1))
+
+
+def test_hurst_log2_literals_match_math():
+    from swat_mapreduce_spark.queries.timeseries_survival import (
+        _HURST_NS, _HURST_X_U,
+    )
+
+    for n in _HURST_NS:
+        assert _HURST_X_U[n] == round(math.log2(n) * 1_000_000)
+
+
+def test_sinkhorn_kernel_literals():
+    from swat_mapreduce_spark.queries.data_selection import (
+        _SK_EPS, _SK_K, _SK_MAXD,
+    )
+
+    assert _SK_K[0] == 1.0
+    for d in range(1, _SK_MAXD + 1):
+        assert _SK_K[d] == math.exp(-d / _SK_EPS)
+        assert _SK_K[d] < _SK_K[d - 1]  # kernel decays with distance
+
+
+def test_gumbel_constants():
+    from swat_mapreduce_spark.queries.stats_tests import (
+        _GUM_GAMMA, _GUM_LNLN, _GUM_PS, _GUM_SQRT6_PI,
+    )
+
+    assert abs(_GUM_SQRT6_PI - math.sqrt(6.0) / math.pi) < 1e-15
+    assert abs(_GUM_GAMMA - 0.5772156649015329) < 1e-15
+    for p in _GUM_PS:
+        assert _GUM_LNLN[p] == math.log(-math.log(p))
+    # higher p -> larger (less negative -> larger) return-level shift:
+    # -ln(-ln p) increases with p
+    assert _GUM_LNLN[0.90] > _GUM_LNLN[0.95] > _GUM_LNLN[0.99]
+
+
+def test_evenness_ln_literals():
+    from swat_mapreduce_spark.queries.quality_audits import (
+        _EVEN_LNK, _EVEN_MAX_K,
+    )
+
+    for k in range(2, _EVEN_MAX_K + 1):
+        assert _EVEN_LNK[k] == math.log(k)
