@@ -419,11 +419,17 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
     bg = docs.select(
         "source",
+        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
+        # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
+        # is empty; guard the degenerate bound (VERDICT r9 #1)
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1), "
-                "i -> substring(text, i, 2))"
-            )
+            F.when(
+                F.length("text") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(text) - 1), "
+                    "i -> substring(text, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
     # ONE corpus scan: the (source, bigram) count table is
@@ -509,11 +515,17 @@ def loso_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
     bg = docs.select(
         "source",
+        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
+        # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
+        # is empty; guard the degenerate bound (VERDICT r9 #1)
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1), "
-                "i -> substring(text, i, 2))"
-            )
+            F.when(
+                F.length("text") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(text) - 1), "
+                    "i -> substring(text, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
     sbc = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
@@ -1116,11 +1128,17 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = docs.select(
         "doc_id",
+        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
+        # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
+        # is empty; guard the degenerate bound (VERDICT r9 #1)
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1), "
-                "i -> substring(text, i, 2))"
-            )
+            F.when(
+                F.length("text") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(text) - 1), "
+                    "i -> substring(text, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
     bgc = (

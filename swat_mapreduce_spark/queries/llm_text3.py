@@ -249,9 +249,14 @@ def charlm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressible via the F.substring helper's int-typed signature
     bg = docs.select(
         "doc_id",
+        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
+        # where DuckDB's generate_series(1, 0) is empty (VERDICT r9 #1)
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), "
-                   "i -> substring(text, i, 2))")
+            F.when(
+                F.length("text") >= 2,
+                F.expr("transform(sequence(1, length(text) - 1), "
+                       "i -> substring(text, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
     # Aggregate to per-doc bigram COUNTS first: the exploded stream is

@@ -371,7 +371,10 @@ def sql_table_function_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         CREATE OR REPLACE TEMPORARY FUNCTION swat_char_trigrams(s STRING)
         RETURNS TABLE(gram STRING)
         RETURN SELECT substr(s, g.i, 3)
-               FROM (SELECT explode(sequence(1, length(s) - 2)) AS i) g
+               FROM (SELECT explode(CASE WHEN length(s) >= 3
+                                    THEN sequence(1, length(s) - 2)
+                                    ELSE CAST(array() AS ARRAY<INT>)
+                                    END) AS i) g
         """
     )
     read_table(spark, sf_dir, "documents").createOrReplaceTempView(

@@ -4609,12 +4609,13 @@ den AS (
 ),
 r AS (
     SELECT k.k AS lag, den.n,
+           CASE WHEN den.n > k.k AND den.d <> 0 THEN
            CAST(round((SELECT sum(CAST(round(((xs[i] - mu)
                            * (xs[i + k.k] - mu)) * 100000000) AS BIGINT))
                        FROM unnest(generate_series(1,
                            CAST(n - k.k AS INT))) AS g(i)
                       )::DOUBLE / 100000000 / d * 1000000) AS BIGINT)
-               AS r_u
+           END AS r_u
     FROM den, generate_series(1, {_LB_MAX_LAG}) AS k(k)
 ),
 t AS (
@@ -4680,7 +4681,13 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def num_u_col():
-        idx = F.sequence(F.lit(1), (F.col("n") - F.col("lag")).cast("int"))
+        # gotcha 10: only composed under the call-site F.when(n > lag)
+        # CaseWhen branch, so the 1..n-lag sequence never descends; the
+        # guard lives here too so the expression is safe standalone.
+        idx = F.when(
+            F.col("n") > F.col("lag"),
+            F.sequence(F.lit(1), (F.col("n") - F.col("lag")).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
         return F.aggregate(
             F.transform(
                 idx,
@@ -4698,12 +4705,20 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
         )
+    # guard 1 (gotcha 10): the 1..n-lag index sequence needs
+    # n - lag >= 1 or Spark's sequence DESCENDS where DuckDB's
+    # generate_series is empty (NULL sum) — same guard as the acf
+    # sibling. guard 2 (ADVICE r9): a constant series has d = 0 and
+    # the ratio must be NULL on both engines, not NaN (aee9c3c class).
     r = den.crossJoin(F.broadcast(lags)).select(
         "lag",
         "n",
-        F.round(
-            num_u_col().cast("double") / F.lit(1e8) / F.col("d")
-            * F.lit(1e6)
+        F.when(
+            (F.col("n") > F.col("lag")) & (F.col("d") != F.lit(0.0)),
+            F.round(
+                num_u_col().cast("double") / F.lit(1e8) / F.col("d")
+                * F.lit(1e6)
+            ),
         )
         .cast("long")
         .alias("r_u"),
