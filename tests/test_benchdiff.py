@@ -85,3 +85,66 @@ def test_repo_pins_file_parses_and_adjudicates_r5():
     movers = classify(old, new, pins)
     assert len(movers) == 6
     assert all(m["class"] != "UNEXPLAINED" for m in movers)
+
+
+# --- box-drift normalization (VERDICT r9 #2) -------------------------------
+
+def _drift_capture(n=40, hot=1.2, extras=None):
+    """A same-commit recapture shape: every query reads `hot`x with a
+    spread, so P75 > 1.15 triggers drift mode."""
+    old = {f"q{i:02d}": 2.0 for i in range(n)}
+    new = {k: v * (hot + 0.25 * (i % 3)) for i, (k, v) in enumerate(old.items())}
+    if extras:
+        old.update({k: a for k, (a, _) in extras.items()})
+        new.update({k: b for k, (_, b) in extras.items()})
+    return old, new
+
+
+def test_clean_capture_2x_regression_still_flags():
+    """No drift (ratios ~1.0) -> a genuine 2x mover is UNEXPLAINED."""
+    old = {f"q{i:02d}": 2.0 for i in range(40)}
+    new = dict(old)
+    new["q07"] = 4.0
+    assert _classes(old, new) == {"q07": "UNEXPLAINED"}
+
+
+def test_uniform_hot_box_normalizes_to_box_drift():
+    """Whole capture 1.2-1.7x hot (the r9 driver-recapture shape):
+    participants in the distribution classify as box-drift, exit clean."""
+    old, new = _drift_capture()
+    c = _classes(old, new)
+    assert c, "the 1.45x rows must still be movers"
+    assert set(c.values()) == {"box-drift"}
+
+
+def test_outlier_in_hot_capture_still_unexplained():
+    """A genuine 3x regression is an outlier even against a hot
+    capture's P90 band - must remain UNEXPLAINED."""
+    old, new = _drift_capture(extras={"regressed": (2.0, 6.0)})
+    c = _classes(old, new)
+    assert c["regressed"] == "UNEXPLAINED"
+    assert all(v == "box-drift" for k, v in c.items() if k != "regressed")
+
+
+def test_pinned_queries_exempt_from_drift_normalization():
+    """Drift mode never loosens a pin: a pinned query above its
+    absolute ceiling stays UNEXPLAINED even in a hot capture."""
+    old, new = _drift_capture(extras={"pinned_q": (1.2, 2.4)})
+    assert _classes(old, new)["pinned_q"] == "UNEXPLAINED"
+
+
+def test_r9_driver_recapture_gates_clean_end_to_end():
+    """The exact VERDICT r9 #2 acceptance: the committed pins +
+    drift normalization adjudicate the r9 driver recapture
+    (BENCH_BASE.json -> BENCH_full.json, zero code delta) to 0
+    UNEXPLAINED."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_PINS.json")) as f:
+        pins = json.load(f)
+    with open(os.path.join(here, "BENCH_BASE.json")) as f:
+        old = json.load(f)["queries"]
+    with open(os.path.join(here, "BENCH_full.json")) as f:
+        new = json.load(f)["queries"]
+    movers = classify(old, new, pins)
+    unexplained = [m for m in movers if m["class"] == "UNEXPLAINED"]
+    assert unexplained == [], unexplained

@@ -11,12 +11,27 @@ whose new reading exceeds ``ratio_threshold`` x the old reading:
   the new reading is still under its measured ``noise_ceiling_sec``
   (the band session crowding produces WITHOUT code changes; each pin
   carries its isolation-run evidence).
+- ``box-drift``          — the capture as a whole runs hot (P75 of the
+  per-query ratio distribution exceeds ``drift_p75_trigger``, e.g. the
+  driver box re-capturing the SAME commit at 1.07x with a 1.45x P90 —
+  VERDICT r9 #2) and this mover's ratio is within ``ratio_threshold``
+  of the capture's own P90 noise band. A genuine single-query
+  regression is an OUTLIER against the capture's distribution, not a
+  participant in it; pinned queries are exempt from this normalization
+  and always face their absolute ceilings.
 - ``UNEXPLAINED``        — everything else: needs a commit explaining
   it or a new isolation measurement extending BENCH_PINS.json.
 
 Exit code 0 iff no UNEXPLAINED mover. Usage:
 
     python tools/benchdiff.py OLD.json NEW.json [--pins BENCH_PINS.json]
+    python tools/benchdiff.py OLD.json NEW.json --update-gate
+
+``--update-gate`` additionally REWRITES NEW.json's embedded ``gate``
+field with this adjudication, so a capture promoted to BENCH_BASE
+after pin updates carries a gate consistent with the pins that ship
+(VERDICT r9 #3: the committed r9 base said ``unexplained: 2`` because
+its gate was computed before the same commit's pin updates).
 """
 
 from __future__ import annotations
@@ -46,7 +61,24 @@ def classify(
     """Return one record per >threshold mover on the common query set."""
     thr = float(pins_doc.get("ratio_threshold", 1.3))
     floor = float(pins_doc.get("jitter_floor_sec", 1.0))
+    trigger = float(pins_doc.get("drift_p75_trigger", 1.15))
     pins = pins_doc.get("pins", {})
+    # capture-level drift estimate: when the whole capture runs hot
+    # (P75 of per-query ratios above the trigger), the P90 ratio is the
+    # band this box produces WITHOUT code change; capped at 2.0 so a
+    # catastrophically noisy capture can't normalize away everything.
+    ratios = sorted(
+        new[q] / old[q] for q in set(old) & set(new) if old[q] > 0
+    )
+    drift = 1.0
+    # a drift distribution needs a population: with few common queries
+    # the P75/P90 are dominated by the movers themselves and a lone
+    # genuine regression would self-normalize away.
+    if len(ratios) >= 20:
+        p75 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.75))]
+        p90 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.90))]
+        if p75 > trigger:
+            drift = min(max(p90, 1.0), 2.0)
     out = []
     for name in sorted(set(old) & set(new)):
         a, b = old[name], new[name]
@@ -67,11 +99,20 @@ def classify(
                 f"<= pinned noise ceiling {pin['noise_ceiling_sec']}s "
                 f"(steady {pin['steady_sec']}s); {pin.get('evidence', '')}"
             )
+        elif pin is None and drift > 1.0 and b <= thr * a * drift:
+            rec["class"] = "box-drift"
+            rec["why"] = (
+                f"capture runs hot (P90 ratio {drift:.2f}x with no code "
+                f"delta implied); normalized ratio "
+                f"{b / a / drift:.2f} <= {thr} threshold"
+            )
         else:
             rec["class"] = "UNEXPLAINED"
             rec["why"] = (
                 "exceeds pinned ceiling" if pin is not None
                 else "no pin and above jitter floor"
+                + (f" and {thr}x the capture P90 drift band"
+                   if drift > 1.0 else "")
             ) + " - needs a commit explanation or a new isolation pin"
         out.append(rec)
     return out
@@ -86,6 +127,9 @@ def main(argv: list[str]) -> int:
         i = argv.index("--pins")
         pins_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    update_gate = "--update-gate" in argv
+    if update_gate:
+        argv.remove("--update-gate")
     old, new = _load_queries(argv[0]), _load_queries(argv[1])
     with open(pins_path) as f:
         pins_doc = json.load(f)
@@ -108,6 +152,21 @@ def main(argv: list[str]) -> int:
     if not movers:
         print(f"no movers > {pins_doc.get('ratio_threshold', 1.3)}x")
     print(f"\n{len(movers)} movers, {unexplained} UNEXPLAINED")
+    if update_gate:
+        with open(argv[1]) as f:
+            doc = json.load(f)
+        doc["gate"] = {
+            "base": os.path.basename(argv[0]),
+            "common_ratio": round(sn / so, 3) if so else None,
+            "movers": len(movers),
+            "unexplained": unexplained,
+            "unexplained_queries": sorted(
+                m["query"] for m in movers if m["class"] == "UNEXPLAINED"
+            ),
+        }
+        with open(argv[1], "w") as f:
+            json.dump(doc, f)
+        print(f"gate field rewritten in {argv[1]}")
     return 1 if unexplained else 0
 
 
