@@ -319,43 +319,52 @@ FROM truth
 
 def _phash_table(df: DataFrame) -> DataFrame:
     """(doc_id, h): 32-bit average-hash over the code points of column
-    ``t`` — exact integer bit derivation (see module comment)."""
-    ch = df.select(
+    ``t`` — exact integer bit derivation (see module comment).
+
+    ROW-LOCAL (r10, VERDICT r9 #3): the per-segment sums are per-doc
+    array math, so they fold over the code-point array in ONE
+    projection — segment s covers 0-based positions
+    [ceil(s·l/32), ceil((s+1)·l/32)), exactly the positions p with
+    (p·32) div l == s that the old posexplode → (doc,seg) groupBy →
+    doc groupBy pipeline produced. Cuts the census's 8 shuffles for
+    this query to the candidate-join ones and ~6 s → ~1 s at sf0.1.
+    Docs with empty ``t`` are filtered (the oracle's unnest emits no
+    rows for them, so they are absent from its hash table too); the
+    filter doubles as the gotcha-10 guard for sequence(1, length(t)).
+    """
+    base = df.filter(F.length("t") >= 1).select(
         "doc_id",
-        F.length("t").alias("l"),
-        F.posexplode(
-            F.when(
-                F.length("t") >= 1,
-                F.expr("transform(sequence(1, length(t)), "
-                       "i -> ascii(substring(t, i, 1)))"),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("p0", "cp"),
+        F.length("t").cast("long").alias("l"),
+        F.expr(
+            "transform(sequence(1, length(t)), "
+            "i -> cast(ascii(substring(t, i, 1)) as bigint))"
+        ).alias("cps"),
     )
-    seg = ch.groupBy(
-        "doc_id", ((F.col("p0") * _PH_SEGS) / F.col("l")).cast("long").alias("seg")
-    ).agg(
-        F.sum("cp").cast("long").alias("s_sum"),
-        F.count(F.lit(1)).cast("long").alias("s_len"),
+    # cps is referenced 33 times below; keeping it an attribute of its
+    # own projection relies on CollapseProject refusing to duplicate
+    # non-cheap aliases (verified in the plan: one transform per table)
+    withsum = base.select(
+        "doc_id",
+        "l",
+        "cps",
+        F.expr("aggregate(cps, 0L, (a, x) -> a + x)").alias("t_sum"),
     )
-    doc = seg.groupBy("doc_id").agg(
-        F.sum("s_sum").alias("t_sum"), F.sum("s_len").alias("t_len")
+    m = _PH_SEGS - 1
+    h = F.expr(
+        f"""aggregate(
+          transform(sequence(0, {m}), s ->
+            CASE WHEN
+              aggregate(slice(cps,
+                              cast((s * l + {m}) div {_PH_SEGS} as int) + 1,
+                              cast(((s + 1) * l + {m}) div {_PH_SEGS}
+                                   - (s * l + {m}) div {_PH_SEGS} as int)),
+                        0L, (aa, xx) -> aa + xx) * l
+              > t_sum * (((s + 1) * l + {m}) div {_PH_SEGS}
+                         - (s * l + {m}) div {_PH_SEGS})
+            THEN shiftleft(1L, s) ELSE 0L END),
+          0L, (a, x) -> a + x)"""
     )
-    return (
-        seg.join(doc, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s_sum") * F.col("t_len")
-                    > F.col("t_sum") * F.col("s_len"),
-                    # column-typed shift count needs the SQL form
-                    F.expr("shiftleft(1L, cast(seg as int))"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("h")
-        )
-    )
+    return withsum.select("doc_id", h.alias("h"))
 
 
 @register("phash_neardup_recall", oracle=_PH_ORACLE)
