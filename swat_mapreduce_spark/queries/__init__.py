@@ -68,6 +68,7 @@ def load_all() -> dict[str, QueryEntry]:
         spatial,
         sql_surfaces,
         stats_tests,
+        stats_tests2,
         similarity,
         streaming_queries,
         temporal,

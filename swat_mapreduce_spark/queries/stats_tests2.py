@@ -1,0 +1,1112 @@
+"""Round-10 statistics pack: block/paired designs and classical
+homogeneity tests over the daily event series and the document corpus
+— the experimentation primitives sitting between the existing
+location tests (Welch/Mann-Whitney/Kruskal) and the trend/changepoint
+family (MK/Pettitt/Page-Hinkley).
+
+Cross-engine determinism discipline (CLAUDE.md gotchas 2/3/13a):
+
+- Every rank is computed over EXACT keys (DECIMAL daily sums or int64
+  lengths) with a deterministic tie-break column, so both engines
+  assign identical ranks.
+- Every variance/deviation moment goes through the ljung_box integer
+  unit pattern: ``round(term * 10^d)`` as int64, summed exactly, then
+  one division at the end — no accumulation-order noise.
+- The sign test's binomial tail is EXACT in IEEE doubles: the
+  recurrence C(n,k+1) = C(n,k)·(n−k)/(k+1) keeps every intermediate an
+  exactly-representable integer < 2^53 (n ≤ 31 days), the partial sums
+  are integers < 2^n, and the final division by 2^n (a power of two)
+  is exact — both engines see the same rational number, no rounding
+  procedure needed.
+- ln() (Bartlett) is the only transcendental: both engines take ln of
+  IDENTICAL doubles (built from exact integer moments) and the result
+  is snapped to 8dp before any weighting, so a last-ulp libm
+  divergence cannot propagate (same mitigation as the KS p-value).
+
+Scale posture: every test reduces the corpus to a bounded moment /
+count table in ONE shuffle (|days| = 30, |days|×|types| = 150,
+|langs| = 5, |priorities|×|quantities| = 250 rows), then finishes with
+broadcast arithmetic on that bounded table — no global windows on
+unbounded inputs, no pair enumeration over raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.queries.stats_tests import _daily_value
+from swat_mapreduce_spark.sources.readers import read_table
+
+# --- Friedman rank test across event types blocked by day ------------------
+# "Do the five event types carry systematically different daily value
+# levels?" — the repeated-measures ANOVA alternative: rank the k=5
+# treatment cells WITHIN each day block, compare rank-sum dispersion
+# to the chi-square null. No-ties variant: the DECIMAL cell sums are
+# continuous enough that ties are measure-zero, and the rank key
+# carries event_type as a deterministic tie-break so both engines
+# agree even if one occurs. Blocks missing a treatment are dropped
+# (complete-block design), mirrored in the oracle.
+
+_FRIEDMAN_K = 5
+_CHI2_CRIT_DF4 = 9.4877  # chi-square 95th percentile, df = k-1 = 4
+
+_FRIEDMAN_ORACLE = f"""
+WITH cell AS (
+    SELECT ts::DATE AS day, event_type,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1, 2
+),
+ok AS (
+    SELECT day FROM cell GROUP BY day
+    HAVING count(*) = {_FRIEDMAN_K}
+),
+rk AS (
+    SELECT day, event_type,
+           rank() OVER (PARTITION BY day ORDER BY x, event_type) AS r
+    FROM cell WHERE day IN (SELECT day FROM ok)
+),
+rs AS (
+    SELECT event_type, sum(r)::BIGINT AS rank_sum FROM rk GROUP BY 1
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM ok),
+q AS (
+    SELECT round((12.0 * sum(rank_sum * rank_sum)
+                  / (nn.n * {_FRIEDMAN_K} * {_FRIEDMAN_K + 1})
+                  - 3.0 * nn.n * {_FRIEDMAN_K + 1}) * 1000000) / 1000000
+           + 0.0 AS q_stat
+    FROM rs, nn GROUP BY nn.n
+)
+SELECT rs.event_type, rs.rank_sum,
+       round(rs.rank_sum * 1.0 / nn.n * 10000) / 10000 + 0.0 AS mean_rank,
+       q.q_stat, q.q_stat > {_CHI2_CRIT_DF4} AS reject_equal_treatment
+FROM rs, nn, q
+"""
+
+
+@register("friedman_event_types", oracle=_FRIEDMAN_ORACLE)
+def friedman_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
+    ok = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == _FRIEDMAN_K)
+        .select("day")
+    )
+    # |days|-bounded block table; the rank window partitions by day
+    rk = cell.join(F.broadcast(ok), "day").select(
+        "event_type",
+        F.rank()
+        .over(Window.partitionBy("day").orderBy("x", "event_type"))
+        .alias("r"),
+    )
+    rs = rk.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rank_sum")
+    )
+    nn = ok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = rs.crossJoin(F.broadcast(nn)).agg(
+        R.r(
+            F.lit(12.0)
+            * F.sum(F.col("rank_sum") * F.col("rank_sum"))
+            / (F.first("n") * _FRIEDMAN_K * (_FRIEDMAN_K + 1))
+            - F.lit(3.0) * F.first("n") * (_FRIEDMAN_K + 1),
+            6,
+        ).alias("q_stat")
+    )
+    return (
+        rs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "event_type",
+            "rank_sum",
+            R.r(F.col("rank_sum") * F.lit(1.0) / F.col("n"), 4).alias(
+                "mean_rank"
+            ),
+            "q_stat",
+            (F.col("q_stat") > _CHI2_CRIT_DF4).alias(
+                "reject_equal_treatment"
+            ),
+        )
+    )
+
+
+# --- Grubbs outlier statistic on the daily value series ---------------------
+# G = max|x_i - mean| / s: "is the most extreme day an outlier?"
+# Deviations are snapped to integer 1e-4 units of the exact DECIMAL
+# daily sums before squaring (1e8-unit squared terms, |sum| < 2^63 at
+# 30 days), so s is built from identical exact integers in both
+# engines; sqrt is IEEE-correctly-rounded on identical input. The
+# flagged day is elected by a 30-row window rank with a day tie-break.
+
+_GRUBBS_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT count(*)::BIGINT AS n, (sum(x)::DOUBLE) / count(*) AS mu
+    FROM daily
+),
+dev AS (
+    SELECT day, CAST(round((x::DOUBLE - mu) * (x::DOUBLE - mu) * 10000)
+                     AS BIGINT) AS sq_u,
+           abs(x::DOUBLE - mu) AS ad, n
+    FROM daily, m
+),
+s AS (
+    SELECT n, sqrt((sum(sq_u)::DOUBLE / 10000) / (n - 1)) AS sd
+    FROM dev GROUP BY n
+),
+top AS (
+    SELECT day, ad FROM dev ORDER BY ad DESC, day LIMIT 1
+)
+SELECT s.n AS n_days, top.day AS outlier_day,
+       round(top.ad / s.sd * 1000000) / 1000000 + 0.0 AS g_stat,
+       top.ad / s.sd > 3.0 AS exceeds_three
+FROM s, top
+"""
+
+
+@register("grubbs_outlier_daily", oracle=_GRUBBS_ORACLE)
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.round(
+            (F.col("x").cast("double") - F.col("mu"))
+            * (F.col("x").cast("double") - F.col("mu"))
+            * F.lit(10000)
+        )
+        .cast("long")
+        .alias("sq_u"),
+        F.abs(F.col("x").cast("double") - F.col("mu")).alias("ad"),
+    )
+    s = dev.groupBy("n").agg(
+        F.sqrt(
+            (F.sum("sq_u").cast("double") / F.lit(10000)) / (F.col("n") - 1)
+        ).alias("sd")
+    )
+    top = (
+        dev.select(
+            "day",
+            "ad",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ad"), F.asc("day")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("day", "ad")
+    )
+    return (
+        s.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("day").alias("outlier_day"),
+            R.r(F.col("ad") / F.col("sd"), 6).alias("g_stat"),
+            (F.col("ad") / F.col("sd") > 3.0).alias("exceeds_three"),
+        )
+    )
+
+
+# --- Mood's median test: document length by language ------------------------
+# Nonparametric k-sample location test on counts above/at-or-below the
+# grand median — fully integer until the final chi-square division.
+# The grand median is defined EXPLICITLY (smallest length whose
+# cumulative count reaches ceil(n/2) over the value-domain grid) so
+# both engines compute the identical cut, independent of their
+# percentile implementations.
+
+_MOOD_ORACLE = f"""
+WITH g AS (
+    SELECT n_chars AS v, count(*)::BIGINT AS c FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM g),
+med AS (
+    SELECT min(v) AS med FROM (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM g
+    ), tot
+    WHERE cum >= (tot.n + 1) // 2
+),
+cells AS (
+    SELECT lang,
+           sum(CASE WHEN n_chars > med.med THEN 1 ELSE 0 END)::BIGINT
+               AS n_above,
+           sum(CASE WHEN n_chars <= med.med THEN 1 ELSE 0 END)::BIGINT
+               AS n_at_or_below
+    FROM documents, med GROUP BY lang, med.med
+),
+tots AS (
+    SELECT sum(n_above)::BIGINT AS ta, sum(n_at_or_below)::BIGINT AS tb,
+           sum(n_above + n_at_or_below)::BIGINT AS n
+    FROM cells
+),
+chi AS (
+    SELECT round(sum(
+               (n_above - (n_above + n_at_or_below) * 1.0 * ta / n)
+               * (n_above - (n_above + n_at_or_below) * 1.0 * ta / n)
+               / ((n_above + n_at_or_below) * 1.0 * ta / n)
+               + (n_at_or_below - (n_above + n_at_or_below) * 1.0 * tb / n)
+               * (n_at_or_below - (n_above + n_at_or_below) * 1.0 * tb / n)
+               / ((n_above + n_at_or_below) * 1.0 * tb / n)
+           ) * 1000000) / 1000000 + 0.0 AS chi2
+    FROM cells, tots
+)
+SELECT cells.lang, cells.n_above, cells.n_at_or_below, med.med AS grand_median,
+       chi.chi2, chi.chi2 > {_CHI2_CRIT_DF4} AS reject_equal_medians
+FROM cells, med, chi
+"""
+
+
+@register("mood_median_test_lang", oracle=_MOOD_ORACLE)
+def mood_median_test_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = g.agg(F.sum("c").cast("long").alias("n"))
+    # value-domain grid (bounded by the length domain, like the KS grid)
+    med = (
+        g.select("v", F.sum("c").over(Window.orderBy("v")).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        # integer div mirrors the oracle's //: (n+1)/2 in Spark SQL is
+        # a DOUBLE division and would shift the cut on even counts
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("v").alias("med"))
+    )
+    cells = docs.crossJoin(F.broadcast(med)).groupBy("lang", "med").agg(
+        F.sum(F.when(F.col("n_chars") > F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("n_chars") <= F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_or_below"),
+    )
+    tots = cells.agg(
+        F.sum("n_above").cast("long").alias("ta"),
+        F.sum("n_at_or_below").cast("long").alias("tb"),
+        F.sum(F.col("n_above") + F.col("n_at_or_below"))
+        .cast("long")
+        .alias("n"),
+    )
+    ea = (F.col("n_above") + F.col("n_at_or_below")) * F.lit(1.0) * F.col(
+        "ta"
+    ) / F.col("n")
+    eb = (F.col("n_above") + F.col("n_at_or_below")) * F.lit(1.0) * F.col(
+        "tb"
+    ) / F.col("n")
+    chi = (
+        cells.crossJoin(F.broadcast(tots))
+        .agg(
+            R.r(
+                F.sum(
+                    (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea
+                    + (F.col("n_at_or_below") - eb)
+                    * (F.col("n_at_or_below") - eb)
+                    / eb
+                ),
+                6,
+            ).alias("chi2")
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(chi))
+        .select(
+            "lang",
+            "n_above",
+            "n_at_or_below",
+            F.col("med").alias("grand_median"),
+            "chi2",
+            (F.col("chi2") > _CHI2_CRIT_DF4).alias("reject_equal_medians"),
+        )
+    )
+
+
+# --- Wilcoxon signed-rank: afternoon vs morning daily value ------------------
+# Paired design on the 30 days: d = PM sum − AM sum per day (exact
+# DECIMAL difference), |d| ranked with a day tie-break (no-ties
+# variant), W+ compared to the normal null. The halves are exact
+# calendar halves (hour < 12), so the pairing is reproducible.
+
+_WILCOXON_ORACLE = """
+WITH halves AS (
+    SELECT ts::DATE AS day,
+           sum(CASE WHEN extract(hour FROM ts) < 12
+                    THEN CAST(value AS DECIMAL(30,8))
+                    ELSE CAST(0 AS DECIMAL(30,8)) END) AS am,
+           sum(CASE WHEN extract(hour FROM ts) >= 12
+                    THEN CAST(value AS DECIMAL(30,8))
+                    ELSE CAST(0 AS DECIMAL(30,8)) END) AS pm
+    FROM events GROUP BY 1
+),
+d AS (
+    SELECT day, pm - am AS diff FROM halves WHERE pm <> am
+),
+rk AS (
+    SELECT day, diff,
+           rank() OVER (ORDER BY abs(diff), day) AS r
+    FROM d
+),
+agg AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CASE WHEN diff > 0 THEN r ELSE 0 END)::BIGINT AS w_plus
+    FROM rk
+)
+SELECT n AS n_pairs, w_plus,
+       round((w_plus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0) * 1000000) / 1000000
+           + 0.0 AS z,
+       abs((w_plus - n * (n + 1) / 4.0)
+           / sqrt(n * (n + 1) * (2 * n + 1) / 24.0)) > 1.96
+           AS reject_symmetry
+FROM agg
+"""
+
+
+def _halfday_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(30,8)"
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.hour("ts") < 12, F.col("value").cast(dec)
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("am"),
+        F.sum(
+            F.when(
+                F.hour("ts") >= 12, F.col("value").cast(dec)
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("pm"),
+    )
+
+
+@register("wilcoxon_signed_rank_halfday", oracle=_WILCOXON_ORACLE)
+def wilcoxon_signed_rank_halfday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        _halfday_pairs(spark, sf_dir)
+        .filter(F.col("pm") != F.col("am"))
+        .select("day", (F.col("pm") - F.col("am")).alias("diff"))
+    )
+    rk = d.select(
+        "diff",
+        F.rank()
+        .over(Window.orderBy(F.abs(F.col("diff")), F.col("day")))
+        .alias("r"),
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("w_plus"),
+    )
+    zc = (F.col("w_plus") - F.col("n") * (F.col("n") + 1) / F.lit(4.0)) / (
+        F.sqrt(
+            F.col("n")
+            * (F.col("n") + 1)
+            * (2 * F.col("n") + 1)
+            / F.lit(24.0)
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        "w_plus",
+        R.r(zc, 6).alias("z"),
+        (F.abs(zc) > 1.96).alias("reject_symmetry"),
+    )
+
+
+# --- Exact sign test on the same half-day pairing ---------------------------
+# p = min(1, 2·P(Bin(n, 1/2) ≤ min(pos, neg))), computed EXACTLY: the
+# binomial recurrence keeps every intermediate an integer < 2^53 and
+# the final /2^n is a power-of-two division — both engines produce the
+# bit-identical rational (see module docstring). The oracle replays
+# the recurrence with a recursive CTE.
+
+_SIGN_ORACLE = """
+WITH RECURSIVE halves AS (
+    SELECT ts::DATE AS day,
+           sum(CASE WHEN extract(hour FROM ts) < 12
+                    THEN CAST(value AS DECIMAL(30,8))
+                    ELSE CAST(0 AS DECIMAL(30,8)) END) AS am,
+           sum(CASE WHEN extract(hour FROM ts) >= 12
+                    THEN CAST(value AS DECIMAL(30,8))
+                    ELSE CAST(0 AS DECIMAL(30,8)) END) AS pm
+    FROM events GROUP BY 1
+),
+counts AS (
+    SELECT sum(CASE WHEN pm > am THEN 1 ELSE 0 END)::BIGINT AS pos,
+           sum(CASE WHEN pm < am THEN 1 ELSE 0 END)::BIGINT AS neg
+    FROM halves
+),
+params AS (
+    SELECT pos, neg, pos + neg AS n, least(pos, neg) AS m FROM counts
+),
+binom(k, c, s) AS (
+    SELECT 0::BIGINT, 1.0::DOUBLE, 1.0::DOUBLE
+    UNION ALL
+    SELECT k + 1, c * (p.n - k) / (k + 1), s + c * (p.n - k) / (k + 1)
+    FROM binom, params p WHERE k < p.m
+),
+tail AS (
+    SELECT s FROM binom, params p WHERE k = p.m
+)
+SELECT p.pos AS n_positive, p.neg AS n_negative, p.n AS n_pairs,
+       round(least(1.0, 2.0 * tail.s
+                        / ((1::BIGINT << CAST(p.n AS INT))::DOUBLE))
+             * 100000000) / 100000000 + 0.0 AS p_two_sided,
+       least(1.0, 2.0 * tail.s
+                  / ((1::BIGINT << CAST(p.n AS INT))::DOUBLE)) < 0.05
+           AS reject_no_shift
+FROM params p, tail
+"""
+
+
+@register("sign_test_halfday", oracle=_SIGN_ORACLE)
+def sign_test_halfday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _halfday_pairs(spark, sf_dir).agg(
+        F.sum(F.when(F.col("pm") > F.col("am"), 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+        F.sum(F.when(F.col("pm") < F.col("am"), 1).otherwise(0))
+        .cast("long")
+        .alias("neg"),
+    )
+    p = counts.select(
+        "pos",
+        "neg",
+        (F.col("pos") + F.col("neg")).alias("n"),
+        F.least("pos", "neg").alias("m"),
+    )
+    # cumulative binomial tail via the exact integer-in-double fold;
+    # k = 0 handled outside the fold (sequence(1, 0) would descend —
+    # the m >= 1 CASE is the gotcha-10 guard)
+    tail = F.expr(
+        "1.0 + CASE WHEN m >= 1 THEN aggregate(sequence(1, cast(m as int)),"
+        " named_struct('c', 1.0D, 's', 0.0D),"
+        " (acc, k) -> named_struct("
+        "   'c', acc.c * (n - k + 1) / k,"
+        "   's', acc.s + acc.c * (n - k + 1) / k),"
+        " acc -> acc.s) ELSE 0.0D END"
+    )
+    pv = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * tail
+        / F.expr("cast(shiftleft(1L, cast(n as int)) as double)"),
+    )
+    return p.select(
+        F.col("pos").alias("n_positive"),
+        F.col("neg").alias("n_negative"),
+        F.col("n").alias("n_pairs"),
+        R.r(pv, 8).alias("p_two_sided"),
+        (pv < 0.05).alias("reject_no_shift"),
+    )
+
+
+# --- Cronbach's alpha over the five event types as "items" ------------------
+# Internal-consistency reliability of the daily event-type panel:
+# alpha = k/(k−1)·(1 − Σ item variances / variance of day totals).
+# Variances from integer 1e-4-unit squared deviations of the exact
+# DECIMAL (day, type) sums — both engines sum identical int64 terms.
+
+_CRONBACH_ORACLE = f"""
+WITH cell AS (
+    SELECT ts::DATE AS day, event_type,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1, 2
+),
+im AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           (sum(x)::DOUBLE) / count(*) AS mu
+    FROM cell GROUP BY 1
+),
+iv AS (
+    SELECT im.event_type,
+           sum(CAST(round((x::DOUBLE - mu) * (x::DOUBLE - mu) * 10000)
+                    AS BIGINT)) AS sq_u,
+           min(im.n) AS n
+    FROM cell JOIN im ON im.event_type = cell.event_type
+    GROUP BY im.event_type
+),
+item_var AS (
+    SELECT sum((sq_u::DOUBLE / 10000) / (n - 1)) AS sum_iv,
+           min(n)::BIGINT AS n_days
+    FROM iv
+),
+totals AS (
+    SELECT day, sum(x) AS t FROM cell GROUP BY 1
+),
+tm AS (SELECT count(*)::BIGINT AS n, (sum(t)::DOUBLE) / count(*) AS mu
+       FROM totals),
+tv AS (
+    SELECT (sum(CAST(round((t::DOUBLE - mu) * (t::DOUBLE - mu) * 10000)
+                     AS BIGINT))::DOUBLE / 10000) / (tm.n - 1) AS var_tot
+    FROM totals, tm GROUP BY tm.n
+)
+SELECT {_FRIEDMAN_K} AS k_items, item_var.n_days,
+       round(item_var.sum_iv * 10000) / 10000 + 0.0 AS sum_item_var,
+       round(tv.var_tot * 10000) / 10000 + 0.0 AS total_var,
+       round(({_FRIEDMAN_K} / ({_FRIEDMAN_K} - 1.0))
+             * (1.0 - item_var.sum_iv / tv.var_tot) * 1000000) / 1000000
+           + 0.0 AS alpha
+FROM item_var, tv
+"""
+
+
+@register("cronbach_alpha_event_types", oracle=_CRONBACH_ORACLE)
+def cronbach_alpha_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
+    cell = cell.persist()
+    im = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    iv = (
+        cell.join(F.broadcast(im), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x").cast("double") - F.col("mu"))
+                    * (F.col("x").cast("double") - F.col("mu"))
+                    * F.lit(10000)
+                ).cast("long")
+            ).alias("sq_u"),
+            F.min("n").alias("n"),
+        )
+    )
+    item_var = iv.agg(
+        F.sum(
+            (F.col("sq_u").cast("double") / F.lit(10000)) / (F.col("n") - 1)
+        ).alias("sum_iv"),
+        F.min("n").cast("long").alias("n_days"),
+    )
+    totals = cell.groupBy("day").agg(F.sum("x").alias("t"))
+    tm = totals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    tv = (
+        totals.crossJoin(F.broadcast(tm))
+        .groupBy("n")
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.round(
+                            (F.col("t").cast("double") - F.col("mu"))
+                            * (F.col("t").cast("double") - F.col("mu"))
+                            * F.lit(10000)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(10000)
+                )
+                / (F.col("n") - 1)
+            ).alias("var_tot")
+        )
+    )
+    k = float(_FRIEDMAN_K)
+    return (
+        item_var.crossJoin(F.broadcast(tv))
+        .select(
+            F.lit(_FRIEDMAN_K).cast("int").alias("k_items"),
+            "n_days",
+            R.r(F.col("sum_iv"), 4).alias("sum_item_var"),
+            R.r(F.col("var_tot"), 4).alias("total_var"),
+            R.r(
+                F.lit(k / (k - 1.0))
+                * (F.lit(1.0) - F.col("sum_iv") / F.col("var_tot")),
+                6,
+            ).alias("alpha"),
+        )
+    )
+
+
+# --- Jonckheere-Terpstra ordered trend: quantity by order priority ----------
+# "Does line quantity trend with order priority?" — the ordered-
+# alternative k-sample test. The 600k (priority, quantity) rows reduce
+# to a 5×50 count grid in ONE shuffle; U statistics come from exact
+# integer cumulative counts on that grid (ties counted half, doubled
+# into integer units: JT2 = 2·JT). The normal z uses the no-tie
+# variance (documented proxy — quantity is heavily discrete); both
+# engines compute it from the same exact integers.
+
+_JT_ORACLE = """
+WITH g AS (
+    SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS p,
+           CAST(l.l_quantity AS BIGINT) AS q, count(*)::BIGINT AS c
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT p, q, c,
+           coalesce(sum(c) OVER (PARTITION BY p ORDER BY q
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS below
+    FROM g
+),
+u AS (
+    SELECT sum(j.c * (2 * i.below + i.c))::BIGINT AS jt2
+    FROM cum i JOIN cum j ON j.q = i.q AND j.p > i.p
+),
+n AS (
+    SELECT p, sum(c)::BIGINT AS np FROM g GROUP BY 1
+),
+mv AS (
+    SELECT sum(np)::BIGINT AS nn, sum(np * np)::BIGINT AS sq,
+           sum(np * np * (2 * np + 3))::BIGINT AS cube_term
+    FROM n
+)
+SELECT u.jt2, (mv.nn * mv.nn - mv.sq) // 2 AS mean2,
+       round((u.jt2 - (mv.nn * mv.nn - mv.sq) // 2)
+             / (2.0 * sqrt((mv.nn * mv.nn * (2 * mv.nn + 3)
+                            - mv.cube_term) / 72.0))
+             * 1000000) / 1000000 + 0.0 AS z,
+       (u.jt2 - (mv.nn * mv.nn - mv.sq) // 2)
+       / (2.0 * sqrt((mv.nn * mv.nn * (2 * mv.nn + 3)
+                      - mv.cube_term) / 72.0)) > 1.645
+           AS increasing_trend
+FROM u, mv
+"""
+
+
+@register("jonckheere_terpstra_priority_qty", oracle=_JT_ORACLE)
+def jonckheere_terpstra_priority_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("p"),
+    )
+    g = li.join(od, "l_orderkey").groupBy("p", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("p")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "p", "q", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("below")
+    )
+    i = cum.select(
+        F.col("p").alias("pi"), "q",
+        F.col("c").alias("ci"), F.col("below").alias("bi"),
+    )
+    j = cum.select(
+        F.col("p").alias("pj"), "q", F.col("c").alias("cj")
+    )
+    u = (
+        i.join(F.broadcast(j), "q")
+        .filter(F.col("pj") > F.col("pi"))
+        .agg(
+            F.sum(F.col("cj") * (2 * F.col("bi") + F.col("ci")))
+            .cast("long")
+            .alias("jt2")
+        )
+    )
+    n = g.groupBy("p").agg(F.sum("c").cast("long").alias("np"))
+    mv = n.agg(
+        F.sum("np").cast("long").alias("nn"),
+        F.sum(F.col("np") * F.col("np")).cast("long").alias("sq"),
+        F.sum(F.col("np") * F.col("np") * (2 * F.col("np") + 3))
+        .cast("long")
+        .alias("cube_term"),
+    )
+    mean2 = (F.col("nn") * F.col("nn") - F.col("sq")) / F.lit(2)
+    sd2 = F.lit(2.0) * F.sqrt(
+        (
+            F.col("nn") * F.col("nn") * (2 * F.col("nn") + 3)
+            - F.col("cube_term")
+        )
+        / F.lit(72.0)
+    )
+    zc = (F.col("jt2") - mean2) / sd2
+    return u.crossJoin(F.broadcast(mv)).select(
+        "jt2",
+        mean2.cast("long").alias("mean2"),
+        R.r(zc, 6).alias("z"),
+        (zc > 1.645).alias("increasing_trend"),
+    )
+
+
+# --- Hodges-Lehmann location estimate of the daily value --------------------
+# Median of the 465 Walsh averages (x_i + x_j)/2, i <= j — the robust
+# location estimator paired with the Wilcoxon test. Pair sums stay
+# exact DECIMALs; the median is defined explicitly by row_number over
+# (sum, day_i, day_j) so both engines pick identical middle rows.
+
+_HL_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT a.day AS da, b.day AS db, a.x + b.x AS ws
+    FROM daily a JOIN daily b ON b.day >= a.day
+),
+rk AS (
+    SELECT ws, row_number() OVER (ORDER BY ws, da, db) AS rn,
+           count(*) OVER () AS c
+    FROM pairs
+)
+SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+       min(c)::BIGINT AS n_pairs,
+       round((sum(CASE WHEN rn = (c + 1) // 2 THEN ws ELSE 0 END)
+              + sum(CASE WHEN rn = c // 2 + 1 THEN ws ELSE 0 END))::DOUBLE
+             / 4 * 10000) / 10000 + 0.0 AS hl_estimate
+FROM rk
+"""
+
+
+@register("hodges_lehmann_daily", oracle=_HL_ORACLE)
+def hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(F.broadcast(b), F.col("db") >= F.col("da")).select(
+        "da", "db", (F.col("xa") + F.col("xb")).alias("ws")
+    )
+    rk = pairs.select(
+        "ws",
+        F.row_number().over(Window.orderBy("ws", "da", "db")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    agg = rk.agg(
+        F.min("c").cast("long").alias("n_pairs"),
+        R.r(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(c + 1) div 2"), F.col("ws")
+                    ).otherwise(F.lit(0).cast("decimal(31,8)"))
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("c div 2 + 1"), F.col("ws")
+                    ).otherwise(F.lit(0).cast("decimal(31,8)"))
+                )
+            ).cast("double")
+            / F.lit(4),
+            4,
+        ).alias("hl_estimate"),
+    )
+    return nd.crossJoin(F.broadcast(agg)).select(
+        "n_days", "n_pairs", "hl_estimate"
+    )
+
+
+# --- Difference-in-differences on the event value ---------------------------
+# Treatment = odd user_id, post-period = day-of-month > 15: the 2×2
+# panel DiD with means from exact DECIMAL sums / exact counts; the
+# four cell means are snapped to 6dp in both engines BEFORE the
+# double difference, so the estimate is arithmetic on identical
+# doubles.
+
+_DID_ORACLE = """
+WITH cells AS (
+    SELECT (user_id % 2 = 1) AS treat,
+           (extract(day FROM ts) > 15) AS post,
+           (sum(CAST(value AS DECIMAL(30,8)))::DOUBLE) / count(*) AS mu
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT
+      round(max(CASE WHEN treat AND NOT post THEN mu END) * 1000000)
+          / 1000000 + 0.0 AS m_treat_pre,
+      round(max(CASE WHEN treat AND post THEN mu END) * 1000000)
+          / 1000000 + 0.0 AS m_treat_post,
+      round(max(CASE WHEN NOT treat AND NOT post THEN mu END) * 1000000)
+          / 1000000 + 0.0 AS m_ctrl_pre,
+      round(max(CASE WHEN NOT treat AND post THEN mu END) * 1000000)
+          / 1000000 + 0.0 AS m_ctrl_post
+    FROM cells
+)
+SELECT m_treat_pre, m_treat_post, m_ctrl_pre, m_ctrl_post,
+       round(((m_treat_post - m_treat_pre) - (m_ctrl_post - m_ctrl_pre))
+             * 1000000) / 1000000 + 0.0 AS did
+FROM m
+"""
+
+
+@register("diff_in_diff_value", oracle=_DID_ORACLE)
+def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.dayofmonth("ts") > 15).alias("post"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+
+    def cell(t, p):
+        return R.r(
+            F.max(
+                F.when((F.col("treat") == t) & (F.col("post") == p),
+                       F.col("mu"))
+            ),
+            6,
+        )
+
+    m = cells.agg(
+        cell(True, False).alias("m_treat_pre"),
+        cell(True, True).alias("m_treat_post"),
+        cell(False, False).alias("m_ctrl_pre"),
+        cell(False, True).alias("m_ctrl_post"),
+    )
+    return m.select(
+        "m_treat_pre",
+        "m_treat_post",
+        "m_ctrl_pre",
+        "m_ctrl_post",
+        R.r(
+            (F.col("m_treat_post") - F.col("m_treat_pre"))
+            - (F.col("m_ctrl_post") - F.col("m_ctrl_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+# --- Instrumental-variable Wald estimator ------------------------------------
+# Instrument z = (user_id % 3 = 0), "exposure" x = purchase event,
+# outcome y = value: LATE = (E[y|z1]−E[y|z0]) / (E[x|z1]−E[x|z0]).
+# Means from exact DECIMAL sums and integer counts — identical doubles
+# in both engines; one final snap.
+
+_IV_ORACLE = """
+WITH arms AS (
+    SELECT (user_id % 3 = 0) AS z,
+           count(*)::BIGINT AS n,
+           (sum(CAST(value AS DECIMAL(30,8)))::DOUBLE) / count(*) AS mu_y,
+           (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            ::DOUBLE) / count(*) AS mu_x
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT max(CASE WHEN z THEN n END)::BIGINT AS n_encouraged,
+           max(CASE WHEN NOT z THEN n END)::BIGINT AS n_control,
+           max(CASE WHEN z THEN mu_y END)
+               - max(CASE WHEN NOT z THEN mu_y END) AS itt_y,
+           max(CASE WHEN z THEN mu_x END)
+               - max(CASE WHEN NOT z THEN mu_x END) AS itt_x
+    FROM arms
+)
+SELECT n_encouraged, n_control,
+       round(itt_y * 100000000) / 100000000 + 0.0 AS itt_y,
+       round(itt_x * 100000000) / 100000000 + 0.0 AS itt_x,
+       round(itt_y / itt_x * 1000000) / 1000000 + 0.0 AS late_wald
+FROM w
+"""
+
+
+@register("iv_wald_estimator", oracle=_IV_ORACLE)
+def iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 3 == 0).alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu_y"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu_x"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("z"), F.col("n"))).cast("long")
+        .alias("n_encouraged"),
+        F.max(F.when(~F.col("z"), F.col("n"))).cast("long")
+        .alias("n_control"),
+        (
+            F.max(F.when(F.col("z"), F.col("mu_y")))
+            - F.max(F.when(~F.col("z"), F.col("mu_y")))
+        ).alias("itt_y_raw"),
+        (
+            F.max(F.when(F.col("z"), F.col("mu_x")))
+            - F.max(F.when(~F.col("z"), F.col("mu_x")))
+        ).alias("itt_x_raw"),
+    )
+    return w.select(
+        "n_encouraged",
+        "n_control",
+        R.r(F.col("itt_y_raw"), 8).alias("itt_y"),
+        R.r(F.col("itt_x_raw"), 8).alias("itt_x"),
+        R.r(F.col("itt_y_raw") / F.col("itt_x_raw"), 6).alias("late_wald"),
+    )
+
+
+# --- MASE evaluation of the seasonal-naive forecast --------------------------
+# Forecast day t with the same-weekday value (t−7); scale errors by
+# the in-sample one-step naive MAE (Hyndman's MASE). All differences
+# are exact DECIMAL subtractions on the 30-row daily table; one final
+# ratio.
+
+_MASE_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+lags AS (
+    SELECT day, x,
+           lag(x, 7) OVER (ORDER BY day) AS x7,
+           lag(x, 1) OVER (ORDER BY day) AS x1
+    FROM daily
+),
+e AS (
+    SELECT count(CASE WHEN x7 IS NOT NULL THEN 1 END)::BIGINT AS n_eval,
+           (sum(abs(x - x7))::DOUBLE)
+               / count(CASE WHEN x7 IS NOT NULL THEN 1 END) AS mae7,
+           (sum(abs(x - x1))::DOUBLE)
+               / count(CASE WHEN x1 IS NOT NULL THEN 1 END) AS mae1
+    FROM lags
+)
+SELECT n_eval,
+       round(mae7 * 10000) / 10000 + 0.0 AS mae_seasonal,
+       round(mae1 * 10000) / 10000 + 0.0 AS mae_naive,
+       round(mae7 / mae1 * 1000000) / 1000000 + 0.0 AS mase
+FROM e
+"""
+
+
+@register("mase_seasonal_naive_eval", oracle=_MASE_ORACLE)
+def mase_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    w = Window.orderBy("day")
+    lags = daily.select(
+        "x",
+        F.lag("x", 7).over(w).alias("x7"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    e = lags.agg(
+        F.count(F.when(F.col("x7").isNotNull(), 1)).cast("long")
+        .alias("n_eval"),
+        (
+            F.sum(F.abs(F.col("x") - F.col("x7"))).cast("double")
+            / F.count(F.when(F.col("x7").isNotNull(), 1))
+        ).alias("mae7"),
+        (
+            F.sum(F.abs(F.col("x") - F.col("x1"))).cast("double")
+            / F.count(F.when(F.col("x1").isNotNull(), 1))
+        ).alias("mae1"),
+    )
+    return e.select(
+        "n_eval",
+        R.r(F.col("mae7"), 4).alias("mae_seasonal"),
+        R.r(F.col("mae1"), 4).alias("mae_naive"),
+        R.r(F.col("mae7") / F.col("mae1"), 6).alias("mase"),
+    )
+
+
+# --- Bartlett's test: length variance homogeneity across languages ----------
+# Group variances from EXACT integer length moments (Σx, Σx² in
+# DECIMAL(38,0)); each ln() output is snapped to 8dp before weighting
+# so a last-ulp libm divergence cannot propagate (module docstring).
+
+_BARTLETT_ORACLE = f"""
+WITH g AS (
+    SELECT lang, count(*)::BIGINT AS n,
+           sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+           sum(CAST(n_chars AS DECIMAL(38,0))
+               * CAST(n_chars AS DECIMAL(38,0))) AS sxx
+    FROM documents GROUP BY 1
+),
+v AS (
+    SELECT lang, n,
+           (sxx::DOUBLE - (sx::DOUBLE) * (sx::DOUBLE) / n) / (n - 1) AS s2
+    FROM g
+),
+t AS (
+    SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS k,
+           sum((n - 1) * s2) AS pooled_num,
+           sum((n - 1) * (round(ln(s2) * 100000000) / 100000000))
+               AS sum_wlns,
+           sum(1.0 / (n - 1)) AS sum_inv
+    FROM v
+),
+b AS (
+    SELECT nn, k,
+           ((nn - k) * (round(ln(pooled_num / (nn - k)) * 100000000)
+                        / 100000000) - sum_wlns)
+           / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+               AS t_stat
+    FROM t
+)
+SELECT k AS k_groups, nn AS n_total,
+       round(t_stat * 10000) / 10000 + 0.0 AS t_stat,
+       t_stat > {_CHI2_CRIT_DF4} AS reject_equal_variance
+FROM b
+"""
+
+
+@register("bartlett_variance_lang", oracle=_BARTLETT_ORACLE)
+def bartlett_variance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    d38 = "decimal(38,0)"
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("n_chars").cast(d38)).alias("sx"),
+        F.sum(
+            F.col("n_chars").cast(d38) * F.col("n_chars").cast(d38)
+        ).alias("sxx"),
+    )
+    v = g.select(
+        "n",
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sx").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("s2"),
+    )
+    ln8 = R.r(F.log(F.col("s2")), 8)
+    t = v.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
+        F.sum((F.col("n") - 1) * ln8).alias("sum_wlns"),
+        F.sum(F.lit(1.0) / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    tstat = (
+        (F.col("nn") - F.col("k"))
+        * R.r(F.log(F.col("pooled_num") / (F.col("nn") - F.col("k"))), 8)
+        - F.col("sum_wlns")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / (F.col("nn") - F.col("k")))
+        / (F.lit(3.0) * (F.col("k") - 1))
+    )
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        R.r(tstat, 4).alias("t_stat"),
+        (tstat > _CHI2_CRIT_DF4).alias("reject_equal_variance"),
+    )
