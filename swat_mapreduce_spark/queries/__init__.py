@@ -53,6 +53,7 @@ def load_all() -> dict[str, QueryEntry]:
         llm_text6,
         llm_text7,
         llm_text8,
+        llm_text9,
         model_evals,
         multimodal,
         python_udf_surfaces,

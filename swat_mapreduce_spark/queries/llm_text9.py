@@ -1,0 +1,574 @@
+"""Round-10 text pack: n-gram backoff scoring, contrastive data
+selection, readability, sliding lexical diversity, and multi-rater
+agreement — filling the named-method gaps around the existing LM
+(Kneser-Ney, Jelinek-Mercer, charlm) and quality families.
+
+Determinism: every log-probability is snapped to integer 1e-8 units
+(``round(ln(p)·1e8)`` as int64) before any weighted sum, the ln inputs
+are identical exact rationals in both engines (integer count ratios),
+and every top-k cut carries a doc_id tie-break. Scale: model tables
+are corpus-count-bounded and joined by key (one shuffle each); per-doc
+n-gram streams are exploded from the array domain with upstream size
+filters guarding the sequence bounds (CLAUDE.md gotcha 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.functions.text import ws_tokens
+from swat_mapreduce_spark.queries import register
+from swat_mapreduce_spark.sources.readers import read_table
+
+_DUCK_TOKS = (
+    r"list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"
+)
+
+# --- Stupid Backoff trigram scoring (Brants et al. 2007) --------------------
+# The web-scale LM smoothing: no normalization, just score
+# S(w3|w1w2) = c123/c12, backing off to 0.4·c23/c2, then 0.4²·c3/N.
+# Model trained on the EVEN doc_ids, scored on the ODD half so the
+# backoff path is actually exercised; trigrams whose w3 is out of the
+# training vocab are counted (n_oov) and excluded from the mean
+# (ln(0) is undefined on both engines).
+
+_SB_ALPHA = 0.4
+
+_SB_ORACLE = rf"""
+WITH tk AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+train AS (
+    SELECT doc_id, toks, unnest(generate_series(3, len(toks))) AS i
+    FROM tk WHERE doc_id % 2 = 0 AND len(toks) >= 3
+),
+tri AS (
+    SELECT toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3,
+           count(*)::BIGINT AS c123
+    FROM train GROUP BY 1, 2, 3
+),
+bi AS (
+    SELECT w1, w2, sum(c123)::BIGINT AS c12 FROM tri GROUP BY 1, 2
+),
+bi23 AS (
+    SELECT w2, w3, sum(c123)::BIGINT AS c23 FROM tri GROUP BY 1, 2
+),
+uni2 AS (SELECT w2, sum(c23)::BIGINT AS c2 FROM bi23 GROUP BY 1),
+uni3 AS (SELECT w3, sum(c23)::BIGINT AS c3 FROM bi23 GROUP BY 1),
+nn AS (SELECT sum(c3)::BIGINT AS n FROM uni3),
+test AS (
+    SELECT doc_id, toks, unnest(generate_series(3, len(toks))) AS i
+    FROM tk WHERE doc_id % 2 = 1 AND len(toks) >= 3
+),
+flat AS (
+    SELECT doc_id, toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3
+    FROM test
+),
+scored AS (
+    SELECT f.doc_id,
+           CASE WHEN u3.c3 IS NULL THEN NULL
+                WHEN t.c123 IS NOT NULL
+                    THEN CAST(round(ln(t.c123 * 1.0 / b.c12) * 100000000)
+                              AS BIGINT)
+                WHEN b23.c23 IS NOT NULL
+                    THEN CAST(round(ln({_SB_ALPHA} * b23.c23 / u2.c2)
+                                    * 100000000) AS BIGINT)
+                ELSE CAST(round(ln({_SB_ALPHA} * {_SB_ALPHA} * u3.c3
+                                   / nn.n) * 100000000) AS BIGINT)
+           END AS lp_u
+    FROM flat f
+    LEFT JOIN tri t ON t.w1 = f.w1 AND t.w2 = f.w2 AND t.w3 = f.w3
+    LEFT JOIN bi b ON b.w1 = f.w1 AND b.w2 = f.w2
+    LEFT JOIN bi23 b23 ON b23.w2 = f.w2 AND b23.w3 = f.w3
+    LEFT JOIN uni2 u2 ON u2.w2 = f.w2
+    LEFT JOIN uni3 u3 ON u3.w3 = f.w3
+    CROSS JOIN nn
+)
+SELECT doc_id,
+       count(lp_u)::BIGINT AS n_scored,
+       (count(*) - count(lp_u))::BIGINT AS n_oov,
+       round(-sum(lp_u)::DOUBLE / 100000000 / count(lp_u) * 10000) / 10000
+           + 0.0 AS avg_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("stupid_backoff_trigram", oracle=_SB_ORACLE)
+def stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+
+    def trigrams(df):
+        # upstream size filter is the gotcha-10 guard for sequence(3, n)
+        return df.filter(F.size("toks") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(3, size(toks)), i -> struct("
+                    "element_at(toks, i - 2) as w1,"
+                    "element_at(toks, i - 1) as w2,"
+                    "element_at(toks, i) as w3))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.w1", "g.w2", "g.w3")
+
+    tri = (
+        trigrams(docs.filter(F.col("doc_id") % 2 == 0))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+    )
+    tri = tri.persist()
+    bi = tri.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
+    bi23 = tri.groupBy("w2", "w3").agg(
+        F.sum("c123").cast("long").alias("c23")
+    )
+    bi23 = bi23.persist()
+    uni2 = bi23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
+    uni3 = bi23.groupBy("w3").agg(F.sum("c23").cast("long").alias("c3"))
+    nn = uni3.agg(F.sum("c3").cast("long").alias("n"))
+    flat = trigrams(docs.filter(F.col("doc_id") % 2 == 1))
+    u = F.lit(100000000.0)
+    lp_u = F.when(F.col("c3").isNull(), F.lit(None).cast("long")).when(
+        F.col("c123").isNotNull(),
+        F.round(F.log(F.col("c123") * F.lit(1.0) / F.col("c12")) * u)
+        .cast("long"),
+    ).when(
+        F.col("c23").isNotNull(),
+        F.round(F.log(F.lit(_SB_ALPHA) * F.col("c23") / F.col("c2")) * u)
+        .cast("long"),
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(_SB_ALPHA) * F.lit(_SB_ALPHA) * F.col("c3")
+                / F.col("n")
+            )
+            * u
+        ).cast("long")
+    )
+    scored = (
+        flat.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(uni2, ["w2"], "left")
+        .join(uni3, ["w3"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", lp_u.alias("lp_u"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("lp_u").cast("long").alias("n_scored"),
+        (F.count(F.lit(1)) - F.count("lp_u")).cast("long").alias("n_oov"),
+        R.r(
+            -F.sum("lp_u").cast("double")
+            / F.lit(100000000)
+            / F.count("lp_u"),
+            4,
+        ).alias("avg_nll"),
+    )
+
+
+# --- Moore-Lewis contrastive selection (Moore & Lewis 2010) -----------------
+# Select data "like the in-domain corpus": score every document by
+# H_in(doc) − H_out(doc) under two Laplace-smoothed char-bigram LMs
+# (in-domain = lang 'en'); the most negative scores are the most
+# in-domain-like. V is the union bigram domain; unseen bigrams get
+# (0+1)/(t+V) — exactly the situation Laplace exists for.
+
+_ML_ORACLE = """
+WITH bg AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, length(text) - 1),
+                                 i -> substring(text, i, 2))) AS b
+    FROM documents WHERE length(text) >= 2
+),
+dbc AS (
+    SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2
+),
+m_in AS (
+    SELECT b, count(*)::BIGINT AS c FROM bg WHERE lang = 'en' GROUP BY 1
+),
+m_out AS (SELECT b, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+t_in AS (SELECT sum(c)::BIGINT AS t FROM m_in),
+t_out AS (SELECT sum(c)::BIGINT AS t FROM m_out),
+v AS (SELECT count(*)::BIGINT AS v FROM m_out),
+scored AS (
+    SELECT d.doc_id,
+           sum(d.c)::BIGINT AS nb,
+           sum(d.c * CAST(round(ln((coalesce(mi.c, 0) + 1.0)
+                                   / (t_in.t + v.v)) * 100000000)
+                          AS BIGINT))::BIGINT AS in_u,
+           sum(d.c * CAST(round(ln((mo.c + 1.0) / (t_out.t + v.v))
+                                * 100000000) AS BIGINT))::BIGINT AS out_u
+    FROM dbc d
+    LEFT JOIN m_in mi ON mi.b = d.b
+    JOIN m_out mo ON mo.b = d.b
+    CROSS JOIN t_in CROSS JOIN t_out CROSS JOIN v
+    GROUP BY d.doc_id
+),
+fin AS (
+    SELECT doc_id, nb,
+           round(-in_u * 1.0 / 100000000 / nb * 1000000) / 1000000 + 0.0
+               AS h_in,
+           round(-out_u * 1.0 / 100000000 / nb * 1000000) / 1000000 + 0.0
+               AS h_out
+    FROM scored
+)
+SELECT doc_id, nb AS n_bigrams, h_in, h_out,
+       round((h_in - h_out) * 1000000) / 1000000 + 0.0 AS ml_score
+FROM fin
+ORDER BY ml_score, doc_id LIMIT 20
+"""
+
+
+@register("moore_lewis_selection", oracle=_ML_ORACLE)
+def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bg = docs.filter(F.length("text") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    bg = bg.persist()
+    dbc = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m_in = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ci"))
+    )
+    m_out = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("co"))
+    t_in = m_in.agg(F.sum("ci").cast("long").alias("ti"))
+    t_out = m_out.agg(F.sum("co").cast("long").alias("to"))
+    v = m_out.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    u = F.lit(100000000.0)
+    in_u = F.round(
+        F.log(
+            (F.coalesce(F.col("ci"), F.lit(0)) + F.lit(1.0))
+            / (F.col("ti") + F.col("v"))
+        )
+        * u
+    ).cast("long")
+    out_u = F.round(
+        F.log((F.col("co") + F.lit(1.0)) / (F.col("to") + F.col("v"))) * u
+    ).cast("long")
+    scored = (
+        dbc.join(F.broadcast(m_in), dbc["b"] == m_in["b"], "left")
+        .drop(m_in["b"])
+        .join(F.broadcast(m_out), "b")
+        .crossJoin(F.broadcast(t_in))
+        .crossJoin(F.broadcast(t_out))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("nb"),
+            F.sum(F.col("c") * in_u).cast("long").alias("in_u"),
+            F.sum(F.col("c") * out_u).cast("long").alias("out_u"),
+        )
+    )
+    fin = scored.select(
+        "doc_id",
+        F.col("nb").alias("n_bigrams"),
+        R.r(-F.col("in_u") * F.lit(1.0) / 100000000 / F.col("nb"), 6)
+        .alias("h_in"),
+        R.r(-F.col("out_u") * F.lit(1.0) / 100000000 / F.col("nb"), 6)
+        .alias("h_out"),
+    ).withColumn(
+        "ml_score", R.r(F.col("h_in") - F.col("h_out"), 6)
+    )
+    return fin.orderBy(F.asc("ml_score"), F.asc("doc_id")).limit(20)
+
+
+# --- Flesch reading ease (vowel-run syllable proxy) --------------------------
+# FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+# syllables per word = max(1, count of [aeiouy]+ runs), sentences =
+# max(1, count of [.!?]+ runs — the synthetic corpus has none, so the
+# whole doc counts as one sentence; the formula degrades gracefully).
+# All three inputs are exact integers; the per-doc score is identical
+# double arithmetic, bucketed into the standard bands.
+
+_FLESCH_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, {_DUCK_TOKS} AS toks,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS sents
+    FROM documents
+),
+syl AS (
+    SELECT doc_id, sents, len(toks)::BIGINT AS words,
+           list_sum(list_transform(toks,
+               w -> greatest(1, len(regexp_extract_all(lower(w),
+                                                       '[aeiouy]+')))))
+               ::BIGINT AS syls
+    FROM t WHERE len(toks) > 0
+),
+fre AS (
+    SELECT doc_id,
+           206.835 - 1.015 * (words * 1.0 / sents)
+                   - 84.6 * (syls * 1.0 / words) AS fre
+    FROM syl
+),
+banded AS (
+    SELECT CASE WHEN fre >= 90 THEN 'very_easy'
+                WHEN fre >= 70 THEN 'easy'
+                WHEN fre >= 50 THEN 'medium'
+                WHEN fre >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band,
+           CAST(round(fre * 1000000) AS BIGINT) AS fre_u
+    FROM fre
+)
+SELECT band, count(*)::BIGINT AS n_docs,
+       round(sum(fre_u)::DOUBLE / 1000000 / count(*) * 10000) / 10000
+           + 0.0 AS avg_fre
+FROM banded GROUP BY band
+"""
+
+
+@register("flesch_reading_ease", oracle=_FLESCH_ORACLE)
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        ws_tokens(F.col("text")).alias("toks"),
+        F.greatest(
+            F.lit(1), F.expr("regexp_count(text, '[.!?]+')")
+        ).cast("long").alias("sents"),
+    ).filter(F.size("toks") > 0)
+    syl = t.select(
+        "doc_id",
+        "sents",
+        F.size("toks").cast("long").alias("words"),
+        F.expr(
+            "aggregate(transform(toks, w -> greatest(1, "
+            "size(regexp_extract_all(lower(w), '[aeiouy]+', 0)))), "
+            "0L, (a, x) -> a + x)"
+        ).alias("syls"),
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") * F.lit(1.0) / F.col("sents"))
+        - F.lit(84.6) * (F.col("syls") * F.lit(1.0) / F.col("words"))
+    )
+    banded = syl.select(
+        F.when(fre >= 90, "very_easy")
+        .when(fre >= 70, "easy")
+        .when(fre >= 50, "medium")
+        .when(fre >= 30, "difficult")
+        .otherwise("very_difficult")
+        .alias("band"),
+        F.round(fre * F.lit(1000000)).cast("long").alias("fre_u"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        R.r(
+            F.sum("fre_u").cast("double") / F.lit(1000000)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_fre"),
+    )
+
+
+# --- MATTR sliding-window lexical diversity (Covington & McFall 2010) -------
+# Moving-average type-token ratio at window w=16: the windowed answer
+# to "TTR shrinks with length". Computed WITHOUT enumerating windows:
+# token occurrence j is a first-occurrence in exactly
+# max(0, min(j, L−w+1) − max(p_j+1, j−w+1, 1) + 1) windows (p_j = the
+# previous position of the same token), so Σ over tokens = Σ over
+# windows of the distinct count — all exact integers from one
+# doc-keyed lag window.
+
+_MATTR_W = 16
+
+_MATTR_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+),
+pos AS (
+    SELECT doc_id, source, len(toks)::BIGINT AS l,
+           unnest(generate_series(1, len(toks))) AS j, toks
+    FROM t WHERE len(toks) >= {_MATTR_W}
+),
+occ AS (
+    SELECT doc_id, source, l, j,
+           coalesce(lag(j) OVER (PARTITION BY doc_id, toks[j]
+                                 ORDER BY j), 0) AS p
+    FROM pos
+),
+contrib AS (
+    SELECT doc_id, source, l,
+           greatest(0, least(j, l - {_MATTR_W} + 1)
+                       - greatest(p + 1, j - {_MATTR_W} + 1, 1) + 1)
+               AS c
+    FROM occ
+),
+per_doc AS (
+    SELECT doc_id, source,
+           CAST(round(sum(c) * 1.0
+                      / ({_MATTR_W} * (min(l) - {_MATTR_W} + 1))
+                      * 100000000) AS BIGINT) AS mattr_u
+    FROM contrib GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS n_docs_scored,
+       round(sum(mattr_u)::DOUBLE / 100000000 / count(*) * 1000000)
+           / 1000000 + 0.0 AS mean_mattr
+FROM per_doc GROUP BY source
+"""
+
+
+@register("mattr_lexical_diversity", oracle=_MATTR_ORACLE)
+def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _MATTR_W
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_tokens(F.col("text")).alias("toks")
+    )
+    pos = docs.filter(F.size("toks") >= w).select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("l"),
+        F.posexplode("toks").alias("j0", "tok"),
+    ).select(
+        "doc_id", "source", "l", (F.col("j0") + 1).alias("j"), "tok"
+    )
+    occ = pos.select(
+        "doc_id",
+        "source",
+        "l",
+        "j",
+        F.coalesce(
+            F.lag("j").over(
+                Window.partitionBy("doc_id", "tok").orderBy("j")
+            ),
+            F.lit(0),
+        ).alias("p"),
+    )
+    contrib = occ.select(
+        "doc_id",
+        "source",
+        "l",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("j"), F.col("l") - w + 1)
+            - F.greatest(F.col("p") + 1, F.col("j") - w + 1, F.lit(1))
+            + 1,
+        ).alias("c"),
+    )
+    per_doc = contrib.groupBy("doc_id", "source").agg(
+        F.round(
+            F.sum("c")
+            * F.lit(1.0)
+            / (F.lit(w) * (F.min("l") - w + 1))
+            * F.lit(100000000)
+        )
+        .cast("long")
+        .alias("mattr_u")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+        R.r(
+            F.sum("mattr_u").cast("double") / F.lit(100000000)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_mattr"),
+    )
+
+
+# --- Fleiss' kappa across three quality filters ------------------------------
+# Multi-rater chance-corrected agreement (the m>2 generalization of
+# Cohen's kappa already registered): three deterministic binary
+# "raters" — length >= 300 chars, stopword share >= 10%, token count
+# >= 30 — over every document. All P terms are exact integer ratios.
+
+_FK_STOPS = "('the','a','of','and','to','in','is')"
+
+_FLEISS_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, n_chars, {_DUCK_TOKS} AS tk FROM documents
+),
+r AS (
+    SELECT (n_chars >= 300)::INT
+           + (len(list_filter(tk, x -> x IN {_FK_STOPS})) * 10
+              >= len(tk))::INT
+           + (len(tk) >= 30)::INT AS yes
+    FROM t WHERE len(tk) > 0
+),
+agg AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CASE WHEN yes = 0 THEN 1 ELSE 0 END)::BIGINT AS n_yes0,
+           sum(CASE WHEN yes = 1 THEN 1 ELSE 0 END)::BIGINT AS n_yes1,
+           sum(CASE WHEN yes = 2 THEN 1 ELSE 0 END)::BIGINT AS n_yes2,
+           sum(CASE WHEN yes = 3 THEN 1 ELSE 0 END)::BIGINT AS n_yes3,
+           sum(yes * (yes - 1) + (3 - yes) * (2 - yes))::BIGINT AS agree_u,
+           sum(yes)::BIGINT AS tot_yes
+    FROM r
+),
+k AS (
+    SELECT n, n_yes0, n_yes1, n_yes2, n_yes3,
+           agree_u * 1.0 / (n * 6) AS p_bar,
+           (tot_yes * 1.0 / (3 * n)) * (tot_yes * 1.0 / (3 * n))
+           + (1 - tot_yes * 1.0 / (3 * n))
+             * (1 - tot_yes * 1.0 / (3 * n)) AS p_e
+    FROM agg
+)
+SELECT n AS n_docs, n_yes0, n_yes1, n_yes2, n_yes3,
+       round(p_bar * 1000000) / 1000000 + 0.0 AS p_bar,
+       round(p_e * 1000000) / 1000000 + 0.0 AS p_e,
+       round((p_bar - p_e) / (1 - p_e) * 1000000) / 1000000 + 0.0
+           AS fleiss_kappa
+FROM k
+"""
+
+
+@register("fleiss_kappa_filters", oracle=_FLEISS_ORACLE)
+def fleiss_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", ws_tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") > 0)
+    stops = F.array(
+        *[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    nstop = F.size(F.filter("tk", lambda x: F.array_contains(stops, x)))
+    yes = (
+        (F.col("n_chars") >= 300).cast("int")
+        + (nstop * 10 >= F.size("tk")).cast("int")
+        + (F.size("tk") >= 30).cast("int")
+    )
+    r = docs.select(yes.alias("yes"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("yes") == 0, 1).otherwise(0))
+        .cast("long").alias("n_yes0"),
+        F.sum(F.when(F.col("yes") == 1, 1).otherwise(0))
+        .cast("long").alias("n_yes1"),
+        F.sum(F.when(F.col("yes") == 2, 1).otherwise(0))
+        .cast("long").alias("n_yes2"),
+        F.sum(F.when(F.col("yes") == 3, 1).otherwise(0))
+        .cast("long").alias("n_yes3"),
+        F.sum(
+            F.col("yes") * (F.col("yes") - 1)
+            + (3 - F.col("yes")) * (2 - F.col("yes"))
+        ).cast("long").alias("agree_u"),
+        F.sum("yes").cast("long").alias("tot_yes"),
+    )
+    p_bar = F.col("agree_u") * F.lit(1.0) / (F.col("n") * 6)
+    py = F.col("tot_yes") * F.lit(1.0) / (3 * F.col("n"))
+    p_e = py * py + (1 - py) * (1 - py)
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "n_yes0",
+        "n_yes1",
+        "n_yes2",
+        "n_yes3",
+        R.r(p_bar, 6).alias("p_bar"),
+        R.r(p_e, 6).alias("p_e"),
+        R.r((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
+    )
