@@ -1452,3 +1452,191 @@ def lift_gains_en_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift"),
     )
+
+
+# --- average precision (PR-AUC) of the quality classifier -------------------
+# The class-imbalance-honest companion to classifier_auc_ranksum.
+# Tie handling is explicit: distinct 4dp scores are processed in
+# DESCENDING order as atomic steps; step g with tp_g positives at
+# cumulative (cumTP_g, cumN_g) contributes (tp_g/P)·(cumTP_g/cumN_g)
+# — the step-function convention, exact integer rationals. Each term
+# is snapped to an integer 1e-8 unit of tp·precision before the
+# order-free sum (≤ 10^4 distinct-score groups, the same bounded
+# cumulative window as the AUC query).
+
+_PR_AUC_ORACLE = f"""
+WITH {_SCORE_DUCK},
+by_score AS (
+    SELECT score,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS tp,
+           count(*)::BIGINT AS n
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT score, tp, n,
+           sum(tp) OVER (ORDER BY score DESC)::BIGINT AS cum_tp,
+           sum(n) OVER (ORDER BY score DESC)::BIGINT AS cum_n
+    FROM by_score
+),
+tot AS (
+    SELECT sum(tp)::BIGINT AS p, sum(n - tp)::BIGINT AS neg,
+           sum(CAST(round(tp * 100000000.0 * cum_tp / cum_n) AS BIGINT))
+               ::BIGINT AS ap_u
+    FROM cum
+)
+SELECT p AS n_pos, neg AS n_neg,
+       round(ap_u * 1.0 / 100000000 / p * 1000000) / 1000000 + 0.0
+           AS average_precision,
+       round(p * 1000000.0 / (p + neg)) / 1000000 + 0.0 AS prevalence
+FROM tot
+"""
+
+
+@register("pr_auc_average_precision", oracle=_PR_AUC_ORACLE)
+def pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    by_score = s.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_score.select(
+        "tp",
+        "n",
+        F.sum("tp").over(w).cast("long").alias("cum_tp"),
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+    )
+    tot = cum.agg(
+        F.sum("tp").cast("long").alias("p"),
+        F.sum(F.col("n") - F.col("tp")).cast("long").alias("neg"),
+        F.sum(
+            F.round(
+                F.col("tp") * F.lit(100000000.0) * F.col("cum_tp")
+                / F.col("cum_n")
+            ).cast("long")
+        ).cast("long").alias("ap_u"),
+    )
+    return tot.select(
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        R.r(
+            F.col("ap_u") * F.lit(1.0) / 100000000 / F.col("p"), 6
+        ).alias("average_precision"),
+        R.r(F.col("p") * F.lit(1.0) / (F.col("p") + F.col("neg")), 6)
+        .alias("prevalence"),
+    )
+
+
+# --- Murphy decomposition of the Brier score ---------------------------------
+# Brier = mean(score − y)² split into reliability − resolution +
+# uncertainty over the 10 calibration deciles, plus the within-bin
+# variance closing the identity exactly (forecasts inside a bin are
+# not constant, so WBV = Brier − (REL − RES + UNC) is the bucketing
+# residual). Scores are exact DECIMAL(6,4), so every per-doc (s−y)² is
+# an exact 8dp rational summed in DECIMAL; per-bin means are identical
+# doubles; the (gap)² terms snap to 1e-12 units before weighting.
+
+_BRIER_ORACLE = f"""
+WITH {_SCORE_DUCK},
+per AS (
+    SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+           score, (CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS y,
+           CAST((score - (CASE WHEN pos THEN 1 ELSE 0 END))
+                * (score - (CASE WHEN pos THEN 1 ELSE 0 END))
+                AS DECIMAL(12,8)) AS sq
+    FROM scored
+),
+b AS (
+    SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+           (sum(score)::DOUBLE) / count(*) AS mean_s,
+           sum(CAST(sq AS DECIMAL(38,8))) AS sum_sq
+    FROM per GROUP BY 1
+),
+tot AS (
+    SELECT sum(n)::BIGINT AS nn, sum(n_pos)::BIGINT AS np,
+           (sum(sum_sq)::DOUBLE) / sum(n) AS brier
+    FROM b
+),
+terms AS (
+    SELECT sum(n * (CAST(round((mean_s - n_pos * 1.0 / n)
+                                * (mean_s - n_pos * 1.0 / n)
+                                * 1000000000000) AS BIGINT)))::BIGINT
+               AS rel_u,
+           sum(n * (CAST(round((n_pos * 1.0 / n - tot.np * 1.0 / tot.nn)
+                                * (n_pos * 1.0 / n - tot.np * 1.0 / tot.nn)
+                                * 1000000000000) AS BIGINT)))::BIGINT
+               AS res_u
+    FROM b, tot GROUP BY tot.nn, tot.np
+)
+SELECT tot.nn AS n_docs,
+       round(tot.brier * 1000000) / 1000000 + 0.0 AS brier,
+       round(terms.rel_u * 1.0 / 1000000000000 / tot.nn * 1000000)
+           / 1000000 + 0.0 AS reliability,
+       round(terms.res_u * 1.0 / 1000000000000 / tot.nn * 1000000)
+           / 1000000 + 0.0 AS resolution,
+       round((tot.np * 1.0 / tot.nn) * (1 - tot.np * 1.0 / tot.nn)
+             * 1000000) / 1000000 + 0.0 AS uncertainty,
+       round((tot.brier - (terms.rel_u * 1.0 / 1000000000000 / tot.nn
+                           - terms.res_u * 1.0 / 1000000000000 / tot.nn
+                           + (tot.np * 1.0 / tot.nn)
+                             * (1 - tot.np * 1.0 / tot.nn)))
+             * 1000000) / 1000000 + 0.0 AS within_bin_variance
+FROM tot, terms
+"""
+
+
+@register("brier_score_decomposition", oracle=_BRIER_ORACLE)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    y = F.when(F.col("pos"), 1).otherwise(0).cast("long")
+    per = s.select(
+        F.least(
+            F.lit(9), F.floor(F.col("score") * 10).cast("long")
+        ).alias("bin"),
+        F.col("score"),
+        y.alias("y"),
+        (
+            (F.col("score") - y) * (F.col("score") - y)
+        ).cast("decimal(12,8)").alias("sq"),
+    )
+    b = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias("mean_s"),
+        F.sum(F.col("sq").cast("decimal(38,8)")).alias("sum_sq"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n_pos").cast("long").alias("np"),
+        (F.sum("sum_sq").cast("double") / F.sum("n")).alias("brier"),
+    )
+    u12 = F.lit(1000000000000.0)
+    obar_k = F.col("n_pos") * F.lit(1.0) / F.col("n")
+    obar = F.col("np") * F.lit(1.0) / F.col("nn")
+    terms = b.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n")
+            * F.round(
+                (F.col("mean_s") - obar_k) * (F.col("mean_s") - obar_k)
+                * u12
+            ).cast("long")
+        ).cast("long").alias("rel_u"),
+        F.sum(
+            F.col("n")
+            * F.round((obar_k - obar) * (obar_k - obar) * u12).cast("long")
+        ).cast("long").alias("res_u"),
+    )
+    rel = F.col("rel_u") * F.lit(1.0) / u12 / F.col("nn")
+    res = F.col("res_u") * F.lit(1.0) / u12 / F.col("nn")
+    unc = obar * (1 - obar)
+    return tot.crossJoin(F.broadcast(terms)).select(
+        F.col("nn").alias("n_docs"),
+        R.r(F.col("brier"), 6).alias("brier"),
+        R.r(rel, 6).alias("reliability"),
+        R.r(res, 6).alias("resolution"),
+        R.r(unc, 6).alias("uncertainty"),
+        R.r(F.col("brier") - (rel - res + unc), 6)
+        .alias("within_bin_variance"),
+    )

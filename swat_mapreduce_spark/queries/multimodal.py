@@ -438,3 +438,49 @@ def phash_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_hamming"),
     )
+
+
+# --- exact duplicate audit over the binary payload column --------------------
+# The first pass of any multimodal dedup pipeline: group by the
+# payload digest (md5 over the raw bytes — shuffles digests, never
+# payloads) and report the copy-count histogram plus the bytes a
+# keep-one policy would save. Reported as a histogram rather than the
+# dup groups themselves so the result is non-vacuous at every scale
+# factor (sf0.01 has no binary dups; sf0.1 plants 8 groups).
+# The payload is the deterministic UTF-8 stand-in
+# (operators/multimodal.with_binary_payload), so the oracle digests
+# text directly — byte-identical input to md5 on both engines.
+
+_BDUP_ORACLE = """
+WITH g AS (
+    SELECT md5(text) AS h, count(*)::BIGINT AS n,
+           min(length(text))::BIGINT AS n_bytes
+    FROM documents GROUP BY 1
+)
+SELECT n AS n_copies, count(*)::BIGINT AS n_groups,
+       sum(n)::BIGINT AS n_docs,
+       sum((n - 1) * n_bytes)::BIGINT AS dedupable_bytes
+FROM g GROUP BY n
+"""
+
+
+@register("multimodal_exact_dup_binary", oracle=_BDUP_ORACLE)
+def multimodal_exact_dup_binary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from swat_mapreduce_spark.operators.multimodal import with_binary_payload
+    from swat_mapreduce_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    b = with_binary_payload(docs)
+    g = b.groupBy("payload_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return g.groupBy(F.col("n").alias("n_copies")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum((F.col("n") - 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("dedupable_bytes"),
+    )

@@ -1251,3 +1251,88 @@ def birthday_collision_hash_audit(
             F.col("max_load") / (nd / F.lit(float(_BD_M))), 4
         ).alias("max_load_vs_uniform"),
     )
+
+
+# --- referential-integrity (FK orphan) audit ---------------------------------
+# The relational DQ baseline: for every foreign-key edge of the
+# schema, count child rows whose parent key is missing (anti-join per
+# edge — each a key-hashed shuffle, parents broadcast where small).
+# The synthetic TPC-H generator produces zero orphans; the audit's
+# value is the per-edge row accounting (child counts are exact and
+# non-vacuous at every SF) and the zero-orphan attestation itself.
+
+_FK_ORACLE = """
+SELECT 'lineitem->orders' AS fk_edge, count(*)::BIGINT AS n_child,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'lineitem->part', count(*)::BIGINT,
+       sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'lineitem->supplier', count(*)::BIGINT,
+       sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+UNION ALL
+SELECT 'orders->customer', count(*)::BIGINT,
+       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'customer->nation', count(*)::BIGINT,
+       sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+UNION ALL
+SELECT 'supplier->nation', count(*)::BIGINT,
+       sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+UNION ALL
+SELECT 'nation->region', count(*)::BIGINT,
+       sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+"""
+
+
+@register("fk_orphan_audit", oracle=_FK_ORACLE)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name, child, ckey, parent, pkey, broadcast_parent=True):
+        c = read_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = (
+            read_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("pk"))
+            .distinct()
+        )
+        if broadcast_parent:
+            p = F.broadcast(p)
+        j = c.join(p, c["k"] == p["pk"], "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    # orders/part/customer parents are large at real scale: key-hashed
+    # shuffle joins (no broadcast hint) so the plan survives 100x;
+    # nation/region stay broadcast.
+    edges = [
+        edge("lineitem->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey", broadcast_parent=False),
+        edge("lineitem->part", "lineitem", "l_partkey",
+             "part", "p_partkey", broadcast_parent=False),
+        edge("lineitem->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey", broadcast_parent=False),
+        edge("orders->customer", "orders", "o_custkey",
+             "customer", "c_custkey", broadcast_parent=False),
+        edge("customer->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out

@@ -1998,3 +1998,248 @@ def graph_degree_assortativity(
         ),
         R.r(num / den, 6).alias("assortativity_r"),
     )
+
+
+# --- local clustering coefficient over the co-purchase graph -----------------
+# Per-node Watts-Strogatz clustering: c_v = 2·t_v / (d_v·(d_v−1)),
+# where t_v = edges among v's neighbors = closed wedges centered at v.
+# Same distinct-edge + wedge machinery as adamic_adar (wedge volume
+# Σ d(z)² — the triangle bound); the closure check is one join of the
+# wedge table against the edge set. Exact integer ratio snapped to
+# 1e-8 units for the deterministic top-20 cut (part id tie-break).
+
+_LCC_TOPN = 20
+
+_LCC_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+closed AS (
+    SELECT n1.u AS z, count(*)::BIGINT AS t
+    FROM und n1
+    JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN edges e ON e.pa = n1.v AND e.pb = n2.v
+    GROUP BY 1
+),
+coef AS (
+    SELECT deg.u AS part, deg.d, coalesce(closed.t, 0)::BIGINT AS t,
+           CAST(round(2.0 * coalesce(closed.t, 0) * 100000000
+                      / (deg.d * (deg.d - 1))) AS BIGINT) AS c_u
+    FROM deg LEFT JOIN closed ON closed.z = deg.u
+    WHERE deg.d >= 2
+)
+SELECT part, d AS degree, t AS n_closed_wedges,
+       round(c_u * 1.0 / 100000000 * 10000) / 10000 + 0.0
+           AS clustering_coef
+FROM coef
+ORDER BY c_u DESC, part LIMIT {_LCC_TOPN}
+"""
+
+
+@register("local_clustering_coefficient", oracle=_LCC_ORACLE)
+def local_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    closed = (
+        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .join(
+            edges,
+            (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+            "left_semi",
+        )
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    coef = (
+        deg.filter(F.col("d") >= 2)
+        .join(closed, deg["u"] == closed["z"], "left")
+        .select(
+            F.col("u").alias("part"),
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                * F.lit(100000000)
+                / (F.col("d") * (F.col("d") - 1))
+            )
+            .cast("long")
+            .alias("c_u"),
+        )
+    )
+    out = (
+        coef.orderBy(F.desc("c_u"), F.asc("part"))
+        .limit(_LCC_TOPN)
+        .select(
+            "part",
+            F.col("d").alias("degree"),
+            F.col("t").alias("n_closed_wedges"),
+            R.r(F.col("c_u") * F.lit(1.0) / 100000000, 4).alias(
+                "clustering_coef"
+            ),
+        )
+    )
+    rows = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- Jaccard-neighborhood link prediction ------------------------------------
+# The set-overlap companion to adamic_adar on the same graph:
+# jac(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for NOT-yet-co-purchased
+# pairs; wedge-bounded candidate volume, existing edges removed by
+# anti-join, exact integer ratio snapped to 1e-8 units for the
+# deterministic top-20 cut.
+
+_JLP_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+common AS (
+    SELECT n1.v AS a, n2.v AS b, count(*)::BIGINT AS nc
+    FROM und n1 JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT c.a, c.b, c.nc, da.d AS da, db.d AS db,
+           CAST(round(c.nc * 100000000.0 / (da.d + db.d - c.nc))
+                AS BIGINT) AS j_u
+    FROM common c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    LEFT JOIN edges e ON e.pa = c.a AND e.pb = c.b
+    WHERE e.pa IS NULL
+)
+SELECT a AS part_a, b AS part_b, nc AS n_common,
+       round(j_u * 1.0 / 100000000 * 10000) / 10000 + 0.0 AS jaccard
+FROM cand
+ORDER BY j_u DESC, a, b LIMIT 20
+"""
+
+
+@register("jaccard_link_prediction", oracle=_JLP_ORACLE)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    common = (
+        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    cand = (
+        common.join(
+            edges,
+            (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+            "left_anti",
+        )
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "nc",
+            F.round(
+                F.col("nc") * F.lit(100000000.0)
+                / (F.col("da") + F.col("db") - F.col("nc"))
+            )
+            .cast("long")
+            .alias("j_u"),
+        )
+    )
+    out = (
+        cand.orderBy(F.desc("j_u"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("nc").alias("n_common"),
+            R.r(F.col("j_u") * F.lit(1.0) / 100000000, 4).alias("jaccard"),
+        )
+    )
+    rows = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -1110,3 +1110,115 @@ def bartlett_variance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(tstat, 4).alias("t_stat"),
         (tstat > _CHI2_CRIT_DF4).alias("reject_equal_variance"),
     )
+
+
+# --- t-closeness release audit ------------------------------------------------
+# The distributional sibling of the registered k-anonymity/l-diversity
+# audit (Li et al. 2007): per quasi-identifier group (source,
+# 100-char length bucket), the variational distance between the
+# group's sensitive-attribute (lang) distribution and the global one:
+# t_g = ½·Σ_l |n_gl/n_g − N_l/N|. The t > 0.3 threshold is decided in
+# EXACT integers (5·Σ|n_gl·N − N_l·n_g| > 3·n_g·N); zero-count langs
+# participate via the full group × lang-domain grid.
+
+_TCLOSE_T10 = 3  # threshold 0.3 as the exact rational 3/10
+
+
+_TCLOSE_ORACLE = f"""
+WITH q AS (
+    SELECT source, (length(text) // 100)::BIGINT AS len_bucket, lang,
+           count(*)::BIGINT AS n_gl
+    FROM documents GROUP BY 1, 2, 3
+),
+grp AS (
+    SELECT source, len_bucket, sum(n_gl)::BIGINT AS n_g
+    FROM q GROUP BY 1, 2
+),
+gtot AS (SELECT lang, sum(n_gl)::BIGINT AS n_l FROM q GROUP BY 1),
+tot AS (SELECT sum(n_l)::BIGINT AS n FROM gtot),
+grid AS (
+    SELECT g.source, g.len_bucket, g.n_g, gl.lang, gl.n_l,
+           coalesce(q.n_gl, 0)::BIGINT AS n_gl
+    FROM grp g CROSS JOIN gtot gl
+    LEFT JOIN q ON q.source = g.source AND q.len_bucket = g.len_bucket
+               AND q.lang = gl.lang
+),
+per_group AS (
+    SELECT source, len_bucket, min(n_g)::BIGINT AS n_g,
+           sum(abs(n_gl * tot.n - n_l * n_g))::BIGINT AS num
+    FROM grid, tot GROUP BY source, len_bucket
+),
+flagged AS (
+    SELECT n_g, num,
+           num * 1.0 / (2.0 * n_g * tot.n) AS t,
+           (5 * num > {_TCLOSE_T10} * n_g * tot.n) AS above
+    FROM per_group, tot
+)
+SELECT count(*)::BIGINT AS n_groups, sum(n_g)::BIGINT AS n_rows,
+       round(max(t) * 10000) / 10000 + 0.0 AS max_t,
+       sum(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n_groups_above_t,
+       sum(CASE WHEN above THEN n_g ELSE 0 END)::BIGINT AS n_rows_above_t,
+       round(sum(CASE WHEN above THEN n_g ELSE 0 END) * 10000.0 / sum(n_g))
+           / 10000 + 0.0 AS share_above_t
+FROM flagged
+"""
+
+
+@register("t_closeness_audit", oracle=_TCLOSE_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "source",
+        F.expr("length(text) div 100").cast("long").alias("len_bucket"),
+        "lang",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gl"))
+    q = q.persist()
+    grp = q.groupBy("source", "len_bucket").agg(
+        F.sum("n_gl").cast("long").alias("n_g")
+    )
+    glob = q.groupBy("lang").agg(F.sum("n_gl").cast("long").alias("n_l"))
+    tot = glob.agg(F.sum("n_l").cast("long").alias("n"))
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(q, ["source", "len_bucket", "lang"], "left")
+        .select(
+            "source",
+            "len_bucket",
+            "n_g",
+            "n_l",
+            F.coalesce(F.col("n_gl"), F.lit(0)).cast("long").alias("n_gl"),
+        )
+    )
+    per_group = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.min("n_g").cast("long").alias("n_g"),
+            F.sum(
+                F.abs(F.col("n_gl") * F.col("n") - F.col("n_l") * F.col("n_g"))
+            ).cast("long").alias("num"),
+            F.min("n").cast("long").alias("n"),
+        )
+    )
+    t = F.col("num") * F.lit(1.0) / (F.lit(2.0) * F.col("n_g") * F.col("n"))
+    # t > 0.3 decided in exact integers: 5·num > 3·n_g·N
+    above = 5 * F.col("num") > F.lit(_TCLOSE_T10) * F.col("n_g") * F.col("n")
+    flagged = per_group.select(
+        "n_g", t.alias("t"), above.alias("above")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n_rows"),
+        R.r(F.max("t"), 4).alias("max_t"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("long")
+        .alias("n_groups_above_t"),
+        F.sum(F.when(F.col("above"), F.col("n_g")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_above_t"),
+        R.r(
+            F.sum(F.when(F.col("above"), F.col("n_g")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum("n_g"),
+            4,
+        ).alias("share_above_t"),
+    )
