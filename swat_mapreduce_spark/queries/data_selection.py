@@ -1651,3 +1651,103 @@ def sinkhorn_ot_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_transport_cost"),
         )
     )
+
+
+# --- Banzhaf coverage attribution -------------------------------------------------
+# The equal-subset-weight alternative to shapley_coverage_attribution
+# (Banzhaf 1965; revived for data valuation by Wang & Jia 2023 as the
+# noise-robust semivalue): value_g = 2^{1-G} · Σ_{S∌g} [v(S∪g) − v(S)]
+# over the same ≤31-row shingle-coverage mask table — one corpus
+# shingle pass, constant driver arithmetic, exact integers until the
+# single final division by 2^{G-1} = 16 (a power of two — exact).
+
+
+def _banzhaf_oracle() -> str:
+    from swat_mapreduce_spark.queries.dedup import _SH_DUCK
+
+    return f"""
+WITH {_SH_DUCK},
+grp AS (
+    SELECT doc_id, (substr(source, 4)::INT % {_SHAP_GROUPS}) AS g
+    FROM documents
+),
+shg AS (
+    SELECT DISTINCT s.shingle, g.g
+    FROM sh s JOIN grp g USING (doc_id)
+),
+masks AS (
+    SELECT shingle, bit_or(1 << g)::BIGINT AS mask FROM shg GROUP BY 1
+),
+mcnt AS (SELECT mask, count(*)::BIGINT AS cnt FROM masks GROUP BY 1),
+subsets AS (SELECT unnest(generate_series(0, 31)) AS s),
+vs AS (
+    SELECT su.s,
+           sum(CASE WHEN (m.mask & su.s) <> 0 THEN m.cnt ELSE 0 END)
+               ::BIGINT AS v
+    FROM subsets su, mcnt m GROUP BY su.s
+),
+gs AS (SELECT unnest(generate_series(0, {_SHAP_GROUPS - 1})) AS g),
+num AS (
+    SELECT gs.g, sum(vb.v - va.v)::BIGINT AS num
+    FROM gs
+    JOIN vs va ON (va.s & (1 << gs.g)) = 0
+    JOIN vs vb ON vb.s = (va.s | (1 << gs.g))
+    GROUP BY gs.g
+),
+docs_g AS (
+    SELECT g, count(*)::BIGINT AS n_docs FROM grp GROUP BY 1
+),
+own AS (
+    SELECT gs.g, vs.v AS own_coverage
+    FROM gs JOIN vs ON vs.s = (1 << gs.g)
+)
+SELECT n.g AS grp, coalesce(d.n_docs, 0)::BIGINT AS n_docs,
+       o.own_coverage,
+       round(n.num / 16.0 * 10000) / 10000 + 0.0 AS banzhaf_value
+FROM num n LEFT JOIN docs_g d ON d.g = n.g JOIN own o ON o.g = n.g
+"""
+
+
+@register("banzhaf_coverage_attribution", oracle=_banzhaf_oracle())
+def banzhaf_coverage_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from swat_mapreduce_spark.operators import dedup as D
+    from swat_mapreduce_spark.queries.curation import _rp
+
+    docs = read_table(spark, sf_dir, "documents")
+    grp = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % _SHAP_GROUPS).alias(
+            "g"
+        ),
+    )
+    sh = D.shingle_table(docs, 3).join(F.broadcast(grp), "doc_id")
+    masks = sh.groupBy("shingle").agg(
+        F.bit_or(F.expr("shiftleft(1L, g)")).alias("mask")
+    )
+    mcnt = {
+        int(r["mask"]): int(r["cnt"])
+        for r in masks.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }  # bounded driver state: <= 31 (mask, count) ints
+    docs_g = {
+        int(r["g"]): int(r["n"])
+        for r in grp.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def v(s: int) -> int:
+        return sum(c for m, c in mcnt.items() if m & s)
+
+    rows = []
+    for g in range(_SHAP_GROUPS):
+        bit = 1 << g
+        num = sum(v(s | bit) - v(s) for s in range(32) if not s & bit)
+        rows.append(
+            (g, docs_g.get(g, 0), v(bit), _rp(num / 16.0, 4) + 0.0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "grp long, n_docs long, own_coverage long, banzhaf_value double",
+    )

@@ -572,3 +572,142 @@ def fleiss_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(p_e, 6).alias("p_e"),
         R.r((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
     )
+
+
+# --- UMass topic coherence per source ----------------------------------------
+# Mimno et al. 2011: treat each source's top-10 tokens (by in-source
+# count, token tie-break) as its "topic" and score
+# Σ_{i<j} ln((D(w_i, w_j) + 1) / D(w_j)) over rank-ordered pairs,
+# where D() are corpus document frequencies — the intrinsic coherence
+# number a topic-model pipeline reports. Pair volume is
+# |sources|·C(10,2) = 900; co-document counts come from the distinct
+# doc-token table restricted to the ≤200 topic tokens (broadcast
+# semi-join), so nothing quadratic touches the corpus. Each ln is an
+# exact integer ratio snapped to 1e-8 units before the order-free sum.
+
+_UMASS_TOPK = 10
+
+_UMASS_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+sc AS (
+    SELECT source, tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2
+),
+topic AS (
+    SELECT source, tok, rnk FROM (
+        SELECT source, tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, tok) AS rnk
+        FROM sc
+    ) WHERE rnk <= {_UMASS_TOPK}
+),
+dt AS (SELECT DISTINCT doc_id, tok FROM tok),
+df AS (
+    SELECT t.tok, count(*)::BIGINT AS d
+    FROM dt JOIN (SELECT DISTINCT tok FROM topic) t ON t.tok = dt.tok
+    GROUP BY 1
+),
+pairs AS (
+    SELECT a.source, a.tok AS wi, b.tok AS wj
+    FROM topic a JOIN topic b
+      ON b.source = a.source AND b.rnk < a.rnk
+),
+needed AS (SELECT DISTINCT wi, wj FROM pairs),
+cod AS (
+    SELECT n.wi, n.wj, count(*)::BIGINT AS d_ij
+    FROM needed n
+    JOIN dt da ON da.tok = n.wi
+    JOIN dt db ON db.tok = n.wj AND db.doc_id = da.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.source,
+           CAST(round(ln((coalesce(c.d_ij, 0) + 1.0) / df.d) * 100000000)
+                AS BIGINT) AS u
+    FROM pairs p
+    LEFT JOIN cod c ON c.wi = p.wi AND c.wj = p.wj
+    JOIN df ON df.tok = p.wj
+)
+SELECT source, count(*)::BIGINT AS n_pairs,
+       round(sum(u)::DOUBLE / 100000000 * 10000) / 10000 + 0.0
+           AS umass_coherence
+FROM scored GROUP BY source
+"""
+
+
+@register("umass_topic_coherence", oracle=_UMASS_ORACLE)
+def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select("doc_id", "source", F.explode("toks").alias("tok"))
+    tok = tok.persist()
+    sc = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    topic = (
+        sc.select(
+            "source",
+            "tok",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("cnt"), F.asc("tok")
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _UMASS_TOPK)
+    )
+    topic = topic.persist()
+    dt = tok.select("doc_id", "tok").distinct()
+    dt = dt.persist()
+    topic_toks = topic.select("tok").distinct()
+    df = (
+        dt.join(F.broadcast(topic_toks), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    a = topic.select("source", F.col("tok").alias("wi"),
+                     F.col("rnk").alias("ri"))
+    b = topic.select(
+        F.col("source").alias("sb"), F.col("tok").alias("wj"),
+        F.col("rnk").alias("rj"),
+    )
+    pairs = a.join(
+        b, (F.col("sb") == F.col("source")) & (F.col("rj") < F.col("ri"))
+    ).select("source", "wi", "wj")
+    needed = pairs.select("wi", "wj").distinct()
+    da = dt.select(F.col("doc_id").alias("d1"), F.col("tok").alias("wi"))
+    db = dt.select(F.col("doc_id").alias("d2"), F.col("tok").alias("wj"))
+    cod = (
+        needed.join(da, "wi")
+        .join(db, (F.col("d2") == F.col("d1")) & (db["wj"] == needed["wj"]))
+        .groupBy(needed["wi"], needed["wj"])
+        .agg(F.count(F.lit(1)).cast("long").alias("d_ij"))
+    )
+    scored = (
+        pairs.join(F.broadcast(cod), ["wi", "wj"], "left")
+        .join(
+            F.broadcast(df.select(F.col("tok").alias("wj"), "d")), "wj"
+        )
+        .select(
+            "source",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("d_ij"), F.lit(0)) + F.lit(1.0))
+                    / F.col("d")
+                )
+                * F.lit(100000000)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        R.r(F.sum("u").cast("double") / F.lit(100000000), 4).alias(
+            "umass_coherence"
+        ),
+    )

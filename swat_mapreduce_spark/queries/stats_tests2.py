@@ -1222,3 +1222,527 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share_above_t"),
     )
+
+
+# --- PACF via Durbin-Levinson (lags 1..5) ------------------------------------
+# Partial autocorrelations of the daily value series — the AR-order
+# diagnostic next to the registered ACF/Ljung-Box. The autocovariance
+# units are the exact int64 1e-8 sums of the acf family; r_k and every
+# Durbin-Levinson intermediate is snapped to 8dp with the
+# multiply-round-divide procedure (gotcha 13a) IN BOTH ENGINES, so the
+# recursion — replayed UNROLLED in the oracle's CTE chain, in the
+# driver in Python (bounded state: six longs) — sees bit-identical
+# doubles at every step.
+
+_PACF_MAX_LAG = 5
+
+
+def _pacf_oracle() -> str:
+    head = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+arr AS (
+    SELECT list(x::DOUBLE ORDER BY day) AS xs, count(*)::BIGINT AS n,
+           (sum(x)::DOUBLE) / count(*) AS mu
+    FROM daily
+),
+cu AS (
+    SELECT n,
+           (SELECT sum(CAST(round((xs[i] - mu) * (xs[i] - mu) * 100000000)
+                            AS BIGINT))
+            FROM unnest(generate_series(1, CAST(n AS INT))) AS g(i)
+           )::BIGINT AS c0_u,
+"""
+    lag_cols = ",\n".join(
+        f"""           (SELECT sum(CAST(round((xs[i] - mu) * (xs[i + {k}] - mu)
+                            * 100000000) AS BIGINT))
+            FROM unnest(generate_series(1, CAST(n - {k} AS INT))) AS g(i)
+           )::BIGINT AS c{k}_u"""
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    rs = ",\n".join(
+        f"           round(c{k}_u * 1.0 / c0_u * 100000000) / 100000000"
+        f" AS r{k}"
+        for k in range(1, _PACF_MAX_LAG + 1)
+    )
+    # unrolled Durbin-Levinson, snapping each phi at 8dp (mirrors the
+    # Python recursion term-for-term and in the same + association)
+    body = f"""
+    FROM arr
+),
+r AS (
+    SELECT
+{rs}
+    FROM cu
+),
+d1 AS (SELECT r.*, r1 AS p11 FROM r),
+d2 AS (
+    SELECT d1.*,
+           round((r2 - p11 * r1) / (1 - p11 * r1) * 100000000)
+               / 100000000 AS p22
+    FROM d1
+),
+d2b AS (SELECT d2.*, round((p11 - p22 * p11) * 100000000) / 100000000
+               AS p21 FROM d2),
+d3 AS (
+    SELECT d2b.*,
+           round((r3 - (p21 * r2 + p22 * r1))
+                 / (1 - (p21 * r1 + p22 * r2)) * 100000000) / 100000000
+               AS p33
+    FROM d2b
+),
+d3b AS (
+    SELECT d3.*,
+           round((p21 - p33 * p22) * 100000000) / 100000000 AS p31,
+           round((p22 - p33 * p21) * 100000000) / 100000000 AS p32
+    FROM d3
+),
+d4 AS (
+    SELECT d3b.*,
+           round((r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                 / (1 - (p31 * r1 + p32 * r2 + p33 * r3)) * 100000000)
+               / 100000000 AS p44
+    FROM d3b
+),
+d4b AS (
+    SELECT d4.*,
+           round((p31 - p44 * p33) * 100000000) / 100000000 AS p41,
+           round((p32 - p44 * p32) * 100000000) / 100000000 AS p42,
+           round((p33 - p44 * p31) * 100000000) / 100000000 AS p43
+    FROM d4
+),
+d5 AS (
+    SELECT d4b.*,
+           round((r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+                 / (1 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4))
+                 * 100000000) / 100000000 AS p55
+    FROM d4b
+)
+SELECT * FROM (
+    SELECT 1::BIGINT AS lag, round(p11 * 1000000) / 1000000 + 0.0 AS pacf
+    FROM d5
+    UNION ALL SELECT 2, round(p22 * 1000000) / 1000000 + 0.0 FROM d5
+    UNION ALL SELECT 3, round(p33 * 1000000) / 1000000 + 0.0 FROM d5
+    UNION ALL SELECT 4, round(p44 * 1000000) / 1000000 + 0.0 FROM d5
+    UNION ALL SELECT 5, round(p55 * 1000000) / 1000000 + 0.0 FROM d5
+)
+"""
+    return head + lag_cols + body
+
+
+@register("pacf_durbin_levinson", oracle=_pacf_oracle())
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.queries.curation import _rp
+
+    daily = _daily_value(spark, sf_dir)
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", F.col("x").cast("double").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    m = arr.select(
+        "xs", "n", (F.col("sx").cast("double") / F.col("n")).alias("mu")
+    )
+
+    def cov_u(k: int):
+        # the acf-family unit sum; k=0 covers the full array
+        if k == 0:
+            idx = F.expr("sequence(1, cast(n as int))")
+        else:
+            idx = F.expr(f"sequence(1, cast(n - {k} as int))")
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda i: F.round(
+                    (F.element_at(F.col("xs"), i) - F.col("mu"))
+                    * (
+                        F.element_at(
+                            F.col("xs"), (i + F.lit(k)).cast("int")
+                        )
+                        - F.col("mu")
+                    )
+                    * F.lit(1e8)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    # n = 30 days >> max lag 5, so the sequence bounds cannot descend;
+    # the .filter below guards the degenerate short-series case anyway
+    row = (
+        m.filter(F.col("n") > _PACF_MAX_LAG)
+        .select(
+            cov_u(0).alias("c0"),
+            *[cov_u(k).alias(f"c{k}") for k in range(1, _PACF_MAX_LAG + 1)],
+        )
+        .collect()[0]
+    )
+    c0 = row["c0"]
+    r = {k: _rp(row[f"c{k}"] * 1.0 / c0, 8) for k in range(1, 6)}
+    p = {(1, 1): r[1]}
+    for k in range(2, _PACF_MAX_LAG + 1):
+        num = r[k] - sum(p[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1 - sum(p[(k - 1, j)] * r[j] for j in range(1, k))
+        p[(k, k)] = _rp(num / den, 8)
+        for j in range(1, k):
+            p[(k, j)] = _rp(
+                p[(k - 1, j)] - p[(k, k)] * p[(k - 1, k - j)], 8
+            )
+    rows = [
+        (k, _rp(p[(k, k)], 6) + 0.0) for k in range(1, _PACF_MAX_LAG + 1)
+    ]
+    return spark.createDataFrame(rows, "lag long, pacf double")
+
+
+# --- Cliff's delta: document length, en vs non-en -----------------------------
+# The nonparametric effect size companion to the registered rank-sum
+# AUC: δ = (#{a>b} − #{a<b}) / (n_a·n_b), computed from the bounded
+# length-domain grid (cumulative counts — no pair enumeration).
+# Magnitude banding (Romano et al. thresholds) is decided in EXACT
+# integers via cross-multiplication.
+
+_CLIFF_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cb
+    FROM documents GROUP BY 1
+),
+cum AS (
+    SELECT v, ca, cb,
+           coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS b_below,
+           coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               ::BIGINT AS b_above
+    FROM g
+),
+s AS (
+    SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+           sum(ca * (b_below - b_above))::BIGINT AS num
+    FROM cum
+)
+SELECT na AS n_en, nb AS n_other,
+       round(num * 1.0 / (na * nb) * 1000000) / 1000000 + 0.0
+           AS cliffs_delta,
+       CASE WHEN 1000 * abs(num) < 147 * na * nb THEN 'negligible'
+            WHEN 1000 * abs(num) < 330 * na * nb THEN 'small'
+            WHEN 1000 * abs(num) < 474 * na * nb THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM s
+"""
+
+
+@register("cliff_delta_lengths", oracle=_CLIFF_ORACLE)
+def cliff_delta_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wa = Window.orderBy("v").rowsBetween(1, Window.unboundedFollowing)
+    cum = g.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wb), F.lit(0)).cast("long")
+        .alias("b_below"),
+        F.coalesce(F.sum("cb").over(wa), F.lit(0)).cast("long")
+        .alias("b_above"),
+    )
+    s = cum.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (F.col("b_below") - F.col("b_above")))
+        .cast("long")
+        .alias("num"),
+    )
+    absn = F.abs(F.col("num")) * 1000
+    nm = F.col("na") * F.col("nb")
+    return s.select(
+        F.col("na").alias("n_en"),
+        F.col("nb").alias("n_other"),
+        R.r(F.col("num") * F.lit(1.0) / nm, 6).alias("cliffs_delta"),
+        F.when(absn < 147 * nm, "negligible")
+        .when(absn < 330 * nm, "small")
+        .when(absn < 474 * nm, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+# --- covariate balance audit (standardized mean differences) ------------------
+# The diagnostic run after any treatment assignment (here the DiD
+# arms): per covariate, SMD = (μ_t − μ_c) / sqrt((s_t² + s_c²)/2),
+# |SMD| < 0.1 = balanced. Means from exact DECIMAL/integer sums;
+# variances through the 1e-4-unit pattern; one corpus scan builds all
+# three features' moments (feature rows unioned from one aggregate).
+
+_SMD_ORACLE = """
+WITH base AS (
+    SELECT (user_id % 2 = 1) AS treat,
+           CAST(value AS DECIMAL(30,8)) AS f_value,
+           extract(hour FROM ts)::BIGINT AS f_hour,
+           extract(day FROM ts)::BIGINT AS f_dom
+    FROM events
+),
+arms AS (
+    SELECT treat, count(*)::BIGINT AS n,
+           (sum(f_value)::DOUBLE) / count(*) AS mu_value,
+           (sum(f_hour)::DOUBLE) / count(*) AS mu_hour,
+           (sum(f_dom)::DOUBLE) / count(*) AS mu_dom
+    FROM base GROUP BY 1
+),
+devs AS (
+    SELECT b.treat,
+           sum(CAST(round((b.f_value::DOUBLE - a.mu_value)
+                          * (b.f_value::DOUBLE - a.mu_value) * 10000)
+                    AS BIGINT))::BIGINT AS sq_value,
+           sum(CAST(round((b.f_hour - a.mu_hour)
+                          * (b.f_hour - a.mu_hour) * 10000)
+                    AS BIGINT))::BIGINT AS sq_hour,
+           sum(CAST(round((b.f_dom - a.mu_dom)
+                          * (b.f_dom - a.mu_dom) * 10000)
+                    AS BIGINT))::BIGINT AS sq_dom,
+           min(a.n)::BIGINT AS n
+    FROM base b JOIN arms a ON a.treat = b.treat
+    GROUP BY b.treat
+),
+m AS (
+    SELECT a.treat, a.n, a.mu_value, a.mu_hour, a.mu_dom,
+           (d.sq_value::DOUBLE / 10000) / (a.n - 1) AS v_value,
+           (d.sq_hour::DOUBLE / 10000) / (a.n - 1) AS v_hour,
+           (d.sq_dom::DOUBLE / 10000) / (a.n - 1) AS v_dom
+    FROM arms a JOIN devs d ON d.treat = a.treat
+),
+w AS (
+    SELECT f.feature,
+           max(CASE WHEN treat THEN mu END)
+               - max(CASE WHEN NOT treat THEN mu END) AS mu_diff,
+           sqrt((max(CASE WHEN treat THEN v END)
+                 + max(CASE WHEN NOT treat THEN v END)) / 2) AS sd_pool
+    FROM (
+        SELECT treat, 'value' AS feature, mu_value AS mu, v_value AS v
+        FROM m
+        UNION ALL
+        SELECT treat, 'hour', mu_hour, v_hour FROM m
+        UNION ALL
+        SELECT treat, 'day_of_month', mu_dom, v_dom FROM m
+    ) f
+    GROUP BY f.feature
+)
+SELECT feature,
+       round(mu_diff * 1000000) / 1000000 + 0.0 AS mean_diff,
+       round(mu_diff / sd_pool * 1000000) / 1000000 + 0.0 AS smd,
+       abs(mu_diff / sd_pool) < 0.1 AS balanced
+FROM w
+"""
+
+
+@register("covariate_balance_smd", oracle=_SMD_ORACLE)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        F.col("value").cast("decimal(30,8)").alias("f_value"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.dayofmonth("ts").cast("long").alias("f_dom"),
+    )
+    arms = base.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("f_value").cast("double") / F.count(F.lit(1)))
+        .alias("mu_value"),
+        (F.sum("f_hour").cast("double") / F.count(F.lit(1)))
+        .alias("mu_hour"),
+        (F.sum("f_dom").cast("double") / F.count(F.lit(1)))
+        .alias("mu_dom"),
+    )
+
+    def sq(col, mu):
+        d = F.col(col).cast("double") - F.col(mu)
+        return F.sum(F.round(d * d * F.lit(10000)).cast("long")).cast(
+            "long"
+        )
+
+    devs = base.join(F.broadcast(arms), "treat").groupBy("treat").agg(
+        sq("f_value", "mu_value").alias("sq_value"),
+        sq("f_hour", "mu_hour").alias("sq_hour"),
+        sq("f_dom", "mu_dom").alias("sq_dom"),
+        F.min("n").cast("long").alias("n"),
+    )
+    m = arms.join(devs.drop("n"), "treat").select(
+        "treat",
+        "n",
+        "mu_value",
+        "mu_hour",
+        "mu_dom",
+        ((F.col("sq_value").cast("double") / 10000) / (F.col("n") - 1))
+        .alias("v_value"),
+        ((F.col("sq_hour").cast("double") / 10000) / (F.col("n") - 1))
+        .alias("v_hour"),
+        ((F.col("sq_dom").cast("double") / 10000) / (F.col("n") - 1))
+        .alias("v_dom"),
+    )
+    feats = None
+    for name, mu_c, v_c in [
+        ("value", "mu_value", "v_value"),
+        ("hour", "mu_hour", "v_hour"),
+        ("day_of_month", "mu_dom", "v_dom"),
+    ]:
+        part = m.select(
+            "treat",
+            F.lit(name).alias("feature"),
+            F.col(mu_c).alias("mu"),
+            F.col(v_c).alias("v"),
+        )
+        feats = part if feats is None else feats.unionAll(part)
+    w = feats.groupBy("feature").agg(
+        (
+            F.max(F.when(F.col("treat"), F.col("mu")))
+            - F.max(F.when(~F.col("treat"), F.col("mu")))
+        ).alias("mu_diff"),
+        F.sqrt(
+            (
+                F.max(F.when(F.col("treat"), F.col("v")))
+                + F.max(F.when(~F.col("treat"), F.col("v")))
+            )
+            / 2
+        ).alias("sd_pool"),
+    )
+    return w.select(
+        "feature",
+        R.r(F.col("mu_diff"), 6).alias("mean_diff"),
+        R.r(F.col("mu_diff") / F.col("sd_pool"), 6).alias("smd"),
+        (F.abs(F.col("mu_diff") / F.col("sd_pool")) < 0.1).alias(
+            "balanced"
+        ),
+    )
+
+
+# --- Gini decision stump on document length ----------------------------------
+# The CART split primitive: the single n_chars <= t threshold that
+# maximally purifies lang = 'en', chosen over the bounded length
+# domain from cumulative integer counts. The split criterion
+# (pl²+ql²)/nl + (pr²+qr²)/nr is computed as identical doubles from
+# exact integers, snapped to 1e-9 units for a deterministic argmax
+# (threshold tie-break).
+
+_STUMP_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+           count(*)::BIGINT AS n
+    FROM documents GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           sum(p) OVER (ORDER BY v)::BIGINT AS pl,
+           sum(n) OVER (ORDER BY v)::BIGINT AS nl
+    FROM g
+),
+tot AS (SELECT sum(p)::BIGINT AS pt, sum(n)::BIGINT AS nt FROM g),
+cand AS (
+    SELECT v, pl, nl, tot.pt - pl AS pr, tot.nt - nl AS nr,
+           CAST(round(((pl * pl + (nl - pl) * (nl - pl)) * 1.0 / nl
+                       + (tot.pt - pl) * (tot.pt - pl) * 1.0
+                         / (tot.nt - nl)
+                       + ((tot.nt - nl) - (tot.pt - pl))
+                         * ((tot.nt - nl) - (tot.pt - pl)) * 1.0
+                         / (tot.nt - nl)) * 1000000000) AS BIGINT)
+               AS crit_u
+    FROM cum, tot WHERE nl < tot.nt
+),
+best AS (
+    SELECT v, pl, nl, pr, nr FROM cand
+    ORDER BY crit_u DESC, v LIMIT 1
+)
+SELECT best.v AS threshold, best.nl AS n_left, best.nr AS n_right,
+       round((1.0 - (tot.pt * 1.0 / tot.nt) * (tot.pt * 1.0 / tot.nt)
+              - (1.0 - tot.pt * 1.0 / tot.nt)
+                * (1.0 - tot.pt * 1.0 / tot.nt)) * 1000000) / 1000000
+           + 0.0 AS gini_parent,
+       round(((best.nl * 1.0 / tot.nt)
+              * (1.0 - (best.pl * 1.0 / best.nl) * (best.pl * 1.0 / best.nl)
+                 - (1.0 - best.pl * 1.0 / best.nl)
+                   * (1.0 - best.pl * 1.0 / best.nl))
+              + (best.nr * 1.0 / tot.nt)
+              * (1.0 - (best.pr * 1.0 / best.nr) * (best.pr * 1.0 / best.nr)
+                 - (1.0 - best.pr * 1.0 / best.nr)
+                   * (1.0 - best.pr * 1.0 / best.nr))) * 1000000) / 1000000
+           + 0.0 AS weighted_gini
+FROM best, tot
+"""
+
+
+@register("gini_stump_split", oracle=_STUMP_ORACLE)
+def gini_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("p"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "v",
+        F.sum("p").over(w).cast("long").alias("pl"),
+        F.sum("n").over(w).cast("long").alias("nl"),
+    )
+    tot = g.agg(
+        F.sum("p").cast("long").alias("pt"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    c = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nt"))
+    pr = F.col("pt") - F.col("pl")
+    nr = F.col("nt") - F.col("nl")
+    ql = F.col("nl") - F.col("pl")
+    qr = nr - pr
+    crit = (
+        (F.col("pl") * F.col("pl") + ql * ql) * F.lit(1.0) / F.col("nl")
+        + pr * pr * F.lit(1.0) / nr
+        + qr * qr * F.lit(1.0) / nr
+    )
+    cand = c.select(
+        "v",
+        "pl",
+        "nl",
+        pr.alias("pr"),
+        nr.alias("nr"),
+        "pt",
+        "nt",
+        F.round(crit * F.lit(1000000000)).cast("long").alias("crit_u"),
+    )
+    best = (
+        cand.orderBy(F.desc("crit_u"), F.asc("v")).limit(1)
+    )
+    p_t = F.col("pt") * F.lit(1.0) / F.col("nt")
+    plr = F.col("pl") * F.lit(1.0) / F.col("nl")
+    prr = F.col("pr") * F.lit(1.0) / F.col("nr")
+    gini_parent = (
+        F.lit(1.0) - p_t * p_t - (F.lit(1.0) - p_t) * (F.lit(1.0) - p_t)
+    )
+    wg = (F.col("nl") * F.lit(1.0) / F.col("nt")) * (
+        F.lit(1.0) - plr * plr - (F.lit(1.0) - plr) * (F.lit(1.0) - plr)
+    ) + (F.col("nr") * F.lit(1.0) / F.col("nt")) * (
+        F.lit(1.0) - prr * prr - (F.lit(1.0) - prr) * (F.lit(1.0) - prr)
+    )
+    return best.select(
+        F.col("v").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        R.r(gini_parent, 6).alias("gini_parent"),
+        R.r(wg, 6).alias("weighted_gini"),
+    )
