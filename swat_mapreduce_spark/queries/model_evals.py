@@ -1640,3 +1640,84 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.col("brier") - (rel - res + unc), 6)
         .alias("within_bin_variance"),
     )
+
+
+# --- Youden J optimal threshold ----------------------------------------------
+# The operating-point selection after AUC: over the distinct-score
+# grid, maximize J = TPR − FPR with TPR/FPR from exact descending
+# cumulative counts; argmax on 1e-8-unit integer J with a
+# smallest-threshold tie-break.
+
+_YOUDEN_ORACLE = f"""
+WITH {_SCORE_DUCK},
+by_score AS (
+    SELECT score,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS fp
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT score,
+           sum(tp) OVER (ORDER BY score DESC)::BIGINT AS cum_tp,
+           sum(fp) OVER (ORDER BY score DESC)::BIGINT AS cum_fp
+    FROM by_score
+),
+tot AS (SELECT sum(tp)::BIGINT AS p, sum(fp)::BIGINT AS n FROM by_score),
+j AS (
+    SELECT score, cum_tp, cum_fp,
+           CAST(round((cum_tp * 1.0 / tot.p - cum_fp * 1.0 / tot.n)
+                      * 100000000) AS BIGINT) AS j_u
+    FROM cum, tot
+),
+best AS (SELECT * FROM j ORDER BY j_u DESC, score LIMIT 1)
+SELECT best.score::DOUBLE + 0.0 AS threshold,
+       round(best.cum_tp * 1.0 / tot.p * 1000000) / 1000000 + 0.0 AS tpr,
+       round(best.cum_fp * 1.0 / tot.n * 1000000) / 1000000 + 0.0 AS fpr,
+       round(best.j_u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0
+           AS youden_j
+FROM best, tot
+"""
+
+
+@register("youden_j_threshold", oracle=_YOUDEN_ORACLE)
+def youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    by_score = s.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("fp"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_score.select(
+        "score",
+        F.sum("tp").over(w).cast("long").alias("cum_tp"),
+        F.sum("fp").over(w).cast("long").alias("cum_fp"),
+    )
+    tot = by_score.agg(
+        F.sum("tp").cast("long").alias("p"),
+        F.sum("fp").cast("long").alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "cum_tp",
+        "cum_fp",
+        "p",
+        "n",
+        F.round(
+            (
+                F.col("cum_tp") * F.lit(1.0) / F.col("p")
+                - F.col("cum_fp") * F.lit(1.0) / F.col("n")
+            )
+            * F.lit(100000000)
+        )
+        .cast("long")
+        .alias("j_u"),
+    )
+    best = j.orderBy(F.desc("j_u"), F.asc("score")).limit(1)
+    return best.select(
+        (F.col("score").cast("double") + F.lit(0.0)).alias("threshold"),
+        R.r(F.col("cum_tp") * F.lit(1.0) / F.col("p"), 6).alias("tpr"),
+        R.r(F.col("cum_fp") * F.lit(1.0) / F.col("n"), 6).alias("fpr"),
+        R.r(F.col("j_u") * F.lit(1.0) / 100000000, 6).alias("youden_j"),
+    )

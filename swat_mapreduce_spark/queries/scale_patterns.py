@@ -2243,3 +2243,233 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     edges.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- preferential-attachment link prediction -----------------------------------
+# The degree-product predictor (Barabási-Albert): PA(a,b) = d(a)·d(b)
+# for not-yet-co-purchased pairs. Candidates are wedge-generated
+# (>=1 common neighbor) like the adamic_adar/jaccard siblings — pure
+# PA over all non-edges is |V|² and pointless at scale; restricting to
+# the 2-hop frontier is the standard production cut (documented). All
+# integer scores; top-20 with (a, b) tie-break.
+
+_PA_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+common AS (
+    SELECT DISTINCT n1.v AS a, n2.v AS b
+    FROM und n1 JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+),
+cand AS (
+    SELECT c.a, c.b, da.d AS da, db.d AS db, da.d * db.d AS pa_score
+    FROM common c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    LEFT JOIN edges e ON e.pa = c.a AND e.pb = c.b
+    WHERE e.pa IS NULL
+)
+SELECT a AS part_a, b AS part_b, da AS deg_a, db AS deg_b,
+       pa_score::BIGINT AS pa_score
+FROM cand
+ORDER BY pa_score DESC, a, b LIMIT 20
+"""
+
+
+@register("preferential_attachment_links", oracle=_PA_ORACLE)
+def preferential_attachment_links(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    common = (
+        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    cand = (
+        common.join(
+            edges,
+            (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+            "left_anti",
+        )
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "da",
+            "db",
+            (F.col("da") * F.col("db")).cast("long").alias("pa_score"),
+        )
+    )
+    out = (
+        cand.orderBy(F.desc("pa_score"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("da").alias("deg_a"),
+            F.col("db").alias("deg_b"),
+            "pa_score",
+        )
+    )
+    rows = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- rich-club coefficient ------------------------------------------------------
+# Do high-degree products co-purchase preferentially with each other?
+# φ(k) = 2·E_k / (N_k·(N_k − 1)) over the subgraph of nodes with
+# degree > k, for the doubling ladder k ∈ {1,2,4,8,16}. Exact integer
+# counts; the edge subset check is two broadcast-joined degree lookups.
+
+_RC_KS = [1, 2, 4, 8, 16]
+
+_RC_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _RC_KS)}]) AS k),
+nodes AS (
+    SELECT ks.k, count(*)::BIGINT AS n_k
+    FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+),
+ek AS (
+    SELECT ks.k, count(*)::BIGINT AS e_k
+    FROM ks
+    JOIN edges e ON TRUE
+    JOIN deg da ON da.u = e.pa AND da.d > ks.k
+    JOIN deg db ON db.u = e.pb AND db.d > ks.k
+    GROUP BY 1
+)
+SELECT n.k AS min_degree_excl, n.n_k AS n_nodes,
+       coalesce(ek.e_k, 0)::BIGINT AS n_edges,
+       round(2.0 * coalesce(ek.e_k, 0) / (n.n_k * (n.n_k - 1)) * 1000000)
+           / 1000000 + 0.0 AS rich_club_coef
+FROM nodes n LEFT JOIN ek ON ek.k = n.k
+WHERE n.n_k >= 2
+"""
+
+
+@register("rich_club_coefficient", oracle=_RC_ORACLE)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = deg.persist()
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k long")
+    nodes = (
+        ks.join(deg, deg["d"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("u").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("pb"), F.col("d").alias("db"))
+    lab = edges.join(da, "pa").join(db, "pb")
+    ek = (
+        F.broadcast(ks)
+        .join(lab, (lab["da"] > ks["k"]) & (lab["db"] > ks["k"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    out = (
+        nodes.join(ek, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            F.col("k").alias("min_degree_excl"),
+            F.col("n_k").alias("n_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long")
+            .alias("n_edges"),
+            R.r(
+                F.lit(2.0)
+                * F.coalesce(F.col("e_k"), F.lit(0))
+                / (F.col("n_k") * (F.col("n_k") - 1)),
+                6,
+            ).alias("rich_club_coef"),
+        )
+    )
+    rows = out.collect()
+    edges.unpersist()
+    deg.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -1746,3 +1746,173 @@ def gini_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(gini_parent, 6).alias("gini_parent"),
         R.r(wg, 6).alias("weighted_gini"),
     )
+
+
+# --- Holm-Bonferroni step-down over the per-source KS drift tests -------------
+# The FWER-controlling sibling of the registered BH-FDR query, on the
+# SAME 20 KS p-values: sort ascending, reject ranks 1..k* where k* is
+# one before the first i with p_(i) > α/(m−i+1). The cutoff compare
+# runs on the 8dp-snapped p-values both engines already share with
+# fdr_bh_source_length_tests.
+
+_HOLM_ALPHA = 0.05
+
+_HOLM_ORACLE = f"""
+WITH docs AS (SELECT source, n_chars FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n_all FROM docs),
+per_src AS (SELECT source, count(*)::BIGINT AS n_s FROM docs GROUP BY 1),
+vals AS (SELECT DISTINCT n_chars AS v FROM docs),
+grid AS (SELECT p.source, p.n_s, v.v FROM per_src p, vals v),
+cnt AS (
+    SELECT source, n_chars AS v, count(*)::BIGINT AS c
+    FROM docs GROUP BY 1, 2
+),
+cum AS (
+    SELECT g.source, g.n_s, g.v,
+           sum(coalesce(c.c, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.v
+           )::BIGINT AS cum_s
+    FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.v = g.v
+),
+cum_all_t AS (
+    SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum_all
+    FROM (SELECT n_chars AS v, count(*)::BIGINT AS c FROM docs GROUP BY 1)
+),
+gaps AS (
+    SELECT cum.source, cum.n_s, tot.n_all,
+           max(abs(cum.cum_s * (tot.n_all - cum.n_s)
+                   - (ca.cum_all - cum.cum_s) * cum.n_s))::BIGINT AS g
+    FROM cum JOIN cum_all_t ca ON ca.v = cum.v CROSS JOIN tot
+    GROUP BY 1, 2, 3
+),
+tests AS (
+    SELECT source,
+           round(least(1.0,
+               2.0 * exp(-2.0 * ((g::DOUBLE / (n_s * (n_all - n_s)))
+                                 * (g::DOUBLE / (n_s * (n_all - n_s))))
+                         * (n_s::DOUBLE * (n_all - n_s) / n_all)))
+               * 100000000) / 100000000 + 0.0 AS p_value
+    FROM gaps
+),
+m_t AS (SELECT count(*)::BIGINT AS m FROM tests),
+ranked AS (
+    SELECT t.*, m_t.m,
+           row_number() OVER (ORDER BY t.p_value, t.source) AS holm_rank
+    FROM tests t, m_t
+),
+kmin AS (
+    SELECT coalesce(min(holm_rank), (SELECT m + 1 FROM m_t)) AS k
+    FROM ranked
+    WHERE p_value * (m - holm_rank + 1) > {_HOLM_ALPHA}
+)
+SELECT r.source, r.p_value, r.holm_rank::BIGINT AS holm_rank,
+       round({_HOLM_ALPHA} / (r.m - r.holm_rank + 1) * 100000000)
+           / 100000000 + 0.0 AS holm_threshold,
+       r.holm_rank < kmin.k AS rejected
+FROM ranked r, kmin
+"""
+
+
+@register("holm_bonferroni_tests", oracle=_HOLM_ORACLE)
+def holm_bonferroni_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    grid = per_src.crossJoin(F.broadcast(vals))
+    cnt = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wsrc = Window.partitionBy("source").orderBy("v")
+    cum = (
+        grid.join(cnt, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(wsrc)
+            .cast("long")
+            .alias("cum_s"),
+        )
+    )
+    call = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "v",
+            F.sum("c").over(Window.orderBy("v")).cast("long")
+            .alias("cum_all"),
+        )
+    )
+    gaps = (
+        cum.join(F.broadcast(call), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n_all") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            ).cast("long").alias("g")
+        )
+    )
+    dn = F.col("g").cast("double") / (
+        F.col("n_s") * (F.col("n_all") - F.col("n_s"))
+    )
+    pv = R.r(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-2.0)
+                * dn
+                * dn
+                * (
+                    F.col("n_s").cast("double")
+                    * (F.col("n_all") - F.col("n_s"))
+                    / F.col("n_all")
+                )
+            ),
+        ),
+        8,
+    )
+    tests = gaps.select("source", pv.alias("p_value"))
+    m_t = tests.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = tests.crossJoin(F.broadcast(m_t)).select(
+        "source",
+        "p_value",
+        "m",
+        F.row_number()
+        .over(Window.orderBy("p_value", "source"))
+        .alias("holm_rank"),
+    )
+    # if NO p exceeds its step-down threshold the filter is empty and
+    # min() is NULL: k must fall back to m+1 (reject everything) like
+    # the oracle's scalar-subquery coalesce — m comes from the
+    # broadcast m_t, never from the (possibly empty) filtered side
+    kmin = (
+        ranked.filter(
+            F.col("p_value") * (F.col("m") - F.col("holm_rank") + 1)
+            > _HOLM_ALPHA
+        )
+        .agg(F.min("holm_rank").alias("mink"))
+        .crossJoin(F.broadcast(m_t))
+        .select(
+            F.coalesce(F.col("mink"), F.col("m") + 1).alias("k")
+        )
+    )
+    return ranked.crossJoin(F.broadcast(kmin)).select(
+        "source",
+        "p_value",
+        F.col("holm_rank").cast("long").alias("holm_rank"),
+        R.r(
+            F.lit(_HOLM_ALPHA) / (F.col("m") - F.col("holm_rank") + 1), 8
+        ).alias("holm_threshold"),
+        (F.col("holm_rank") < F.col("k")).alias("rejected"),
+    )

@@ -1250,3 +1250,249 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("snum").cast("double") / F.col("sden"), 6
         ).alias("hurst_h"),
     )
+
+
+# --- Nelson-Aalen cumulative hazard -------------------------------------------
+# The hazard-scale companion to survival_km_weekly over the same
+# inter-purchase durations: H(w) = Σ_{w'<=w, d>0} d/n_risk. Each
+# increment is an exact integer ratio snapped to 1e-8 units; the
+# cumulative sum is an exact int64 prefix sum over the bounded
+# duration-week table (same census-allowlisted window family as KM).
+
+_NA_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderdate::DATE AS d,
+           lead(o_orderdate::DATE) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate::DATE, o_orderkey) AS nd
+    FROM orders
+),
+mx AS (SELECT max(o_orderdate::DATE) AS censor_d FROM orders),
+de AS (
+    SELECT (nd IS NOT NULL) AS ev,
+           CAST(floor(CASE WHEN nd IS NOT NULL
+                      THEN date_diff('day', d, nd)
+                      ELSE date_diff('day', d, censor_d) END / 7)
+                AS BIGINT) AS w
+    FROM o, mx
+),
+wk AS (
+    SELECT w,
+           sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
+    FROM de GROUP BY 1
+),
+risk AS (
+    SELECT w, d, c,
+           sum(d + c) OVER (ORDER BY w
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n_risk
+    FROM wk
+),
+inc AS (
+    SELECT w, d, n_risk,
+           CAST(round(d * 100000000.0 / n_risk) AS BIGINT) AS h_u
+    FROM risk WHERE d > 0
+),
+cum AS (
+    SELECT w, d, n_risk, h_u,
+           sum(h_u) OVER (ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS ch_u
+    FROM inc
+)
+SELECT w AS dur_week, n_risk, d AS n_events,
+       round(h_u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0
+           AS hazard_inc,
+       round(ch_u * 1.0 / 100000000 * 1000000) / 1000000 + 0.0
+           AS cum_hazard
+FROM cum WHERE w <= {_MAX_WEEK}
+"""
+
+
+@register("nelson_aalen_hazard", oracle=_NA_ORACLE)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.withColumn("nd", F.lead("d").over(wc))
+    mx = o.agg(F.max("d").alias("censor_d"))
+    ev = F.col("nd").isNotNull()
+    days = F.when(ev, F.datediff("nd", "d")).otherwise(
+        F.datediff("censor_d", "d")
+    )
+    de = gaps.crossJoin(F.broadcast(mx)).select(
+        ev.alias("ev"), F.floor(days / 7).alias("w")
+    )
+    wk = de.groupBy("w").agg(
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("ev"), 0).otherwise(1)).alias("c"),
+    )
+    w_fwd = Window.orderBy("w").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = wk.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_fwd)
+    )
+    inc = risk.filter(F.col("d") > 0).select(
+        "w",
+        "d",
+        "n_risk",
+        F.round(F.col("d") * F.lit(100000000.0) / F.col("n_risk"))
+        .cast("long")
+        .alias("h_u"),
+    )
+    w_cum = Window.orderBy("w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = inc.withColumn(
+        "ch_u", F.sum("h_u").over(w_cum).cast("long")
+    )
+    return cum.filter(F.col("w") <= _MAX_WEEK).select(
+        F.col("w").alias("dur_week"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        R.r(F.col("h_u") * F.lit(1.0) / 100000000, 6).alias("hazard_inc"),
+        R.r(F.col("ch_u") * F.lit(1.0) / 100000000, 6).alias("cum_hazard"),
+    )
+
+
+# --- log-rank test: inter-purchase survival by customer-nation parity ---------
+# Two-group survival comparison (Mantel 1966): groups are even/odd
+# customer nations; per duration week the observed group-1 events are
+# compared to the hypergeometric expectation E = d·n1/n with variance
+# d·(n1/n)(1−n1/n)(n−d)/(n−1). E and V terms are snapped to integer
+# 1e-8 units and summed exactly; weeks with a single subject at risk
+# contribute no variance (guarded identically in both engines).
+
+_LOGRANK_ORACLE = """
+WITH o AS (
+    SELECT o.o_custkey, (c.c_nationkey % 2 = 0) AS g1,
+           o.o_orderdate::DATE AS d,
+           lead(o.o_orderdate::DATE) OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate::DATE, o.o_orderkey) AS nd
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+mx AS (SELECT max(d) AS censor_d FROM o),
+de AS (
+    SELECT g1, (nd IS NOT NULL) AS ev,
+           CAST(floor(CASE WHEN nd IS NOT NULL
+                      THEN date_diff('day', d, nd)
+                      ELSE date_diff('day', d, censor_d) END / 7)
+                AS BIGINT) AS w
+    FROM o, mx
+),
+wk AS (
+    SELECT w,
+           sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN ev AND g1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+           count(*)::BIGINT AS total,
+           sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS total1
+    FROM de GROUP BY 1
+),
+risk AS (
+    SELECT w, d, d1,
+           sum(total) OVER (ORDER BY w
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n,
+           sum(total1) OVER (ORDER BY w
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n1
+    FROM wk
+),
+terms AS (
+    SELECT sum(d1)::BIGINT AS o1,
+           sum(CAST(round(d * 100000000.0 * n1 / n) AS BIGINT))::BIGINT
+               AS e1_u,
+           sum(CASE WHEN n > 1 THEN
+               CAST(round(d * (n1 * 1.0 / n) * (1.0 - n1 * 1.0 / n)
+                          * (n - d) * 100000000.0 / (n - 1)) AS BIGINT)
+               ELSE 0 END)::BIGINT AS v_u
+    FROM risk WHERE d > 0
+)
+SELECT o1 AS observed_g1,
+       round(e1_u * 1.0 / 100000000 * 10000) / 10000 + 0.0 AS expected_g1,
+       round((o1 - e1_u * 1.0 / 100000000)
+             * (o1 - e1_u * 1.0 / 100000000)
+             / (v_u * 1.0 / 100000000) * 1000000) / 1000000 + 0.0
+           AS chi2,
+       (o1 - e1_u * 1.0 / 100000000) * (o1 - e1_u * 1.0 / 100000000)
+       / (v_u * 1.0 / 100000000) > 3.8415 AS reject_equal_survival
+FROM terms
+"""
+
+
+@register("logrank_test_survival", oracle=_LOGRANK_ORACLE)
+def logrank_test_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_nationkey") % 2 == 0).alias("g1"),
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+        )
+        .join(cust, "o_custkey")
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.withColumn("nd", F.lead("d").over(wc))
+    mx = o.agg(F.max("d").alias("censor_d"))
+    ev = F.col("nd").isNotNull()
+    days = F.when(ev, F.datediff("nd", "d")).otherwise(
+        F.datediff("censor_d", "d")
+    )
+    de = gaps.crossJoin(F.broadcast(mx)).select(
+        "g1", ev.alias("ev"), F.floor(days / 7).alias("w")
+    )
+    wk = de.groupBy("w").agg(
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("ev") & F.col("g1"), 1).otherwise(0))
+        .cast("long").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long")
+        .alias("total1"),
+    )
+    w_fwd = Window.orderBy("w").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = wk.select(
+        "w",
+        "d",
+        "d1",
+        F.sum("total").over(w_fwd).cast("long").alias("n"),
+        F.sum("total1").over(w_fwd).cast("long").alias("n1"),
+    )
+    p1 = F.col("n1") * F.lit(1.0) / F.col("n")
+    terms = risk.filter(F.col("d") > 0).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(
+            F.round(F.col("d") * F.lit(100000000.0) * F.col("n1")
+                    / F.col("n")).cast("long")
+        ).cast("long").alias("e1_u"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.col("d") * p1 * (F.lit(1.0) - p1)
+                    * (F.col("n") - F.col("d"))
+                    * F.lit(100000000.0)
+                    / (F.col("n") - 1)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("v_u"),
+    )
+    e1 = F.col("e1_u") * F.lit(1.0) / 100000000
+    v = F.col("v_u") * F.lit(1.0) / 100000000
+    chi2 = (F.col("o1") - e1) * (F.col("o1") - e1) / v
+    return terms.select(
+        F.col("o1").alias("observed_g1"),
+        R.r(e1, 4).alias("expected_g1"),
+        R.r(chi2, 6).alias("chi2"),
+        (chi2 > 3.8415).alias("reject_equal_survival"),
+    )
