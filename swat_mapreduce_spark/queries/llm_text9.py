@@ -711,3 +711,81 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "umass_coherence"
         ),
     )
+
+
+# --- Hill tail-index of the token frequency distribution ----------------------
+# The standard heavy-tail estimator over the k = 20 largest token
+# frequencies: H = (1/k)·Σ ln(f_(i)/f_(k+1)), α = 1/H — the
+# quantitative companion to the registered Zipf rank-frequency plot.
+# Frequencies rank with a token tie-break; each ln of an exact integer
+# ratio snaps to 1e-8 units before the exact sum.
+
+_HILL_K = 20
+
+_HILL_ORACLE = rf"""
+WITH tok AS (
+    SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*)::BIGINT AS f FROM tok GROUP BY 1),
+top AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rnk
+    FROM freq
+),
+ref AS (SELECT f AS fk1 FROM top WHERE rnk = {_HILL_K + 1}),
+h AS (
+    SELECT sum(CAST(round(ln(top.f * 1.0 / ref.fk1) * 100000000)
+                    AS BIGINT))::BIGINT AS h_u
+    FROM top, ref WHERE top.rnk <= {_HILL_K}
+)
+SELECT {_HILL_K}::BIGINT AS k,
+       round(h_u * 1.0 / 100000000 / {_HILL_K} * 1000000) / 1000000 + 0.0
+           AS hill_h,
+       CASE WHEN h_u > 0 THEN
+           round({_HILL_K} * 100000000.0 / h_u * 1000000) / 1000000 + 0.0
+       END AS tail_alpha
+FROM h
+"""
+
+
+@register("hill_tail_index_tokens", oracle=_HILL_ORACLE)
+def hill_tail_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        ws_tokens(F.col("text")).alias("toks")
+    )
+    freq = docs.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    # distributed top-(k+1) cut FIRST (TakeOrderedAndProject — never a
+    # global window over the whole vocab); the rank window then runs
+    # on the 21-row result (zipf_rank_frequency pattern)
+    cut = freq.orderBy(F.desc("f"), F.asc("tok")).limit(_HILL_K + 1)
+    top = cut.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("tok")))
+        .alias("rnk"),
+    )
+    ref = top.filter(F.col("rnk") == _HILL_K + 1).select(
+        F.col("f").alias("fk1")
+    )
+    h = (
+        top.filter(F.col("rnk") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("f") * F.lit(1.0) / F.col("fk1"))
+                    * F.lit(100000000)
+                ).cast("long")
+            ).cast("long").alias("h_u")
+        )
+    )
+    return h.select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        R.r(F.col("h_u") * F.lit(1.0) / 100000000 / _HILL_K, 6)
+        .alias("hill_h"),
+        F.when(
+            F.col("h_u") > 0,
+            R.r(F.lit(_HILL_K) * F.lit(100000000.0) / F.col("h_u"), 6),
+        ).alias("tail_alpha"),
+    )

@@ -330,7 +330,7 @@ def _phash_table(df: DataFrame) -> DataFrame:
     this query to the candidate-join ones and ~6 s → ~1 s at sf0.1.
     Docs with empty ``t`` are filtered (the oracle's unnest emits no
     rows for them, so they are absent from its hash table too); the
-    filter doubles as the gotcha-10 guard for sequence(1, length(t)).
+    filter doubles as the gotcha-10 guard for the code-point range.
     """
     base = df.filter(F.length("t") >= 1).select(
         "doc_id",

@@ -1352,6 +1352,9 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = arr.select(
         "xs", "n", (F.col("sx").cast("double") / F.col("n")).alias("mu")
     )
+    # the n > max-lag filter BEFORE the index expressions is the
+    # gotcha-10 guard: every 1..n-k bound below stays >= 1
+    mf = m.filter(F.col("n") > _PACF_MAX_LAG)
 
     def cov_u(k: int):
         # the acf-family unit sum; k=0 covers the full array
@@ -1377,10 +1380,8 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
 
-    # n = 30 days >> max lag 5, so the sequence bounds cannot descend;
-    # the .filter below guards the degenerate short-series case anyway
     row = (
-        m.filter(F.col("n") > _PACF_MAX_LAG)
+        mf
         .select(
             cov_u(0).alias("c0"),
             *[cov_u(k).alias(f"c{k}") for k in range(1, _PACF_MAX_LAG + 1)],
@@ -1915,4 +1916,320 @@ def holm_bonferroni_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HOLM_ALPHA) / (F.col("m") - F.col("holm_rank") + 1), 8
         ).alias("holm_threshold"),
         (F.col("holm_rank") < F.col("k")).alias("rejected"),
+    )
+
+
+# --- Chatterjee's xi rank correlation (daily trend dependence) ---------------
+# The 2020 dependence coefficient: order the series by day, take the
+# value ranks (day tie-break — no-ties variant), and
+# ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1). Detects ANY functional
+# dependence, not just monotone (the Kendall/Spearman complement
+# already registered). Exact integer ranks and sums end to end.
+
+_XI_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+rk AS (
+    SELECT day, rank() OVER (ORDER BY x, day) AS r FROM daily
+),
+seq AS (
+    SELECT r, lead(r) OVER (ORDER BY day) AS rn FROM rk
+),
+s AS (
+    SELECT count(*)::BIGINT AS n_minus1,
+           sum(abs(rn - r))::BIGINT AS jumps
+    FROM seq WHERE rn IS NOT NULL
+)
+SELECT n_minus1 + 1 AS n_days, jumps AS rank_jump_sum,
+       round((1.0 - 3.0 * jumps / ((n_minus1 + 1) * (n_minus1 + 1) - 1))
+             * 1000000) / 1000000 + 0.0 AS xi
+FROM s
+"""
+
+
+@register("xi_correlation_chatterjee", oracle=_XI_ORACLE)
+def xi_correlation_chatterjee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    rk = daily.select(
+        "day", F.rank().over(Window.orderBy("x", "day")).alias("r")
+    )
+    seq = rk.select(
+        "r", F.lead("r").over(Window.orderBy("day")).alias("rn")
+    )
+    s = seq.filter(F.col("rn").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_minus1"),
+        F.sum(F.abs(F.col("rn") - F.col("r"))).cast("long").alias("jumps"),
+    )
+    n = F.col("n_minus1") + 1
+    return s.select(
+        n.alias("n_days"),
+        F.col("jumps").alias("rank_jump_sum"),
+        R.r(
+            F.lit(1.0) - F.lit(3.0) * F.col("jumps") / (n * n - 1), 6
+        ).alias("xi"),
+    )
+
+
+# --- Goodman-Kruskal gamma: priority × quantity ------------------------------
+# Ordinal association on the same 5×50 count grid as the registered
+# Jonckheere test: γ = (C − D)/(C + D) with concordant/discordant
+# pair counts from cumulative grid sums — exact integers, no pair
+# enumeration.
+
+_GK_ORACLE = """
+WITH g AS (
+    SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS p,
+           CAST(l.l_quantity AS BIGINT) AS q, count(*)::BIGINT AS c
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT p, q, c,
+           coalesce(sum(c) OVER (PARTITION BY p ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS below,
+           coalesce(sum(c) OVER (PARTITION BY p ORDER BY q
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               ::BIGINT AS above
+    FROM g
+),
+cd AS (
+    SELECT sum(j.c * i.below)::BIGINT AS conc,
+           sum(j.c * i.above)::BIGINT AS disc
+    FROM cum i JOIN cum j ON j.q = i.q AND j.p > i.p
+)
+SELECT conc AS concordant, disc AS discordant,
+       round((conc - disc) * 1.0 / (conc + disc) * 1000000) / 1000000
+           + 0.0 AS gamma
+FROM cd
+"""
+
+
+@register("goodman_kruskal_gamma", oracle=_GK_ORACLE)
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("p"),
+    )
+    g = li.join(od, "l_orderkey").groupBy("p", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wb = (
+        Window.partitionBy("p")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = (
+        Window.partitionBy("p")
+        .orderBy("q")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cum = g.select(
+        "p",
+        "q",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long")
+        .alias("below"),
+        F.coalesce(F.sum("c").over(wa), F.lit(0)).cast("long")
+        .alias("above"),
+    )
+    i = cum.select(
+        F.col("p").alias("pi"), "q",
+        F.col("below").alias("bi"), F.col("above").alias("ai"),
+    )
+    j = cum.select(F.col("p").alias("pj"), "q", F.col("c").alias("cj"))
+    cd = (
+        i.join(F.broadcast(j), "q")
+        .filter(F.col("pj") > F.col("pi"))
+        .agg(
+            F.sum(F.col("cj") * F.col("bi")).cast("long").alias("conc"),
+            F.sum(F.col("cj") * F.col("ai")).cast("long").alias("disc"),
+        )
+    )
+    return cd.select(
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        R.r(
+            (F.col("conc") - F.col("disc"))
+            * F.lit(1.0)
+            / (F.col("conc") + F.col("disc")),
+            6,
+        ).alias("gamma"),
+    )
+
+
+# --- sample-ratio-mismatch (SRM) guardrail ------------------------------------
+# The most-run experimentation check there is: does the odd/even
+# user_id split actually land 50/50? χ² = (n₁ − n₀)²/n exactly (the
+# 2-cell GOF collapses to this), decided against the df=1 critical
+# value. Counts at USER grain (each user assigned once), fully exact.
+
+_SRM_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (
+    SELECT sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+           sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0
+    FROM u
+)
+SELECT n1 AS n_treat, n0 AS n_ctrl,
+       round((n1 - n0) * (n1 - n0) * 1.0 / (n1 + n0) * 1000000) / 1000000
+           + 0.0 AS chi2,
+       (n1 - n0) * (n1 - n0) * 1.0 / (n1 + n0) > 3.8415 AS srm_detected
+FROM c
+"""
+
+
+@register("srm_sample_ratio_mismatch", oracle=_SRM_ORACLE)
+def srm_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = read_table(spark, sf_dir, "events").select("user_id").distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+    )
+    chi2 = (
+        (F.col("n1") - F.col("n0"))
+        * (F.col("n1") - F.col("n0"))
+        * F.lit(1.0)
+        / (F.col("n1") + F.col("n0"))
+    )
+    return c.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        R.r(chi2, 6).alias("chi2"),
+        (chi2 > 3.8415).alias("srm_detected"),
+    )
+
+
+# --- QQ comparison at deciles: en vs non-en lengths ---------------------------
+# Explicit grid quantiles (smallest value whose cumulative count
+# reaches ceil(q·n/100) — the mood-test median rule generalized), so
+# both engines pick identical cut values regardless of their
+# percentile interpolation conventions. 9 rows, all exact integers.
+
+_QQ_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cb
+    FROM documents GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v)::BIGINT AS cum_a,
+           sum(cb) OVER (ORDER BY v)::BIGINT AS cum_b
+    FROM g
+),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM g),
+d AS (SELECT unnest(generate_series(10, 90, 10)) AS pct),
+qa AS (
+    SELECT d.pct, min(cum.v) AS q_en
+    FROM d, cum, tot
+    WHERE cum.cum_a * 100 >= d.pct * tot.na
+    GROUP BY d.pct
+),
+qb AS (
+    SELECT d.pct, min(cum.v) AS q_other
+    FROM d, cum, tot
+    WHERE cum.cum_b * 100 >= d.pct * tot.nb
+    GROUP BY d.pct
+)
+SELECT qa.pct::BIGINT AS percentile, qa.q_en, qb.q_other,
+       (qa.q_en - qb.q_other)::BIGINT AS qq_gap
+FROM qa JOIN qb ON qb.pct = qa.pct
+"""
+
+
+@register("qq_plot_deciles", oracle=_QQ_ORACLE)
+def qq_plot_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    d = spark.createDataFrame(
+        [(p,) for p in range(10, 100, 10)], "pct long"
+    )
+    base = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(d))
+    qa = (
+        base.filter(F.col("cum_a") * 100 >= F.col("pct") * F.col("na"))
+        .groupBy("pct")
+        .agg(F.min("v").alias("q_en"))
+    )
+    qb = (
+        base.filter(F.col("cum_b") * 100 >= F.col("pct") * F.col("nb"))
+        .groupBy("pct")
+        .agg(F.min("v").alias("q_other"))
+    )
+    return qa.join(qb, "pct").select(
+        F.col("pct").alias("percentile"),
+        "q_en",
+        "q_other",
+        (F.col("q_en") - F.col("q_other")).cast("long").alias("qq_gap"),
+    )
+
+
+# --- mean-excess ladder (peaks-over-threshold diagnostic) ---------------------
+# The EVT threshold-choice plot: e(u) = E[X − u | X > u] over a fixed
+# price-threshold ladder — rising-linear mean excess indicates a
+# heavy GPD tail (complements the registered Gumbel block-maxima
+# query). Excesses are exact DECIMAL sums; one corpus scan covers the
+# whole ladder.
+
+_ME_THRESHOLDS = [100000, 200000, 300000, 400000]
+
+_ME_ORACLE = f"""
+WITH t AS (SELECT unnest([{", ".join(str(u) for u in _ME_THRESHOLDS)}]) AS u),
+e AS (
+    SELECT t.u, count(*)::BIGINT AS n_exceed,
+           sum(CAST(o.o_totalprice AS DECIMAL(30,8)) - t.u) AS excess
+    FROM orders o JOIN t ON o.o_totalprice > t.u
+    GROUP BY t.u
+)
+SELECT u::BIGINT AS threshold, n_exceed,
+       round(excess::DOUBLE / n_exceed * 10000) / 10000 + 0.0
+           AS mean_excess
+FROM e
+"""
+
+
+@register("mean_excess_pot_ladder", oracle=_ME_ORACLE)
+def mean_excess_pot_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    t = spark.createDataFrame(
+        [(u,) for u in _ME_THRESHOLDS], "u long"
+    )
+    e = (
+        o.join(F.broadcast(t), F.col("o_totalprice") > F.col("u"))
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exceed"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(30,8)") - F.col("u")
+            ).alias("excess"),
+        )
+    )
+    return e.select(
+        F.col("u").cast("long").alias("threshold"),
+        "n_exceed",
+        R.r(F.col("excess").cast("double") / F.col("n_exceed"), 4)
+        .alias("mean_excess"),
     )

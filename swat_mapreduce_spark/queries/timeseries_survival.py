@@ -1496,3 +1496,143 @@ def logrank_test_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(chi2, 6).alias("chi2"),
         (chi2 > 3.8415).alias("reject_equal_survival"),
     )
+
+
+# --- restricted mean survival time (RMST) --------------------------------------
+# Area under the Kaplan-Meier step function up to τ = 26 weeks — the
+# "average retained weeks per inter-purchase spell" number reported
+# when median survival is undefined. The step integral is
+# Σ S(w_i)·(min(w_{i+1}, τ) − w_i) plus the all-alive first interval,
+# with S the same round-10dp DECIMAL cumulative product as
+# survival_km_weekly — every area term is DECIMAL × integer (exact).
+
+_RMST_TAU = 26
+
+_RMST_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderdate::DATE AS d,
+           lead(o_orderdate::DATE) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate::DATE, o_orderkey) AS nd
+    FROM orders
+),
+mx AS (SELECT max(o_orderdate::DATE) AS censor_d FROM orders),
+de AS (
+    SELECT (nd IS NOT NULL) AS ev,
+           CAST(floor(CASE WHEN nd IS NOT NULL
+                      THEN date_diff('day', d, nd)
+                      ELSE date_diff('day', d, censor_d) END / 7)
+                AS BIGINT) AS w
+    FROM o, mx
+),
+wk AS (
+    SELECT w,
+           sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS c
+    FROM de GROUP BY 1
+),
+risk AS (
+    SELECT w, d,
+           sum(d + c) OVER (ORDER BY w
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n_risk
+    FROM wk
+),
+fct AS (
+    SELECT w,
+           CAST(round((1.0 - d * 1.0 / n_risk) * 100000000) / 100000000
+                AS DECIMAL(12,10)) AS f
+    FROM risk WHERE d > 0
+),
+surv AS (
+    SELECT w,
+           list_reduce(
+               list_prepend(CAST(1 AS DECIMAL(12,10)),
+                   list(f) OVER (ORDER BY w
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, x) -> CAST(round(acc * x, 10) AS DECIMAL(12,10)))
+               AS s,
+           lead(w) OVER (ORDER BY w) AS nw
+    FROM fct
+),
+first_w AS (SELECT min(w)::BIGINT AS w1 FROM fct),
+area AS (
+    SELECT sum(s * (least(coalesce(nw, {_RMST_TAU}), {_RMST_TAU}) - w))
+               AS tail_area
+    FROM surv WHERE w < {_RMST_TAU}
+)
+SELECT {_RMST_TAU}::BIGINT AS tau_weeks,
+       least(first_w.w1, {_RMST_TAU})::BIGINT AS all_alive_weeks,
+       round((least(first_w.w1, {_RMST_TAU})
+              + coalesce(area.tail_area, 0))::DOUBLE * 10000) / 10000
+           + 0.0 AS rmst_weeks
+FROM first_w, area
+"""
+
+
+@register("rmst_survival", oracle=_RMST_ORACLE)
+def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(12,10)"
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.withColumn("nd", F.lead("d").over(wc))
+    mx = o.agg(F.max("d").alias("censor_d"))
+    ev = F.col("nd").isNotNull()
+    days = F.when(ev, F.datediff("nd", "d")).otherwise(
+        F.datediff("censor_d", "d")
+    )
+    de = gaps.crossJoin(F.broadcast(mx)).select(
+        ev.alias("ev"), F.floor(days / 7).alias("w")
+    )
+    wk = de.groupBy("w").agg(
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("ev"), 0).otherwise(1)).alias("c"),
+    )
+    w_fwd = Window.orderBy("w").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = wk.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_fwd)
+    )
+    fct = risk.filter(F.col("d") > 0).select(
+        "w",
+        R.r(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+            8,
+        ).cast(dec).alias("f"),
+    )
+    w_cum = Window.orderBy("w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = fct.select(
+        "w",
+        F.aggregate(
+            F.collect_list("f").over(w_cum),
+            F.lit(1).cast(dec),
+            lambda acc, x: F.round(acc * x, 10).cast(dec),
+        ).alias("s"),
+        F.lead("w").over(Window.orderBy("w")).alias("nw"),
+    )
+    first_w = fct.agg(F.min("w").cast("long").alias("w1"))
+    tau = F.lit(_RMST_TAU)
+    area = surv.filter(F.col("w") < _RMST_TAU).agg(
+        F.sum(
+            F.col("s")
+            * (F.least(F.coalesce(F.col("nw"), tau), tau) - F.col("w"))
+        ).alias("tail_area")
+    )
+    return first_w.crossJoin(F.broadcast(area)).select(
+        tau.cast("long").alias("tau_weeks"),
+        F.least(F.col("w1"), tau).cast("long").alias("all_alive_weeks"),
+        R.r(
+            (
+                F.least(F.col("w1"), tau)
+                + F.coalesce(F.col("tail_area"), F.lit(0))
+            ).cast("double"),
+            4,
+        ).alias("rmst_weeks"),
+    )

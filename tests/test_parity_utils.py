@@ -468,6 +468,40 @@ def test_census_python_stages_only_on_deliberate_surfaces():
 # #6). Everything else must partition its windows: an unlisted global
 # window funnels the full input through one task at 100 TB.
 _GLOBAL_WINDOW_ALLOWLIST = {
+    # --- round 10 additions: all windows over bounded derived tables ---
+    # row_number over the 30-row daily deviation table
+    "grubbs_outlier_daily",
+    # median-grid cumsum over the document-length value domain (x3:
+    # grid median + the two cell passes)
+    "mood_median_test_lang",
+    # |d|-rank over the <=30 half-day pair table
+    "wilcoxon_signed_rank_halfday",
+    # row_number + count over the 465 Walsh-average pairs (30 days)
+    "hodges_lehmann_daily",
+    # lag-1/lag-7 over the 30-row daily table (calendar-bounded)
+    "mase_seasonal_naive_eval",
+    # descending cumulative over the distinct-4dp-score table
+    "pr_auc_average_precision",
+    # ECDF cumsums over the length domain (grid-bounded)
+    "cliff_delta_lengths",
+    # split-candidate cumsum over the length domain
+    "gini_stump_split",
+    # rank + lead over the 30-row daily table
+    "xi_correlation_chatterjee",
+    # decile cumsums over the length domain
+    "qq_plot_deciles",
+    # at-risk suffix sum over the calendar-bounded duration-week table
+    "nelson_aalen_hazard",
+    # the same duration-week suffix sums, two groups
+    "logrank_test_survival",
+    # KM fold + lead over the duration-week table
+    "rmst_survival",
+    # descending cumulative over the distinct-score table
+    "youden_j_threshold",
+    # ECDF cumsum over the length domain + rank over the 20-test table
+    "holm_bonferroni_tests",
+    # rank over the TakeOrdered top-21 frequency cut (zipf pattern)
+    "hill_tail_index_tokens",
     # running sum over the per-day aggregate (|days| rows)
     "cumulative_distinct_users",
     # cumulative attrition over the pipeline-stage table (|stages| rows)

@@ -276,3 +276,117 @@ def test_banzhaf_dummy_axiom_direction(reg, spark, sf_dir):
     assert len(rows) == 5
     assert all(r["own_coverage"] >= 0 for r in rows)
     assert all(r["banzhaf_value"] >= 0 for r in rows)
+
+
+# --- batches E/F ------------------------------------------------------------
+
+def test_nelson_aalen_monotone(reg, spark, sf_dir):
+    rows = sorted(
+        _rows(reg, spark, sf_dir, "nelson_aalen_hazard"),
+        key=lambda r: r["dur_week"],
+    )
+    ch = [r["cum_hazard"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(ch, ch[1:]))
+    assert all(r["hazard_inc"] > 0 for r in rows)
+
+
+def test_logrank_chi2_nonnegative(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "logrank_test_survival")
+    assert row["chi2"] >= 0
+    assert row["observed_g1"] >= 0 and row["expected_g1"] > 0
+
+
+def test_youden_dominates_extremes(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "youden_j_threshold")
+    # J at the best threshold >= J at the degenerate all/none points (0)
+    assert row["youden_j"] >= -1e-9
+    assert abs((row["tpr"] - row["fpr"]) - row["youden_j"]) < 2e-6
+
+
+def test_holm_rejects_prefix(reg, spark, sf_dir):
+    rows = sorted(
+        _rows(reg, spark, sf_dir, "holm_bonferroni_tests"),
+        key=lambda r: r["holm_rank"],
+    )
+    flags = [r["rejected"] for r in rows]
+    # step-down property: rejections form a prefix of the sorted list
+    assert flags == sorted(flags, reverse=True)
+    # Holm is never less conservative than raw alpha on the same p's
+    for r in rows:
+        if r["rejected"]:
+            assert r["p_value"] <= 0.05 + 1e-12
+
+
+def test_preferential_attachment_scores_consistent(reg, spark, sf_dir):
+    rows = _rows(reg, spark, sf_dir, "preferential_attachment_links")
+    assert rows
+    for r in rows:
+        assert r["pa_score"] == r["deg_a"] * r["deg_b"]
+
+
+def test_rich_club_monotone_n(reg, spark, sf_dir):
+    rows = sorted(
+        _rows(reg, spark, sf_dir, "rich_club_coefficient"),
+        key=lambda r: r["min_degree_excl"],
+    )
+    ns = [r["n_nodes"] for r in rows]
+    assert all(b <= a for a, b in zip(ns, ns[1:]))  # stricter k, fewer nodes
+    assert all(0 <= r["rich_club_coef"] <= 1.0 for r in rows)
+
+
+def test_xi_bounds(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "xi_correlation_chatterjee")
+    # xi in [-1/2 + O(1/n), 1]; for n=30 the floor is far above -1
+    assert -1.0 <= row["xi"] <= 1.0
+
+
+def test_gamma_bounds_and_jt_consistency(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "goodman_kruskal_gamma")
+    assert -1.0 <= row["gamma"] <= 1.0
+    (jt,) = _rows(reg, spark, sf_dir, "jonckheere_terpstra_priority_qty")
+    # JT2 = 2C + ties; so C <= JT2/2
+    assert row["concordant"] <= jt["jt2"] / 2 + 1e-9
+
+
+def test_srm_counts_cover_users(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "srm_sample_ratio_mismatch")
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert row["n_treat"] + row["n_ctrl"] == users
+
+
+def test_qq_gaps_consistent(reg, spark, sf_dir):
+    rows = sorted(
+        _rows(reg, spark, sf_dir, "qq_plot_deciles"),
+        key=lambda r: r["percentile"],
+    )
+    assert [r["percentile"] for r in rows] == list(range(10, 100, 10))
+    for r in rows:
+        assert r["qq_gap"] == r["q_en"] - r["q_other"]
+    # quantiles are monotone in the percentile
+    qs = [r["q_en"] for r in rows]
+    assert qs == sorted(qs)
+
+
+def test_mean_excess_counts_decrease(reg, spark, sf_dir):
+    rows = sorted(
+        _rows(reg, spark, sf_dir, "mean_excess_pot_ladder"),
+        key=lambda r: r["threshold"],
+    )
+    ns = [r["n_exceed"] for r in rows]
+    assert all(b <= a for a, b in zip(ns, ns[1:]))
+    assert all(r["mean_excess"] > 0 for r in rows)
+
+
+def test_rmst_bounds(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "rmst_survival")
+    assert 0 < row["rmst_weeks"] <= row["tau_weeks"]
+
+
+def test_hill_alpha_positive(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "hill_tail_index_tokens")
+    assert row["hill_h"] >= 0
+    if row["tail_alpha"] is not None:
+        assert row["tail_alpha"] > 0

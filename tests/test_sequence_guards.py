@@ -64,8 +64,13 @@ ALLOWLIST = {
 
 
 def _iter_calls(text: str):
-    """Yield (start_idx, args_text) for each sequence( call."""
+    """Yield (start_idx, args_text) for each sequence( call. Matches on
+    comment lines are skipped — prose like '# guards sequence(3, n)'
+    is not a call site."""
     for m in re.finditer(r"\bsequence\(", text):
+        line_start = text.rfind("\n", 0, m.start()) + 1
+        if text[line_start : m.start()].lstrip().startswith("#"):
+            continue
         i = m.end()
         depth = 1
         j = i
