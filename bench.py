@@ -278,6 +278,50 @@ HEADLINE = [
     "pettitt_changepoint",
     "granger_causality_daily",
     "sinkhorn_ot_lengths",
+    # round-10 additions
+    "friedman_event_types",
+    "grubbs_outlier_daily",
+    "mood_median_test_lang",
+    "wilcoxon_signed_rank_halfday",
+    "sign_test_halfday",
+    "cronbach_alpha_event_types",
+    "jonckheere_terpstra_priority_qty",
+    "hodges_lehmann_daily",
+    "diff_in_diff_value",
+    "iv_wald_estimator",
+    "mase_seasonal_naive_eval",
+    "bartlett_variance_lang",
+    "stupid_backoff_trigram",
+    "moore_lewis_selection",
+    "flesch_reading_ease",
+    "mattr_lexical_diversity",
+    "fleiss_kappa_filters",
+    "pr_auc_average_precision",
+    "brier_score_decomposition",
+    "local_clustering_coefficient",
+    "jaccard_link_prediction",
+    "t_closeness_audit",
+    "multimodal_exact_dup_binary",
+    "fk_orphan_audit",
+    "pacf_durbin_levinson",
+    "banzhaf_coverage_attribution",
+    "cliff_delta_lengths",
+    "covariate_balance_smd",
+    "gini_stump_split",
+    "umass_topic_coherence",
+    "nelson_aalen_hazard",
+    "logrank_test_survival",
+    "youden_j_threshold",
+    "holm_bonferroni_tests",
+    "preferential_attachment_links",
+    "rich_club_coefficient",
+    "xi_correlation_chatterjee",
+    "goodman_kruskal_gamma",
+    "srm_sample_ratio_mismatch",
+    "qq_plot_deciles",
+    "mean_excess_pot_ladder",
+    "rmst_survival",
+    "hill_tail_index_tokens",
 ]
 
 REPEATS = 2
