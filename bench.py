@@ -322,6 +322,9 @@ HEADLINE = [
     "mean_excess_pot_ladder",
     "rmst_survival",
     "hill_tail_index_tokens",
+    "calinski_harabasz_embeddings",
+    "davies_bouldin_embeddings",
+    "breslow_day_homogeneity",
 ]
 
 REPEATS = 2

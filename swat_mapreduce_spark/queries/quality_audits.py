@@ -1336,3 +1336,260 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+# --- Calinski-Harabasz cluster-validity index ---------------------------------
+# The variance-ratio criterion over the embedding labels:
+# CH = (SSB/(k−1)) / (SSW/(n−k)) — the cheap first look before the
+# silhouette. One dims pass builds per-label and global per-dim means
+# (DECIMAL-exact sums / exact counts); SSW/SSB accumulate integer
+# 1e-8-unit squared deviations, so both engines sum identical int64
+# terms. Bounded |labels|×dims tables everywhere.
+
+_CH_ORACLE = f"""
+WITH {{dims}},
+cent AS (
+    SELECT e.label, d.i, count(*)::BIGINT AS n_l,
+           sum(CAST(d.x AS DECIMAL(30,8)))::DOUBLE / count(*) AS m
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY e.label, d.i
+),
+gmean AS (
+    SELECT i, sum(CAST(x AS DECIMAL(30,8)))::DOUBLE / count(*) AS g,
+           count(*)::BIGINT AS n
+    FROM dims GROUP BY i
+),
+ssw AS (
+    SELECT sum(CAST(round((d.x - c.m) * (d.x - c.m) * 100000000)
+                    AS BIGINT))::BIGINT AS ssw_u
+    FROM dims d
+    JOIN embeddings e ON e.vec_id = d.vec_id
+    JOIN cent c ON c.label = e.label AND c.i = d.i
+),
+ssb AS (
+    SELECT sum(c.n_l * CAST(round((c.m - g.g) * (c.m - g.g) * 100000000)
+                            AS BIGINT))::BIGINT AS ssb_u,
+           count(DISTINCT c.label)::BIGINT AS k,
+           min(g.n)::BIGINT AS n
+    FROM cent c JOIN gmean g ON g.i = c.i
+)
+SELECT ssb.n AS n_vectors, ssb.k AS k_clusters,
+       round(ssw.ssw_u * 1.0 / 100000000 * 10000) / 10000 + 0.0 AS ssw,
+       round(ssb.ssb_u * 1.0 / 100000000 * 10000) / 10000 + 0.0 AS ssb,
+       round((ssb.ssb_u * 1.0 / (ssb.k - 1))
+             / (ssw.ssw_u * 1.0 / (ssb.n - ssb.k)) * 10000) / 10000 + 0.0
+           AS calinski_harabasz
+FROM ssw, ssb
+""".format(dims=_DIMS_DUCK)
+
+
+@register("calinski_harabasz_embeddings", oracle=_CH_ORACLE)
+def calinski_harabasz_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dec = "decimal(30,8)"
+    dims = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(A.as_double_array(F.col("embedding"))).alias("i", "x"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cent = dims.groupBy(F.col("own").alias("clabel"), "i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1)))
+        .alias("m"),
+    )
+    glob = dims.groupBy("i").agg(
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1)))
+        .alias("g"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    u8 = F.lit(100000000)
+    ssw = (
+        dims.join(
+            F.broadcast(cent),
+            (dims["own"] == cent["clabel"]) & (dims["i"] == cent["i"]),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))
+                    * u8
+                ).cast("long")
+            ).cast("long").alias("ssw_u")
+        )
+    )
+    ssb = (
+        cent.join(F.broadcast(glob), "i")
+        .agg(
+            F.sum(
+                F.col("n_l")
+                * F.round(
+                    (F.col("m") - F.col("g")) * (F.col("m") - F.col("g"))
+                    * u8
+                ).cast("long")
+            ).cast("long").alias("ssb_u"),
+            F.countDistinct("clabel").cast("long").alias("k"),
+            F.min("n").cast("long").alias("n"),
+        )
+    )
+    return ssw.crossJoin(F.broadcast(ssb)).select(
+        F.col("n").alias("n_vectors"),
+        F.col("k").alias("k_clusters"),
+        R.r(F.col("ssw_u") * F.lit(1.0) / 100000000, 4).alias("ssw"),
+        R.r(F.col("ssb_u") * F.lit(1.0) / 100000000, 4).alias("ssb"),
+        R.r(
+            (F.col("ssb_u") * F.lit(1.0) / (F.col("k") - 1))
+            / (F.col("ssw_u") * F.lit(1.0) / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("calinski_harabasz"),
+    )
+
+
+# --- Davies-Bouldin cluster-validity index -------------------------------------
+# DB = (1/k)·Σ_i max_{j≠i} (s_i + s_j)/d_ij over the |labels|²
+# centroid grid: s_l = mean member→centroid distance (sqrt of the
+# DECIMAL-exact squared sums — the silhouette distance discipline),
+# d_ij = centroid-centroid distance. Per-pair R snaps to 1e-8 units so
+# the max and the final mean run on identical integers.
+
+_DB_ORACLE = f"""
+WITH {{dims}},
+cent AS (
+    SELECT e.label, d.i,
+           sum(CAST(d.x AS DECIMAL(30,8)))::DOUBLE / count(*) AS m
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY e.label, d.i
+),
+dv AS (
+    SELECT d.vec_id, e.label,
+           sqrt(sum(CAST(round((d.x - c.m) * (d.x - c.m) * 100000000)
+                         AS BIGINT))::DOUBLE / 100000000) AS dist
+    FROM dims d
+    JOIN embeddings e ON e.vec_id = d.vec_id
+    JOIN cent c ON c.label = e.label AND c.i = d.i
+    GROUP BY d.vec_id, e.label
+),
+s AS (
+    SELECT label, count(*)::BIGINT AS n_l,
+           sum(CAST(round(dist * 100000000) AS BIGINT))::DOUBLE
+               / 100000000 / count(*) AS s_l
+    FROM dv GROUP BY 1
+),
+cd AS (
+    SELECT a.label AS la, b.label AS lb,
+           sqrt(sum(CAST(round((a.m - b.m) * (a.m - b.m) * 100000000)
+                         AS BIGINT))::DOUBLE / 100000000) AS d_ij
+    FROM cent a JOIN cent b ON b.i = a.i AND a.label <> b.label
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT cd.la, max(CAST(round((sa.s_l + sb.s_l) / cd.d_ij * 100000000)
+                           AS BIGINT))::BIGINT AS r_u
+    FROM cd
+    JOIN s sa ON sa.label = cd.la
+    JOIN s sb ON sb.label = cd.lb
+    GROUP BY cd.la
+)
+SELECT r.la AS label, s.n_l AS n_vectors,
+       round(s.s_l * 10000) / 10000 + 0.0 AS avg_scatter,
+       round(r.r_u * 1.0 / 100000000 * 10000) / 10000 + 0.0 AS worst_ratio,
+       round((SELECT sum(r_u) * 1.0 / count(*) FROM r) / 100000000
+             * 10000) / 10000 + 0.0 AS davies_bouldin
+FROM r JOIN s ON s.label = r.la
+""".format(dims=_DIMS_DUCK)
+
+
+@register("davies_bouldin_embeddings", oracle=_DB_ORACLE)
+def davies_bouldin_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dec = "decimal(30,8)"
+    u8 = F.lit(100000000)
+    dims = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(A.as_double_array(F.col("embedding"))).alias("i", "x"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cent = dims.groupBy(F.col("own").alias("clabel"), "i").agg(
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1)))
+        .alias("m")
+    )
+    cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+    dv = (
+        dims.join(
+            F.broadcast(cent),
+            (dims["own"] == cent["clabel"]) & (dims["i"] == cent["i"]),
+        )
+        .groupBy("vec_id", "own")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("x") - F.col("m"))
+                        * (F.col("x") - F.col("m"))
+                        * u8
+                    ).cast("long")
+                ).cast("double")
+                / u8
+            ).alias("dist")
+        )
+    )
+    s = dv.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        (
+            F.sum(F.round(F.col("dist") * u8).cast("long")).cast("double")
+            / u8
+            / F.count(F.lit(1))
+        ).alias("s_l"),
+    )
+    ca = cent.select(
+        F.col("clabel").alias("la"), "i", F.col("m").alias("ma")
+    )
+    cb = cent.select(
+        F.col("clabel").alias("lb"), "i", F.col("m").alias("mb")
+    )
+    cd = (
+        ca.join(cb, "i")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("ma") - F.col("mb"))
+                        * (F.col("ma") - F.col("mb"))
+                        * u8
+                    ).cast("long")
+                ).cast("double")
+                / u8
+            ).alias("d_ij")
+        )
+    )
+    sa = s.select(F.col("label").alias("la"), F.col("s_l").alias("sa"))
+    sb = s.select(F.col("label").alias("lb"), F.col("s_l").alias("sb"))
+    r = (
+        cd.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(
+            F.max(
+                F.round((F.col("sa") + F.col("sb")) / F.col("d_ij") * u8)
+                .cast("long")
+            ).cast("long").alias("r_u")
+        )
+    )
+    db = r.agg(
+        (F.sum("r_u") * F.lit(1.0) / F.count(F.lit(1))).alias("db_u")
+    )
+    return (
+        r.join(s, r["la"] == s["label"])
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("la").alias("label"),
+            F.col("n_l").alias("n_vectors"),
+            R.r(F.col("s_l"), 4).alias("avg_scatter"),
+            R.r(F.col("r_u") * F.lit(1.0) / 100000000, 4)
+            .alias("worst_ratio"),
+            R.r(F.col("db_u") / 100000000, 4).alias("davies_bouldin"),
+        )
+    )

@@ -2233,3 +2233,178 @@ def mean_excess_pot_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.col("excess").cast("double") / F.col("n_exceed"), 4)
         .alias("mean_excess"),
     )
+
+
+# --- Breslow-Day homogeneity of odds ratios ------------------------------------
+# The companion the registered Mantel-Haenszel query needs before its
+# common OR is trusted: are the per-language stratum ORs actually
+# homogeneous? Same 2×2 cells as mantel_haenszel_or. Under the pooled
+# MH odds ratio ψ (snapped at 8dp from the same 1e-6-unit MH sums),
+# the expected exposed-positive count per stratum solves
+# (1−ψ)·â² + [(n−r1−c1) + ψ(r1+c1)]·â − ψ·r1·c1 = 0; both engines take
+# sqrt of the identical discriminant double and pick the admissible
+# root by the same bounds check. BD = Σ (a−â)²/V̂ with
+# V̂ = 1/(Σ 1/cell-hat); per-stratum terms snap to 1e-6 units.
+
+_BD_CRIT = 9.4877  # chi-square 95th pct, df = strata-1 = 4
+
+
+_BRESLOW_DAY_ORACLE = f"""
+WITH d AS (
+    SELECT lang,
+           (CAST(substr(source, 4) AS BIGINT) % 2 = 0) AS exposed,
+           (n_chars > 250) AS long_doc
+    FROM documents
+),
+s AS (
+    SELECT lang,
+           count(*) FILTER (WHERE exposed AND long_doc)::BIGINT AS a,
+           count(*) FILTER (WHERE exposed)::BIGINT AS r1,
+           count(*) FILTER (WHERE long_doc)::BIGINT AS c1,
+           count(*)::BIGINT AS n
+    FROM d GROUP BY 1
+),
+mh AS (
+    SELECT round(sum(CAST(round(a * (n - r1 - c1 + a) * 1000000.0 / n)
+                          AS BIGINT)) * 1.0
+                 / sum(CAST(round((r1 - a) * (c1 - a) * 1000000.0 / n)
+                            AS BIGINT)) * 100000000) / 100000000 AS psi
+    FROM s
+),
+q AS (
+    SELECT s.*, mh.psi,
+           (1 - mh.psi) AS qa,
+           ((s.n - s.r1 - s.c1) + mh.psi * (s.r1 + s.c1)) AS qb,
+           (-mh.psi * s.r1 * s.c1) AS qc
+    FROM s, mh
+),
+roots AS (
+    SELECT *,
+           CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+                ELSE (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+           END AS root1,
+           CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+                ELSE (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+           END AS root2
+    FROM q
+),
+pick AS (
+    SELECT *, CASE WHEN root1 >= greatest(0, r1 + c1 - n)
+                    AND root1 <= least(r1, c1) THEN root1
+                   ELSE root2 END AS a_hat
+    FROM roots
+),
+terms AS (
+    SELECT lang, a, r1, c1, n, a_hat,
+           -- (a-â)² / V̂ with V̂ = 1/Σ(1/cell-hats), i.e. times Σ(1/cells)
+           CAST(round((a - a_hat) * (a - a_hat)
+                      * (1.0 / a_hat + 1.0 / (r1 - a_hat)
+                         + 1.0 / (c1 - a_hat)
+                         + 1.0 / (n - r1 - c1 + a_hat))
+                      * 1000000) AS BIGINT) AS t_u
+    FROM pick
+),
+bd AS (SELECT sum(t_u)::BIGINT AS bd_u FROM terms)
+SELECT t.lang, t.a AS observed_a,
+       round(t.a_hat * 10000) / 10000 + 0.0 AS expected_a,
+       round(t.t_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS bd_term,
+       round(bd.bd_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS bd_stat,
+       bd.bd_u * 1.0 / 1000000 > {_BD_CRIT} AS reject_homogeneity
+FROM terms t, bd
+"""
+
+
+@register("breslow_day_homogeneity", oracle=_BRESLOW_DAY_ORACLE)
+def breslow_day_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        (F.substring("source", 4, 10).cast("long") % 2 == 0)
+        .alias("exposed"),
+        (F.col("n_chars") > 250).alias("long_doc"),
+    )
+    s = d.groupBy("lang").agg(
+        F.sum(F.when(F.col("exposed") & F.col("long_doc"), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("exposed"), 1).otherwise(0)).cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("long_doc"), 1).otherwise(0)).cast("long")
+        .alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = s.persist()
+    u6 = F.lit(1000000.0)
+    mh = s.agg(
+        R.r(
+            F.sum(
+                F.round(
+                    F.col("a")
+                    * (F.col("n") - F.col("r1") - F.col("c1") + F.col("a"))
+                    * u6
+                    / F.col("n")
+                ).cast("long")
+            )
+            * F.lit(1.0)
+            / F.sum(
+                F.round(
+                    (F.col("r1") - F.col("a"))
+                    * (F.col("c1") - F.col("a"))
+                    * u6
+                    / F.col("n")
+                ).cast("long")
+            ),
+            8,
+        ).alias("psi")
+    )
+    q = s.crossJoin(F.broadcast(mh)).select(
+        "lang", "a", "r1", "c1", "n", "psi",
+        (1 - F.col("psi")).alias("qa"),
+        (
+            (F.col("n") - F.col("r1") - F.col("c1"))
+            + F.col("psi") * (F.col("r1") + F.col("c1"))
+        ).alias("qb"),
+        (-F.col("psi") * F.col("r1") * F.col("c1")).alias("qc"),
+    )
+    disc = F.sqrt(F.col("qb") * F.col("qb") - 4 * F.col("qa") * F.col("qc"))
+    lin = -F.col("qc") / F.col("qb")
+    root1 = F.when(F.abs(F.col("qa")) < 1e-12, lin).otherwise(
+        (-F.col("qb") + disc) / (2 * F.col("qa"))
+    )
+    root2 = F.when(F.abs(F.col("qa")) < 1e-12, lin).otherwise(
+        (-F.col("qb") - disc) / (2 * F.col("qa"))
+    )
+    roots = q.select(
+        "lang", "a", "r1", "c1", "n",
+        root1.alias("root1"), root2.alias("root2"),
+    )
+    lo = F.greatest(F.lit(0.0), (F.col("r1") + F.col("c1") - F.col("n"))
+                    .cast("double"))
+    hi = F.least(F.col("r1"), F.col("c1")).cast("double")
+    a_hat = F.when(
+        (F.col("root1") >= lo) & (F.col("root1") <= hi), F.col("root1")
+    ).otherwise(F.col("root2"))
+    pick = roots.select("lang", "a", "r1", "c1", "n", a_hat.alias("a_hat"))
+    inv_v = (
+        F.lit(1.0) / F.col("a_hat")
+        + F.lit(1.0) / (F.col("r1") - F.col("a_hat"))
+        + F.lit(1.0) / (F.col("c1") - F.col("a_hat"))
+        + F.lit(1.0)
+        / (F.col("n") - F.col("r1") - F.col("c1") + F.col("a_hat"))
+    )
+    t_u = F.round(
+        (F.col("a") - F.col("a_hat"))
+        * (F.col("a") - F.col("a_hat"))
+        * inv_v
+        * u6
+    ).cast("long")
+    terms = pick.select("lang", "a", "a_hat", t_u.alias("t_u"))
+    bd = terms.agg(F.sum("t_u").cast("long").alias("bd_u"))
+    return terms.crossJoin(F.broadcast(bd)).select(
+        "lang",
+        F.col("a").alias("observed_a"),
+        R.r(F.col("a_hat"), 4).alias("expected_a"),
+        R.r(F.col("t_u") * F.lit(1.0) / 1000000, 4).alias("bd_term"),
+        R.r(F.col("bd_u") * F.lit(1.0) / 1000000, 4).alias("bd_stat"),
+        (F.col("bd_u") * F.lit(1.0) / 1000000 > _BD_CRIT)
+        .alias("reject_homogeneity"),
+    )

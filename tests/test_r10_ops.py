@@ -390,3 +390,29 @@ def test_hill_alpha_positive(reg, spark, sf_dir):
     assert row["hill_h"] >= 0
     if row["tail_alpha"] is not None:
         assert row["tail_alpha"] > 0
+
+
+def test_calinski_harabasz_positive(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "calinski_harabasz_embeddings")
+    assert row["k_clusters"] == 10
+    assert row["ssw"] > 0 and row["ssb"] > 0
+    assert row["calinski_harabasz"] > 0
+
+
+def test_davies_bouldin_shape(reg, spark, sf_dir):
+    rows = _rows(reg, spark, sf_dir, "davies_bouldin_embeddings")
+    assert len(rows) == 10
+    db = {r["davies_bouldin"] for r in rows}
+    assert len(db) == 1  # the index is global, repeated per row
+    assert all(r["worst_ratio"] > 0 and r["avg_scatter"] > 0 for r in rows)
+    # DB is the mean over per-label worst ratios
+    mean_worst = sum(r["worst_ratio"] for r in rows) / len(rows)
+    assert abs(mean_worst - rows[0]["davies_bouldin"]) < 5e-4
+
+
+def test_breslow_day_expected_within_bounds(reg, spark, sf_dir):
+    rows = _rows(reg, spark, sf_dir, "breslow_day_homogeneity")
+    assert len(rows) == 5
+    assert all(r["bd_term"] >= 0 for r in rows)
+    (bd,) = {r["bd_stat"] for r in rows}
+    assert abs(bd - sum(r["bd_term"] for r in rows)) < 5e-4
