@@ -325,6 +325,11 @@ HEADLINE = [
     "calinski_harabasz_embeddings",
     "davies_bouldin_embeddings",
     "breslow_day_homogeneity",
+    "resource_allocation_links",
+    "simpson_diversity_sources",
+    "dixon_q_outlier_daily",
+    "somers_d_priority_qty",
+    "gwet_ac1_filters",
 ]
 
 REPEATS = 2

@@ -789,3 +789,75 @@ def hill_tail_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.lit(_HILL_K) * F.lit(100000000.0) / F.col("h_u"), 6),
         ).alias("tail_alpha"),
     )
+
+
+# --- Gwet's AC1 over the three quality filters ---------------------------------
+# The prevalence-robust agreement coefficient (Gwet 2008) on the SAME
+# 3-rater panel as fleiss_kappa_filters — kappa collapses under
+# skewed marginals (the "kappa paradox"); AC1's chance term
+# 2π(1−π) with π the overall yes-rate does not. Exact integer ratios.
+
+_AC1_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, n_chars, {_DUCK_TOKS} AS tk FROM documents
+),
+r AS (
+    SELECT (n_chars >= 300)::INT
+           + (len(list_filter(tk, x -> x IN {_FK_STOPS})) * 10
+              >= len(tk))::INT
+           + (len(tk) >= 30)::INT AS yes
+    FROM t WHERE len(tk) > 0
+),
+agg AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(yes * (yes - 1) + (3 - yes) * (2 - yes))::BIGINT AS agree_u,
+           sum(yes)::BIGINT AS tot_yes
+    FROM r
+),
+k AS (
+    SELECT n,
+           agree_u * 1.0 / (n * 6) AS p_a,
+           2.0 * (tot_yes * 1.0 / (3 * n))
+               * (1 - tot_yes * 1.0 / (3 * n)) AS p_e_gamma
+    FROM agg
+)
+SELECT n AS n_docs,
+       round(p_a * 1000000) / 1000000 + 0.0 AS p_a,
+       round(p_e_gamma * 1000000) / 1000000 + 0.0 AS p_e_gamma,
+       round((p_a - p_e_gamma) / (1 - p_e_gamma) * 1000000) / 1000000
+           + 0.0 AS gwet_ac1
+FROM k
+"""
+
+
+@register("gwet_ac1_filters", oracle=_AC1_ORACLE)
+def gwet_ac1_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", ws_tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") > 0)
+    stops = F.array(
+        *[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    nstop = F.size(F.filter("tk", lambda x: F.array_contains(stops, x)))
+    yes = (
+        (F.col("n_chars") >= 300).cast("int")
+        + (nstop * 10 >= F.size("tk")).cast("int")
+        + (F.size("tk") >= 30).cast("int")
+    )
+    agg = docs.select(yes.alias("yes")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("yes") * (F.col("yes") - 1)
+            + (3 - F.col("yes")) * (2 - F.col("yes"))
+        ).cast("long").alias("agree_u"),
+        F.sum("yes").cast("long").alias("tot_yes"),
+    )
+    p_a = F.col("agree_u") * F.lit(1.0) / (F.col("n") * 6)
+    py = F.col("tot_yes") * F.lit(1.0) / (3 * F.col("n"))
+    p_e = F.lit(2.0) * py * (1 - py)
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        R.r(p_a, 6).alias("p_a"),
+        R.r(p_e, 6).alias("p_e_gamma"),
+        R.r((p_a - p_e) / (1 - p_e), 6).alias("gwet_ac1"),
+    )

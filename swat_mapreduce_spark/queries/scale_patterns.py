@@ -2473,3 +2473,119 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     deg.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- resource-allocation link prediction -----------------------------------------
+# Zhou-Lü-Zhang 2009: Σ_z 1/deg(z) over common neighbors — completing
+# the four classic common-neighbor predictors (adamic_adar, jaccard,
+# preferential attachment already registered) on the same
+# wedge-bounded candidate frontier. 1/d snaps to integer 1e-6 units
+# (d >= 2 for any wedge center, no division hazard).
+
+_RA_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (
+    SELECT u, count(*)::BIGINT AS d,
+           CAST(round(1000000.0 / count(*)) AS BIGINT) AS w_u
+    FROM und GROUP BY u
+),
+wedges AS (
+    SELECT n1.v AS a, n2.v AS b, d.w_u
+    FROM und n1
+    JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN deg d ON d.u = n1.u
+),
+cand AS (
+    SELECT w.a, w.b, sum(w.w_u)::BIGINT AS score_u,
+           count(*)::BIGINT AS n_common
+    FROM wedges w
+    LEFT JOIN edges e ON e.pa = w.a AND e.pb = w.b
+    WHERE e.pa IS NULL
+    GROUP BY w.a, w.b
+)
+SELECT a AS part_a, b AS part_b, n_common,
+       round(score_u * 1.0 / 1000000 * 10000) / 10000 + 0.0 AS ra_score
+FROM cand
+ORDER BY score_u DESC, a, b LIMIT 20
+"""
+
+
+@register("resource_allocation_links", oracle=_RA_ORACLE)
+def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(
+        F.round(F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
+        .alias("w_u")
+    )
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    wedges = (
+        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .join(deg, F.col("u") == F.col("z"))
+        .select("a", "b", "w_u")
+    )
+    cand = (
+        wedges.join(
+            edges,
+            (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("w_u").cast("long").alias("score_u"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    out = (
+        cand.orderBy(F.desc("score_u"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            R.r(F.col("score_u") * F.lit(1.0) / 1000000, 4)
+            .alias("ra_score"),
+        )
+    )
+    rows = out.collect()
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -2408,3 +2408,202 @@ def breslow_day_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bd_u") * F.lit(1.0) / 1000000 > _BD_CRIT)
         .alias("reject_homogeneity"),
     )
+
+
+# --- Simpson diversity / dominance of the source mix ---------------------------
+# The unbiased (finite-sample) Simpson index over per-source document
+# counts: D = Σ n_i(n_i−1) / (N(N−1)), diversity = 1 − D, inverse
+# Simpson = 1/D — the ecology triple next to the registered Shannon
+# equitability. Exact integers until two final divisions.
+
+_SIMPSON_ORACLE = """
+WITH s AS (
+    SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1
+),
+t AS (
+    SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+           sum(n * (n - 1))::BIGINT AS num
+    FROM s
+)
+SELECT k AS n_sources, nn AS n_docs,
+       round(num * 1.0 / (nn * (nn - 1)) * 1000000) / 1000000 + 0.0
+           AS simpson_d,
+       round((1.0 - num * 1.0 / (nn * (nn - 1))) * 1000000) / 1000000
+           + 0.0 AS simpson_diversity,
+       round((nn * 1.0 * (nn - 1)) / num * 10000) / 10000 + 0.0
+           AS inverse_simpson
+FROM t
+"""
+
+
+@register("simpson_diversity_sources", oracle=_SIMPSON_ORACLE)
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("num"),
+    )
+    d = F.col("num") * F.lit(1.0) / (F.col("nn") * (F.col("nn") - 1))
+    return t.select(
+        F.col("k").alias("n_sources"),
+        F.col("nn").alias("n_docs"),
+        R.r(d, 6).alias("simpson_d"),
+        R.r(F.lit(1.0) - d, 6).alias("simpson_diversity"),
+        R.r(
+            (F.col("nn") * F.lit(1.0) * (F.col("nn") - 1)) / F.col("num"),
+            4,
+        ).alias("inverse_simpson"),
+    )
+
+
+# --- Dixon Q extreme-value screen on the daily series --------------------------
+# The small-n outlier quick check (n=30 daily sums): Q = gap between
+# the extreme and its neighbor over the range, both ends reported.
+# Sorting happens on the exact DECIMAL array; Q is one division of
+# exact-difference doubles.
+
+_DIXON_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+arr AS (
+    SELECT list(x ORDER BY x, day) AS xs, count(*)::BIGINT AS n
+    FROM daily
+)
+SELECT n AS n_days,
+       round((xs[2] - xs[1])::DOUBLE
+             / (xs[CAST(n AS INT)] - xs[1])::DOUBLE * 1000000) / 1000000
+           + 0.0 AS q_low,
+       round((xs[CAST(n AS INT)] - xs[CAST(n - 1 AS INT)])::DOUBLE
+             / (xs[CAST(n AS INT)] - xs[1])::DOUBLE * 1000000) / 1000000
+           + 0.0 AS q_high,
+       greatest((xs[2] - xs[1])::DOUBLE, (xs[CAST(n AS INT)]
+                - xs[CAST(n - 1 AS INT)])::DOUBLE)
+           / (xs[CAST(n AS INT)] - xs[1])::DOUBLE > 0.29
+           AS flag_extreme
+FROM arr
+"""
+
+
+@register("dixon_q_outlier_daily", oracle=_DIXON_ORACLE)
+def dixon_q_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x", "day"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    xs = F.col("xs")
+    n = F.col("n").cast("int")
+    first = F.element_at(xs, 1)
+    second = F.element_at(xs, 2)
+    last = F.element_at(xs, n)
+    penult = F.element_at(xs, (F.col("n") - 1).cast("int"))
+    rng = (last - first).cast("double")
+    q_low = (second - first).cast("double") / rng
+    q_high = (last - penult).cast("double") / rng
+    return arr.select(
+        F.col("n").alias("n_days"),
+        R.r(q_low, 6).alias("q_low"),
+        R.r(q_high, 6).alias("q_high"),
+        (F.greatest(
+            (second - first).cast("double"),
+            (last - penult).cast("double"),
+        ) / rng > 0.29).alias("flag_extreme"),
+    )
+
+
+# --- Somers' D: quantity | priority ---------------------------------------------
+# The asymmetric ordinal association (the gamma sibling that charges
+# ties on the DEPENDENT variable): D_{Y|X} = (C − D)/(C + D + T_Y),
+# where T_Y = pairs differing on priority but tied on quantity — all
+# from the same 5×50 cumulative count grid.
+
+_SOMERS_ORACLE = """
+WITH g AS (
+    SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS p,
+           CAST(l.l_quantity AS BIGINT) AS q, count(*)::BIGINT AS c
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT p, q, c,
+           coalesce(sum(c) OVER (PARTITION BY p ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS below,
+           coalesce(sum(c) OVER (PARTITION BY p ORDER BY q
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               ::BIGINT AS above
+    FROM g
+),
+cd AS (
+    SELECT sum(j.c * i.below)::BIGINT AS conc,
+           sum(j.c * i.above)::BIGINT AS disc,
+           sum(j.c * i.c)::BIGINT AS ty
+    FROM cum i JOIN cum j ON j.q = i.q AND j.p > i.p
+)
+SELECT conc AS concordant, disc AS discordant, ty AS ties_y,
+       round((conc - disc) * 1.0 / (conc + disc + ty) * 1000000)
+           / 1000000 + 0.0 AS somers_d
+FROM cd
+"""
+
+
+@register("somers_d_priority_qty", oracle=_SOMERS_ORACLE)
+def somers_d_priority_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("p"),
+    )
+    g = li.join(od, "l_orderkey").groupBy("p", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wb = (
+        Window.partitionBy("p").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = (
+        Window.partitionBy("p").orderBy("q")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cum = g.select(
+        "p", "q", "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long")
+        .alias("below"),
+        F.coalesce(F.sum("c").over(wa), F.lit(0)).cast("long")
+        .alias("above"),
+    )
+    i = cum.select(
+        F.col("p").alias("pi"), "q", F.col("c").alias("ci"),
+        F.col("below").alias("bi"), F.col("above").alias("ai"),
+    )
+    j = cum.select(F.col("p").alias("pj"), "q", F.col("c").alias("cj"))
+    cd = (
+        i.join(F.broadcast(j), "q")
+        .filter(F.col("pj") > F.col("pi"))
+        .agg(
+            F.sum(F.col("cj") * F.col("bi")).cast("long").alias("conc"),
+            F.sum(F.col("cj") * F.col("ai")).cast("long").alias("disc"),
+            F.sum(F.col("cj") * F.col("ci")).cast("long").alias("ty"),
+        )
+    )
+    return cd.select(
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("ty").alias("ties_y"),
+        R.r(
+            (F.col("conc") - F.col("disc"))
+            * F.lit(1.0)
+            / (F.col("conc") + F.col("disc") + F.col("ty")),
+            6,
+        ).alias("somers_d"),
+    )

@@ -416,3 +416,37 @@ def test_breslow_day_expected_within_bounds(reg, spark, sf_dir):
     assert all(r["bd_term"] >= 0 for r in rows)
     (bd,) = {r["bd_stat"] for r in rows}
     assert abs(bd - sum(r["bd_term"] for r in rows)) < 5e-4
+
+
+def test_resource_allocation_scores_positive(reg, spark, sf_dir):
+    rows = _rows(reg, spark, sf_dir, "resource_allocation_links")
+    assert rows
+    assert all(r["ra_score"] > 0 and r["n_common"] >= 1 for r in rows)
+
+
+def test_simpson_triple_consistent(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "simpson_diversity_sources")
+    assert abs(row["simpson_d"] + row["simpson_diversity"] - 1.0) < 2e-6
+    assert row["inverse_simpson"] <= row["n_sources"] + 1e-6
+
+
+def test_dixon_q_bounds(reg, spark, sf_dir):
+    (row,) = _rows(reg, spark, sf_dir, "dixon_q_outlier_daily")
+    assert 0 <= row["q_low"] <= 1 and 0 <= row["q_high"] <= 1
+    assert row["flag_extreme"] == (max(row["q_low"], row["q_high"]) > 0.29)
+
+
+def test_somers_d_magnitude_le_gamma(reg, spark, sf_dir):
+    (sd,) = _rows(reg, spark, sf_dir, "somers_d_priority_qty")
+    (gm,) = _rows(reg, spark, sf_dir, "goodman_kruskal_gamma")
+    # |D| <= |gamma|: same numerator, D's denominator adds tie mass
+    assert abs(sd["somers_d"]) <= abs(gm["gamma"]) + 1e-9
+    assert sd["concordant"] == gm["concordant"]
+
+
+def test_gwet_ac1_vs_fleiss_panel(reg, spark, sf_dir):
+    (ac1,) = _rows(reg, spark, sf_dir, "gwet_ac1_filters")
+    (fk,) = _rows(reg, spark, sf_dir, "fleiss_kappa_filters")
+    assert ac1["n_docs"] == fk["n_docs"]
+    assert abs(ac1["p_a"] - fk["p_bar"]) < 2e-6  # same observed agreement
+    assert ac1["gwet_ac1"] <= 1.0
