@@ -427,7 +427,11 @@ def test_resource_allocation_scores_positive(reg, spark, sf_dir):
 def test_simpson_triple_consistent(reg, spark, sf_dir):
     (row,) = _rows(reg, spark, sf_dir, "simpson_diversity_sources")
     assert abs(row["simpson_d"] + row["simpson_diversity"] - 1.0) < 2e-6
-    assert row["inverse_simpson"] <= row["n_sources"] + 1e-6
+    # the UNBIASED estimator n(n-1)/(N(N-1)) can push 1/D slightly
+    # above k on an even mix (it under-counts dominance); the k bound
+    # only holds for the plug-in p² form, so assert the loose bounds
+    assert 1.0 < row["inverse_simpson"] <= row["n_docs"]
+    assert 0 < row["simpson_d"] < 1
 
 
 def test_dixon_q_bounds(reg, spark, sf_dir):
