@@ -133,18 +133,39 @@ def test_pinned_queries_exempt_from_drift_normalization():
     assert _classes(old, new)["pinned_q"] == "UNEXPLAINED"
 
 
+def _fixture(name):
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    with open(os.path.join(here, name)) as f:
+        return json.load(f)
+
+
 def test_r9_driver_recapture_gates_clean_end_to_end():
-    """The exact VERDICT r9 #2 acceptance: the committed pins +
-    drift normalization adjudicate the r9 driver recapture
-    (BENCH_BASE.json -> BENCH_full.json, zero code delta) to 0
-    UNEXPLAINED."""
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_PINS.json")) as f:
-        pins = json.load(f)
-    with open(os.path.join(here, "BENCH_BASE.json")) as f:
-        old = json.load(f)["queries"]
-    with open(os.path.join(here, "BENCH_full.json")) as f:
-        new = json.load(f)["queries"]
+    """The exact VERDICT r9 #2 acceptance: the r9-era pins + drift
+    normalization adjudicate the r9 driver recapture (zero code delta)
+    to 0 UNEXPLAINED. Frozen onto fixture copies of the capture pair
+    (VERDICT r10 #1 / task 2): the live BENCH_full.json is overwritten
+    by every driver recapture, so asserting on it made the suite red
+    whenever the driver ran on a hot box."""
+    pins = _fixture("r9_pins.json")
+    old = _fixture("r9_recapture_old.json")["queries"]
+    new = _fixture("r9_recapture_new.json")["queries"]
     movers = classify(old, new, pins)
     unexplained = [m for m in movers if m["class"] == "UNEXPLAINED"]
     assert unexplained == [], unexplained
+
+
+def test_frozen_gate_still_flags_perturbed_recapture():
+    """Perturbing a query in the recapture (the 'driver wrote a hot
+    BENCH_full.json' scenario) must flag UNEXPLAINED in classify() —
+    proving the fixture freeze didn't neuter the gate — while the
+    pytest suite itself stays green because no test reads the live
+    BENCH_full.json anymore."""
+    pins = _fixture("r9_pins.json")
+    old = _fixture("r9_recapture_old.json")["queries"]
+    new = dict(_fixture("r9_recapture_new.json")["queries"])
+    victim = next(q for q, t in old.items() if t > 1.0 and q not in pins["pins"])
+    new[victim] = old[victim] * 10.0
+    movers = classify(old, new, pins)
+    assert any(
+        m["query"] == victim and m["class"] == "UNEXPLAINED" for m in movers
+    ), movers
