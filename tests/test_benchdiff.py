@@ -154,6 +154,39 @@ def test_r9_driver_recapture_gates_clean_end_to_end():
     assert unexplained == [], unexplained
 
 
+def test_drift_disabled_for_cross_source_captures():
+    """ADVICE r10 #1: with allow_drift=False (captures from different
+    engine source), a capture-wide 1.45x slowdown does NOT
+    self-normalize — every mover is UNEXPLAINED and needs a commit
+    explanation. This is the shared-helper-regression scenario the
+    P75 trigger alone could not distinguish from a hot box."""
+    old, new = _drift_capture()
+    c = {
+        m["query"]: m["class"]
+        for m in classify(old, new, PINS, allow_drift=False)
+    }
+    assert c, "the 1.45x rows must still be movers"
+    assert set(c.values()) == {"UNEXPLAINED"}
+
+
+def test_drift_default_preserves_same_source_behavior():
+    old, new = _drift_capture()
+    assert set(_classes(old, new).values()) == {"box-drift"}
+
+
+def test_source_sha_stamp_is_stable_and_content_sensitive(tmp_path):
+    from benchdiff import source_sha
+
+    pkg = tmp_path / "swat_mapreduce_spark"
+    pkg.mkdir()
+    (pkg / "a.py").write_text("x = 1\n")
+    (tmp_path / "bench.py").write_text("pass\n")
+    s1 = source_sha(str(tmp_path))
+    assert s1 == source_sha(str(tmp_path))
+    (pkg / "a.py").write_text("x = 2\n")
+    assert source_sha(str(tmp_path)) != s1
+
+
 def test_frozen_gate_still_flags_perturbed_recapture():
     """Perturbing a query in the recapture (the 'driver wrote a hot
     BENCH_full.json' scenario) must flag UNEXPLAINED in classify() —

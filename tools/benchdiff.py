@@ -36,6 +36,7 @@ its gate was computed before the same commit's pin updates).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -43,22 +44,62 @@ import sys
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_queries(path: str) -> dict[str, float]:
+def source_sha(root: str = _HERE) -> str:
+    """Content hash of the engine source (swat_mapreduce_spark/**/*.py
+    + bench.py). Captures stamped with equal hashes were produced by
+    byte-identical query code regardless of commit bookkeeping — the
+    precondition for box-drift normalization (ADVICE r10 #1): a
+    same-source recapture that runs capture-wide hot is box drift by
+    construction, while a cross-source capture's movers must be
+    explained by the commits that changed the source."""
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "bench.py")]
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(root, "swat_mapreduce_spark")
+    ):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        paths.extend(
+            os.path.join(dirpath, f) for f in filenames if f.endswith(".py")
+        )
+    for p in sorted(paths):
+        if not os.path.exists(p):
+            continue
+        h.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _load_doc(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     # driver BENCH_r*.json wraps the bench line under "parsed"
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
-    q = d.get("queries")
+    return d
+
+
+def _load_queries(path: str) -> dict[str, float]:
+    q = _load_doc(path).get("queries")
     if not isinstance(q, dict) or not q:
         raise SystemExit(f"{path}: no per-query timings found")
     return {k: float(v) for k, v in q.items()}
 
 
 def classify(
-    old: dict[str, float], new: dict[str, float], pins_doc: dict
+    old: dict[str, float],
+    new: dict[str, float],
+    pins_doc: dict,
+    allow_drift: bool = True,
 ) -> list[dict]:
-    """Return one record per >threshold mover on the common query set."""
+    """Return one record per >threshold mover on the common query set.
+
+    ``allow_drift=False`` disables box-drift normalization entirely
+    (ADVICE r10 #1): callers set it when the two captures were NOT
+    produced by identical engine source, so a capture-wide slowdown
+    cannot be assumed to be the box — it could be a shared-helper
+    regression that would otherwise self-normalize against its own
+    P90."""
     thr = float(pins_doc.get("ratio_threshold", 1.3))
     floor = float(pins_doc.get("jitter_floor_sec", 1.0))
     trigger = float(pins_doc.get("drift_p75_trigger", 1.15))
@@ -74,7 +115,7 @@ def classify(
     # a drift distribution needs a population: with few common queries
     # the P75/P90 are dominated by the movers themselves and a lone
     # genuine regression would self-normalize away.
-    if len(ratios) >= 20:
+    if allow_drift and len(ratios) >= 20:
         p75 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.75))]
         p90 = ratios[min(len(ratios) - 1, int(len(ratios) * 0.90))]
         if p75 > trigger:
@@ -130,10 +171,29 @@ def main(argv: list[str]) -> int:
     update_gate = "--update-gate" in argv
     if update_gate:
         argv.remove("--update-gate")
+    allow_drift_flag = "--allow-drift" in argv
+    if allow_drift_flag:
+        argv.remove("--allow-drift")
+    old_doc, new_doc = _load_doc(argv[0]), _load_doc(argv[1])
     old, new = _load_queries(argv[0]), _load_queries(argv[1])
     with open(pins_path) as f:
         pins_doc = json.load(f)
-    movers = classify(old, new, pins_doc)
+    # Box-drift normalization only applies when the captures share
+    # engine source (ADVICE r10 #1): same source_sha stamp, or an
+    # explicit --allow-drift override for pre-stamp captures where the
+    # operator has verified zero code delta out of band.
+    sha_old, sha_new = old_doc.get("source_sha"), new_doc.get("source_sha")
+    allow_drift = allow_drift_flag or (
+        sha_old is not None and sha_old == sha_new
+    )
+    print(
+        f"drift normalization: {'ON' if allow_drift else 'OFF'} "
+        f"(source_sha old={sha_old or 'unstamped'} "
+        f"new={sha_new or 'unstamped'}"
+        + (", --allow-drift" if allow_drift_flag else "")
+        + ")"
+    )
+    movers = classify(old, new, pins_doc, allow_drift=allow_drift)
     common = set(old) & set(new)
     so, sn = sum(old[q] for q in common), sum(new[q] for q in common)
     print(
