@@ -1602,7 +1602,23 @@ def sliding_p50_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ln(deg) >= ln 2 — no division hazard.
 _AA_TOPN = 20
 
-_AA_ORACLE = """
+# Wedge-center degree cap (VERDICT r10 #3): wedge enumeration costs
+# Σ d(z)² over centers z — a single celebrity node (degree 10⁶) alone
+# contributes ~10¹² wedges at corpus scale, the same degenerate-key
+# blowup as an LSH mega-bucket. Centers above the cap are EXCLUDED
+# from wedge generation in BOTH engines (the LSH_MAX_BUCKET pattern,
+# operators/dedup.py: drop, don't sample — a capped center's pairs
+# are dominated by its hub-ness, not by genuine affinity), bounding
+# per-center volume at cap²/2. Testdata max degree is 45 at sf0.1 /
+# 38 at sf0.01, so the cap never binds on published results;
+# tests/test_wedge_cap.py plants a >cap celebrity order and proves
+# the cap binds identically on both engines. rich_club_coefficient is
+# NOT capped: it enumerates no wedges (volume O(|edges|·|ks|) via a
+# broadcast ladder join), and a degree cap would remove exactly the
+# high-degree nodes the statistic is about.
+_WEDGE_MAX_DEG = 128
+
+_AA_ORACLE = f"""
 WITH items AS (
     SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
     FROM lineitem l JOIN part ON p_partkey = l.l_partkey
@@ -1630,7 +1646,7 @@ wedges AS (
     SELECT n1.v AS a, n2.v AS b, d.w_u
     FROM und n1
     JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
-    JOIN deg d ON d.u = n1.u
+    JOIN deg d ON d.u = n1.u AND d.d <= {_WEDGE_MAX_DEG}
 ),
 cand AS (
     SELECT w.a, w.b,
@@ -1681,12 +1697,18 @@ def adamic_adar_link_prediction(
     und = edges.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    # deg-1 guard mirrors the oracle: ln(1)=0 is never divided by
-    deg = und.groupBy("u").agg(
-        F.when(
-            F.count(F.lit(1)) >= 2,
-            F.round(F.lit(1e6) / F.log(F.count(F.lit(1)))).cast("long"),
-        ).alias("w_u")
+    # deg-1 guard mirrors the oracle: ln(1)=0 is never divided by;
+    # wedge-center cap excludes celebrity hubs BEFORE wedge generation
+    deg = (
+        und.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.when(
+                F.count(F.lit(1)) >= 2,
+                F.round(F.lit(1e6) / F.log(F.count(F.lit(1)))).cast("long"),
+            ).alias("w_u"),
+        )
+        .filter(F.col("d") <= _WEDGE_MAX_DEG)
     )
     n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
     n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
@@ -2029,15 +2051,18 @@ closed AS (
     SELECT n1.u AS z, count(*)::BIGINT AS t
     FROM und n1
     JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN deg dz ON dz.u = n1.u AND dz.d <= {_WEDGE_MAX_DEG}
     JOIN edges e ON e.pa = n1.v AND e.pb = n2.v
     GROUP BY 1
 ),
 coef AS (
+    -- nodes above the wedge cap are excluded from the output rather
+    -- than reported with a truncated (wrong) coefficient
     SELECT deg.u AS part, deg.d, coalesce(closed.t, 0)::BIGINT AS t,
            CAST(round(2.0 * coalesce(closed.t, 0) * 100000000
                       / (deg.d * (deg.d - 1))) AS BIGINT) AS c_u
     FROM deg LEFT JOIN closed ON closed.z = deg.u
-    WHERE deg.d >= 2
+    WHERE deg.d >= 2 AND deg.d <= {_WEDGE_MAX_DEG}
 )
 SELECT part, d AS degree, t AS n_closed_wedges,
        round(c_u * 1.0 / 100000000 * 10000) / 10000 + 0.0
@@ -2080,10 +2105,14 @@ def local_clustering_coefficient(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
+        F.col("u").alias("zc")
+    )
     n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
     n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
     closed = (
-        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
+        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
         .join(
             edges,
             (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
@@ -2093,7 +2122,7 @@ def local_clustering_coefficient(
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
     coef = (
-        deg.filter(F.col("d") >= 2)
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= _WEDGE_MAX_DEG))
         .join(closed, deg["u"] == closed["z"], "left")
         .select(
             F.col("u").alias("part"),
@@ -2133,7 +2162,7 @@ def local_clustering_coefficient(
 # anti-join, exact integer ratio snapped to 1e-8 units for the
 # deterministic top-20 cut.
 
-_JLP_ORACLE = """
+_JLP_ORACLE = f"""
 WITH items AS (
     SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
     FROM lineitem l JOIN part ON p_partkey = l.l_partkey
@@ -2151,6 +2180,7 @@ deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
 common AS (
     SELECT n1.v AS a, n2.v AS b, count(*)::BIGINT AS nc
     FROM und n1 JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN deg dz ON dz.u = n1.u AND dz.d <= {_WEDGE_MAX_DEG}
     GROUP BY 1, 2
 ),
 cand AS (
@@ -2201,10 +2231,14 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
+        F.col("u").alias("zc")
+    )
     n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
     n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
     common = (
-        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
+        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("nc"))
     )
@@ -2253,7 +2287,7 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 2-hop frontier is the standard production cut (documented). All
 # integer scores; top-20 with (a, b) tie-break.
 
-_PA_ORACLE = """
+_PA_ORACLE = f"""
 WITH items AS (
     SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
     FROM lineitem l JOIN part ON p_partkey = l.l_partkey
@@ -2271,6 +2305,7 @@ deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
 common AS (
     SELECT DISTINCT n1.v AS a, n2.v AS b
     FROM und n1 JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN deg dz ON dz.u = n1.u AND dz.d <= {_WEDGE_MAX_DEG}
 ),
 cand AS (
     SELECT c.a, c.b, da.d AS da, db.d AS db, da.d * db.d AS pa_score
@@ -2320,10 +2355,14 @@ def preferential_attachment_links(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
+        F.col("u").alias("zc")
+    )
     n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
     n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
     common = (
-        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
+        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
         .select("a", "b")
         .distinct()
     )
@@ -2366,6 +2405,10 @@ def preferential_attachment_links(
 # φ(k) = 2·E_k / (N_k·(N_k − 1)) over the subgraph of nodes with
 # degree > k, for the doubling ladder k ∈ {1,2,4,8,16}. Exact integer
 # counts; the edge subset check is two broadcast-joined degree lookups.
+# Deliberately NOT wedge-capped (unlike the four link predictors):
+# this query enumerates no wedges — volume is O(|edges|·|ks|) via the
+# broadcast ladder join, with no Σ d(z)² term — and a degree cap would
+# remove exactly the high-degree nodes φ(k) measures.
 
 _RC_KS = [1, 2, 4, 8, 16]
 
@@ -2482,7 +2525,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wedge-bounded candidate frontier. 1/d snaps to integer 1e-6 units
 # (d >= 2 for any wedge center, no division hazard).
 
-_RA_ORACLE = """
+_RA_ORACLE = f"""
 WITH items AS (
     SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
     FROM lineitem l JOIN part ON p_partkey = l.l_partkey
@@ -2505,7 +2548,7 @@ wedges AS (
     SELECT n1.v AS a, n2.v AS b, d.w_u
     FROM und n1
     JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
-    JOIN deg d ON d.u = n1.u
+    JOIN deg d ON d.u = n1.u AND d.d <= {_WEDGE_MAX_DEG}
 ),
 cand AS (
     SELECT w.a, w.b, sum(w.w_u)::BIGINT AS score_u,
@@ -2552,9 +2595,14 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(
-        F.round(F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
-        .alias("w_u")
+    deg = (
+        und.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.round(F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
+            .alias("w_u"),
+        )
+        .filter(F.col("d") <= _WEDGE_MAX_DEG)
     )
     n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
     n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
