@@ -454,7 +454,10 @@ def phash_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BDUP_ORACLE = """
 WITH g AS (
     SELECT md5(text) AS h, count(*)::BIGINT AS n,
-           min(length(text))::BIGINT AS n_bytes
+           -- byte count, not character count: mirrors the Spark side's
+           -- F.length(encode(text,'utf-8')) exactly even if a future
+           -- testdata generation emits non-ASCII text (ADVICE r10)
+           min(octet_length(encode(text)))::BIGINT AS n_bytes
     FROM documents GROUP BY 1
 )
 SELECT n AS n_copies, count(*)::BIGINT AS n_groups,

@@ -1380,16 +1380,25 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
 
-    row = (
+    collected = (
         mf
         .select(
             cov_u(0).alias("c0"),
             *[cov_u(k).alias(f"c{k}") for k in range(1, _PACF_MAX_LAG + 1)],
         )
-        .collect()[0]
+        .collect()
     )
+    if not collected:
+        # series shorter than the max lag: the mf filter emptied the
+        # frame — return the oracle's no-rows result instead of
+        # IndexError-ing (ADVICE r10; cannot fire on current testdata)
+        return spark.createDataFrame([], "lag long, pacf double")
+    row = collected[0]
     c0 = row["c0"]
-    r = {k: _rp(row[f"c{k}"] * 1.0 / c0, 8) for k in range(1, 6)}
+    r = {
+        k: _rp(row[f"c{k}"] * 1.0 / c0, 8)
+        for k in range(1, _PACF_MAX_LAG + 1)
+    }
     p = {(1, 1): r[1]}
     for k in range(2, _PACF_MAX_LAG + 1):
         num = r[k] - sum(p[(k - 1, j)] * r[k - j] for j in range(1, k))
