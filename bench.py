@@ -330,6 +330,20 @@ HEADLINE = [
     "dixon_q_outlier_daily",
     "somers_d_priority_qty",
     "gwet_ac1_filters",
+    # round-11 additions
+    "rouge2_pair_overlap",
+    "log_bleu2_pair_overlap",
+    "chrf3_pair_overlap",
+    "levenshtein_blocked_linkage",
+    "cramer_von_mises_two_sample",
+    "quade_test_event_types",
+    "generalized_esd_daily",
+    "ams_f2_sketch_tokens",
+    "ktruss_support_ladder",
+    "katz_centrality_2hop",
+    "map_retrieval_eval",
+    "ann_ivf_recall_eval",
+    "hashed_linear_quality_score",
 ]
 
 REPEATS = 2

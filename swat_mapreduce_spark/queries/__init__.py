@@ -70,9 +70,11 @@ def load_all() -> dict[str, QueryEntry]:
         sql_surfaces,
         stats_tests,
         stats_tests2,
+        stats_tests3,
         similarity,
         streaming_queries,
         temporal,
+        text_overlap,
         timeseries_survival,
         training_pipeline,
     )

@@ -861,3 +861,76 @@ def gwet_ac1_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(p_e, 6).alias("p_e_gamma"),
         R.r((p_a - p_e) / (1 - p_e), 6).alias("gwet_ac1"),
     )
+
+
+# --- hashed linear quality scorer (r11) ---------------------------------------
+# The fasttext-style quality gate shape: tokens hash into 64 feature
+# buckets, each bucket carries a fixed signed integer weight (here
+# derived from the shared md5 primitive — a deterministic stand-in for
+# trained weights, exactly the FIXTURES.md §B3 logit pattern), and a
+# document's score is the weight sum over its tokens. Docs with
+# score > 0 pass the gate. Per-language audit table: kept counts and
+# the exact-integer mean token weight. ONE token pass, all-integer
+# arithmetic, |langs|-bounded output.
+
+_HLQ_BUCKETS = 64
+
+
+def _hlq_weight_duck() -> str:
+    from swat_mapreduce_spark.functions import hashing as _H
+
+    b = f"({_H.duck_hash_uint(_H.sql_salted('t', chr(39) + 'hb' + chr(39)), 4)} % {_HLQ_BUCKETS})"
+    w = _H.duck_hash_uint(_H.sql_salted(b + "::VARCHAR", "'hw'"), 2)
+    return f"(({w} % 7) - 3)"
+
+
+_HLQ_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest({_DUCK_TOKS}) AS t
+    FROM documents
+),
+sc AS (
+    SELECT doc_id, lang,
+           sum({_hlq_weight_duck()})::BIGINT AS score,
+           count(*)::BIGINT AS n_toks
+    FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(score)::BIGINT AS total_score,
+       round(sum(score) * 1.0 / sum(n_toks) * 10000) / 10000 + 0.0
+           AS mean_token_weight
+FROM sc GROUP BY lang
+"""
+
+
+@register("hashed_linear_quality_score", oracle=_HLQ_ORACLE)
+def hashed_linear_quality_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from swat_mapreduce_spark.functions import hashing as _H
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.col("text"))).alias("t")
+    )
+    bucket = _H.hash_uint(F.col("t"), "hb", 4) % _HLQ_BUCKETS
+    weight = (
+        _H.hash_uint(bucket.cast("string"), "hw", 2) % 7 - 3
+    )
+    sc = tok.groupBy("doc_id", "lang").agg(
+        F.sum(weight).cast("long").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    )
+    return sc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("score").cast("long").alias("total_score"),
+        R.r(F.sum("score") * F.lit(1.0) / F.sum("n_toks"), 4).alias(
+            "mean_token_weight"
+        ),
+    )

@@ -418,3 +418,368 @@ def ql_dirichlet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- mean average precision @ 10 over the fixed query sample ------------------
+# The ranking-quality companion to crossmodal_retrieval_eval's
+# hit-rate/MRR on the SAME 32-query hash sample: label-match relevance,
+# AP@10 = Σ_r rel_r · precision@r / min(R, 10) with R = |same-label
+# corpus vectors|. Exact arithmetic: precision@r terms carry
+# denominators r ≤ 10, so ap·2520·min(R,10) (2520 = lcm 1..10) is an
+# exact integer per query; the per-query AP is snapped to integer 1e-8
+# units BEFORE the cross-query mean so the sum is order-independent.
+
+_MAP_K = 10
+_MAP_Q = 32
+_MAP_LCM = 2520  # lcm(1..10)
+
+
+def _map_oracle() -> str:
+    from swat_mapreduce_spark.functions import hashing as _H
+
+    qs_hash = _H.duck_hash_uint(_H.sql_salted("vec_id", "'qs'"), 8)
+    return f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+      ORDER BY {qs_hash}, vec_id LIMIT {_MAP_Q}),
+rtot AS (
+    SELECT q.qid, count(*)::BIGINT AS rr
+    FROM q JOIN embeddings e ON e.label = q.qlabel
+                            AND e.vec_id <> q.qid
+    GROUP BY q.qid
+),
+scores AS (
+    SELECT q.qid, q.qlabel, d.vec_id,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    GROUP BY q.qid, q.qlabel, d.vec_id
+),
+ranked AS (
+    SELECT qid, qlabel, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY c DESC, vec_id) AS rnk
+    FROM scores
+),
+rel AS (
+    SELECT r.qid, r.rnk,
+           CASE WHEN e.label = r.qlabel THEN 1 ELSE 0 END AS rel,
+           sum(CASE WHEN e.label = r.qlabel THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.qid ORDER BY r.rnk) AS cumrel
+    FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+    WHERE r.rnk <= {_MAP_K}
+),
+ap AS (
+    SELECT rel.qid,
+           sum(rel.rel * rel.cumrel * ({_MAP_LCM} / rel.rnk))::BIGINT
+               AS ap_u,
+           coalesce(max(rt.rr), 0) AS rr
+    FROM rel LEFT JOIN rtot rt ON rt.qid = rel.qid
+    GROUP BY rel.qid
+),
+apq AS (
+    SELECT qid,
+           CASE WHEN least(rr, {_MAP_K}) = 0 THEN 0::BIGINT
+                ELSE CAST(round(ap_u * 1.0
+                          / ({_MAP_LCM} * least(rr, {_MAP_K}))
+                          * 100000000) AS BIGINT)
+           END AS ap8
+    FROM ap
+)
+SELECT count(*)::BIGINT AS n_queries,
+       round(sum(ap8) * 1.0 / count(*) / 100000000 * 10000) / 10000
+           + 0.0 AS map_at_10
+FROM apq
+"""
+
+
+@register("map_retrieval_eval", oracle=_map_oracle())
+def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.queries.similarity import _query_sample
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = _query_sample(
+        emb,
+        _MAP_Q,
+        [
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            A.as_double_array(F.col("embedding")).alias("qv"),
+        ],
+    ).persist()
+    rtot = (
+        F.broadcast(qdf.select("qid", "qlabel"))
+        .join(
+            emb.select("vec_id", "label"),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("rr"))
+    )
+    vec = A.as_double_array(F.col("embedding"))
+    scored = (
+        emb.select("vec_id", "label", vec.alias("v"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _MAP_K
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    wc = Window.partitionBy("qid").orderBy("rnk")
+    with_rel = ranked.select(
+        "qid", "rnk", rel.alias("rel")
+    ).withColumn("cumrel", F.sum("rel").over(wc))
+    ap = (
+        with_rel.groupBy("qid")
+        .agg(
+            F.sum(
+                F.col("rel")
+                * F.col("cumrel")
+                * (F.lit(_MAP_LCM) / F.col("rnk")).cast("long")
+            )
+            .cast("long")
+            .alias("ap_u")
+        )
+        .join(rtot, "qid", "left")
+        .select(
+            "qid",
+            F.when(
+                F.least(F.coalesce(F.col("rr"), F.lit(0)), F.lit(_MAP_K))
+                == 0,
+                F.lit(0).cast("long"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("ap_u")
+                    * 1.0
+                    / (
+                        _MAP_LCM
+                        * F.least(
+                            F.coalesce(F.col("rr"), F.lit(0)),
+                            F.lit(_MAP_K),
+                        )
+                    )
+                    * 1e8
+                ).cast("long")
+            )
+            .alias("ap8"),
+        )
+    )
+    out = ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        R.r(
+            F.sum("ap8") * F.lit(1.0) / F.count(F.lit(1)) / 1e8, 4
+        ).alias("map_at_10"),
+    )
+    rows = out.collect()
+    qdf.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- IVF recall audit against brute-force ground truth ------------------------
+# The accuracy side of the ann_ivf_topk speed trade: for a fixed
+# 16-query hash sample, compute the brute-force top-10 (ground truth)
+# and the top-10 restricted to the nprobe=2 nearest label-cells in the
+# SAME scored pass, and report per-sample mean/min recall@10. At
+# corpus scale the brute-force side is the expensive half — which is
+# exactly why it runs over a FIXED query count (an eval op, not a
+# serving path).
+
+_IVFR_K = 10
+_IVFR_Q = 16
+_IVFR_NPROBE = 2
+
+
+def _ivf_recall_oracle() -> str:
+    from swat_mapreduce_spark.functions import hashing as _H
+
+    qs_hash = _H.duck_hash_uint(_H.sql_salted("vec_id", "'ivfr'"), 8)
+    return f"""
+WITH {_DIMS_DUCK},
+q AS (SELECT vec_id AS qid FROM embeddings
+      ORDER BY {qs_hash}, vec_id LIMIT {_IVFR_Q}),
+cent AS (
+    SELECT e.label AS cell, d.i, avg(d.x) AS m
+    FROM dims d JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY e.label, d.i
+),
+cq AS (
+    SELECT q.qid, c.cell,
+           sum(c.m * qd.x) / (sqrt(sum(c.m * c.m))
+               * sqrt(sum(qd.x * qd.x))) AS cqs
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid
+    JOIN cent c ON c.i = qd.i
+    GROUP BY q.qid, c.cell
+),
+probe AS (
+    SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cqs DESC, cell) AS pr
+        FROM cq
+    ) t WHERE pr <= {_IVFR_NPROBE}
+),
+scores AS (
+    SELECT q.qid, d.vec_id, e.label,
+           round(sum(d.x * qd.x) / (sqrt(sum(d.x * d.x))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS c
+    FROM q
+    JOIN dims qd ON qd.vec_id = q.qid
+    JOIN dims d ON d.i = qd.i AND d.vec_id <> q.qid
+    JOIN embeddings e ON e.vec_id = d.vec_id
+    GROUP BY q.qid, d.vec_id, e.label
+),
+bf AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, vec_id) AS rnk
+        FROM scores
+    ) t WHERE rnk <= {_IVFR_K}
+),
+iv AS (
+    SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY s.c DESC, s.vec_id) AS rnk
+        FROM scores s JOIN probe p ON p.qid = s.qid
+                                  AND p.cell = s.label
+    ) t WHERE rnk <= {_IVFR_K}
+),
+rec AS (
+    SELECT bf.qid,
+           sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hit,
+           count(*)::BIGINT AS n_gt
+    FROM bf LEFT JOIN iv ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
+    GROUP BY bf.qid
+)
+SELECT count(*)::BIGINT AS n_queries,
+       sum(n_hit)::BIGINT AS n_hits,
+       round(sum(n_hit) * 1.0 / sum(n_gt) * 10000) / 10000 + 0.0
+           AS mean_recall_at_10,
+       round(min(n_hit * 1.0 / n_gt) * 10000) / 10000 + 0.0
+           AS min_recall_at_10
+FROM rec
+"""
+
+
+@register("ann_ivf_recall_eval", oracle=_ivf_recall_oracle())
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import hashing as _H
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = A.as_double_array(F.col("embedding"))
+    qdf = (
+        emb.select(
+            F.col("vec_id").alias("qid"), vec.alias("qv")
+        )
+        .orderBy(
+            _H.hash_uint(F.col("qid"), "ivfr", 8), F.asc("qid")
+        )
+        .limit(_IVFR_Q)
+        .persist()
+    )
+    # centroids: one dims pass to |labels| x 64 means (posexplode)
+    cent = (
+        emb.select("label", F.posexplode(vec).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "m"))
+                ),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    cq = (
+        cent.crossJoin(F.broadcast(qdf))
+        .select(
+            "qid",
+            F.col("label").alias("cell"),
+            A.cosine(F.col("cv"), F.col("qv")).alias("cqs"),
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("cqs"), F.asc("cell"))
+    probe = (
+        cq.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVFR_NPROBE)
+        .select("qid", "cell")
+    )
+    scores = (
+        emb.select("vec_id", "label", vec.alias("v"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    bf = (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVFR_K)
+        .select("qid", "vec_id")
+    )
+    iv = (
+        scores.join(
+            F.broadcast(probe.withColumnRenamed("qid", "pqid")),
+            (F.col("qid") == F.col("pqid"))
+            & (F.col("label") == F.col("cell")),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVFR_K)
+        .select(
+            F.col("qid").alias("iqid"), F.col("vec_id").alias("ivid")
+        )
+    )
+    rec = (
+        bf.join(
+            iv,
+            (F.col("qid") == F.col("iqid"))
+            & (F.col("vec_id") == F.col("ivid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("ivid").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit"),
+            F.count(F.lit(1)).cast("long").alias("n_gt"),
+        )
+    )
+    out = rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        R.r(F.sum("n_hit") * F.lit(1.0) / F.sum("n_gt"), 4).alias(
+            "mean_recall_at_10"
+        ),
+        R.r(F.min(F.col("n_hit") * F.lit(1.0) / F.col("n_gt")), 4).alias(
+            "min_recall_at_10"
+        ),
+    )
+    rows = out.collect()
+    qdf.unpersist()
+    scores.unpersist()
+    return spark.createDataFrame(rows, out.schema)

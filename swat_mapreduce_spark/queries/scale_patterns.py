@@ -2637,3 +2637,232 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     edges.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- k-truss edge-support ladder ----------------------------------------------
+# Cohen 2008: support(e) = triangles containing e; the k-truss keeps
+# edges with support >= k-2. Reported as the support ladder (edge
+# counts surviving k = 3..6) plus the max support — the subgraph-
+# density audit a community pipeline runs before trusting triangle-
+# dense clusters. Same capped wedge machinery as the link predictors
+# (_WEDGE_MAX_DEG excludes celebrity wedge CENTERS in both engines);
+# each closed wedge (z, a, b) with (a,b) an edge contributes one unit
+# of support to edge (a,b). Exact integer counts, bounded output.
+
+_TRUSS_KS = [3, 4, 5, 6]
+
+_TRUSS_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+sup AS (
+    SELECT n1.v AS a, n2.v AS b, count(*)::BIGINT AS s
+    FROM und n1
+    JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+    JOIN deg dz ON dz.u = n1.u AND dz.d <= {_WEDGE_MAX_DEG}
+    JOIN edges e ON e.pa = n1.v AND e.pb = n2.v
+    GROUP BY 1, 2
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _TRUSS_KS)}]) AS k),
+tot AS (SELECT count(*)::BIGINT AS n_edges,
+               coalesce(max(s.s), 0)::BIGINT AS max_support
+        FROM edges e LEFT JOIN sup s ON s.a = e.pa AND s.b = e.pb)
+SELECT ks.k::BIGINT AS k, tot.n_edges, tot.max_support,
+       (SELECT count(*) FROM sup WHERE sup.s >= ks.k - 2)::BIGINT
+           AS n_truss_edges
+FROM ks, tot
+ORDER BY k
+"""
+
+
+@register("ktruss_support_ladder", oracle=_TRUSS_ORACLE)
+def ktruss_support_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
+        F.col("u").alias("zc")
+    )
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    sup = (
+        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
+        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .join(
+            edges,
+            (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
+            "left_semi",
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .persist()
+    )
+    tot = (
+        edges.join(
+            sup,
+            (F.col("pa") == F.col("a")) & (F.col("pb") == F.col("b")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.coalesce(F.max("s"), F.lit(0)).cast("long").alias(
+                "max_support"
+            ),
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in _TRUSS_KS], "k long")
+    counts = (
+        F.broadcast(ks)
+        .join(sup, F.col("s") >= F.col("k") - 2, "left")
+        .groupBy("k")
+        .agg(F.count(F.col("s")).cast("long").alias("n_truss_edges"))
+    )
+    out = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("k", "n_edges", "max_support", "n_truss_edges")
+        .orderBy("k")
+    )
+    rows = out.collect()
+    edges.unpersist()
+    sup.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- Katz centrality, 2-hop truncation ----------------------------------------
+# Katz 1953 truncated at walk length 2 with beta = 0.1:
+# c(u) = beta*d(u) + beta^2 * sum_{z in N(u)} d(z) — in exact integer
+# beta^2-units: score_u = 10*d(u) + sum_{z in N(u)} d(z). NO wedge
+# enumeration (unlike the link predictors): the walk-2 term is one
+# O(|edges|) join of the adjacency against the degree table — per-edge
+# lookup volume, so no _WEDGE_MAX_DEG cap is needed or applied.
+# Top-20 by exact integer score with node tie-break.
+
+_KATZ_TOPN = 20
+
+_KATZ_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_type = 'PROMO'
+),
+edges AS (
+    SELECT DISTINCT a.p AS pa, b.p AS pb
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+und AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL SELECT pb AS u, pa AS v FROM edges
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1),
+w2 AS (
+    SELECT und.u, sum(dz.d)::BIGINT AS walks2
+    FROM und JOIN deg dz ON dz.u = und.v
+    GROUP BY und.u
+),
+score AS (
+    SELECT deg.u AS part, deg.d AS degree, w2.walks2,
+           10 * deg.d + w2.walks2 AS score_u
+    FROM deg JOIN w2 ON w2.u = deg.u
+)
+SELECT part, degree, walks2,
+       round(score_u / 100.0 * 10000) / 10000 + 0.0 AS katz_score
+FROM score
+ORDER BY score_u DESC, part
+LIMIT 20
+"""
+
+
+@register("katz_centrality_2hop", oracle=_KATZ_ORACLE)
+def katz_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    items = (
+        li.join(
+            F.broadcast(promo),
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    edges = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).persist()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dz = deg.select(F.col("u").alias("zv"), F.col("d").alias("dz"))
+    w2 = (
+        und.join(dz, F.col("v") == F.col("zv"))
+        .groupBy("u")
+        .agg(F.sum("dz").cast("long").alias("walks2"))
+    )
+    score = deg.join(w2, "u").select(
+        F.col("u").alias("part"),
+        F.col("d").alias("degree"),
+        "walks2",
+        (10 * F.col("d") + F.col("walks2")).alias("score_u"),
+    )
+    out = (
+        score.orderBy(F.desc("score_u"), F.asc("part"))
+        .limit(_KATZ_TOPN)
+        .select(
+            "part",
+            "degree",
+            "walks2",
+            R.r(F.col("score_u") / 100.0, 4).alias("katz_score"),
+        )
+    )
+    rows = out.collect()
+    und.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -560,6 +560,12 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "storey_qvalue_ks_tests",
     # decile cumulative over the bounded DECIMAL(6,4) score grid (r9)
     "lift_gains_en_detector",
+    # --- round 11 ---
+    # ECDF cumsums over the distinct-length domain (ks_two_sample
+    # shape). The text_overlap pair ops and quade also run bounded
+    # global windows (48-row LIMIT subtree / day table) but return
+    # materialized LocalRelations, so the census never sees them.
+    "cramer_von_mises_two_sample",
 }
 
 

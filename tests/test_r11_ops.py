@@ -1,0 +1,187 @@
+"""Planted-data semantics tests for the round-11 operators."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from swat_mapreduce_spark.queries import load_all
+
+REG = load_all()
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{name}.parquet")
+
+
+def _docs(spark, tmp_path, texts):
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+def test_rouge2_identical_and_disjoint(spark, tmp_path):
+    """48 planted docs pair consecutively in hash order; every doc is
+    one of two disjoint-vocabulary texts, so each pair is either
+    identical (F1 = 1.0) or disjoint (F1 = 0.0) — no third value can
+    appear, and at least one of each must (hash order mixes them)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight"
+    _docs(spark, tmp_path, [a if i % 2 == 0 else b for i in range(48)])
+    rows = REG["rouge2_pair_overlap"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 24
+    vals = {r["rouge2_f1"] for r in rows}
+    assert vals <= {0.0, 1.0} and vals == {0.0, 1.0}, vals
+    for r in rows:
+        if r["rouge2_f1"] == 1.0:
+            assert r["n_match"] == r["n_ref"] == r["n_cand"] == 7
+
+
+def test_log_bleu2_identical_pair_is_near_zero(spark, tmp_path):
+    """An identical pair's smoothed log-BLEU-2 is exactly 0 (the +1
+    smoothing cancels: (m+1)/(c+1) = 1 when m = c), never positive;
+    disjoint pairs are strongly negative."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight"
+    _docs(spark, tmp_path, [a if i % 2 == 0 else b for i in range(48)])
+    rows = (
+        REG["log_bleu2_pair_overlap"].spark_fn(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 24
+    for r in rows:
+        assert r["log_bleu2"] <= 0.0
+        if r["n_match2"] == 7:  # identical pair
+            assert r["log_bleu2"] == 0.0
+        else:  # disjoint pair
+            assert r["log_bleu2"] < -1.0
+
+
+def test_chrf3_identical_pair_is_one(spark, tmp_path):
+    a = "alpha beta gamma delta"
+    b = "zzz yyy xxx www"
+    _docs(spark, tmp_path, [a if i % 2 == 0 else b for i in range(48)])
+    rows = REG["chrf3_pair_overlap"].spark_fn(spark, str(tmp_path)).collect()
+    got = {r["chrf3_beta2"] for r in rows}
+    assert 1.0 in got and min(got) < 0.2, got
+
+
+def test_levenshtein_linkage_finds_planted_neighbor(spark, tmp_path):
+    """'red widget' vs 'red gadget' (dist 3) in the same brand must
+    link; a cross-brand twin must NOT (blocking), and an over-distance
+    name must not."""
+    rows = [
+        (1, "red widget", "B1", "PROMO", 1, 1.0),
+        (2, "red gadget", "B1", "PROMO", 1, 1.0),
+        (3, "red widget", "B2", "PROMO", 1, 1.0),  # other block
+        (4, "completely other", "B1", "PROMO", 1, 1.0),
+    ]
+    _write(
+        spark, tmp_path, "part", rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    out = (
+        REG["levenshtein_blocked_linkage"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    )
+    pairs = {(r["probe_key"], r["match_key"]) for r in out}
+    assert (1, 2) in pairs or (2, 1) in pairs
+    assert all({a, b} != {1, 3} for a, b in pairs), "blocking violated"
+    assert all(4 not in p for p in pairs)
+
+
+def test_generalized_esd_rounds_shrink_and_unique(spark, tmp_path):
+    """Each round removes the elected day: n_remaining decreases by 1
+    and no day is elected twice; a planted spike is round 1's pick."""
+    rows = []
+    for d in range(12):
+        v = 1000.0 if d == 5 else 10.0 + d * 0.5
+        rows.append((datetime.datetime(2024, 1, 1 + d, 9, 0, 0), v))
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = REG["generalized_esd_daily"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["n_remaining"] for r in out] == [12, 11, 10]
+    days = [r["outlier_day"] for r in out]
+    assert len(set(days)) == 3
+    assert days[0] == datetime.date(2024, 1, 6)
+
+
+def test_ams_f2_estimate_within_sketch_error(spark, tmp_path):
+    """Median-of-means over 16 sign sketches: relative error well
+    under 1 on a zipf-ish planted corpus, and true_f2 is exact."""
+    texts = ["aa " * (50 - i) + f"tok{i} " * (i + 1) for i in range(20)]
+    _docs(spark, tmp_path, texts)
+    r = REG["ams_f2_sketch_tokens"].spark_fn(spark, str(tmp_path)).first()
+    assert r["rel_err"] < 1.0
+    # true F2 dominated by the 'aa' token: c_aa = sum(50-i) = 790
+    assert r["true_f2"] >= 790 * 790
+
+
+def test_ktruss_planted_clique(spark, tmp_path):
+    """K4 on parts {1,2,3,4}: every of the 6 edges has support 2 →
+    survives k=3 and k=4 (needs 2), not k=5 (needs 3)."""
+    li = [(1, 1), (1, 2), (1, 3), (1, 4)]
+    _write(spark, tmp_path, "lineitem", li,
+           "l_orderkey long, l_partkey long")
+    _write(spark, tmp_path, "part",
+           [(p, "PROMO") for p in (1, 2, 3, 4)],
+           "p_partkey long, p_type string")
+    out = {
+        r["k"]: r
+        for r in REG["ktruss_support_ladder"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[3]["n_edges"] == 6 and out[3]["max_support"] == 2
+    assert out[3]["n_truss_edges"] == 6
+    assert out[4]["n_truss_edges"] == 6
+    assert out[5]["n_truss_edges"] == 0
+
+
+def test_katz_planted_star(spark, tmp_path):
+    """Star center c with 3 leaves: score(c) = 10·3 + Σ d(leaf)=3 → 33;
+    each leaf: 10·1 + d(c)=3 → 13; katz_score = score/100."""
+    li = [(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (3, 4)]
+    _write(spark, tmp_path, "lineitem", li,
+           "l_orderkey long, l_partkey long")
+    _write(spark, tmp_path, "part",
+           [(p, "PROMO") for p in (1, 2, 3, 4)],
+           "p_partkey long, p_type string")
+    out = {
+        r["part"]: r
+        for r in REG["katz_centrality_2hop"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1]["katz_score"] == 0.33 and out[1]["walks2"] == 3
+    assert out[2]["katz_score"] == 0.13 and out[2]["degree"] == 1
+
+
+def test_hashed_quality_score_deterministic_and_additive(spark, tmp_path):
+    """Duplicate docs double total_score; the per-token mean is
+    unchanged — the scorer is a pure token-weight sum."""
+    _docs(spark, tmp_path, ["alpha beta gamma"])
+    r1 = (
+        REG["hashed_linear_quality_score"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    _docs(spark, tmp_path, ["alpha beta gamma"] * 2)
+    r2 = (
+        REG["hashed_linear_quality_score"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r2["total_score"] == 2 * r1["total_score"]
+    assert r2["mean_token_weight"] == r1["mean_token_weight"]
+    assert r2["n_docs"] == 2
