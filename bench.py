@@ -344,6 +344,17 @@ HEADLINE = [
     "map_retrieval_eval",
     "ann_ivf_recall_eval",
     "hashed_linear_quality_score",
+    "herfindahl_customer_revenue",
+    "cox_stuart_trend_daily",
+    "bhattacharyya_hellinger_lengths",
+    "total_variation_lang_lengths",
+    "point_biserial_length_en",
+    "mutual_information_lang_source",
+    "odds_risk_ratio_en_long",
+    "poisson_dispersion_daily",
+    "renyi_entropy_tokens",
+    "coleman_liau_readability",
+    "gunning_fog_readability",
 ]
 
 REPEATS = 2

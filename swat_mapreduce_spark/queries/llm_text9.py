@@ -934,3 +934,202 @@ def hashed_linear_quality_score(
             "mean_token_weight"
         ),
     )
+
+
+# --- Rényi entropy spectrum of the token distribution (r11) --------------------
+# H0 (Hartley / log-vocab), H2 (collision entropy, −ln Σp²) and H∞
+# (min-entropy, −ln max p) — the spectrum a tokenizer audit reads
+# around the registered Shannon token_entropy. Everything reduces to
+# three exact integers (V, N, F2 = Σc², max c); each entropy is one
+# ln of an exact rational snapped to integer 1e-6 units.
+
+_RENYI_ORACLE = rf"""
+WITH tok AS (
+    SELECT unnest({_DUCK_TOKS}) AS t FROM documents
+),
+cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+s AS (
+    SELECT count(*)::BIGINT AS v, sum(c)::BIGINT AS n,
+           sum(c * c)::BIGINT AS f2, max(c)::BIGINT AS cmax
+    FROM cnt
+)
+SELECT v AS vocab_size, n AS n_tokens,
+       round(ln(v) * 1000000) / 1000000 + 0.0 AS h0_hartley,
+       round(ln(n::DOUBLE * n / f2) * 1000000) / 1000000 + 0.0
+           AS h2_collision,
+       round(ln(n::DOUBLE / cmax) * 1000000) / 1000000 + 0.0
+           AS h_min
+FROM s
+"""
+
+
+@register("renyi_entropy_tokens", oracle=_RENYI_ORACLE)
+def renyi_entropy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    return s.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("n_tokens"),
+        R.r(F.log(F.col("v")), 6).alias("h0_hartley"),
+        R.r(
+            F.log(F.col("n").cast("double") * F.col("n") / F.col("f2")), 6
+        ).alias("h2_collision"),
+        R.r(F.log(F.col("n").cast("double") / F.col("cmax")), 6).alias(
+            "h_min"
+        ),
+    )
+
+
+# --- Coleman-Liau readability index (r11) ---------------------------------------
+# CLI = 0.0588·L − 0.296·S − 15.8 with L = letters per 100 words and
+# S = sentences per 100 words — the readability formula built from
+# pure CHARACTER counts (no syllable heuristic), hence exactly
+# mirrorable: letters = [A-Za-z] count, sentences = [.!?]+ runs
+# (floored at 1 — this corpus has no sentence punctuation), words =
+# the shared whitespace tokenization. Per-language aggregate over
+# exact integer totals.
+
+_CLI_ORACLE = rf"""
+WITH d AS (
+    SELECT lang,
+           len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS letters,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS sentences,
+           len({_DUCK_TOKS})::BIGINT AS words
+    FROM documents
+),
+s AS (
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(letters)::BIGINT AS l, sum(sentences)::BIGINT AS se,
+           sum(words)::BIGINT AS w
+    FROM d GROUP BY 1
+)
+SELECT lang, n_docs,
+       round((0.0588 * (l::DOUBLE * 100 / w)
+              - 0.296 * (se::DOUBLE * 100 / w) - 15.8) * 10000) / 10000
+           + 0.0 AS coleman_liau_index
+FROM s
+"""
+
+
+@register("coleman_liau_readability", oracle=_CLI_ORACLE)
+def coleman_liau_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        .cast("long")
+        .alias("letters"),
+        F.greatest(
+            F.lit(1),
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")),
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("words"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("letters").cast("long").alias("l"),
+        F.sum("sentences").cast("long").alias("se"),
+        F.sum("words").cast("long").alias("w"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        R.r(
+            0.0588 * (F.col("l").cast("double") * 100 / F.col("w"))
+            - 0.296 * (F.col("se").cast("double") * 100 / F.col("w"))
+            - 15.8,
+            4,
+        ).alias("coleman_liau_index"),
+    )
+
+
+# --- Gunning fog readability index (r11) -----------------------------------------
+# fog = 0.4·(words/sentences + 100·complex/words), complex = tokens
+# with ≥ 3 vowel groups ('[aeiou]+' runs on the lowercased token — a
+# declared heuristic, identical regex both engines). Sentences floored
+# at 1 as in coleman_liau. Per-language aggregate, one token pass.
+
+_FOG_ORACLE = rf"""
+WITH tk AS (
+    SELECT doc_id, lang, {_DUCK_TOKS} AS toks,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS sentences
+    FROM documents
+),
+d AS (
+    SELECT lang, sentences, len(toks)::BIGINT AS words,
+           len(list_filter(toks,
+               x -> len(regexp_extract_all(lower(x), '[aeiou]+')) >= 3
+           ))::BIGINT AS complex_words
+    FROM tk
+),
+s AS (
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS w, sum(sentences)::BIGINT AS se,
+           sum(complex_words)::BIGINT AS cx
+    FROM d GROUP BY 1
+)
+SELECT lang, n_docs, cx AS n_complex_words,
+       round(0.4 * (w::DOUBLE / se + 100.0 * cx / w) * 10000) / 10000
+           + 0.0 AS gunning_fog_index
+FROM s
+"""
+
+
+@register("gunning_fog_readability", oracle=_FOG_ORACLE)
+def gunning_fog_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    d = docs.select(
+        "lang",
+        F.greatest(
+            F.lit(1),
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")),
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.size(toks).cast("long").alias("words"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: F.regexp_count(
+                    F.lower(x), F.lit(r"[aeiou]+")
+                )
+                >= 3,
+            )
+        )
+        .cast("long")
+        .alias("complex_words"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("w"),
+        F.sum("sentences").cast("long").alias("se"),
+        F.sum("complex_words").cast("long").alias("cx"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        F.col("cx").alias("n_complex_words"),
+        R.r(
+            0.4
+            * (
+                F.col("w").cast("double") / F.col("se")
+                + 100.0 * F.col("cx") / F.col("w")
+            ),
+            4,
+        ).alias("gunning_fog_index"),
+    )

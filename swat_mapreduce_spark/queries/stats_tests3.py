@@ -437,3 +437,559 @@ def ams_f2_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# --- Herfindahl-Hirschman concentration of customer revenue -------------------
+# The market-concentration number a data-mixing pipeline computes over
+# source shares, here over customer revenue: HHI = Σ share_i². Revenue
+# flows as exact integer cents (gotcha 2 discipline without decimal
+# division — gotcha 8); each share is snapped to integer 1e-8 units
+# BEFORE squaring, and the square sum rides DECIMAL(38,0) so the
+# result is order-independent at any customer count. One groupBy
+# shuffle, scalar output.
+
+_HHI_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rc
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(rc)::BIGINT AS t, count(*)::BIGINT AS n FROM rev),
+sh AS (
+    SELECT CAST(round(rev.rc * 100000000.0 / tot.t) AS BIGINT) AS s
+    FROM rev, tot
+)
+SELECT tot.n AS n_customers,
+       round(sum(CAST(sh.s AS DECIMAL(38,0)) * sh.s)::DOUBLE
+             / 10000000000000000 * 1000000) / 1000000 + 0.0 AS hhi,
+       round(1000000.0 / tot.n) / 1000000 + 0.0 AS hhi_uniform_floor
+FROM sh, tot
+GROUP BY tot.n
+"""
+
+
+@register("herfindahl_customer_revenue", oracle=_HHI_ORACLE)
+def herfindahl_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rc")
+    )
+    tot = rev.agg(
+        F.sum("rc").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sh = rev.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("rc") * 100000000.0 / F.col("t"))
+        .cast("long")
+        .alias("s"),
+        "n",
+    )
+    return sh.groupBy("n").agg(
+        F.col("n").alias("n_customers"),
+        R.r(
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).cast(
+                "double"
+            )
+            / F.lit(1e16),
+            6,
+        ).alias("hhi"),
+        R.r(F.lit(1000000.0) / F.col("n") / F.lit(1e6), 6).alias(
+            "hhi_uniform_floor"
+        ),
+    ).select("n_customers", "hhi", "hhi_uniform_floor")
+
+
+# --- Cox-Stuart trend test on the daily value series --------------------------
+# Pair the i-th day with the (i+c)-th (c = ceil(n/2), middle dropped
+# when n is odd): S+ = #(later > earlier). Exact integer counts on the
+# exact DECIMAL daily sums; positions come from a row_number over the
+# calendar-bounded day table (allowlisted global window).
+
+_COX_STUART_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT day, x, row_number() OVER (ORDER BY day) AS i,
+           count(*) OVER () AS n
+    FROM daily
+),
+c AS (SELECT max(n)::BIGINT AS n,
+             CAST(ceil(max(n) / 2.0) AS BIGINT) AS c FROM idx),
+pr AS (
+    SELECT a.x AS xa, b.x AS xb
+    FROM idx a
+    JOIN c ON TRUE
+    JOIN idx b ON b.i = a.i + c.c
+    WHERE a.i <= c.n - c.c
+)
+SELECT (SELECT n FROM c) AS n_days,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN xb > xa THEN 1 ELSE 0 END)::BIGINT AS n_up,
+       sum(CASE WHEN xb < xa THEN 1 ELSE 0 END)::BIGINT AS n_down
+FROM pr
+"""
+
+
+@register("cox_stuart_trend_daily", oracle=_COX_STUART_ORACLE)
+def cox_stuart_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value(spark, sf_dir)
+    # calendar-bounded day table: global window allowlisted
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("n"),
+    )
+    c = idx.agg(
+        F.max("n").cast("long").alias("n"),
+        F.ceil(F.max("n") / 2.0).cast("long").alias("c"),
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pr = (
+        a.crossJoin(F.broadcast(c))
+        .filter(F.col("ia") <= F.col("n") - F.col("c"))
+        .join(b, F.col("ib") == F.col("ia") + F.col("c"))
+    )
+    return pr.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+
+
+# --- Bhattacharyya / Hellinger distance: en vs non-en lengths -----------------
+# BC = Σ_v sqrt(p_v·q_v) over the distinct-length grid =
+# Σ_v sqrt(ca_v·cb_v) / sqrt(n·m). Each per-grid-point
+# sqrt(ca·cb) — an IEEE-exact sqrt of an exact integer — is snapped to
+# integer 1e-8 units before the sum (order-independence), and the
+# Hellinger distance sqrt(1 − BC) derives from the identical double.
+# No cumulative window needed: one grid groupBy, one sum.
+
+_BHAT_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cb
+    FROM documents GROUP BY 1
+),
+nn AS (SELECT sum(ca)::BIGINT AS n, sum(cb)::BIGINT AS m FROM g),
+t AS (
+    SELECT sum(CAST(round(sqrt(ca * cb) * 100000000) AS BIGINT))::BIGINT
+               AS su
+    FROM g
+)
+SELECT nn.n AS n_en, nn.m AS n_other,
+       round(t.su / 100000000.0 / sqrt(nn.n::DOUBLE * nn.m) * 10000)
+           / 10000 + 0.0 AS bhattacharyya_coef,
+       round(sqrt(1 - t.su / 100000000.0 / sqrt(nn.n::DOUBLE * nn.m))
+             * 10000) / 10000 + 0.0 AS hellinger_dist
+FROM t, nn
+"""
+
+
+@register("bhattacharyya_hellinger_lengths", oracle=_BHAT_ORACLE)
+def bhattacharyya_hellinger_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    nn = g.agg(
+        F.sum("ca").cast("long").alias("n"),
+        F.sum("cb").cast("long").alias("m"),
+    )
+    t = g.agg(
+        F.sum(
+            F.round(F.sqrt(F.col("ca") * F.col("cb")) * 1e8).cast("long")
+        )
+        .cast("long")
+        .alias("su")
+    )
+    bc = F.col("su") / 1e8 / F.sqrt(F.col("n").cast("double") * F.col("m"))
+    return (
+        t.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_en"),
+            F.col("m").alias("n_other"),
+            R.r(bc, 4).alias("bhattacharyya_coef"),
+            R.r(F.sqrt(1 - bc), 4).alias("hellinger_dist"),
+        )
+    )
+
+
+# --- total-variation distance: en vs non-en lengths ---------------------------
+# TV = ½ Σ_v |p_v − q_v| = ½ Σ_v |ca_v·m − cb_v·n| / (n·m) — EXACT
+# integers end to end, one ratio at the end. The companion bound to
+# the Hellinger op (TV ≤ sqrt(2)·H).
+
+_TV_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cb
+    FROM documents GROUP BY 1
+),
+nn AS (SELECT sum(ca)::BIGINT AS n, sum(cb)::BIGINT AS m FROM g),
+t AS (
+    SELECT sum(abs(g.ca * nn.m - g.cb * nn.n))::BIGINT AS su
+    FROM g, nn
+)
+SELECT nn.n AS n_en, nn.m AS n_other,
+       round(t.su * 0.5 / (nn.n::DOUBLE * nn.m) * 10000) / 10000 + 0.0
+           AS tv_distance
+FROM t, nn
+"""
+
+
+@register("total_variation_lang_lengths", oracle=_TV_ORACLE)
+def total_variation_lang_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    nn = g.agg(
+        F.sum("ca").cast("long").alias("n"),
+        F.sum("cb").cast("long").alias("m"),
+    )
+    t = (
+        g.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("m") - F.col("cb") * F.col("n"))
+            )
+            .cast("long")
+            .alias("su"),
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+        )
+    )
+    return t.select(
+        F.col("n").alias("n_en"),
+        F.col("m").alias("n_other"),
+        R.r(
+            F.col("su") * 0.5 / (F.col("n").cast("double") * F.col("m")), 4
+        ).alias("tv_distance"),
+    )
+
+
+# --- point-biserial correlation: is-english vs document length ---------------
+# r_pb = (M1 − M0)/s_n · sqrt(n1·n0)/n with the population s_n —
+# every moment is an exact integer sum (n_chars and its square), so
+# both engines evaluate the identical IEEE expression tree. The
+# effect-size companion to the registered rank-based AUC.
+
+_PB_ORACLE = """
+WITH s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1,
+           sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)::BIGINT
+               AS s1,
+           sum(n_chars)::BIGINT AS st,
+           sum(n_chars * n_chars)::BIGINT AS ss
+    FROM documents
+)
+SELECT n, n1, (n - n1)::BIGINT AS n0,
+       round(((s1::DOUBLE / n1) - ((st - s1)::DOUBLE / (n - n1)))
+             / sqrt(ss::DOUBLE / n - (st::DOUBLE / n) * (st::DOUBLE / n))
+             * sqrt(n1::DOUBLE * (n - n1)) / n * 10000) / 10000 + 0.0
+           AS r_pb
+FROM s
+"""
+
+
+@register("point_biserial_length_en", oracle=_PB_ORACLE)
+def point_biserial_length_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    s = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(en).cast("long").alias("n1"),
+        F.sum(en * F.col("n_chars")).cast("long").alias("s1"),
+        F.sum("n_chars").cast("long").alias("st"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m0 = (F.col("st") - F.col("s1")).cast("double") / (
+        F.col("n") - F.col("n1")
+    )
+    sn = F.sqrt(
+        F.col("ss").cast("double") / F.col("n")
+        - (F.col("st").cast("double") / F.col("n"))
+        * (F.col("st").cast("double") / F.col("n"))
+    )
+    return s.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).cast("long").alias("n0"),
+        R.r(
+            (m1 - m0)
+            / sn
+            * F.sqrt(
+                F.col("n1").cast("double") * (F.col("n") - F.col("n1"))
+            )
+            / F.col("n"),
+            4,
+        ).alias("r_pb"),
+    )
+
+
+# --- mutual information of the lang x source contingency ----------------------
+# I(L;S) = Σ_ij (c_ij/n)·ln(n·c_ij/(c_i·c_j)), with each log term an
+# ln of an exact integer rational snapped to 1e-8 units and weighted
+# by the exact cell count (the llm_text9 LM discipline); the marginal
+# entropies use the same snapping. |langs|·|sources|-bounded panel.
+
+_MI_ORACLE = """
+WITH c AS (
+    SELECT lang, source, count(*)::BIGINT AS cij
+    FROM documents GROUP BY 1, 2
+),
+ml AS (SELECT lang, sum(cij)::BIGINT AS ci FROM c GROUP BY 1),
+ms AS (SELECT source, sum(cij)::BIGINT AS cj FROM c GROUP BY 1),
+nn AS (SELECT sum(cij)::BIGINT AS n FROM c),
+mi AS (
+    SELECT sum(c.cij * CAST(round(ln(nn.n::DOUBLE * c.cij
+                                     / (ml.ci * ms.cj)) * 100000000)
+                            AS BIGINT))::BIGINT AS mi_u,
+           max(nn.n) AS n
+    FROM c
+    JOIN ml ON ml.lang = c.lang
+    JOIN ms ON ms.source = c.source
+    CROSS JOIN nn
+),
+hl AS (
+    SELECT sum(ci * CAST(round(ln(ci * 1.0 / nn.n) * 100000000)
+                         AS BIGINT))::BIGINT AS h_u
+    FROM ml, nn
+),
+hs AS (
+    SELECT sum(cj * CAST(round(ln(cj * 1.0 / nn.n) * 100000000)
+                         AS BIGINT))::BIGINT AS h_u
+    FROM ms, nn
+)
+SELECT mi.n AS n_docs,
+       round(mi.mi_u * 1.0 / mi.n / 100000000 * 10000) / 10000 + 0.0
+           AS mutual_info_nats,
+       round(-hl.h_u * 1.0 / mi.n / 100000000 * 10000) / 10000 + 0.0
+           AS h_lang,
+       round(-hs.h_u * 1.0 / mi.n / 100000000 * 10000) / 10000 + 0.0
+           AS h_source
+FROM mi, hl, hs
+"""
+
+
+@register("mutual_information_lang_source", oracle=_MI_ORACLE)
+def mutual_information_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("cij")
+    ).persist()
+    ml = c.groupBy("lang").agg(F.sum("cij").cast("long").alias("ci"))
+    ms = c.groupBy("source").agg(F.sum("cij").cast("long").alias("cj"))
+    nn = c.agg(F.sum("cij").cast("long").alias("n"))
+    term = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("cij")
+            / (F.col("ci") * F.col("cj"))
+        )
+        * 1e8
+    ).cast("long")
+    mi = (
+        c.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(F.col("cij") * term).cast("long").alias("mi_u"),
+            F.max("n").alias("n"),
+        )
+    )
+
+    def h_of(marg, cnt):
+        return (
+            marg.crossJoin(F.broadcast(nn))
+            .agg(
+                F.sum(
+                    F.col(cnt)
+                    * F.round(
+                        F.log(F.col(cnt) * 1.0 / F.col("n")) * 1e8
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("h_u")
+            )
+        )
+
+    hl = h_of(ml, "ci").withColumnRenamed("h_u", "hl_u")
+    hs = h_of(ms, "cj").withColumnRenamed("h_u", "hs_u")
+    out = (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.col("n").alias("n_docs"),
+            R.r(F.col("mi_u") * 1.0 / F.col("n") / 1e8, 4).alias(
+                "mutual_info_nats"
+            ),
+            R.r(-F.col("hl_u") * 1.0 / F.col("n") / 1e8, 4).alias("h_lang"),
+            R.r(-F.col("hs_u") * 1.0 / F.col("n") / 1e8, 4).alias(
+                "h_source"
+            ),
+        )
+    )
+    rows = out.collect()
+    c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- odds ratio / risk ratio: english x long-document 2x2 --------------------
+# The epidemiology pair over the (lang = en) x (n_chars > 300) table:
+# OR = ad/bc, RR = [a/(a+b)] / [c/(c+d)], Woolf log-OR standard error
+# sqrt(1/a + 1/b + 1/c + 1/d). Exact integer cells (threshold 300
+# selects rows at every SF: length range 44-577, median ~300); the
+# only non-rational steps are one ln and one sqrt on identical
+# doubles.
+
+_OR_THRESH = 300
+
+_OR_ORACLE = f"""
+WITH t AS (
+    SELECT
+        sum(CASE WHEN lang = 'en' AND n_chars > {_OR_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS a,
+        sum(CASE WHEN lang = 'en' AND n_chars <= {_OR_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS b,
+        sum(CASE WHEN lang <> 'en' AND n_chars > {_OR_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS c,
+        sum(CASE WHEN lang <> 'en' AND n_chars <= {_OR_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS d
+    FROM documents
+)
+SELECT a, b, c, d,
+       round(a::DOUBLE * d / (b::DOUBLE * c) * 10000) / 10000 + 0.0
+           AS odds_ratio,
+       round((a::DOUBLE / (a + b)) / (c::DOUBLE / (c + d)) * 10000)
+           / 10000 + 0.0 AS risk_ratio,
+       round(sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d) * 10000) / 10000 + 0.0
+           AS log_or_se
+FROM t
+"""
+
+
+@register("odds_risk_ratio_en_long", oracle=_OR_ORACLE)
+def odds_risk_ratio_en_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+
+    def cell(lang_en: bool, long_doc: bool):
+        lc = (
+            F.col("lang") == "en" if lang_en else F.col("lang") != "en"
+        )
+        nc = (
+            F.col("n_chars") > _OR_THRESH
+            if long_doc
+            else F.col("n_chars") <= _OR_THRESH
+        )
+        return F.sum(F.when(lc & nc, 1).otherwise(0)).cast("long")
+
+    t = docs.agg(
+        cell(True, True).alias("a"),
+        cell(True, False).alias("b"),
+        cell(False, True).alias("c"),
+        cell(False, False).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        R.r(a * d / (b * c), 4).alias("odds_ratio"),
+        R.r((a / (a + b)) / (c / (c + d)), 4).alias("risk_ratio"),
+        R.r(F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 4).alias(
+            "log_or_se"
+        ),
+    )
+
+
+# --- Poisson dispersion index of daily event counts ---------------------------
+# Is daily traffic Poisson? chi2 = Σ_i (x_i − N/d)²/(N/d) =
+# Σ_i (d·x_i − N)² / (d·N) — EXACT integers until one final division
+# (counts are integers, d = #days, N = total events). Dispersion
+# D = chi2/(d−1); D >> 1 ⇒ overdispersed (burstiness evidence, the
+# count-side companion to fano_burstiness_users).
+
+_POIS_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day, count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+),
+m AS (SELECT count(*)::BIGINT AS d, sum(x)::BIGINT AS n FROM daily),
+s AS (
+    SELECT sum(CAST((m.d * daily.x - m.n) AS DECIMAL(38,0))
+               * (m.d * daily.x - m.n)) AS su
+    FROM daily, m
+)
+SELECT m.d AS n_days, m.n AS n_events,
+       round(s.su::DOUBLE / (m.d::DOUBLE * m.n) * 10000) / 10000 + 0.0
+           AS chi2_stat,
+       round(s.su::DOUBLE / (m.d::DOUBLE * m.n) / (m.d - 1) * 10000)
+           / 10000 + 0.0 AS dispersion_index
+FROM s, m
+"""
+
+
+@register("poisson_dispersion_daily", oracle=_POIS_ORACLE)
+def poisson_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("x").cast("long").alias("n"),
+    )
+    s = daily.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            (F.col("d") * F.col("x") - F.col("n")).cast("decimal(38,0)")
+            * (F.col("d") * F.col("x") - F.col("n"))
+        ).alias("su"),
+        F.max("d").alias("d"),
+        F.max("n").alias("n"),
+    )
+    chi2 = F.col("su").cast("double") / (
+        F.col("d").cast("double") * F.col("n")
+    )
+    return s.select(
+        F.col("d").alias("n_days"),
+        F.col("n").alias("n_events"),
+        R.r(chi2, 4).alias("chi2_stat"),
+        R.r(chi2 / (F.col("d") - 1), 4).alias("dispersion_index"),
+    )

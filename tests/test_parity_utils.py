@@ -566,6 +566,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # global windows (48-row LIMIT subtree / day table) but return
     # materialized LocalRelations, so the census never sees them.
     "cramer_von_mises_two_sample",
+    # positional row_number + count over the calendar-bounded day table
+    "cox_stuart_trend_daily",
 }
 
 

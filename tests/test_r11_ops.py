@@ -185,3 +185,141 @@ def test_hashed_quality_score_deterministic_and_additive(spark, tmp_path):
     assert r2["total_score"] == 2 * r1["total_score"]
     assert r2["mean_token_weight"] == r1["mean_token_weight"]
     assert r2["n_docs"] == 2
+
+
+def test_herfindahl_single_customer_is_one(spark, tmp_path):
+    rows = [(1, 10, 100.0), (2, 10, 50.0)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_custkey long, o_totalprice double")
+    r = (
+        REG["herfindahl_customer_revenue"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r["n_customers"] == 1 and r["hhi"] == 1.0
+
+
+def test_herfindahl_two_equal_customers(spark, tmp_path):
+    rows = [(1, 10, 100.0), (2, 20, 100.0)]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey long, o_custkey long, o_totalprice double")
+    r = (
+        REG["herfindahl_customer_revenue"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r["hhi"] == 0.5 and r["hhi_uniform_floor"] == 0.5
+
+
+def test_cox_stuart_monotone_series(spark, tmp_path):
+    """Strictly increasing 10-day series: c = 5, all 5 pairs up."""
+    rows = [
+        (datetime.datetime(2024, 2, 1 + d, 9, 0, 0), 10.0 + d)
+        for d in range(10)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = REG["cox_stuart_trend_daily"].spark_fn(spark, str(tmp_path)).first()
+    assert (r["n_days"], r["n_pairs"], r["n_up"], r["n_down"]) == (
+        10, 5, 5, 0,
+    )
+
+
+def test_tv_and_bhattacharyya_identical_distributions(spark, tmp_path):
+    """en and non-en docs share the exact length multiset → TV = 0,
+    BC = 1, Hellinger = 0."""
+    rows = []
+    for i, ln in enumerate([100, 200, 200, 300]):
+        rows.append((2 * i, "x " * 5, "en", "s", ln))
+        rows.append((2 * i + 1, "x " * 5, "de", "s", ln))
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    tv = (
+        REG["total_variation_lang_lengths"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert tv["tv_distance"] == 0.0
+    bh = (
+        REG["bhattacharyya_hellinger_lengths"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert bh["bhattacharyya_coef"] == 1.0
+    assert bh["hellinger_dist"] == 0.0
+
+
+def test_mutual_information_independent_and_determined(spark, tmp_path):
+    """lang == source (balanced 2x2 diagonal) → MI = H(lang) = ln 2;
+    independent uniform grid → MI = 0."""
+    det = []
+    for i in range(8):
+        lg = "en" if i % 2 == 0 else "de"
+        det.append((i, "x", lg, lg, 10))
+    _write(spark, tmp_path, "documents", det,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r = (
+        REG["mutual_information_lang_source"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert abs(r["mutual_info_nats"] - 0.6931) < 1e-9
+    assert r["h_lang"] == r["mutual_info_nats"]
+    ind = []
+    k = 0
+    for lg in ("en", "de"):
+        for src in ("a", "b"):
+            for _ in range(3):
+                ind.append((k, "x", lg, src, 10))
+                k += 1
+    _write(spark, tmp_path, "documents", ind,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r2 = (
+        REG["mutual_information_lang_source"]
+        .spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r2["mutual_info_nats"] == 0.0
+
+
+def test_poisson_dispersion_uniform_counts_is_zero(spark, tmp_path):
+    """Identical daily counts → chi2 = 0, dispersion 0."""
+    rows = []
+    for d in range(5):
+        for h in range(4):
+            rows.append(
+                (datetime.datetime(2024, 3, 1 + d, 6 + h, 0, 0), 1.0)
+            )
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = (
+        REG["poisson_dispersion_daily"].spark_fn(spark, str(tmp_path)).first()
+    )
+    assert r["chi2_stat"] == 0.0 and r["dispersion_index"] == 0.0
+
+
+def test_gunning_fog_complex_word_heuristic(spark, tmp_path):
+    """'banana' has 3 vowel groups (complex); 'tree' has 1."""
+    _docs(spark, tmp_path, ["banana tree banana tree"])
+    r = (
+        REG["gunning_fog_readability"].spark_fn(spark, str(tmp_path)).first()
+    )
+    assert r["n_complex_words"] == 2
+    # fog = 0.4*(4/1 + 100*2/4) = 0.4*54 = 21.6
+    assert r["gunning_fog_index"] == 21.6
+
+
+def test_renyi_uniform_tokens(spark, tmp_path):
+    """4 distinct tokens, once each: H0 = H2 = Hmin = ln 4."""
+    _docs(spark, tmp_path, ["alpha beta gamma delta"])
+    r = REG["renyi_entropy_tokens"].spark_fn(spark, str(tmp_path)).first()
+    import math
+
+    ln4 = round(math.log(4) * 1e6) / 1e6
+    assert r["h0_hartley"] == r["h2_collision"] == r["h_min"]
+    assert abs(r["h0_hartley"] - ln4) < 1e-9
