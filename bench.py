@@ -355,6 +355,12 @@ HEADLINE = [
     "renyi_entropy_tokens",
     "coleman_liau_readability",
     "gunning_fog_readability",
+    "tschuprow_contingency_lang_source",
+    "theil_u_lang_source",
+    "kendall_w_event_types",
+    "capability_cpk_values",
+    "spearman_footrule_daily",
+    "mantel_haenszel_or_sources",
 ]
 
 REPEATS = 2

@@ -993,3 +993,494 @@ def poisson_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(chi2, 4).alias("chi2_stat"),
         R.r(chi2 / (F.col("d") - 1), 4).alias("dispersion_index"),
     )
+
+
+# --- Tschuprow's T and Pearson's contingency coefficient ----------------------
+# The two classic chi-square effect sizes alongside the registered
+# cramers_v: T = sqrt(chi2/(n·sqrt((r−1)(c−1)))), C = sqrt(chi2/
+# (chi2+n)). Same full-grid machinery as chi2_independence_lang_source
+# (absent cells still contribute expected counts; per-cell terms snap
+# to DECIMAL(30,8) before the order-insensitive sum).
+
+_TSCH_ORACLE = """
+WITH cells AS (
+    SELECT lang, source, count(*)::BIGINT AS o
+    FROM documents GROUP BY lang, source
+),
+rows_ AS (SELECT lang, sum(o)::BIGINT AS rl FROM cells GROUP BY lang),
+cols_ AS (SELECT source, sum(o)::BIGINT AS cs FROM cells GROUP BY source),
+nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+grid AS (
+    SELECT r.lang, l.source, r.rl, l.cs, coalesce(c.o, 0) AS o
+    FROM rows_ r CROSS JOIN cols_ l
+    LEFT JOIN cells c ON c.lang = r.lang AND c.source = l.source
+),
+terms AS (
+    SELECT CAST((g.o - g.rl * 1.0 * g.cs / nn.n)
+                * (g.o - g.rl * 1.0 * g.cs / nn.n)
+                / (g.rl * 1.0 * g.cs / nn.n) AS DECIMAL(30,8)) AS t
+    FROM grid g CROSS JOIN nn
+),
+dims_ AS (
+    SELECT (SELECT count(*) FROM rows_)::BIGINT AS r,
+           (SELECT count(*) FROM cols_)::BIGINT AS c
+)
+SELECT nn.n AS n_docs,
+       round(sum(terms.t)::DOUBLE * 10000) / 10000 + 0.0 AS chi2,
+       round(sqrt(sum(terms.t)::DOUBLE
+                  / (nn.n * sqrt((d.r - 1.0) * (d.c - 1.0)))) * 10000)
+           / 10000 + 0.0 AS tschuprow_t,
+       round(sqrt(sum(terms.t)::DOUBLE
+                  / (sum(terms.t)::DOUBLE + nn.n)) * 10000) / 10000
+           + 0.0 AS contingency_c
+FROM terms, dims_ d, nn
+GROUP BY d.r, d.c, nn.n
+"""
+
+
+@register("tschuprow_contingency_lang_source", oracle=_TSCH_ORACLE)
+def tschuprow_contingency_lang_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    cols_ = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("cs")
+    )
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "rl", "cs", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("rl") * 1.0 * F.col("cs") / F.col("n")
+    terms = grid.crossJoin(F.broadcast(nn)).select(
+        ((F.col("o") - e) * (F.col("o") - e) / e)
+        .cast("decimal(30,8)")
+        .alias("t"),
+        "n",
+    )
+    r = rows_.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    c = cols_.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    chi2 = F.sum("t").cast("double")
+    return (
+        terms.groupBy("n")
+        .agg(chi2.alias("chi2d"))
+        .crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col("n").alias("n_docs"),
+            R.r(F.col("chi2d"), 4).alias("chi2"),
+            R.r(
+                F.sqrt(
+                    F.col("chi2d")
+                    / (
+                        F.col("n")
+                        * F.sqrt((F.col("r") - 1.0) * (F.col("c") - 1.0))
+                    )
+                ),
+                4,
+            ).alias("tschuprow_t"),
+            R.r(
+                F.sqrt(F.col("chi2d") / (F.col("chi2d") + F.col("n"))), 4
+            ).alias("contingency_c"),
+        )
+    )
+
+
+# --- Theil's uncertainty coefficient U(lang|source), U(source|lang) -----------
+# The asymmetric normalized-MI pair: U(L|S) = I(L;S)/H(L). Reuses the
+# mutual_information machinery — every log term is an ln of an exact
+# integer rational snapped to 1e-8 units, so both U values are exact
+# integer ratios of snapped unit sums.
+
+_THEIL_U_ORACLE = """
+WITH c AS (
+    SELECT lang, source, count(*)::BIGINT AS cij
+    FROM documents GROUP BY 1, 2
+),
+ml AS (SELECT lang, sum(cij)::BIGINT AS ci FROM c GROUP BY 1),
+ms AS (SELECT source, sum(cij)::BIGINT AS cj FROM c GROUP BY 1),
+nn AS (SELECT sum(cij)::BIGINT AS n FROM c),
+mi AS (
+    SELECT sum(c.cij * CAST(round(ln(nn.n::DOUBLE * c.cij
+                                     / (ml.ci * ms.cj)) * 100000000)
+                            AS BIGINT))::BIGINT AS mi_u
+    FROM c JOIN ml ON ml.lang = c.lang
+           JOIN ms ON ms.source = c.source
+    CROSS JOIN nn
+),
+hl AS (
+    SELECT -sum(ci * CAST(round(ln(ci * 1.0 / nn.n) * 100000000)
+                          AS BIGINT))::BIGINT AS h_u
+    FROM ml, nn
+),
+hs AS (
+    SELECT -sum(cj * CAST(round(ln(cj * 1.0 / nn.n) * 100000000)
+                          AS BIGINT))::BIGINT AS h_u
+    FROM ms, nn
+)
+SELECT (SELECT n FROM nn) AS n_docs,
+       round(mi.mi_u * 1.0 / hl.h_u * 10000) / 10000 + 0.0
+           AS u_lang_given_source,
+       round(mi.mi_u * 1.0 / hs.h_u * 10000) / 10000 + 0.0
+           AS u_source_given_lang
+FROM mi, hl, hs
+"""
+
+
+@register("theil_u_lang_source", oracle=_THEIL_U_ORACLE)
+def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("cij")
+    ).persist()
+    ml = c.groupBy("lang").agg(F.sum("cij").cast("long").alias("ci"))
+    ms = c.groupBy("source").agg(F.sum("cij").cast("long").alias("cj"))
+    nn = c.agg(F.sum("cij").cast("long").alias("n"))
+    term = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("cij")
+            / (F.col("ci") * F.col("cj"))
+        )
+        * 1e8
+    ).cast("long")
+    mi = (
+        c.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(F.col("cij") * term).cast("long").alias("mi_u"),
+            F.max("n").alias("n"),
+        )
+    )
+
+    def h_of(marg, cnt, out):
+        return (
+            marg.crossJoin(F.broadcast(nn))
+            .agg(
+                (
+                    -F.sum(
+                        F.col(cnt)
+                        * F.round(
+                            F.log(F.col(cnt) * 1.0 / F.col("n")) * 1e8
+                        ).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    hl = h_of(ml, "ci", "hl_u")
+    hs = h_of(ms, "cj", "hs_u")
+    out = (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.col("n").alias("n_docs"),
+            R.r(F.col("mi_u") * 1.0 / F.col("hl_u"), 4).alias(
+                "u_lang_given_source"
+            ),
+            R.r(F.col("mi_u") * 1.0 / F.col("hs_u"), 4).alias(
+                "u_source_given_lang"
+            ),
+        )
+    )
+    rows = out.collect()
+    c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- Kendall's W (coefficient of concordance) ---------------------------------
+# The effect size of the registered Friedman test on the same
+# complete-block day x event-type panel: with rank sums R_j over n
+# blocks and k = 5 treatments, W = 3·Σ_j(2R_j − n(k+1))² /
+# (n²·k·(k²−1)) — an exact integer ratio (the doubled-deviation trick
+# keeps everything integral).
+
+_KW_K = 5
+
+_KENDALL_W_ORACLE = f"""
+WITH cell AS (
+    SELECT ts::DATE AS day, event_type,
+           sum(CAST(value AS DECIMAL(30,8))) AS x
+    FROM events GROUP BY 1, 2
+),
+full_blocks AS (
+    SELECT day FROM cell GROUP BY day HAVING count(*) = {_KW_K}
+),
+rk AS (
+    SELECT c.day, c.event_type,
+           row_number() OVER (PARTITION BY c.day
+                              ORDER BY c.x, c.event_type) AS r
+    FROM cell c JOIN full_blocks fb ON fb.day = c.day
+),
+rs AS (SELECT event_type, sum(r)::BIGINT AS rj FROM rk GROUP BY 1),
+n_ AS (SELECT count(*)::BIGINT AS n FROM full_blocks),
+s AS (
+    SELECT sum((2 * rs.rj - n_.n * ({_KW_K} + 1))
+               * (2 * rs.rj - n_.n * ({_KW_K} + 1)))::BIGINT AS s4
+    FROM rs, n_
+)
+SELECT n_.n AS n_blocks, s.s4 AS s4_stat,
+       round(3.0 * s.s4
+             / (n_.n * n_.n * {_KW_K} * ({_KW_K} * {_KW_K} - 1))
+             * 10000) / 10000 + 0.0 AS kendall_w
+FROM s, n_
+"""
+
+
+@register("kendall_w_event_types", oracle=_KENDALL_W_ORACLE)
+def kendall_w_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
+    full_blocks = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == _KW_K)
+        .select("day")
+    )
+    rk = cell.join(F.broadcast(full_blocks), "day").select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy("x", "event_type"))
+        .alias("r"),
+    )
+    rs = rk.groupBy("event_type").agg(F.sum("r").cast("long").alias("rj"))
+    n_ = full_blocks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dev = 2 * F.col("rj") - F.col("n") * (_KW_K + 1)
+    s = (
+        rs.crossJoin(F.broadcast(n_))
+        .agg(
+            F.sum(dev * dev).cast("long").alias("s4"),
+            F.max("n").alias("n"),
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_blocks"),
+        F.col("s4").alias("s4_stat"),
+        R.r(
+            3.0
+            * F.col("s4")
+            / (
+                F.col("n")
+                * F.col("n")
+                * _KW_K
+                * (_KW_K * _KW_K - 1)
+            ),
+            4,
+        ).alias("kendall_w"),
+    )
+
+
+# --- process capability Cp / Cpk of the event value ---------------------------
+# SPC capability against fixed spec limits [0, 100] (the value column
+# spans 0..~560 with mean ~50 at every SF — non-vacuous everywhere,
+# gotcha 5): Cp = (USL−LSL)/6σ, Cpk = min(USL−μ, μ−LSL)/3σ with the
+# population σ. Moments ride exact DECIMAL sums — value is cast to
+# DECIMAL(18,6) and its square to DECIMAL(37,12) so p1+p2+1 ≤ 38
+# (gotcha 8) — and both engines convert the identical exact decimals
+# to double once.
+
+_CPK_LSL = 0.0
+_CPK_USL = 100.0
+
+_CPK_ORACLE = f"""
+WITH s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s1,
+           sum(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS s2
+    FROM events
+),
+m AS (
+    SELECT n, s1::DOUBLE / n AS mu,
+           sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+               AS sigma
+    FROM s
+)
+SELECT n AS n_events,
+       round(mu * 10000) / 10000 + 0.0 AS mean_value,
+       round(sigma * 10000) / 10000 + 0.0 AS sigma_value,
+       round(({_CPK_USL} - {_CPK_LSL}) / (6 * sigma) * 10000) / 10000
+           + 0.0 AS cp,
+       round(least({_CPK_USL} - mu, mu - {_CPK_LSL}) / (3 * sigma)
+             * 10000) / 10000 + 0.0 AS cpk
+FROM m
+"""
+
+
+@register("capability_cpk_values", oracle=_CPK_ORACLE)
+def capability_cpk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        R.r(mu, 4).alias("mean_value"),
+        R.r(sigma, 4).alias("sigma_value"),
+        R.r(F.lit(_CPK_USL - _CPK_LSL) / (6 * sigma), 4).alias("cp"),
+        R.r(
+            F.least(F.lit(_CPK_USL) - mu, mu - F.lit(_CPK_LSL))
+            / (3 * sigma),
+            4,
+        ).alias("cpk"),
+    )
+
+
+# --- Spearman footrule between the value-rank and count-rank of days ----------
+# Do high-revenue days coincide with high-traffic days? Rank days by
+# exact DECIMAL value sum and by integer event count (day tie-breaks),
+# report D = Σ|r_value − r_count| (exact integer) and the normalized
+# similarity 1 − D/⌊n²/2⌋. Two windows over the calendar-bounded day
+# table (allowlisted).
+
+_FOOTRULE_ORACLE = """
+WITH daily AS (
+    SELECT ts::DATE AS day,
+           sum(CAST(value AS DECIMAL(30,8))) AS x,
+           count(*)::BIGINT AS c
+    FROM events GROUP BY 1
+),
+rk AS (
+    SELECT day,
+           row_number() OVER (ORDER BY x DESC, day) AS rv,
+           row_number() OVER (ORDER BY c DESC, day) AS rc
+    FROM daily
+),
+s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(abs(rv - rc))::BIGINT AS d
+    FROM rk
+)
+SELECT n AS n_days, d AS footrule_d,
+       round((1 - d * 1.0 / ((n * n) // 2)) * 10000) / 10000 + 0.0
+           AS footrule_similarity
+FROM s
+"""
+
+
+@register("spearman_footrule_daily", oracle=_FOOTRULE_ORACLE)
+def spearman_footrule_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("x"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    rk = daily.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), F.asc("day")))
+        .alias("rv"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("day")))
+        .alias("rc"),
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("rv") - F.col("rc"))).cast("long").alias("d"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("footrule_d"),
+        R.r(
+            1
+            - F.col("d")
+            * 1.0
+            / F.floor(F.col("n") * F.col("n") / 2).cast("long"),
+            4,
+        ).alias("footrule_similarity"),
+    )
+
+
+# --- Mantel-Haenszel pooled odds ratio across source strata -------------------
+# The stratified 2x2 (en x long-document) pooled across |sources|
+# strata: OR_MH = Σ_i(a_i·d_i/n_i) / Σ_i(b_i·c_i/n_i). Each stratum
+# term is an exact-integer-rational double snapped to 1e-8 units
+# before the cross-strata sum (order-independence); strata with empty
+# margins contribute their exact zero terms naturally.
+
+_MH_THRESH = 300
+
+_MH_ORACLE = f"""
+WITH t AS (
+    SELECT source,
+        sum(CASE WHEN lang = 'en' AND n_chars > {_MH_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS a,
+        sum(CASE WHEN lang = 'en' AND n_chars <= {_MH_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS b,
+        sum(CASE WHEN lang <> 'en' AND n_chars > {_MH_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS c,
+        sum(CASE WHEN lang <> 'en' AND n_chars <= {_MH_THRESH}
+            THEN 1 ELSE 0 END)::BIGINT AS d
+    FROM documents GROUP BY 1
+),
+u AS (
+    SELECT count(*)::BIGINT AS n_strata,
+           sum(CAST(round(a::DOUBLE * d / (a + b + c + d) * 100000000)
+                    AS BIGINT))::BIGINT AS num_u,
+           sum(CAST(round(b::DOUBLE * c / (a + b + c + d) * 100000000)
+                    AS BIGINT))::BIGINT AS den_u
+    FROM t
+)
+SELECT n_strata, round(num_u * 1.0 / den_u * 10000) / 10000 + 0.0
+           AS or_mantel_haenszel
+FROM u
+"""
+
+
+@register("mantel_haenszel_or_sources", oracle=_MH_ORACLE)
+def mantel_haenszel_or_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    en = F.col("lang") == "en"
+    lg = F.col("n_chars") > _MH_THRESH
+    t = docs.groupBy("source").agg(
+        F.sum(F.when(en & lg, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(en & ~lg, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~en & lg, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~en & ~lg, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    nt = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    u = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(
+            F.round(
+                F.col("a").cast("double") * F.col("d") / nt * 1e8
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("num_u"),
+        F.sum(
+            F.round(
+                F.col("b").cast("double") * F.col("c") / nt * 1e8
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("den_u"),
+    )
+    return u.select(
+        "n_strata",
+        R.r(F.col("num_u") * 1.0 / F.col("den_u"), 4).alias(
+            "or_mantel_haenszel"
+        ),
+    )

@@ -568,6 +568,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "cramer_von_mises_two_sample",
     # positional row_number + count over the calendar-bounded day table
     "cox_stuart_trend_daily",
+    # two rank windows over the calendar-bounded day table
+    "spearman_footrule_daily",
 }
 
 

@@ -323,3 +323,88 @@ def test_renyi_uniform_tokens(spark, tmp_path):
     ln4 = round(math.log(4) * 1e6) / 1e6
     assert r["h0_hartley"] == r["h2_collision"] == r["h_min"]
     assert abs(r["h0_hartley"] - ln4) < 1e-9
+
+
+def test_theil_u_determined_is_one(spark, tmp_path):
+    """lang == source → U(L|S) = U(S|L) = 1."""
+    det = [(i, "x", "en" if i % 2 else "de", "en" if i % 2 else "de", 10)
+           for i in range(8)]
+    _write(spark, tmp_path, "documents", det,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r = REG["theil_u_lang_source"].spark_fn(spark, str(tmp_path)).first()
+    assert r["u_lang_given_source"] == 1.0
+    assert r["u_source_given_lang"] == 1.0
+
+
+def test_kendall_w_perfect_concordance(spark, tmp_path):
+    """Event types keep the same value order every day → W = 1."""
+    rows = []
+    for d in range(4):
+        for j, et in enumerate(["a", "b", "c", "d", "e"]):
+            rows.append(
+                (datetime.datetime(2024, 4, 1 + d, 9, 0, 0),
+                 et, 10.0 * (j + 1))
+            )
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    r = REG["kendall_w_event_types"].spark_fn(spark, str(tmp_path)).first()
+    assert r["n_blocks"] == 4 and r["kendall_w"] == 1.0
+
+
+def test_footrule_identical_rankings(spark, tmp_path):
+    """One event per day with value proportional to count rank →
+    both rankings coincide, D = 0, similarity 1."""
+    rows = []
+    for d in range(6):
+        for k in range(d + 1):  # day d has d+1 events
+            rows.append(
+                (datetime.datetime(2024, 5, 1 + d, 6 + k, 0, 0), 5.0)
+            )
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = REG["spearman_footrule_daily"].spark_fn(spark, str(tmp_path)).first()
+    assert r["footrule_d"] == 0 and r["footrule_similarity"] == 1.0
+
+
+def test_capability_cpk_centered_process(spark, tmp_path):
+    """Values symmetric around 50 → Cp == Cpk."""
+    rows = [
+        (datetime.datetime(2024, 6, 1, 6 + i % 12, 0, 0), float(v))
+        for i, v in enumerate([40, 60, 45, 55, 50, 50, 42, 58])
+    ]
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = REG["capability_cpk_values"].spark_fn(spark, str(tmp_path)).first()
+    assert r["mean_value"] == 50.0
+    assert r["cp"] == r["cpk"] > 0
+
+
+def test_mantel_haenszel_homogeneous_strata(spark, tmp_path):
+    """Two identical strata, each with 2x2 = [[2,1],[1,2]] → pooled
+    OR equals the common stratum OR = 4."""
+    rows = []
+    k = 0
+    for src in ("s1", "s2"):
+        for lang, long_doc, cnt in [
+            ("en", True, 2), ("en", False, 1),
+            ("de", True, 1), ("de", False, 2),
+        ]:
+            for _ in range(cnt):
+                rows.append(
+                    (k, "x", lang, src, 400 if long_doc else 100)
+                )
+                k += 1
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r = (
+        REG["mantel_haenszel_or_sources"].spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r["n_strata"] == 2 and r["or_mantel_haenszel"] == 4.0
