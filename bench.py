@@ -361,6 +361,10 @@ HEADLINE = [
     "capability_cpk_values",
     "spearman_footrule_daily",
     "mantel_haenszel_or_sources",
+    "skewness_kurtosis_lengths",
+    "gini_mean_difference_lengths",
+    "tukey_fence_outliers_lengths",
+    "ruzicka_token_overlap_langs",
 ]
 
 REPEATS = 2

@@ -1484,3 +1484,385 @@ def mantel_haenszel_or_sources(
             "or_mantel_haenszel"
         ),
     )
+
+
+# --- skewness / excess kurtosis of document lengths ---------------------------
+# Standardized third and fourth moments from EXACT integer power sums
+# (n_chars ≤ ~600 so x⁴ ≤ ~1.3e11; the corpus sums ride DECIMAL(38,0)
+# so the aggregation is order-independent at any width). Population
+# (biased) convention: g1 = m3/m2^1.5, g2 = m4/m2² − 3, with central
+# moments expanded from the raw sums — both engines evaluate the
+# identical IEEE expression on identical exact inputs.
+
+_SKEW_ORACLE = """
+WITH s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CAST(n_chars AS DECIMAL(38,0))) AS s1,
+           sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS s2,
+           sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars * n_chars) AS s3,
+           sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars * n_chars
+               * n_chars) AS s4
+    FROM documents
+),
+m AS (
+    SELECT n, s1::DOUBLE / n AS m1,
+           s2::DOUBLE / n AS r2, s3::DOUBLE / n AS r3,
+           s4::DOUBLE / n AS r4
+    FROM s
+),
+c AS (
+    SELECT n, r2 - m1 * m1 AS m2,
+           r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+           r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+               - 3 * m1 * m1 * m1 * m1 AS m4
+    FROM m
+)
+SELECT n AS n_docs,
+       round(m3 / (m2 * sqrt(m2)) * 10000) / 10000 + 0.0 AS skewness_g1,
+       round((m4 / (m2 * m2) - 3) * 10000) / 10000 + 0.0
+           AS excess_kurtosis_g2
+FROM c
+"""
+
+
+@register("skewness_kurtosis_lengths", oracle=_SKEW_ORACLE)
+def skewness_kurtosis_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    s = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * F.col("n_chars")).alias("s2"),
+        F.sum(x * F.col("n_chars") * F.col("n_chars")).alias("s3"),
+        F.sum(
+            x * F.col("n_chars") * F.col("n_chars") * F.col("n_chars")
+        ).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    m2 = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    return s.select(
+        F.col("n").alias("n_docs"),
+        R.r(m3 / (m2 * F.sqrt(m2)), 4).alias("skewness_g1"),
+        R.r(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis_g2"),
+    )
+
+
+# --- Gini mean difference of document lengths ---------------------------------
+# GMD = Σ_{i,j} |x_i − x_j| / (n(n−1)), computed WITHOUT pair
+# enumeration from the sorted value-domain grid: with cumulative count
+# C_v and cumulative sum S_v below each distinct value v,
+# Σ_j |v − x_j| over earlier values = c_v·(v·C_prev − S_prev), summed
+# exactly in integers (DECIMAL(38,0) — v·C·c terms reach ~1e12 per
+# grid point and the grid sum can pass 2^63 at corpus width). The
+# ks/cvm cumulative-window shape (allowlisted).
+
+_GMD_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v, count(*)::BIGINT AS c
+    FROM documents GROUP BY 1
+),
+cu AS (
+    SELECT v, c,
+           coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS cprev,
+           coalesce(sum(c * v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS sprev
+    FROM g
+),
+s AS (
+    SELECT sum(CAST(c AS DECIMAL(38,0))
+               * (v * cprev - sprev)) AS su,
+           sum(c)::BIGINT AS n
+    FROM cu
+)
+SELECT n AS n_docs,
+       round(2.0 * su::DOUBLE / (n::DOUBLE * (n - 1)) * 10000) / 10000
+           + 0.0 AS gini_mean_difference
+FROM s
+"""
+
+
+@register("gini_mean_difference_lengths", oracle=_GMD_ORACLE)
+def gini_mean_difference_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cu = g.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias(
+            "cprev"
+        ),
+        F.coalesce(F.sum(F.col("c") * F.col("v")).over(w), F.lit(0))
+        .cast("long")
+        .alias("sprev"),
+    )
+    s = cu.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (F.col("v") * F.col("cprev") - F.col("sprev"))
+        ).alias("su"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        R.r(
+            2.0
+            * F.col("su").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            4,
+        ).alias("gini_mean_difference"),
+    )
+
+
+# --- Tukey-fence outlier audit of document lengths ----------------------------
+# Grid-explicit quartiles (the mood_median pattern: smallest length
+# whose cumulative count reaches ceil(q·n) — no engine percentile
+# implementations involved), fences Q1 − 1.5·IQR / Q3 + 1.5·IQR in
+# exact 2x-integer units, and the exact outlier counts outside them.
+
+_FENCE_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v, count(*)::BIGINT AS c
+    FROM documents GROUP BY 1
+),
+cu AS (
+    SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cc FROM g
+),
+nn AS (SELECT sum(c)::BIGINT AS n FROM g),
+q1 AS (SELECT min(v)::BIGINT AS q FROM cu, nn
+       WHERE cc >= (nn.n + 3) // 4),
+q3 AS (SELECT min(v)::BIGINT AS q FROM cu, nn
+       WHERE cc >= (3 * nn.n + 3) // 4),
+f AS (
+    -- fences in doubled units: 2·lo = 2·q1 − 3·iqr stays integral
+    SELECT q1.q AS q1, q3.q AS q3,
+           2 * q1.q - 3 * (q3.q - q1.q) AS lo2,
+           2 * q3.q + 3 * (q3.q - q1.q) AS hi2
+    FROM q1, q3
+)
+SELECT nn.n AS n_docs, f.q1, f.q3, (f.q3 - f.q1)::BIGINT AS iqr,
+       (SELECT coalesce(sum(c), 0) FROM g, f
+        WHERE 2 * g.v < f.lo2)::BIGINT AS n_low_outliers,
+       (SELECT coalesce(sum(c), 0) FROM g, f
+        WHERE 2 * g.v > f.hi2)::BIGINT AS n_high_outliers
+FROM f, nn
+"""
+
+
+@register("tukey_fence_outliers_lengths", oracle=_FENCE_ORACLE)
+def tukey_fence_outliers_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    cu = g.select(
+        "v",
+        F.sum("c").over(Window.orderBy("v")).cast("long").alias("cc"),
+    )
+    nn = g.agg(F.sum("c").cast("long").alias("n"))
+    q1 = (
+        cu.crossJoin(F.broadcast(nn))
+        .filter(F.col("cc") >= F.floor((F.col("n") + 3) / 4))
+        .agg(F.min("v").cast("long").alias("q1"))
+    )
+    q3 = (
+        cu.crossJoin(F.broadcast(nn))
+        .filter(F.col("cc") >= F.floor((3 * F.col("n") + 3) / 4))
+        .agg(F.min("v").cast("long").alias("q3"))
+    )
+    f = q1.crossJoin(F.broadcast(q3)).select(
+        "q1",
+        "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    counts = (
+        g.crossJoin(F.broadcast(f))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(2 * F.col("v") < F.col("lo2"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.coalesce(
+                F.sum(F.when(2 * F.col("v") > F.col("hi2"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+        )
+    )
+    out = counts.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_docs"),
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).cast("long").alias("iqr"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+    rows = out.collect()
+    g.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# --- weighted (Ruzicka) token-frequency overlap: each language vs en ----------
+# Plain vocabulary Jaccard is VACUOUS on this corpus (every language
+# draws from the same fixed 31-word list — set overlap is identically
+# 1.0 at every SF), so the overlap audit uses the weighted Jaccard of
+# relative token frequencies instead: J_w = Σ_t min(p_t, q_t) /
+# Σ_t max(p_t, q_t). With p_t = c1_t/N1 and q_t = c2_t/N2 the common
+# denominator cancels: J_w = Σ min(c1·N2, c2·N1) / Σ max(c1·N2, c2·N1)
+# — EXACT integer arithmetic (DECIMAL(38,0) sums; a term is count ×
+# corpus-total). One token-count shuffle, |langs|-bounded output.
+
+_RUZ_ORACLE = r"""
+WITH tk AS (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS t
+    FROM documents
+),
+cnt AS (SELECT lang, t, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c)::BIGINT AS nt FROM cnt GROUP BY 1),
+en AS (
+    SELECT cnt.t, cnt.c AS c_en, tot.nt AS n_en
+    FROM cnt JOIN tot ON tot.lang = cnt.lang
+    WHERE cnt.lang = 'en'
+),
+o AS (
+    SELECT cnt.lang, cnt.t, cnt.c, tot.nt
+    FROM cnt JOIN tot ON tot.lang = cnt.lang
+    WHERE cnt.lang <> 'en'
+),
+terms AS (
+    -- full outer union of the two frequency profiles per lang:
+    -- tokens absent on one side contribute min 0 / max c·N
+    SELECT coalesce(o.lang, x.lang) AS lang,
+           least(coalesce(o.c, 0) * coalesce(x.n_en, mx.n_en),
+                 coalesce(x.c_en, 0) * coalesce(o.nt, mt.nt))
+               AS mn,
+           greatest(coalesce(o.c, 0) * coalesce(x.n_en, mx.n_en),
+                    coalesce(x.c_en, 0) * coalesce(o.nt, mt.nt))
+               AS mx_t
+    FROM o
+    FULL JOIN (SELECT ol.lang, en.t, en.c_en, en.n_en
+               FROM en CROSS JOIN (SELECT DISTINCT lang FROM o) ol) x
+      ON x.lang = o.lang AND x.t = o.t
+    CROSS JOIN (SELECT max(n_en) AS n_en FROM en) mx
+    LEFT JOIN tot mt ON mt.lang = coalesce(o.lang, x.lang)
+)
+SELECT lang,
+       sum(CAST(mn AS DECIMAL(38,0)))::BIGINT AS min_sum,
+       sum(CAST(mx_t AS DECIMAL(38,0)))::BIGINT AS max_sum,
+       round(sum(CAST(mn AS DECIMAL(38,0)))::DOUBLE
+             / sum(CAST(mx_t AS DECIMAL(38,0)))::DOUBLE * 10000) / 10000
+           + 0.0 AS ruzicka_overlap
+FROM terms
+GROUP BY lang
+"""
+
+
+@register("ruzicka_token_overlap_langs", oracle=_RUZ_ORACLE)
+def ruzicka_token_overlap_langs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "lang", F.explode(ws_tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("nt"))
+    en = (
+        cnt.filter(F.col("lang") == "en")
+        .join(tot.filter(F.col("lang") == "en"), "lang")
+        .select(
+            F.col("t").alias("te"),
+            F.col("c").alias("c_en"),
+            F.col("nt").alias("n_en"),
+        )
+    )
+    o = cnt.filter(F.col("lang") != "en").join(tot, "lang")
+    langs = o.select("lang").distinct()
+    # full profile union per lang: cross the (bounded) en profile with
+    # the lang list, then full-outer join against the lang profiles
+    enx = langs.crossJoin(F.broadcast(en)).select(
+        F.col("lang").alias("xl"), "te", "c_en", "n_en"
+    )
+    j = o.join(
+        enx,
+        (F.col("lang") == F.col("xl")) & (F.col("t") == F.col("te")),
+        "full_outer",
+    )
+    lang_all = F.coalesce(F.col("lang"), F.col("xl"))
+    # totals for sides that are NULL on one side of the full join
+    tot_o = tot.filter(F.col("lang") != "en").select(
+        F.col("lang").alias("tl"), F.col("nt").alias("nt_all")
+    )
+    n_en_const = en.agg(F.max("n_en").alias("ne")).first()["ne"]
+    j2 = j.join(
+        F.broadcast(tot_o), lang_all == F.col("tl"), "left"
+    ).select(
+        lang_all.alias("lg"),
+        (
+            F.least(
+                F.coalesce(F.col("c"), F.lit(0)) * F.lit(n_en_const),
+                F.coalesce(F.col("c_en"), F.lit(0))
+                * F.coalesce(F.col("nt"), F.col("nt_all")),
+            )
+        ).alias("mn"),
+        (
+            F.greatest(
+                F.coalesce(F.col("c"), F.lit(0)) * F.lit(n_en_const),
+                F.coalesce(F.col("c_en"), F.lit(0))
+                * F.coalesce(F.col("nt"), F.col("nt_all")),
+            )
+        ).alias("mx"),
+    )
+    out = (
+        j2.groupBy(F.col("lg").alias("lang"))
+        .agg(
+            F.sum(F.col("mn").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("min_sum"),
+            F.sum(F.col("mx").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("max_sum"),
+        )
+        .select(
+            "lang",
+            "min_sum",
+            "max_sum",
+            R.r(
+                F.col("min_sum").cast("double")
+                / F.col("max_sum").cast("double"),
+                4,
+            ).alias("ruzicka_overlap"),
+        )
+    )
+    rows = out.collect()
+    cnt.unpersist()
+    return spark.createDataFrame(rows, out.schema)

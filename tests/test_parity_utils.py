@@ -570,6 +570,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "cox_stuart_trend_daily",
     # two rank windows over the calendar-bounded day table
     "spearman_footrule_daily",
+    # prefix-count/sum cumulatives over the distinct-length domain
+    "gini_mean_difference_lengths",
 }
 
 

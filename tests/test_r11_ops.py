@@ -408,3 +408,66 @@ def test_mantel_haenszel_homogeneous_strata(spark, tmp_path):
         .first()
     )
     assert r["n_strata"] == 2 and r["or_mantel_haenszel"] == 4.0
+
+
+def test_skewness_symmetric_is_zero(spark, tmp_path):
+    """Symmetric lengths → g1 = 0; two-point mass → g2 = -2."""
+    rows = [(i, "x", "en", "s", ln) for i, ln in
+            enumerate([100, 100, 200, 200])]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r = (
+        REG["skewness_kurtosis_lengths"].spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r["skewness_g1"] == 0.0 and r["excess_kurtosis_g2"] == -2.0
+
+
+def test_gini_mean_difference_two_values(spark, tmp_path):
+    """{0, 10}: GMD = sum|xi-xj|/(n(n-1)) = 2*10/2 = 10."""
+    rows = [(0, "x", "en", "s", 0), (1, "x", "en", "s", 10)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r = (
+        REG["gini_mean_difference_lengths"].spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r["gini_mean_difference"] == 10.0
+
+
+def test_tukey_fence_planted_outlier(spark, tmp_path):
+    """Tight cluster at 100 plus one 10000 doc → exactly one high
+    outlier, zero low."""
+    lens = [100, 101, 102, 103, 104, 105, 106, 107, 10000]
+    rows = [(i, "x", "en", "s", ln) for i, ln in enumerate(lens)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    r = (
+        REG["tukey_fence_outliers_lengths"].spark_fn(spark, str(tmp_path))
+        .first()
+    )
+    assert r["n_high_outliers"] == 1 and r["n_low_outliers"] == 0
+
+
+def test_ruzicka_identical_and_disjoint_profiles(spark, tmp_path):
+    """de mirrors en's token profile exactly → overlap 1.0; zh is
+    disjoint → overlap 0.0."""
+    rows = [
+        (0, "aa aa bb", "en", "s", 8),
+        (1, "aa aa bb", "de", "s", 8),
+        (2, "cc dd ee", "zh", "s", 8),
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string,"
+           " n_chars long")
+    out = {
+        r["lang"]: r
+        for r in REG["ruzicka_token_overlap_langs"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["de"]["ruzicka_overlap"] == 1.0
+    assert out["zh"]["ruzicka_overlap"] == 0.0
