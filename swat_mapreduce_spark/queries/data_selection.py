@@ -1010,16 +1010,17 @@ def shapley_coverage_attribution(
     from swat_mapreduce_spark.queries.curation import _rp
 
     docs = read_table(spark, sf_dir, "documents")
-    grp = docs.select(
-        "doc_id",
-        (F.substring("source", 4, 10).cast("int") % _SHAP_GROUPS).alias(
-            "g"
-        ),
+    # g is a pure function of the doc row, so it rides ALONG the shingle
+    # explode as a projected column — no O(corpus) doc_id→g map is ever
+    # joined (let alone broadcast) back onto the big side (VERDICT r11
+    # #1). No distinct before the groupBy — bit_or is idempotent,
+    # duplicate (shingle, g) rows OR to the same mask.
+    docs_with_g = docs.withColumn(
+        "g", F.substring("source", 4, 10).cast("int") % _SHAP_GROUPS
     )
-    # broadcast the 1-row-per-doc group map (the shingle explode is
-    # the big side); no distinct before the groupBy — bit_or is
-    # idempotent, duplicate (shingle, g) rows OR to the same mask
-    sh = D.shingle_table(docs, 3).join(F.broadcast(grp), "doc_id")
+    sh = D.doc_shingle_arrays(docs_with_g, 3, extra_cols=("g",)).select(
+        "g", F.explode("sh_arr").alias("shingle")
+    )
     masks = sh.groupBy("shingle").agg(
         F.bit_or(F.expr("shiftleft(1L, g)")).alias("mask")
     )
@@ -1031,7 +1032,9 @@ def shapley_coverage_attribution(
     }  # bounded driver state: <= 31 (mask, count) ints
     docs_g = {
         int(r["g"]): int(r["n"])
-        for r in grp.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in docs_with_g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
 
     def v(s: int) -> int:
@@ -1126,8 +1129,14 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
+    # lang is a doc attribute, so it rides along the bigram explode as a
+    # projected column — the O(corpus) English-doc_id broadcast semi-join
+    # and the final doc_id→lang broadcast join are both gone (VERDICT
+    # r11 #1); lang is constant per doc_id so grouping on (doc_id, lang)
+    # produces the identical per-doc groups.
     bg = docs.select(
         "doc_id",
+        "lang",
         # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
         # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
         # is empty; guard the degenerate bound (VERDICT r9 #1)
@@ -1142,14 +1151,13 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     bgc = (
-        bg.groupBy("doc_id", "b")
+        bg.groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("cd"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mf = bgc.groupBy("b").agg(F.sum("cd").cast("long").alias("c"))
-    en = docs.filter(F.col("lang") == "en").select("doc_id")
     mr = (
-        bgc.join(F.broadcast(en), "doc_id", "left_semi")
+        bgc.filter(F.col("lang") == "en")
         .groupBy("b")
         .agg(F.sum("cd").cast("long").alias("cr"))
     )
@@ -1168,6 +1176,7 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(st))
         .select(
             "doc_id",
+            "lang",
             "cd",
             (
                 F.log(
@@ -1184,7 +1193,7 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.col("cd").cast("decimal(10,0)")
             ).alias("lpr"),
         )
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("cd").cast("long").alias("n"),
             F.sum("lpf").alias("sum_f"),
@@ -1193,10 +1202,7 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (F.col("sum_r") - F.col("sum_f")).cast("double") / F.col("n")
     out = (
-        scored.join(
-            F.broadcast(docs.select("doc_id", "lang")), "doc_id"
-        )
-        .orderBy(key.desc(), F.asc("doc_id"))
+        scored.orderBy(key.desc(), F.asc("doc_id"))
         .limit(_RHO_TOPN)
         .select(
             "doc_id",
@@ -1716,13 +1722,15 @@ def banzhaf_coverage_attribution(
     from swat_mapreduce_spark.queries.curation import _rp
 
     docs = read_table(spark, sf_dir, "documents")
-    grp = docs.select(
-        "doc_id",
-        (F.substring("source", 4, 10).cast("int") % _SHAP_GROUPS).alias(
-            "g"
-        ),
+    # g rides along the shingle explode as a projected column — no
+    # O(corpus) doc_id→g broadcast join (VERDICT r11 #1, same fix as
+    # shapley_coverage_attribution)
+    docs_with_g = docs.withColumn(
+        "g", F.substring("source", 4, 10).cast("int") % _SHAP_GROUPS
     )
-    sh = D.shingle_table(docs, 3).join(F.broadcast(grp), "doc_id")
+    sh = D.doc_shingle_arrays(docs_with_g, 3, extra_cols=("g",)).select(
+        "g", F.explode("sh_arr").alias("shingle")
+    )
     masks = sh.groupBy("shingle").agg(
         F.bit_or(F.expr("shiftleft(1L, g)")).alias("mask")
     )
@@ -1734,7 +1742,9 @@ def banzhaf_coverage_attribution(
     }  # bounded driver state: <= 31 (mask, count) ints
     docs_g = {
         int(r["g"]): int(r["n"])
-        for r in grp.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in docs_with_g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
 
     def v(s: int) -> int:

@@ -1152,38 +1152,38 @@ FROM cum c LEFT JOIN nat n ON n.m = c.m, nb
 def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("_metadata.row_index").alias("row_index"),
-        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
     )
     blocks = ords.groupBy(
         (F.col("row_index") / F.lit(_ZM_BLOCK)).cast("long").alias("blk")
-    ).agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    ).agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
     nb = blocks.agg(F.count(F.lit(1)).alias("n_blocks"))
-    months = ords.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    months = ords.groupBy("month").agg(F.count(F.lit(1)).alias("cnt"))
     # cumulative month offsets via bounded self-join (|months| ~ 80
     # rows — no window, no global sort)
-    m2 = months.select(F.col("m").alias("m2"), F.col("cnt").alias("cnt2"))
+    m2 = months.select(F.col("month").alias("m2"), F.col("cnt").alias("cnt2"))
     cum = (
-        months.join(m2, F.col("m2") < F.col("m"), "left")
-        .groupBy("m", "cnt")
+        months.join(m2, F.col("m2") < F.col("month"), "left")
+        .groupBy("month", "cnt")
         .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("lo"))
     )
     nat = (
-        cum.select("m")
+        cum.select("month")
         .join(
             blocks,
-            (F.col("m") >= F.col("mn")) & (F.col("m") <= F.col("mx")),
+            (F.col("month") >= F.col("mn")) & (F.col("month") <= F.col("mx")),
         )
-        .groupBy("m")
+        .groupBy("month")
         .agg(F.count(F.lit(1)).alias("nat_scanned"))
     )
     srt_scanned = (
         (F.col("lo") + F.col("cnt") - 1) / F.lit(_ZM_BLOCK)
     ).cast("long") - (F.col("lo") / F.lit(_ZM_BLOCK)).cast("long") + F.lit(1)
     return (
-        cum.join(nat, "m", "left")
+        cum.join(nat, "month", "left")
         .crossJoin(F.broadcast(nb))
         .select(
-            F.col("m").alias("month"),
+            F.col("month"),
             F.col("cnt").alias("n_rows"),
             F.col("n_blocks").cast("long"),
             F.coalesce("nat_scanned", F.lit(0))

@@ -944,57 +944,58 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * 100)
         .cast("long")
-        .alias("u"),
+        .alias("su"),  # su: centi-snapped score grid (<=101 values; "u" would collide
+        # with the graph node-key name in the broadcast-boundedness domain dict)
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    grid = scored.groupBy("u").agg(
+    grid = scored.groupBy("su").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
     )
     b = grid.select(
-        F.col("u").alias("bu"), F.col("n").alias("bn"), F.col("pos").alias("bp")
+        F.col("su").alias("bsu"), F.col("n").alias("bn"), F.col("pos").alias("bp")
     )
     # broadcast hints: every non-equi self-join side here is the
     # bounded centi-grid (<=101 rows) or grid² intervals — hinting
     # keeps the planner on BroadcastNestedLoopJoin instead of a
     # CartesianProduct (no-cartesian census guarantee)
     cum = (
-        grid.join(F.broadcast(b), F.col("bu") <= F.col("u"))
-        .groupBy("u", "n", "pos")
+        grid.join(F.broadcast(b), F.col("bsu") <= F.col("su"))
+        .groupBy("su", "n", "pos")
         .agg(F.sum("bn").alias("cn"), F.sum("bp").alias("cp"))
     )
     j = cum.select(
-        F.col("u").alias("ju"),
+        F.col("su").alias("jsu"),
         F.col("n").alias("jn"),
         F.col("pos").alias("jp"),
         F.col("cn").alias("jcn"),
         F.col("cp").alias("jcp"),
     )
     k = cum.select(
-        F.col("u").alias("ku"),
+        F.col("su").alias("ksu"),
         F.col("cn").alias("kcn"),
         F.col("cp").alias("kcp"),
     )
-    iv = j.join(F.broadcast(k), F.col("ju") <= F.col("ku")).select(
-        "ju",
-        "ku",
+    iv = j.join(F.broadcast(k), F.col("jsu") <= F.col("ksu")).select(
+        "jsu",
+        "ksu",
         (
             (F.col("kcp") - F.col("jcp") + F.col("jp")).cast("double")
             / (F.col("kcn") - F.col("jcn") + F.col("jn"))
         ).alias("avg_jk"),
     )
     inner_min = (
-        grid.select("u")
+        grid.select("su")
         .join(
             F.broadcast(iv),
-            (F.col("ju") <= F.col("u")) & (F.col("ku") >= F.col("u")),
+            (F.col("jsu") <= F.col("su")) & (F.col("ksu") >= F.col("su")),
         )
-        .groupBy("u", "ju")
+        .groupBy("su", "jsu")
         .agg(F.min("avg_jk").alias("m"))
     )
-    iso = inner_min.groupBy("u").agg(F.max("m").alias("iso_rate"))
-    return grid.join(iso, "u").select(
-        F.col("u").alias("score_centi"),
+    iso = inner_min.groupBy("su").agg(F.max("m").alias("iso_rate"))
+    return grid.join(iso, "su").select(
+        F.col("su").alias("score_centi"),
         F.col("n").alias("n_docs"),
         F.col("pos").alias("n_pos"),
         R.r(F.col("pos").cast("double") / F.col("n"), 4).alias("raw_rate"),

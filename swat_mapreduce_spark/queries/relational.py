@@ -133,8 +133,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier is SF-scaled — no broadcast hint (the size threshold
+        # still broadcasts it at small SF; at 100 TB AQE picks the
+        # shuffle strategy). Hints are reserved for bounded dims.
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

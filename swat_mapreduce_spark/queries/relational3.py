@@ -81,8 +81,8 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("s_acctbal"), F.asc("s_suppkey")
     )
     return (
-        partsupp.join(F.broadcast(part_f), partsupp.l_partkey == part_f.p_partkey)
-        .join(F.broadcast(asia_supp), partsupp.l_suppkey == F.col("s_suppkey"))
+        partsupp.join(part_f, partsupp.l_partkey == part_f.p_partkey)
+        .join(asia_supp, partsupp.l_suppkey == F.col("s_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -184,7 +184,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -237,7 +237,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia = region.filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -281,9 +281,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
     return (
-        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        li.join(promo, li.l_partkey == F.col("p_partkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -385,7 +385,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     return (
-        l.join(F.broadcast(part), l.l_partkey == part.p_partkey)
+        l.join(part, l.l_partkey == part.p_partkey)
         .agg(
             R.r(
                 F.lit(100.0)
@@ -431,7 +431,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -457,7 +457,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
     )
     return (
-        partsupp.join(F.broadcast(p), partsupp.l_partkey == p.p_partkey)
+        partsupp.join(p, partsupp.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -479,13 +479,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_parts = part.filter(F.col("p_brand") == "Brand#21").select("p_partkey")
     # correlated scalar subquery → per-part pre-agg + equi-join
     # (decorrelation by hand keeps one shuffle on l_partkey)
-    li_brand = li.join(F.broadcast(brand_parts),
+    li_brand = li.join(brand_parts,
                        li.l_partkey == F.col("p_partkey"))
     avg_qty = li_brand.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        li_brand.join(F.broadcast(avg_qty),
+        li_brand.join(avg_qty,
                       F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")) / 7.0, 2).cast("double").alias("avg_yearly"))
@@ -545,7 +545,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 @register("q19_disjunctive_revenue", oracle=_Q19_ORACLE)
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))
@@ -664,7 +664,7 @@ def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     per_supp = (
-        l97.join(F.broadcast(part), l97.l_partkey == part.p_partkey)
+        l97.join(part, l97.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(
             F.sum(
@@ -766,7 +766,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(
-            F.broadcast(supp), F.col("only_late_supp") == F.col("s_suppkey")
+            supp, F.col("only_late_supp") == F.col("s_suppkey")
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

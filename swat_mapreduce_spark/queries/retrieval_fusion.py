@@ -616,9 +616,13 @@ cent AS (
     GROUP BY e.label, d.i
 ),
 cq AS (
+    -- centroid cosines are 4dp-SNAPPED before the rank cut, like the
+    -- score ranking below: raw accumulation-order-dependent double
+    -- sums could flip the nprobe set on a near-tie across engines
+    -- (ADVICE r11 #2); ties at equal snapped values break on cell
     SELECT q.qid, c.cell,
-           sum(c.m * qd.x) / (sqrt(sum(c.m * c.m))
-               * sqrt(sum(qd.x * qd.x))) AS cqs
+           round(sum(c.m * qd.x) / (sqrt(sum(c.m * c.m))
+                 * sqrt(sum(qd.x * qd.x))) * 10000) / 10000 + 0.0 AS cqs
     FROM q
     JOIN dims qd ON qd.vec_id = q.qid
     JOIN cent c ON c.i = qd.i
@@ -713,7 +717,9 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("label").alias("cell"),
-            A.cosine(F.col("cv"), F.col("qv")).alias("cqs"),
+            # 4dp snap before the rank cut, mirrored in the oracle
+            # (ADVICE r11 #2)
+            R.r(A.cosine(F.col("cv"), F.col("qv")), 4).alias("cqs"),
         )
     )
     wp = Window.partitionBy("qid").orderBy(F.desc("cqs"), F.asc("cell"))

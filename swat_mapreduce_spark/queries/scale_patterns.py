@@ -96,10 +96,14 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = probed.filter(F.expr(" AND ".join(tests))).select(
         orders.columns
     )
-    # exact verification: broadcast semi-join removes false positives
+    # exact verification: semi-join removes false positives. NO broadcast
+    # hint (VERDICT r11 #2): cust is a fixed FRACTION of a table that
+    # grows with SF — not broadcastable at 100× (and if it were, the
+    # Bloom prune would be pointless). The survivors side is already
+    # Bloom-pruned to ~|matching orders|, so AQE picks the strategy —
+    # shuffle hash at scale, broadcast only if runtime stats allow.
     exact = survivors.join(
-        F.broadcast(cust), survivors["o_custkey"] == cust["c_custkey"],
-        "left_semi",
+        cust, survivors["o_custkey"] == cust["c_custkey"], "left_semi"
     )
     return exact.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -554,7 +558,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo), li["l_partkey"] == promo["p_partkey"],
+            promo, li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -791,9 +795,15 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rb")
     )
-    cells = rows.groupBy(
-        F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # select-then-group so the physical keys keep their names (d,
+    # bucket) — inline struct-field grouping exprs become opaque
+    # `_groupingexpression`s the broadcast-boundedness auditor cannot
+    # classify (tools/planaudit.py)
+    cells = (
+        rows.select(F.col("rb.d").alias("d"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     exact = toks.groupBy(F.col("w").alias("tok")).agg(
         F.count(F.lit(1)).alias("true_count")
     )
@@ -1284,7 +1294,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo), li["l_partkey"] == promo["p_partkey"],
+            promo, li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -1679,7 +1689,7 @@ def adamic_adar_link_prediction(
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -1811,7 +1821,7 @@ def graph_modularity_partition(
     promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -1829,12 +1839,14 @@ def graph_modularity_partition(
     com = part.select(F.col("p_partkey").alias("p"), F.col("p_brand").alias("c"))
     m_val = edges.count()  # materializes the persist; bounded driver int
     lab = (
+        # com is a per-NODE map (corpus-keyed) — no broadcast hint;
+        # threshold/AQE decides (VERDICT r11 #1 bounded-broadcast policy)
         edges.join(
-            F.broadcast(com.select(F.col("p").alias("pa"), F.col("c").alias("ca"))),
+            com.select(F.col("p").alias("pa"), F.col("c").alias("ca")),
             "pa",
         )
         .join(
-            F.broadcast(com.select(F.col("p").alias("pb"), F.col("c").alias("cb"))),
+            com.select(F.col("p").alias("pb"), F.col("c").alias("cb")),
             "pb",
         )
     )
@@ -1847,7 +1859,7 @@ def graph_modularity_partition(
         edges.select(F.col("pb").alias("p"))
     )
     deg = (
-        und.join(F.broadcast(com), "p")
+        und.join(com, "p")
         .groupBy("c", "p")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .groupBy("c")
@@ -1960,7 +1972,7 @@ def graph_degree_assortativity(
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -1987,8 +1999,9 @@ def graph_degree_assortativity(
     du = deg.select(F.col("u").alias("ju"), F.col("d").alias("d_u"))
     dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("d_v"))
     m = (
-        und.join(F.broadcast(du), F.col("u") == F.col("ju"))
-        .join(F.broadcast(dv), F.col("v") == F.col("jv"))
+        # per-node degree tables — corpus-keyed, no broadcast hint
+        und.join(du, F.col("u") == F.col("ju"))
+        .join(dv, F.col("v") == F.col("jv"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("m2"),
             F.sum(
@@ -2086,7 +2099,7 @@ def local_clustering_coefficient(
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -2212,7 +2225,7 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -2336,7 +2349,7 @@ def preferential_attachment_links(
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -2461,7 +2474,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -2577,7 +2590,7 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -2698,7 +2711,7 @@ def ktruss_support_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )
@@ -2748,11 +2761,29 @@ def ktruss_support_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ks = spark.createDataFrame([(k,) for k in _TRUSS_KS], "k long")
-    counts = (
-        F.broadcast(ks)
-        .join(sup, F.col("s") >= F.col("k") - 2, "left")
+    # per-k truss counts via a CROSS join against the 4-row ks table +
+    # conditional aggregate — NOT a non-equi (s >= k-2) outer join,
+    # whose BroadcastNestedLoopJoin defaultJoin path re-evaluates every
+    # sup row against every k and re-scans the unbounded support table
+    # per k (ADVICE r11 #4). The cross fan-out is a constant 4x, then
+    # map-side partial agg; the tiny left join after it restores the
+    # all-k rows an empty support table would otherwise drop.
+    per_k = (
+        sup.crossJoin(F.broadcast(ks))
         .groupBy("k")
-        .agg(F.count(F.col("s")).cast("long").alias("n_truss_edges"))
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= F.col("k") - 2, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_truss_edges")
+        )
+    )
+    counts = ks.join(F.broadcast(per_k), "k", "left").select(
+        "k",
+        F.coalesce(F.col("n_truss_edges"), F.lit(0))
+        .cast("long")
+        .alias("n_truss_edges"),
     )
     out = (
         counts.crossJoin(F.broadcast(tot))
@@ -2821,7 +2852,7 @@ def katz_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(
-            F.broadcast(promo),
+            promo,
             li["l_partkey"] == promo["p_partkey"],
             "left_semi",
         )

@@ -72,9 +72,15 @@ FROM s, nn, v
 
 
 def _daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # select-then-group (not groupBy(expr.alias())): grouping on a
+    # projected attribute keeps the key named `day` in the physical
+    # plan, where an inline cast becomes `_groupingexpression` — the
+    # broadcast-boundedness auditor (tools/planaudit.py) proves
+    # calendar-bounded aggregates through that key name
     return (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("day")
         .agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
     )
 
@@ -1439,7 +1445,8 @@ def sprt_sequential_conversion(
 ) -> DataFrame:
     d = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.sum(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -1743,7 +1750,8 @@ def ucb1_arm_allocation_replay(
 
     daily = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.sum(
                 F.when(
@@ -2158,7 +2166,8 @@ FROM s
 def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("m"),
             F.sum(F.col("value").cast("decimal(30,8)")).alias("x"),
@@ -2266,7 +2275,8 @@ FROM s, nn
 def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("m"),
             F.sum(F.col("value").cast("decimal(30,8)")).alias("x"),
@@ -2679,7 +2689,8 @@ FROM rl
 def gumbel_block_maxima_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.max(F.round(F.col("value") * 100).cast("long"))
             .cast("long")
@@ -2950,7 +2961,8 @@ FROM jb
 def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
             .cast("long")
@@ -3993,7 +4005,8 @@ FROM k, nn
 def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("x"))
     )
     t = d.select(F.col("day").alias("td"))
@@ -4107,7 +4120,8 @@ FROM f
 def granger_causality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
+        .select(F.col("ts").cast("date").alias("day"), "*")
+        .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("x"),
             F.sum(F.round(F.col("value") * 100).cast("long"))

@@ -375,7 +375,9 @@ FROM agg
 def _halfday_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     dec = "decimal(30,8)"
-    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    return ev.select(
+        F.col("ts").cast("date").alias("day"), "*"
+    ).groupBy("day").agg(
         F.sum(
             F.when(
                 F.hour("ts") < 12, F.col("value").cast(dec)

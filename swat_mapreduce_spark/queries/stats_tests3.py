@@ -48,10 +48,15 @@ c AS (
 ),
 nn AS (SELECT sum(ca)::BIGINT AS n, sum(cb)::BIGINT AS m FROM g),
 s AS (
+    -- d is cast to DECIMAL BEFORE squaring (ADVICE r11 #1): |d| can
+    -- reach n*m, so an int64 d*d would overflow ~one tier above sf0.1
+    -- — silently wrapping in non-ANSI Spark while DuckDB errors loudly.
+    -- DECIMAL(19,0)^2 -> DECIMAL(38,0) on both engines: exact to 1e38,
+    -- loud consistent overflow beyond.
     SELECT sum(CAST((c.ca + c.cb) AS DECIMAL(38,0))
-               * CAST((c.cca * nn.m - c.ccb * nn.n)
-                      * (c.cca * nn.m - c.ccb * nn.n)
-                      AS DECIMAL(38,0))) AS su
+               * (CAST(c.cca * nn.m - c.ccb * nn.n AS DECIMAL(19,0))
+                  * CAST(c.cca * nn.m - c.ccb * nn.n AS DECIMAL(19,0))))
+           AS su
     FROM c, nn
 )
 SELECT nn.n AS n_en, nn.m AS n_other,
@@ -88,13 +93,19 @@ def cramer_von_mises_two_sample(
         F.sum("ca").cast("long").alias("n"),
         F.sum("cb").cast("long").alias("m"),
     )
-    d = F.col("cca") * F.col("m") - F.col("ccb") * F.col("n")
+    # d cast to DECIMAL(19,0) BEFORE squaring (ADVICE r11 #1): int64
+    # d*d overflows once |d| > ~3e9 (one tier above sf0.1), silently
+    # wrapping here while DuckDB errors; DECIMAL(19,0)^2 -> (38,0) is
+    # exact to 1e38 with loud consistent overflow on both engines.
+    d = (
+        F.col("cca") * F.col("m") - F.col("ccb") * F.col("n")
+    ).cast("decimal(19,0)")
     s = (
         c.crossJoin(F.broadcast(nn))
         .select(
             (
                 (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
-                * (d * d).cast("decimal(38,0)")
+                * (d * d)
             ).alias("term"),
             "n",
             "m",
@@ -497,9 +508,15 @@ def herfindahl_customer_revenue(
             / F.lit(1e16),
             6,
         ).alias("hhi"),
-        R.r(F.lit(1000000.0) / F.col("n") / F.lit(1e6), 6).alias(
-            "hhi_uniform_floor"
-        ),
+        # mirror the oracle's single multiply-round-divide on the same
+        # binary double — R.r(x/1e6, 6) would re-multiply by 1e6 after
+        # a divide, a double-rounding that can land 1 ulp off on a
+        # half-integer quotient like 1e6/80000 = 12.5 (ADVICE r11 #3,
+        # gotcha 13a)
+        (
+            F.round(F.lit(1000000.0) / F.col("n")).cast("long") / 1e6
+            + 0.0
+        ).alias("hhi_uniform_floor"),
     ).select("n_customers", "hhi", "hhi_uniform_floor")
 
 
@@ -969,7 +986,9 @@ FROM s, m
 @register("poisson_dispersion_daily", oracle=_POIS_ORACLE)
 def poisson_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    daily = ev.select(
+        F.col("ts").cast("date").alias("day"), "*"
+    ).groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
     m = daily.agg(
@@ -1382,7 +1401,9 @@ FROM s
 @register("spearman_footrule_daily", oracle=_FOOTRULE_ORACLE)
 def spearman_footrule_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    daily = ev.select(
+        F.col("ts").cast("date").alias("day"), "*"
+    ).groupBy("day").agg(
         F.sum(F.col("value").cast("decimal(30,8)")).alias("x"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
@@ -1807,9 +1828,16 @@ def ruzicka_token_overlap_langs(
     )
     o = cnt.filter(F.col("lang") != "en").join(tot, "lang")
     langs = o.select("lang").distinct()
-    # full profile union per lang: cross the (bounded) en profile with
-    # the lang list, then full-outer join against the lang profiles
-    enx = langs.crossJoin(F.broadcast(en)).select(
+    # full profile union per lang: fan the en profile out once per lang,
+    # then full-outer join against the lang profiles. The BROADCAST side
+    # is the lang list (constant-bounded: # of languages), NOT the en
+    # token-type profile — a vocabulary grows Heaps-sublinearly but
+    # unboundedly with corpus size, so profile-shaped broadcasts are
+    # corpus-dependent and forbidden (VERDICT r11 #4; SCALING.md
+    # "vocabulary-shaped broadcast" ruling). The (lang, t) full-outer
+    # join below shuffles — the scale-safe strategy for two
+    # vocab-sized sides.
+    enx = F.broadcast(langs).crossJoin(en).select(
         F.col("lang").alias("xl"), "te", "c_en", "n_en"
     )
     j = o.join(

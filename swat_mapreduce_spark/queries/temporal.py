@@ -1066,8 +1066,10 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
+    # supplier is SF-scaled — no hint (threshold/AQE decides); only the
+    # constant-row nation dim keeps its hint
     joined = f.join(
-        F.broadcast(supp), f["l_suppkey"] == supp["s_suppkey"]
+        supp, f["l_suppkey"] == supp["s_suppkey"]
     ).join(
         F.broadcast(nation),
         F.col("s_nationkey") == F.col("n_nationkey"),

@@ -167,3 +167,22 @@ def test_cap_actually_bound(spark, planted):
         """
     ).fetchone()[0]
     assert n >= 130 * 129 // 2, n
+
+
+def test_ktruss_support_capped_identically(spark, planted):
+    """ktruss support enumeration goes through the SAME capped wedge
+    subtree (VERDICT r11 #3): supports are counted only through wedge
+    centers with d(z) <= _WEDGE_MAX_DEG, mirrored in the oracle. On
+    the planted graph the only triangle is (200, 500, 501) — all its
+    wedge centers are small — so k=3 keeps exactly its 3 edges, k>=4
+    keeps none, and the 130 celebrity-star edges (no triangles, and
+    hub 100 above the cap) contribute zero support."""
+    rows = _both(spark, planted, "ktruss_support_ladder")
+    by_k = {r["k"]: r for r in rows}
+    assert sorted(by_k) == [3, 4, 5, 6]
+    # 130 celebrity + 3 small-star + 1 closing edge
+    assert by_k[3]["n_edges"] == 134
+    assert by_k[3]["max_support"] == 1
+    assert by_k[3]["n_truss_edges"] == 3
+    for k in (4, 5, 6):
+        assert by_k[k]["n_truss_edges"] == 0, by_k[k]
