@@ -85,13 +85,14 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "i -> substring(text, i, 1))"
                 ),
             ).otherwise(F.array().cast("array<string>"))
-        ).alias("c"),
+        ).alias("ch"),  # ch: single character (charset-bounded key name
+        # for the broadcast-boundedness domain dict)
     )
-    cnt = ch.groupBy("source", "c").agg(
+    cnt = ch.groupBy("source", "ch").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))
-    dom = cnt.select("c").distinct()
+    dom = cnt.select("ch").distinct()
     pairs = (
         tot.select(
             F.col("source").alias("src_a"), F.col("t").alias("ta")
@@ -109,22 +110,22 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(
                 cnt.select(
                     F.col("source").alias("src_a"),
-                    "c",
+                    "ch",
                     F.col("n").alias("na"),
                 )
             ),
-            ["src_a", "c"],
+            ["src_a", "ch"],
             "left",
         )
         .join(
             F.broadcast(
                 cnt.select(
                     F.col("source").alias("src_b"),
-                    "c",
+                    "ch",
                     F.col("n").alias("nb"),
                 )
             ),
-            ["src_b", "c"],
+            ["src_b", "ch"],
             "left",
         )
         .filter(

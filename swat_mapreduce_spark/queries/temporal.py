@@ -1756,8 +1756,11 @@ def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's (event_type, day) partition; everything else moves
     |series|x|days| rows."""
     events = read_table(spark, sf_dir, "events")
-    day = F.col("ts").cast("date")
-    ds = events.groupBy("event_type", day.alias("day")).agg(
+    # select-then-group keeps the physical key named `day` (an inline
+    # cast becomes an opaque _groupingexpression the broadcast-
+    # boundedness auditor cannot classify — tools/planaudit.py)
+    events = events.select(F.col("ts").cast("date").alias("day"), "*")
+    ds = events.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("cnt"),
         # DECIMAL(38,0) sums: a bucket's sum(epoch_us) reaches 1.26e18
         # at sf0.1 (~7x headroom to int64 max) — a >~5.4k-event bucket
@@ -1791,10 +1794,11 @@ def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = events.join(
         F.broadcast(nb),
-        (F.col("n_type") == F.col("event_type")) & (F.col("n_day") == day),
+        (F.col("n_type") == F.col("event_type"))
+        & (F.col("n_day") == F.col("day")),
     ).select(
         "event_type",
-        day.alias("day"),
+        "day",
         "event_id",
         "ts",
         "value",

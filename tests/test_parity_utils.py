@@ -642,3 +642,78 @@ def test_census_cross_sf_plan_invariance_sample(spark):
             counts[sf] = audit_one(name, reg[name].spark_fn(spark, sf))
         a, b = counts.values()
         assert a == b, f"{name}: plan reshaped across SFs: {a} vs {b}"
+
+
+# Queries whose physical plan is ALLOWED unproven hint-forced
+# broadcasts (nonzero `corpus_bcast` in PLANS.md) — each input is
+# bounded for a reason the plan-tree auditor cannot see (VERDICT r11
+# #1). The value is the exact expected count, so a NEW unproven
+# broadcast in a listed query still fails. Everything else must prove
+# every broadcast() hint bounded-by-construction: an unlisted
+# corpus-dependent broadcast is an executor/driver OOM at 100 TB.
+_CORPUS_BCAST_ALLOWLIST = {
+    # benchmark shingle set: a benchmark corpus is externally
+    # FIXED-SIZE (it does not grow with training data); the testdata
+    # models it as a filtered documents slice, which the tree reads
+    # as corpus-dependent
+    "decontaminate_vs_benchmark": 1,
+    # the probe side is a bounded incremental batch staged behind a
+    # persisted relation (InMemoryRelation) the tree cannot traverse;
+    # the (batch_id, corpus_id) match table is batch-side bounded
+    "dedup_probe_incremental": 3,
+    # contingency-grid aggregates keyed (p, q) = (priority rank,
+    # quantity cell) — bounded attribute domains; the single-letter
+    # names are too generic for the shared key-domain dict (p = part
+    # node id in the graph family, where it must NOT pass)
+    "goodman_kruskal_gamma": 1,
+    "jonckheere_terpstra_priority_qty": 1,
+    "somers_d_priority_qty": 1,
+    # Spark plans a NOT IN over a nullable subquery ONLY as a
+    # broadcast null-aware anti join (engine constraint, both the
+    # demo pair); scale guidance: rewrite to NOT EXISTS (SCALING.md)
+    "null_aware_anti_join": 2,
+    # hit set <= the fixed _PH_Q query sample (vid == cid
+    # self-matches); the cut hides inside the banded candidate join
+    "phash_neardup_recall": 1,
+    # co-occurrence/count tables keyed on the TOP-K topic words; the
+    # K-cut sits behind a persisted relation the tree cannot traverse
+    "umass_topic_coherence": 3,
+}
+
+
+def test_census_broadcasts_bounded_by_construction():
+    """Registry-wide broadcast-boundedness contract (VERDICT r11 #1):
+    every hint-forced BroadcastExchange must be proven bounded by the
+    planaudit subtree classifier, or carry a rationale entry here with
+    the EXACT expected count. A corpus-dependent broadcast ships the
+    whole input to every executor — the 100 TB OOM class this census
+    exists to keep extinct."""
+    import re
+
+    text = open("PLANS.md").read()
+    header = next(l for l in text.splitlines() if l.startswith("| query |"))
+    cols = [c.strip() for c in header.strip("|").split("|")]
+    assert "corpus_bcast" in cols, "census missing corpus_bcast column"
+    idx = cols.index("corpus_bcast")
+    offenders = []
+    listed_but_clean = set(_CORPUS_BCAST_ALLOWLIST)
+    for line in text.splitlines():
+        m = re.match(r"\| (\w+) \|", line)
+        if not m or m.group(1) == "query":
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) == len(cols) and cells[idx].isdigit():
+            n = int(cells[idx])
+            if n > 0:
+                if _CORPUS_BCAST_ALLOWLIST.get(m.group(1)) != n:
+                    offenders.append((m.group(1), n))
+                listed_but_clean.discard(m.group(1))
+    assert not offenders, (
+        f"unproven hint-forced broadcasts outside (or exceeding) the "
+        f"rationale allowlist: {offenders}"
+    )
+    # stale entries must be pruned so the list stays a faithful census
+    assert not listed_but_clean, (
+        f"allowlist entries whose broadcasts are now proven bounded: "
+        f"{sorted(listed_but_clean)}"
+    )

@@ -132,6 +132,8 @@ _BOUNDED_KEY_DOMAINS = {
     "b2": "corpus-prefix decile bucket — 10",
     "b3": "corpus-prefix decile bucket — 10",
     "batch_id": "incremental probe batches — fixed small count",
+    "ch": "single character — charset-bounded",
+    "day_x": "calendar day index — calendar-bounded",
     "n_chars": "document length — payload-bounded scalar domain",
     "v": "distinct-value grid over a payload-bounded scalar (the "
          "stats-grid family convention: document length / daily value)",
@@ -295,15 +297,34 @@ def _bounded(nid: int, nodes: dict[int, dict], memo: dict[int, bool]) -> bool:
     return ok
 
 
+def _cached_subtree_ids(nodes: dict[int, dict]) -> set[int]:
+    """Node ids nested under an InMemoryRelation: the PRINTOUT of a
+    cached plan, planned under the NORMAL threshold when some earlier
+    query persisted it — its broadcasts are not this query's hints
+    and must not be audited as such."""
+    out: set[int] = set()
+
+    def mark(nid: int) -> None:
+        for c in nodes[nid]["children"]:
+            out.add(c)
+            mark(c)
+
+    for nid, n in nodes.items():
+        if n["kind"] == "InMemoryRelation":
+            mark(nid)
+    return out
+
+
 def audit_broadcast_boundedness(plan: str) -> tuple[int, int, list[int]]:
     """(hinted broadcasts, proven bounded, unproven ids) for a plan
     generated under autoBroadcastJoinThreshold=-1."""
     nodes = _parse_tree(plan)
+    cached = _cached_subtree_ids(nodes)
     memo: dict[int, bool] = {}
     total = bounded = 0
     unproven: list[int] = []
     for nid, n in nodes.items():
-        if n["kind"] != "BroadcastExchange":
+        if n["kind"] != "BroadcastExchange" or nid in cached:
             continue
         total += 1
         child_ok = bool(n["children"]) and all(
@@ -399,6 +420,10 @@ def main() -> None:
                 counts["corpus_bcast"] = len(unproven)
             finally:
                 spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+                # cached relations left by a query's persist() would
+                # substitute into LATER queries' plans (plan census
+                # order-dependence) — audit each query self-contained
+                spark.catalog.clearCache()
             rows.append((name, counts))
         except Exception as e:  # noqa: BLE001
             rows.append((name, {"error": str(e)[:80]}))
