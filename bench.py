@@ -365,6 +365,13 @@ HEADLINE = [
     "gini_mean_difference_lengths",
     "tukey_fence_outliers_lengths",
     "ruzicka_token_overlap_langs",
+    # round-12 corpus-statistics pack
+    "tokenizer_fertility_by_lang",
+    "contamination_longest_run",
+    "wilson_ci_keep_rate",
+    "dup_cluster_size_histogram",
+    "dedup_yield_by_decile",
+    "token_burstiness_topk",
 ]
 
 REPEATS = 2

@@ -38,6 +38,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QueryEntry]:
     """Import every query module (side effect: registration)."""
     from swat_mapreduce_spark.queries import (  # noqa: F401
+        corpus_stats,
         curation,
         data_selection,
         dedup,

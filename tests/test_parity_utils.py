@@ -657,6 +657,8 @@ _CORPUS_BCAST_ALLOWLIST = {
     # models it as a filtered documents slice, which the tree reads
     # as corpus-dependent
     "decontaminate_vs_benchmark": 1,
+    # same benchmark-set rationale, positional-shingle variant
+    "contamination_longest_run": 1,
     # the probe side is a bounded incremental batch staged behind a
     # persisted relation (InMemoryRelation) the tree cannot traverse;
     # the (batch_id, corpus_id) match table is batch-side bounded
