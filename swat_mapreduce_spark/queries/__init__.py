@@ -22,14 +22,24 @@ class QueryEntry:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL or None for rows-only check
+    # Lazy plan builder for queries whose spark_fn collect()s
+    # internally (bounded driver-state patterns): returns the heavy
+    # pre-collect DataFrame WITHOUT executing it, so plan tooling
+    # (tools/dumpplan.py, plans/r12 evidence) can explain the real
+    # computation instead of the LocalTableScan of collected rows.
+    plan_fn: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, QueryEntry] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str,
+    oracle: str | None = None,
+    plan_fn: Callable[[SparkSession, str], DataFrame] | None = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryEntry(name, fn, oracle)
+        REGISTRY[name] = QueryEntry(name, fn, oracle, plan_fn)
         return fn
 
     return deco

@@ -548,32 +548,7 @@ JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 
 @register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo, li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-        )
-        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     # materialize the oriented edge list ONCE: the plan references it
     # four times (three join legs + the edge count), and without a
     # persist Spark re-derives the whole lineitem→items→distinct
@@ -1284,33 +1259,13 @@ FROM (SELECT unnest(generate_series(1, 3)) AS round) r, kv
 def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo, li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
     # coalesce(2): narrow the cached iterate to match its volume at
     # test scale (AQE's post-shuffle coalesce does the same job on a
     # cluster; the explicit narrow keeps the cached partition count —
     # which persists across the loop — from pinning 32 near-empty
     # blocks)
     edges = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
+        _copurchase_edges(spark, sf_dir)
         .coalesce(2)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1628,6 +1583,138 @@ _AA_TOPN = 20
 # high-degree nodes the statistic is about.
 _WEDGE_MAX_DEG = 128
 
+
+# --- shared co-purchase-graph machinery ------------------------------------
+# Ten queries derive the same PROMO co-purchase graph (items → distinct
+# edges → doubled und → degrees → capped wedges). The builders below
+# are the single implementation; each query's registered fn collects
+# its bounded output through _collected so no persist outlives the
+# query, and registers the lazy builder as plan_fn so plan tooling can
+# explain the real computation (the collected local relation is
+# opaque).
+
+
+def _collected(spark, builder, sf_dir):
+    """Run a lazy builder, collect its bounded output, release its
+    persisted intermediates, and return a local relation."""
+    out, persisted = builder(spark, sf_dir)
+    rows = out.collect()
+    for p in persisted:
+        p.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _plan_of(builder):
+    """plan_fn adapter: the heavy pre-collect subtree, unexecuted."""
+
+    def plan_fn(spark, sf_dir):
+        return builder(spark, sf_dir)[0]
+
+    return plan_fn
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Distinct undirected co-purchase edges (pa < pb), unpersisted.
+
+    Optimized shape (r12, guide §2.4): one groupBy(o) collecting each
+    order's sorted distinct PROMO parts, pairs generated IN-ROW from
+    the sorted array (posexplode + slice — lambda-free, gotcha 1), then
+    one distinct on (pa, pb). The previous items-self-join shape paid
+    four exchanges for the same set — distinct items (o, p), twice the
+    items exchange into the a⋈b sort-merge join, then the pair distinct;
+    collect_set fuses the per-order dedup into the single groupBy, and
+    the in-row pair generation replaces the self-join outright. Pair
+    volume per order is C(k, 2) over basket size k, exactly the old
+    join's output — nothing new materializes. Semantics are identical:
+    sorted distinct array ⇒ every within-order pair (pa < pb) appears
+    once.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    promo = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    baskets = (
+        li.join(
+            promo,
+            li["l_partkey"] == promo["p_partkey"],
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    )
+    return (
+        baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("pb"),
+        )
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+def _und_of(edges):
+    """Doubled (u, v) adjacency list of the undirected edge set."""
+    return edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+
+
+def _capped_wedges(edges, center_cols=()):
+    """Wedge pairs (center u, a, b) with a < b over the undirected
+    graph, centers capped at _WEDGE_MAX_DEG degrees BEFORE wedge
+    generation (the n1 leg is reduced to capped centers first, so the
+    self-join never enumerates a celebrity hub's Σd² wedges — the
+    r10 wedge-cap contract, now applied uniformly: adamic_adar and
+    resource_allocation previously joined the capped degree table
+    AFTER the n1⋈n2 self-join).
+
+    center_cols: (name, fn) pairs where fn maps the center's degree
+    count column to a per-center weight; weights ride the capped
+    degree table through the n1 join — no separate post-join lookup.
+
+    An in-row alternative (collect the capped neighbor arrays, generate
+    pairs with posexplode+slice, one fewer exchange of the doubled
+    adjacency list) was measured 0.3-0.5 s SLOWER at sf0.1 in
+    interleaved same-session A/B (OPTIMIZATION_r12.md): the per-group
+    array build + sort costs more CPU than the 16-byte-row exchange it
+    saves at this scale. Revisit if profile shows the und exchange
+    dominating on a real cluster.
+
+    Returns (deg, wedges); deg is the FULL degree table (u, d).
+    """
+    und = _und_of(edges)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    names = [name for name, _ in center_cols]
+    aggs = [F.count(F.lit(1)).cast("long").alias("d")] + [
+        fn(F.count(F.lit(1))).alias(name) for name, fn in center_cols
+    ]
+    capped = (
+        und.groupBy("u")
+        .agg(*aggs)
+        .filter(F.col("d") <= _WEDGE_MAX_DEG)
+        .select(F.col("u").alias("zc"), *names)
+    )
+    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    if names:
+        left = n1.join(capped, F.col("z") == F.col("zc")).select(
+            "z", "a", *names
+        )
+    else:
+        left = n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
+    wedges = (
+        left.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .select(F.col("z").alias("u"), *names, "a", "b")
+    )
+    return deg, wedges
+
+
 _AA_ORACLE = f"""
 WITH items AS (
     SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
@@ -1675,57 +1762,20 @@ LIMIT 20
 """
 
 
-@register("adamic_adar_link_prediction", oracle=_AA_ORACLE)
-def adamic_adar_link_prediction(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+def _aa_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
     # deg-1 guard mirrors the oracle: ln(1)=0 is never divided by;
-    # wedge-center cap excludes celebrity hubs BEFORE wedge generation
-    deg = (
-        und.groupBy("u")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("d"),
-            F.when(
-                F.count(F.lit(1)) >= 2,
-                F.round(F.lit(1e6) / F.log(F.count(F.lit(1)))).cast("long"),
-            ).alias("w_u"),
-        )
-        .filter(F.col("d") <= _WEDGE_MAX_DEG)
-    )
-    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
-    wedges = (
-        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
-        .join(deg, F.col("u") == F.col("z"))
-        .select("a", "b", "w_u")
+    # 1/ln(d) weight rides the capped-center table into wedge gen
+    _, wedges = _capped_wedges(
+        edges,
+        center_cols=(
+            (
+                "w_u",
+                lambda c: F.when(
+                    c >= 2, F.round(F.lit(1e6) / F.log(c)).cast("long")
+                ),
+            ),
+        ),
     )
     cand = (
         wedges.join(
@@ -1751,9 +1801,18 @@ def adamic_adar_link_prediction(
             ),
         )
     )
-    rows = out.collect()
-    edges.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges]
+
+
+@register(
+    "adamic_adar_link_prediction",
+    oracle=_AA_ORACLE,
+    plan_fn=_plan_of(_aa_plan),
+)
+def adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _collected(spark, _aa_plan, sf_dir)
 
 
 # --- modularity of a node partition ------------------------------------------------
@@ -1814,28 +1873,8 @@ FROM rows_
 def graph_modularity_partition(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
     part = read_table(spark, sf_dir, "part")
-    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
+    edges = _copurchase_edges(spark, sf_dir).persist()
     com = part.select(F.col("p_partkey").alias("p"), F.col("p_brand").alias("c"))
     m_val = edges.count()  # materializes the persist; bounded driver int
     lab = (
@@ -1962,39 +2001,8 @@ FROM m, g
 def graph_degree_assortativity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(
-            b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb"))
-        )
-        .select("pa", "pb")
-        .distinct()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(
-        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
+    und = _und_of(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     du = deg.select(F.col("u").alias("ju"), F.col("d").alias("d_u"))
     dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("d_v"))
@@ -2085,54 +2093,18 @@ ORDER BY c_u DESC, part LIMIT {_LCC_TOPN}
 """
 
 
-@register("local_clustering_coefficient", oracle=_LCC_ORACLE)
-def local_clustering_coefficient(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
-        F.col("u").alias("zc")
-    )
-    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+def _lcc_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    deg, wedges = _capped_wedges(edges)
     closed = (
-        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
-        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
-        .join(
+        wedges.join(
             edges,
             (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
             "left_semi",
         )
-        .groupBy("z")
+        .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .select(F.col("u").alias("z"), "t")
     )
     coef = (
         deg.filter((F.col("d") >= 2) & (F.col("d") <= _WEDGE_MAX_DEG))
@@ -2163,9 +2135,18 @@ def local_clustering_coefficient(
             ),
         )
     )
-    rows = out.collect()
-    edges.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges]
+
+
+@register(
+    "local_clustering_coefficient",
+    oracle=_LCC_ORACLE,
+    plan_fn=_plan_of(_lcc_plan),
+)
+def local_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _collected(spark, _lcc_plan, sf_dir)
 
 
 # --- Jaccard-neighborhood link prediction ------------------------------------
@@ -2213,47 +2194,11 @@ ORDER BY j_u DESC, a, b LIMIT 20
 """
 
 
-@register("jaccard_link_prediction", oracle=_JLP_ORACLE)
-def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
-        F.col("u").alias("zc")
-    )
-    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
-    common = (
-        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
-        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+def _jlp_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    deg, wedges = _capped_wedges(edges)
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
     )
     da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
@@ -2287,9 +2232,16 @@ def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.col("j_u") * F.lit(1.0) / 100000000, 4).alias("jaccard"),
         )
     )
-    rows = out.collect()
-    edges.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges]
+
+
+@register(
+    "jaccard_link_prediction",
+    oracle=_JLP_ORACLE,
+    plan_fn=_plan_of(_jlp_plan),
+)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collected(spark, _jlp_plan, sf_dir)
 
 
 # --- preferential-attachment link prediction -----------------------------------
@@ -2335,50 +2287,10 @@ ORDER BY pa_score DESC, a, b LIMIT 20
 """
 
 
-@register("preferential_attachment_links", oracle=_PA_ORACLE)
-def preferential_attachment_links(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
-        F.col("u").alias("zc")
-    )
-    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
-    common = (
-        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
-        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
-        .select("a", "b")
-        .distinct()
-    )
+def _pa_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    deg, wedges = _capped_wedges(edges)
+    common = wedges.select("a", "b").distinct()
     da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
     cand = (
@@ -2408,9 +2320,18 @@ def preferential_attachment_links(
             "pa_score",
         )
     )
-    rows = out.collect()
-    edges.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges]
+
+
+@register(
+    "preferential_attachment_links",
+    oracle=_PA_ORACLE,
+    plan_fn=_plan_of(_pa_plan),
+)
+def preferential_attachment_links(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _collected(spark, _pa_plan, sf_dir)
 
 
 # --- rich-club coefficient ------------------------------------------------------
@@ -2462,36 +2383,9 @@ WHERE n.n_k >= 2
 """
 
 
-@register("rich_club_coefficient", oracle=_RC_ORACLE)
-def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+def _rc_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    und = _und_of(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     deg = deg.persist()
     ks = spark.createDataFrame([(k,) for k in _RC_KS], "k long")
@@ -2525,10 +2419,16 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rich_club_coef"),
         )
     )
-    rows = out.collect()
-    edges.unpersist()
-    deg.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges, deg]
+
+
+@register(
+    "rich_club_coefficient",
+    oracle=_RC_ORACLE,
+    plan_fn=_plan_of(_rc_plan),
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collected(spark, _rc_plan, sf_dir)
 
 
 # --- resource-allocation link prediction -----------------------------------------
@@ -2578,51 +2478,17 @@ ORDER BY score_u DESC, a, b LIMIT 20
 """
 
 
-@register("resource_allocation_links", oracle=_RA_ORACLE)
-def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = (
-        und.groupBy("u")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("d"),
-            F.round(F.lit(1000000.0) / F.count(F.lit(1))).cast("long")
-            .alias("w_u"),
-        )
-        .filter(F.col("d") <= _WEDGE_MAX_DEG)
-    )
-    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
-    wedges = (
-        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
-        .join(deg, F.col("u") == F.col("z"))
-        .select("a", "b", "w_u")
+def _ra_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    # 1/d weight per wedge center rides the capped degree table
+    _, wedges = _capped_wedges(
+        edges,
+        center_cols=(
+            (
+                "w_u",
+                lambda c: F.round(F.lit(1000000.0) / c).cast("long"),
+            ),
+        ),
     )
     cand = (
         wedges.join(
@@ -2647,9 +2513,16 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ra_score"),
         )
     )
-    rows = out.collect()
-    edges.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges]
+
+
+@register(
+    "resource_allocation_links",
+    oracle=_RA_ORACLE,
+    plan_fn=_plan_of(_ra_plan),
+)
+def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collected(spark, _ra_plan, sf_dir)
 
 
 # --- k-truss edge-support ladder ----------------------------------------------
@@ -2699,46 +2572,11 @@ ORDER BY k
 """
 
 
-@register("ktruss_support_ladder", oracle=_TRUSS_ORACLE)
-def ktruss_support_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-        .persist()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = deg.filter(F.col("d") <= _WEDGE_MAX_DEG).select(
-        F.col("u").alias("zc")
-    )
-    n1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
-    n2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+def _truss_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    _, wedges = _capped_wedges(edges)
     sup = (
-        n1.join(capped, F.col("z") == F.col("zc"), "left_semi")
-        .join(n2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
-        .join(
+        wedges.join(
             edges,
             (F.col("a") == F.col("pa")) & (F.col("b") == F.col("pb")),
             "left_semi",
@@ -2790,10 +2628,16 @@ def ktruss_support_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n_edges", "max_support", "n_truss_edges")
         .orderBy("k")
     )
-    rows = out.collect()
-    edges.unpersist()
-    sup.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [edges, sup]
+
+
+@register(
+    "ktruss_support_ladder",
+    oracle=_TRUSS_ORACLE,
+    plan_fn=_plan_of(_truss_plan),
+)
+def ktruss_support_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collected(spark, _truss_plan, sf_dir)
 
 
 # --- Katz centrality, 2-hop truncation ----------------------------------------
@@ -2840,37 +2684,9 @@ LIMIT 20
 """
 
 
-@register("katz_centrality_2hop", oracle=_KATZ_ORACLE)
-def katz_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    promo = (
-        read_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    items = (
-        li.join(
-            promo,
-            li["l_partkey"] == promo["p_partkey"],
-            "left_semi",
-        )
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = items.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
-    edges = (
-        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
-        .select("pa", "pb")
-        .distinct()
-    )
-    und = edges.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v")
-    ).unionAll(
-        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    ).persist()
+def _katz_plan(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir)
+    und = _und_of(edges).persist()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     dz = deg.select(F.col("u").alias("zv"), F.col("d").alias("dz"))
     w2 = (
@@ -2894,6 +2710,13 @@ def katz_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.r(F.col("score_u") / 100.0, 4).alias("katz_score"),
         )
     )
-    rows = out.collect()
-    und.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out, [und]
+
+
+@register(
+    "katz_centrality_2hop",
+    oracle=_KATZ_ORACLE,
+    plan_fn=_plan_of(_katz_plan),
+)
+def katz_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _collected(spark, _katz_plan, sf_dir)
