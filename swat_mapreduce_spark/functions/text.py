@@ -50,6 +50,12 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     ``transform`` lambdas are re-evaluated per element, turning an
     inline ``split()`` into O(tokens²) work.
     """
+    # NOTE (r12): an element_at×n + concat rewrite (avoiding the
+    # per-position slice allocation) measured EQUAL in an interleaved
+    # noop A/B on the shapley masks pipeline but regressed the real
+    # consumers 1.6-2x in the full bench capture (decontaminate 2.75x,
+    # dedup_ngram_jaccard 3.0x vs a 1.3x capture-wide box drift) — the
+    # slice+concat_ws form stays.
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

@@ -394,10 +394,17 @@ def jaccard_prefix_filter_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = (
-        doc_shingle_arrays(docs, n, extra_cols=("lang",))
-        .select("doc_id", "lang", F.explode("sh_arr").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the per-doc shingle ARRAYS (not the exploded postings):
+    # the prefix stages explode them once, and verification intersects
+    # the arrays directly — same bytes cached, but candidate
+    # verification joins the |docs|-row array table instead of
+    # re-shuffling the corpus-sized exploded postings twice (r12,
+    # guide §2.3 "shuffle keys and metadata instead of payloads")
+    arrs = doc_shingle_arrays(docs, n, extra_cols=("lang",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = arrs.select(
+        "doc_id", "lang", F.explode("sh_arr").alias("shingle")
     )
     dfreq = sh.groupBy("lang", "shingle").agg(
         F.count(F.lit(1)).alias("df")
@@ -432,31 +439,34 @@ def jaccard_prefix_filter_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # exact verification on the cached arrays: |a ∩ b| via
+    # array_intersect (arrays are distinct per doc, so the size equals
+    # the old exploded equi-join's per-pair match count exactly) and
+    # |a| / |b| via size() — no re-shuffle of the exploded postings
+    va = arrs.select(
+        F.col("doc_id").alias("va_id"), F.col("sh_arr").alias("arr_a")
     )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+    vb = arrs.select(
+        F.col("doc_id").alias("vb_id"), F.col("sh_arr").alias("arr_b")
+    )
+    verified = (
+        cand.join(va, F.col("va_id") == F.col("doc_a"))
+        .join(vb, F.col("vb_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            R.r(
-                F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c")), 4
-            ).alias("jaccard"),
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("c"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        R.r(
+            F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def decontaminate(

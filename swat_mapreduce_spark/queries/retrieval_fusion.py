@@ -508,7 +508,7 @@ def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("qlabel"),
             A.as_double_array(F.col("embedding")).alias("qv"),
         ],
-    ).persist()
+    ).withColumn("nq", A.l2_norm(F.col("qv"))).persist()
     rtot = (
         F.broadcast(qdf.select("qid", "qlabel"))
         .join(
@@ -520,8 +520,14 @@ def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("rr"))
     )
     vec = A.as_double_array(F.col("embedding"))
+    # norms hoisted OUT of the 32-way pair fan-out (r12, guide §1.2
+    # per-task work): cosine(v, qv) recomputed sqrt(Σv²) per (vector,
+    # query) pair and sqrt(Σq²) per corpus row; nv is projected once
+    # per vector and nq once per query — dot/(nv·nq) evaluates the
+    # SAME doubles in the same order, so the 4dp snap is bit-identical
     scored = (
         emb.select("vec_id", "label", vec.alias("v"))
+        .withColumn("nv", A.l2_norm(F.col("v")))
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -529,7 +535,11 @@ def map_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             "label",
-            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c"),
+            R.r(
+                A.dot(F.col("v"), F.col("qv"))
+                / (F.col("nv") * F.col("nq")),
+                4,
+            ).alias("c"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
@@ -728,15 +738,24 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= _IVFR_NPROBE)
         .select("qid", "cell")
     )
+    # norms hoisted out of the 16-way pair fan-out (same bit-identical
+    # rewrite as map_retrieval_eval above)
     scores = (
         emb.select("vec_id", "label", vec.alias("v"))
-        .crossJoin(F.broadcast(qdf))
+        .withColumn("nv", A.l2_norm(F.col("v")))
+        .crossJoin(
+            F.broadcast(qdf.withColumn("nq", A.l2_norm(F.col("qv"))))
+        )
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             "label",
-            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c"),
+            R.r(
+                A.dot(F.col("v"), F.col("qv"))
+                / (F.col("nv") * F.col("nq")),
+                4,
+            ).alias("c"),
         )
         .persist()
     )
