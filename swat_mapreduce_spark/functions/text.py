@@ -68,6 +68,46 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(ws_tokens(text), n)
 
 
+def char_array(text: Column) -> Column:
+    """Codepoint array of a text column via split on the empty pattern
+    — O(len) in ONE pass, where the older
+    ``transform(sequence(1, length(text)), i -> substring(text, i, 1))``
+    form re-scans the string from the start per index (UTF8String
+    substring is O(i)), i.e. O(len²) per document (measured 7x at
+    sf0.1, r12). Java regex split('') is codepoint-aware, matching
+    substring semantics. Guarded: split('', '') is [''], not []."""
+    return F.when(F.length(text) >= 1, F.split(text, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_bigrams_from(cs: str) -> Column:
+    """Adjacent character bigrams from a MATERIALIZED codepoint-array
+    column, referenced BY NAME (same per-element re-evaluation caveat
+    as shingles_from_tokens — materialize char_array in a projection
+    first): zip the array against its own 1-shifted slice — one flat
+    zip_with, no per-index substring scans. Empty and single-char
+    arrays yield no bigrams (slice length ≥ 0 guard)."""
+    return F.expr(
+        f"zip_with(slice({cs}, 1, greatest(size({cs}) - 1, 0)), "
+        f"slice({cs}, 2, greatest(size({cs}) - 1, 0)), "
+        "(x, y) -> concat(x, y))"
+    )
+
+
+def char_shingles_from_array(cs: str, n: int = 5) -> Column:
+    """Character n-grams from a MATERIALIZED codepoint-array column
+    referenced BY NAME — the O(len) form of char_shingles_from (array
+    slice is O(n) per position; per-index substring re-scans the
+    string, O(len²) per doc). Same index expression as
+    char_shingles_from, so edge behavior on short inputs is
+    identical."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({cs}) - {n - 1}, 0)), "
+        f"i -> concat_ws('', slice({cs}, i, {n})))"
+    )
+
+
 def char_shingles_from(t: Column, n: int = 5) -> Column:
     """Character n-grams from a MATERIALIZED (lowercased) text column —
     same per-element re-evaluation caveat as shingles_from_tokens."""

@@ -40,6 +40,7 @@ from pyspark.storagelevel import StorageLevel
 
 from swat_mapreduce_spark.functions import hashing as _H
 from swat_mapreduce_spark.functions import rounding as R
+from swat_mapreduce_spark.functions import text as T
 from swat_mapreduce_spark.functions.text import ws_tokens
 from swat_mapreduce_spark.queries import register
 from swat_mapreduce_spark.queries.llm_text5 import (
@@ -417,20 +418,12 @@ FROM ew, z
 @register("doremi_domain_reweight", oracle=_DOREMI_ORACLE)
 def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
-    bg = docs.select(
+    # split('')-based bigrams (r12): O(len) zip_with vs the O(len²)
+    # per-index substring transform; <=1-char docs yield empty arrays
+    # (the old gotcha-10 guard's semantics, now structural)
+    bg = docs.withColumn("cs", T.char_array(F.col("text"))).select(
         "source",
-        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
-        # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
-        # is empty; guard the degenerate bound (VERDICT r9 #1)
-        F.explode(
-            F.when(
-                F.length("text") >= 2,
-                F.expr(
-                    "transform(sequence(1, length(text) - 1), "
-                    "i -> substring(text, i, 2))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("b"),
+        F.explode(T.char_bigrams_from("cs")).alias("b"),
     )
     # ONE corpus scan: the (source, bigram) count table is
     # charset² x |sources|-bounded and feeds both the model rollup
@@ -513,20 +506,12 @@ FROM sums s, tots t
 @register("loso_source_value", oracle=_LOSO_ORACLE)
 def loso_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
-    bg = docs.select(
+    # split('')-based bigrams (r12): O(len) zip_with vs the O(len²)
+    # per-index substring transform; <=1-char docs yield empty arrays
+    # (the old gotcha-10 guard's semantics, now structural)
+    bg = docs.withColumn("cs", T.char_array(F.col("text"))).select(
         "source",
-        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
-        # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
-        # is empty; guard the degenerate bound (VERDICT r9 #1)
-        F.explode(
-            F.when(
-                F.length("text") >= 2,
-                F.expr(
-                    "transform(sequence(1, length(text) - 1), "
-                    "i -> substring(text, i, 2))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("b"),
+        F.explode(T.char_bigrams_from("cs")).alias("b"),
     )
     sbc = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
     sbc = sbc.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1133,21 +1118,18 @@ def _rho_plan(spark: SparkSession, sf_dir: str):
     # and the final doc_id→lang broadcast join are both gone (VERDICT
     # r11 #1); lang is constant per doc_id so grouping on (doc_id, lang)
     # produces the identical per-doc groups.
-    bg = docs.select(
-        "doc_id",
-        "lang",
-        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
-        # ([1, 0] -> spurious rows) where DuckDB's generate_series(1, 0)
-        # is empty; guard the degenerate bound (VERDICT r9 #1)
-        F.explode(
-            F.when(
-                F.length("text") >= 2,
-                F.expr(
-                    "transform(sequence(1, length(text) - 1), "
-                    "i -> substring(text, i, 2))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("b"),
+    # bigrams from the split('')-based codepoint array (r12): one flat
+    # zip_with against the 1-shifted slice — the per-index substring
+    # transform re-scanned the string per position (O(len²); measured
+    # 1.7x at sf0.1). <=1-char docs yield empty arrays (the old
+    # gotcha-10 guard's semantics, now structural).
+    bg = (
+        docs.withColumn("cs", T.char_array(F.col("text")))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(T.char_bigrams_from("cs")).alias("b"),
+        )
     )
     bgc = (
         bg.groupBy("doc_id", "lang", "b")

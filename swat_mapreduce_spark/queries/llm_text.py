@@ -196,19 +196,24 @@ GROUP BY doc_id
 
 @register("doc_fingerprint", oracle=_FP_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swat_mapreduce_spark.functions.text import char_shingles_from
+    from swat_mapreduce_spark.functions.text import (
+        char_array,
+        char_shingles_from_array,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    # lowercased text materialized first: the inline char_shingles
-    # form re-evaluates lower(text) per shingle element (functions/
-    # text.py PERF note — same trap fixed in ngram_novelty_decay r6);
-    # fp likewise materialized so the array_min fold runs once, not
-    # once per referencing column
-    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("t"))
+    # lowercased CODEPOINT ARRAY materialized first (r12): the shingle
+    # transform slices the array per position (O(len) total) instead
+    # of per-index substring over the string (O(len²) per doc); the
+    # materialized projection also keeps the split from re-evaluating
+    # per shingle element (functions/text.py PERF note)
+    lowered = docs.select(
+        "doc_id", char_array(F.lower(F.col("text"))).alias("cs")
+    )
     fp_t = lowered.select(
         "doc_id",
         F.array_min(
-            F.transform(char_shingles_from(F.col("t"), 5), F.md5)
+            F.transform(char_shingles_from_array("cs", 5), F.md5)
         ).alias("fp"),
     )
     return fp_t.select(

@@ -244,20 +244,15 @@ GROUP BY doc_id
 
 @register("charlm_perplexity_proxy", oracle=_CHARLM_ORACLE)
 def charlm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions import text as T
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # expr form: substring(text, i, 2) with a column start index isn't
-    # expressible via the F.substring helper's int-typed signature
-    bg = docs.select(
+    # split('')-based bigrams (r12): O(len) zip_with vs the O(len²)
+    # per-index substring transform; <=1-char docs yield empty arrays
+    # (the old gotcha-10 guard's semantics, now structural)
+    bg = docs.withColumn("cs", T.char_array(F.col("text"))).select(
         "doc_id",
-        # gotcha 10: on a <=1-char doc sequence(1, 0) DESCENDS in Spark
-        # where DuckDB's generate_series(1, 0) is empty (VERDICT r9 #1)
-        F.explode(
-            F.when(
-                F.length("text") >= 2,
-                F.expr("transform(sequence(1, length(text) - 1), "
-                       "i -> substring(text, i, 2))"),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("b"),
+        F.explode(T.char_bigrams_from("cs")).alias("b"),
     )
     # Aggregate to per-doc bigram COUNTS first: the exploded stream is
     # O(corpus chars) but the counted table is charset²-bounded per doc

@@ -71,21 +71,17 @@ GROUP BY src_a, src_b
 
 @register("jsd_source_divergence", oracle=_JSD_ORACLE)
 def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swat_mapreduce_spark.functions.text import char_array
+
     docs = read_table(spark, sf_dir, "documents").select("source", "text")
-    # gotcha 10: sequence(1, length(text)) on an EMPTY text descends
-    # ([1, 0] — two ''-char rows) while DuckDB's generate_series(1, 0)
-    # is empty; guard the degenerate bound (ADVICE r8)
+    # char_array: split('')-based codepoint array — O(len) where the
+    # per-index substring transform re-scanned the string per char
+    # (O(len²); measured 7x at sf0.1, r12). Empty-text guard inside
+    # the helper keeps the old gotcha-10 semantics (no ''-char rows).
     ch = docs.select(
         "source",
-        F.explode(
-            F.when(
-                F.length("text") >= 1,
-                F.expr(
-                    "transform(sequence(1, length(text)), "
-                    "i -> substring(text, i, 1))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("ch"),  # ch: single character (charset-bounded key name
+        F.explode(char_array(F.col("text"))).alias("ch"),
+        # ch: single character (charset-bounded key name
         # for the broadcast-boundedness domain dict)
     )
     cnt = ch.groupBy("source", "ch").agg(

@@ -228,15 +228,18 @@ def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    bg = docs.filter(F.length("text") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1), "
-                "i -> substring(text, i, 2))"
-            )
-        ).alias("b"),
+    from swat_mapreduce_spark.functions import text as T
+
+    # split('')-based bigrams (r12): O(len) zip_with vs the O(len²)
+    # per-index substring transform
+    bg = (
+        docs.filter(F.length("text") >= 2)
+        .withColumn("cs", T.char_array(F.col("text")))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(T.char_bigrams_from("cs")).alias("b"),
+        )
     )
     bg = bg.persist()
     dbc = bg.groupBy("doc_id", "b").agg(

@@ -332,12 +332,15 @@ def _phash_table(df: DataFrame) -> DataFrame:
     rows for them, so they are absent from its hash table too); the
     filter doubles as the gotcha-10 guard for the code-point range.
     """
+    # code points via split('') (r12): one O(len) pass — the per-index
+    # substring form re-scanned the string per position (UTF8String
+    # substring is O(i) ⇒ O(len²) per doc). The length >= 1 filter
+    # guarantees split never yields the [''] empty-text artifact.
     base = df.filter(F.length("t") >= 1).select(
         "doc_id",
         F.length("t").cast("long").alias("l"),
         F.expr(
-            "transform(sequence(1, length(t)), "
-            "i -> cast(ascii(substring(t, i, 1)) as bigint))"
+            "transform(split(t, ''), x -> cast(ascii(x) as bigint))"
         ).alias("cps"),
     )
     # cps is referenced 33 times below; keeping it an attribute of its
