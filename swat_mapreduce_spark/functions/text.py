@@ -70,12 +70,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def char_array(text: Column) -> Column:
     """Codepoint array of a text column via split on the empty pattern
-    — O(len) in ONE pass, where the older
-    ``transform(sequence(1, length(text)), i -> substring(text, i, 1))``
-    form re-scans the string from the start per index (UTF8String
-    substring is O(i)), i.e. O(len²) per document (measured 7x at
-    sf0.1, r12). Java regex split('') is codepoint-aware, matching
-    substring semantics. Guarded: split('', '') is [''], not []."""
+    — O(len) in ONE pass, where the older per-index
+    ``substring(text, i, 1)`` transform re-scans the string from the
+    start per position (UTF8String substring is O(i)), i.e. O(len²)
+    per document (measured 7x at sf0.1, r12). Java regex split('') is
+    codepoint-aware, matching substring semantics. Guarded:
+    split('', '') is [''], not []."""
     return F.when(F.length(text) >= 1, F.split(text, "")).otherwise(
         F.array().cast("array<string>")
     )
@@ -99,12 +99,14 @@ def char_shingles_from_array(cs: str, n: int = 5) -> Column:
     """Character n-grams from a MATERIALIZED codepoint-array column
     referenced BY NAME — the O(len) form of char_shingles_from (array
     slice is O(n) per position; per-index substring re-scans the
-    string, O(len²) per doc). Same index expression as
-    char_shingles_from, so edge behavior on short inputs is
-    identical."""
+    string, O(len²) per doc). Inputs shorter than n yield an EMPTY
+    array (gotcha 10: the two-arg sequence descends when the upper
+    bound falls below 1, and slice at index 0 throws)."""
     return F.expr(
-        f"transform(sequence(1, greatest(size({cs}) - {n - 1}, 0)), "
-        f"i -> concat_ws('', slice({cs}, i, {n})))"
+        f"CASE WHEN size({cs}) >= {n} THEN "
+        f"transform(sequence(1, size({cs}) - {n - 1}), "
+        f"i -> concat_ws('', slice({cs}, i, {n}))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
 
 
