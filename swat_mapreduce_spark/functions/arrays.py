@@ -8,8 +8,31 @@ operators. All stay inside whole-stage codegen — no Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def explode_nonnull(
+    df: DataFrame, arr: Column | str, alias: str, *keep: Column | str
+) -> DataFrame:
+    """``df.select(*keep, explode(arr).alias(alias))`` minus the
+    optimizer's inferred-filter blowup (CLAUDE.md gotcha 13, r13).
+
+    A plain (non-outer) ``explode`` makes InferFiltersFromGenerate add
+    ``size(arr) > 0`` above the Generate's child; PushDownPredicates
+    then pushes it through the collapsed projections INTO the scan,
+    substituting the FULL array-building pipeline (tokenize + shingle +
+    distinct), which is evaluated once per row in the pre-fan_out scan
+    task — serial on single-row-group inputs (measured 3.7 s where the
+    pipeline itself costs 0.35 s, shapley masks sf0.1) — and then again
+    in the post-exchange projection. ``explode_outer`` infers nothing;
+    the post-Generate ``isNotNull`` filter (an empty/null array emits
+    exactly one null row) restores plain-explode row semantics EXACTLY
+    — for arrays whose ELEMENTS are never null, which every tokenizer/
+    shingler/bigram helper here guarantees. Do NOT use on arrays that
+    can contain null elements (plain explode keeps those)."""
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
 
 
 def asum(arr: Column) -> Column:

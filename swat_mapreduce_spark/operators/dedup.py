@@ -69,7 +69,10 @@ MH_A, MH_B = _mh_constants()
 
 
 def doc_shingle_arrays(
-    docs: DataFrame, n: int = 3, extra_cols: tuple[str, ...] = ()
+    docs: DataFrame,
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    nonempty: bool = False,
 ) -> DataFrame:
     """(doc_id, sh_arr) — distinct word n-gram shingles per document as
     an array column. Tokens are materialized in an intermediate
@@ -77,13 +80,22 @@ def doc_shingle_arrays(
     (see functions/text.py PERF note). The input is fanned out first:
     shingling + the md5 per shingle that always follows are the CPU
     hot path of the whole dedup family, and a single-split source
-    would run them in one task (sources/readers.fan_out)."""
+    would run them in one task (sources/readers.fan_out).
+
+    ``nonempty=True`` drops docs with no shingles via the CHEAP
+    equivalent predicate ``size(toks) >= n`` on the token projection
+    (shingle count = max(0, |toks| - n + 1), so >= 1 iff |toks| >= n).
+    Callers previously filtered ``size(sh_arr) >= 1`` on the DERIVED
+    column, which predicate pushdown re-inlines into the scan with the
+    whole shingle pipeline substituted (gotcha 13)."""
     from swat_mapreduce_spark.sources.readers import fan_out
 
     docs = fan_out(docs)
     toked = docs.select(
         "doc_id", *extra_cols, ws_tokens(F.col("text")).alias("toks")
     )
+    if nonempty:
+        toked = toked.filter(F.size("toks") >= n)
     return toked.select(
         "doc_id",
         *extra_cols,
@@ -92,9 +104,13 @@ def doc_shingle_arrays(
 
 
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per document."""
-    return doc_shingle_arrays(docs, n).select(
-        "doc_id", F.explode("sh_arr").alias("shingle")
+    """(doc_id, shingle) — distinct word n-gram shingles per document.
+    explode_nonnull, not explode: the inferred size(sh_arr)>0 filter
+    re-inlines the shingle pipeline into the scan (gotcha 13, r13)."""
+    from swat_mapreduce_spark.functions.arrays import explode_nonnull
+
+    return explode_nonnull(
+        doc_shingle_arrays(docs, n), "sh_arr", "shingle", "doc_id"
     )
 
 
@@ -327,8 +343,17 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = doc_shingle_arrays(docs, n, extra_cols=("lang",)).select(
-        "doc_id", "lang", F.explode("sh_arr").alias("shingle")
+    from swat_mapreduce_spark.functions.arrays import explode_nonnull
+
+    # explode_nonnull (gotcha 13, r13): plain explode's inferred
+    # size(sh_arr)>0 filter re-inlines the shingle pipeline into the
+    # single-task scan
+    sh = explode_nonnull(
+        doc_shingle_arrays(docs, n, extra_cols=("lang",)),
+        "sh_arr",
+        "shingle",
+        "doc_id",
+        "lang",
     )
     w = Window.partitionBy("lang", "shingle")
     sh = (
@@ -496,16 +521,22 @@ def decontaminate(
     # matching shingle collides with a benchmark hash — odds ~|bench|
     # /2^32 per shingle, and the oracle applies the identical hashing
     # so the check stays exact.
-    doc_sh = doc_shingle_arrays(docs, n).select(
+    from swat_mapreduce_spark.functions.arrays import explode_nonnull
+
+    # both explodes go through explode_nonnull (gotcha 13, r13): the
+    # inferred size(sh_arr)>0 filters re-inlined the tokenize+shingle
+    # pipeline into each side's single-task scan
+    doc_sh = explode_nonnull(
+        doc_shingle_arrays(docs, n),
+        "sh_arr",
+        "shingle",
         "doc_id",
-        F.explode("sh_arr").alias("shingle"),
         F.size("sh_arr").alias("n_shingles"),
     ).select(
         "doc_id", shingle_uint(F.col("shingle")).alias("sh"), "n_shingles"
     )
     bench_sh = (
-        doc_shingle_arrays(benchmark, n)
-        .select(F.explode("sh_arr").alias("shingle"))
+        explode_nonnull(doc_shingle_arrays(benchmark, n), "sh_arr", "shingle")
         .select(shingle_uint(F.col("shingle")).alias("sh"))
         .distinct()
     )

@@ -426,10 +426,22 @@ JOIN sizes nb ON nb.doc_id = e.doc_b
 
 @register("minhash_estimate_accuracy", oracle=_mh_audit_oracle())
 def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = read_table(spark, sf_dir, "documents")
-    docsh = D.doc_shingle_arrays(docs, 3)
+    # persist the per-doc shingle arrays and the candidate pairs (r13):
+    # docsh feeds the signature build + BOTH verify-join sides, pairs
+    # feed the estimate join + the exact verify — unpersisted, the
+    # tokenize+shingle pipeline re-ran three times and the whole
+    # band/bucket candidate generation twice (same materialization
+    # contract as minhash_lsh_pairs)
+    docsh = D.doc_shingle_arrays(docs, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = D.minhash_signatures_from_arrays(docsh)
-    pairs = D.candidate_pairs(D.lsh_bands(sigs))
+    pairs = D.candidate_pairs(D.lsh_bands(sigs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     est_sum = sum(
         F.when(F.col(f"a_h{k}") == F.col(f"b_h{k}"), 1).otherwise(0)
         for k in range(D.NUM_HASHES)
@@ -751,7 +763,10 @@ def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 < 8
     )
-    docsh = D.doc_shingle_arrays(docs, 3).filter(F.size("sh_arr") >= 1)
+    # nonempty=True, not .filter(size(sh_arr) >= 1): the derived-column
+    # filter pushes into the scan with the shingle pipeline re-inlined
+    # (gotcha 13, r13); size(toks) >= 3 is the cheap equivalent
+    docsh = D.doc_shingle_arrays(docs, 3, nonempty=True)
     sigs = D.minhash_signatures_from_arrays(docsh)
     # repartition(4), never coalesce(1) (CLAUDE.md gotcha 11); a real
     # deployment would bucketBy (band, bucket) here — the tmp-dir
@@ -856,8 +871,9 @@ def probe_docs_against_index(
     # bsigs feeds three consumers (bands, the est join, the all-docs
     # left join) — persist the 1-row-per-doc signature table, not the
     # corpus (which is only reached through the parquet index)
+    # nonempty=True, not filter(size(sh_arr) >= 1) — gotcha 13 (r13)
     bsigs = D.minhash_signatures_from_arrays(
-        D.doc_shingle_arrays(batch, 3).filter(F.size("sh_arr") >= 1)
+        D.doc_shingle_arrays(batch, 3, nonempty=True)
     )
     if persist:
         bsigs = bsigs.persist(StorageLevel.MEMORY_AND_DISK)

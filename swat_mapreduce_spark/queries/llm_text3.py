@@ -462,31 +462,53 @@ GROUP BY p.source_a, p.source_b, na.n, nb.n
 
 @register("source_overlap_matrix", oracle=_OVERLAP_ORACLE)
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select(
+    from swat_mapreduce_spark.functions.arrays import explode_nonnull
+    from swat_mapreduce_spark.sources.readers import fan_out
+
+    # fan_out (r13): the shingle+md5 pipeline previously ran in the
+    # single scan task up to the first exchange
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", ws_tokens(F.col("text")).alias("toks")
     )
+    # explode_nonnull (gotcha 13, r13): the inferred size()>0 filter
+    # re-inlined the whole shingle transform into the scan
     sh = (
-        docs.filter(F.size("toks") >= SPAN_W)
-        .select(
+        explode_nonnull(
+            docs.filter(F.size("toks") >= SPAN_W),
+            shingles_from_tokens(F.col("toks"), SPAN_W),
+            "s",
             "source",
-            F.explode(shingles_from_tokens(F.col("toks"), SPAN_W)).alias(
-                "s"
-            ),
         )
         .select("source", F.md5(F.col("s")).alias("h"))
         .distinct()
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h"))
-        & (F.col("a.source") < F.col("b.source")),
-    ).select(
-        F.col("a.source").alias("source_a"),
-        F.col("b.source").alias("source_b"),
+    # r13 (VERDICT r12 #3, guide §2.3 + the d47db6b in-row pair
+    # recipe): the former sh⋈sh self-join on h shuffled the whole
+    # distinct postings table TWICE into a sort-merge join. One
+    # groupBy(h) instead collapses each shingle to its ≤|sources|
+    # source list (a boilerplate shingle in every source costs
+    # |sources|²/2 pairs — a constant), pairs are generated in-row
+    # (posexplode + slice, lambda-free per gotcha 1), and per-source
+    # totals fall out of the SAME grouped table — the corpus postings
+    # are shuffled exactly once.
+    srcs = sh.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
     )
-    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        srcs.filter(F.size("ss") >= 2)
+        .select("ss", F.posexplode("ss").alias("i", "source_a"))
+        .select(
+            "source_a",
+            F.explode(
+                F.slice("ss", F.col("i") + 2, F.size("ss"))
+            ).alias("source_b"),
+        )
+    )
+    per_src = (
+        srcs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     shared = pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("shared_shingles")
     )

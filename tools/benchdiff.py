@@ -32,6 +32,21 @@ field with this adjudication, so a capture promoted to BENCH_BASE
 after pin updates carries a gate consistent with the pins that ship
 (VERDICT r9 #3: the committed r9 base said ``unexplained: 2`` because
 its gate was computed before the same commit's pin updates).
+
+Two-capture protocol (VERDICT r12 #2 — a gate that pinned 40/40 movers
+as box heat is not a gate): the round-final number is the PER-QUERY
+MIN over two bench.py captures taken in separate cool windows, merged
+with
+
+    python tools/benchdiff.py --merge-min A.json B.json OUT.json
+
+(same-source_sha captures only). The min across independent captures
+strips one-sided box-heat inflation without touching any timing — a
+query's true cost is a lower envelope; heat only ever adds. The merged
+capture is what gets gated against BENCH_BASE and promoted. Pin budget:
+a round may add at most ~10 FRESH isolation pins on the merged capture;
+needing more means the capture windows were not cool — take a third
+capture instead of pinning wider.
 """
 
 from __future__ import annotations
@@ -159,10 +174,53 @@ def classify(
     return out
 
 
+def merge_min(path_a: str, path_b: str, out_path: str) -> int:
+    """Write per-query min of two same-source captures to ``out_path``.
+
+    The merged doc inherits capture A's shape (duckdb timings, sf,
+    source_sha) with ``queries`` replaced by the per-query min over
+    the common set and ``value`` recomputed; queries present in only
+    one capture keep that capture's reading (a query added mid-round
+    appears once). Refuses cross-source merges: a min over different
+    code is not a measurement of either."""
+    doc_a, doc_b = _load_doc(path_a), _load_doc(path_b)
+    qa, qb = _load_queries(path_a), _load_queries(path_b)
+    sha_a, sha_b = doc_a.get("source_sha"), doc_b.get("source_sha")
+    if sha_a != sha_b:
+        print(
+            f"refusing merge: source_sha differs "
+            f"({sha_a or 'unstamped'} vs {sha_b or 'unstamped'})"
+        )
+        return 2
+    merged = {
+        q: min(qa.get(q, float("inf")), qb.get(q, float("inf")))
+        for q in set(qa) | set(qb)
+    }
+    out = dict(doc_a)
+    out["queries"] = {q: merged[q] for q in sorted(merged)}
+    out["value"] = round(sum(merged.values()), 3)
+    out["merge_min_of"] = [os.path.basename(path_a), os.path.basename(path_b)]
+    out.pop("gate", None)  # stale vs the merged numbers; re-run the gate
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    n_min_b = sum(1 for q in set(qa) & set(qb) if qb[q] < qa[q])
+    print(
+        f"merged {len(merged)} queries -> {out_path}  "
+        f"total {out['value']}s  (capture B was the min on "
+        f"{n_min_b}/{len(set(qa) & set(qb))} common rows)"
+    )
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(__doc__)
         return 2
+    if argv[0] == "--merge-min":
+        if len(argv) != 4:
+            print("usage: benchdiff.py --merge-min A.json B.json OUT.json")
+            return 2
+        return merge_min(argv[1], argv[2], argv[3])
     pins_path = os.path.join(_HERE, "BENCH_PINS.json")
     if "--pins" in argv:
         i = argv.index("--pins")
