@@ -342,7 +342,13 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec"),
             F.max("vec_id").alias("max_vec"),
         )
-        .join(F.broadcast(cent_df), "cid")
+        # LEFT join (r13): semantically identical (assigned cid is
+        # always one of cent_df's 0..k-1 rows), but an INNER join made
+        # the optimizer infer isnotnull(cid) and push it into the scan
+        # with the whole 8-centroid x 64-dim assignment expression
+        # substituted — doubling the dominant codegen/compile cost of
+        # this giant literal expression tree
+        .join(F.broadcast(cent_df), "cid", "left")
         .select(
             "cid",
             "n_members",

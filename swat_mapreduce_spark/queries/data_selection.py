@@ -1412,6 +1412,10 @@ FROM w2 JOIN margins USING (lang), tot
 
 @register("ipf_raking_weights", oracle=_IPF_ORACLE)
 def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (r13, VERDICT r12 #6): persist() on this grid measured
+    # SLOWER at sf0.1 (same cache-serialization cost as the
+    # theil_index_sources A/B — see the note there) and was rejected;
+    # the cheap numeric groupBy re-derivations stay.
     cell = (
         read_table(spark, sf_dir, "documents")
         .groupBy("lang", "source")
@@ -1596,6 +1600,10 @@ LIMIT {_SK_TOPN}
 
 @register("sinkhorn_ot_lengths", oracle=_SK_ORACLE)
 def sinkhorn_ot_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (r13, VERDICT r12 #6): persist() on the r/c marginals
+    # measured SLOWER at sf0.1 (1.7 s -> 3.5 s back-to-back; same
+    # cache-serialization cost as the theil_index_sources interleaved
+    # A/B — see the note there) and was rejected.
     docs = read_table(spark, sf_dir, "documents").select(
         F.when(F.col("lang") == "en", "en").otherwise("rest").alias("g"),
         F.floor(F.col("n_chars") / F.lit(100.0)).cast("long").alias("b"),

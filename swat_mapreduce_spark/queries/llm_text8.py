@@ -580,10 +580,16 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "source", ws_tokens(F.col("text")).alias("toks")
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the (source × word) count grid (VERDICT r12 #6 / guide
+    # §5): mfw, ts and f each re-derived it — 3 corpus token explodes
+    # collapse to 1
     cw = (
         docs.select("source", F.explode("toks").alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mfw = (
         cw.groupBy("w")
@@ -616,12 +622,18 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("sf").cast("double") / F.col("k")
     sd = F.sqrt(F.col("sff").cast("double") / F.col("k") - mu * mu)
-    z = f.join(F.broadcast(stat), "w").select(
-        "source",
-        "w",
-        F.round((F.col("f_u") - mu) / sd * F.lit(_BD_Z_U))
-        .cast("long")
-        .alias("z_u"),
+    # persist the bounded (source × 150-MFW) z-score table: both
+    # self-join sides re-derived the whole cw→f→stat chain otherwise
+    z = (
+        f.join(F.broadcast(stat), "w")
+        .select(
+            "source",
+            "w",
+            F.round((F.col("f_u") - mu) / sd * F.lit(_BD_Z_U))
+            .cast("long")
+            .alias("z_u"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = z.select(
         F.col("source").alias("source_a"),

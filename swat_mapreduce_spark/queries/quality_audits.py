@@ -982,6 +982,15 @@ FROM per, roll, tot, g
 
 @register("theil_index_sources", oracle=_THEIL_ORACLE)
 def theil_index_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (r13, VERDICT r12 #6): a persist() on this grid was built,
+    # measured in an interleaved same-session A/B at sf0.1, and
+    # REJECTED — 0.77 s -> 2.16 s. Cache materialization serializes the
+    # otherwise-concurrent broadcast subtree builds and adds a job per
+    # consumer, which dominates when the re-derived subtree is a cheap
+    # numeric groupBy (contrast isotonic/burrows_delta, whose grids
+    # re-derive corpus TEXT processing and where the persist measured
+    # faster and ships). At 100 TB the re-scans are real I/O; revisit
+    # with a cluster profile before re-adding.
     cell = (
         read_table(spark, sf_dir, "documents")
         .groupBy("source", F.col("n_chars").alias("v"))

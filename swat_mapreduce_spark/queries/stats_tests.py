@@ -2422,6 +2422,10 @@ def brown_forsythe_length_by_source(
     docs = read_table(spark, sf_dir, "documents").select(
         "source", "n_chars"
     )
+    # NOTE (r13, VERDICT r12 #6): persist() on this grid measured
+    # SLOWER at sf0.1 (same cache-serialization cost as the
+    # theil_index_sources interleaved A/B — see the note there) and
+    # was rejected; the cheap numeric groupBy re-derivations stay.
     c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )

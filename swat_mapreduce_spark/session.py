@@ -42,6 +42,20 @@ _DEFAULTS = {
     # Let custom Python data sources receive pushFilters() (Spark 4.1;
     # runtime-settable, off by default).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # InferFiltersFromGenerate adds size(arr)>0 above every non-outer
+    # explode; predicate pushdown then re-inlines the generator's FULL
+    # derivation pipeline (tokenize/shingle/distinct) into the scan,
+    # where it runs serially on single-split inputs and again in the
+    # post-exchange projection (gotcha 13; measured 3.69 s -> 0.81 s on
+    # the shapley mask subtree, r13). Every exploded array in this
+    # engine is an expensive DERIVED pipeline — never a cheap stored
+    # column the rule could usefully prune — so the inferred filter is
+    # a net loss engine-wide. Hot paths additionally use
+    # functions/arrays.explode_nonnull, which stays safe under foreign
+    # sessions where this conf is absent. Runtime-settable, so the
+    # driver's vanilla session picks it up via ensure_engine_conf.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -230,10 +230,17 @@ def _bounded(nid: int, nodes: dict[int, dict], memo: dict[int, bool]) -> bool:
         ok = True
     elif n["name"].startswith("Scan ExistingRDD"):
         ok = True
-    elif kind in ("Scan", "BatchScan", "InMemoryTableScan"):
-        ok = kind != "InMemoryTableScan" and any(
-            t in detail for t in _CONST_DIMS
+    elif kind == "InMemoryTableScan":
+        # a cached relation holds exactly the rows of its cached plan,
+        # so it is bounded iff that plan is — recurse into the
+        # InMemoryRelation child (persisted bounded grids, r13: the
+        # VERDICT r12 #6 persist() sweep put HashAggregate-keyed grids
+        # behind IMTS nodes, hiding the agg-key proof from this walk)
+        ok = bool(n["children"]) and all(
+            _bounded(c, nodes, memo) for c in n["children"]
         )
+    elif kind in ("Scan", "BatchScan"):
+        ok = any(t in detail for t in _CONST_DIMS)
     elif kind in ("GlobalLimit", "CollectLimit", "LocalLimit",
                   "TakeOrderedAndProject"):
         ok = True
