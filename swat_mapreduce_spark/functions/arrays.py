@@ -74,6 +74,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with PRE-COMPUTED norms — bit-identical to
+    :func:`cosine` (same doubles, same multiplication order:
+    dot/(na·nb)) when ``na``/``nb`` are :func:`l2_norm` of ``a``/``b``.
+    Hoist the norms into per-row projections before a pair join so
+    sqrt(Σx²) is evaluated once per VECTOR instead of once per PAIR
+    (guide §1.2 per-task work; the r12 map_retrieval_eval recipe)."""
+    return dot(a, b) / (na * nb)
+
+
+def py_l2_norm(vec: list[float]) -> float:
+    """Driver-side l2_norm of a literal query vector — IEEE-identical
+    to :func:`l2_norm` (same left-fold accumulation order over the
+    same doubles, correctly-rounded sqrt), so a broadcast literal
+    query's norm can be computed ONCE in Python instead of per corpus
+    row in the scan projection."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def as_double_array(col: Column) -> Column:
     """Cast array<float> → array<double> so Spark math matches the
     DuckDB oracle's double math (embeddings parquet stores float32)."""

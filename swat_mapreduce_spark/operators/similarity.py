@@ -80,13 +80,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query norm computed ONCE driver-side (r13, guide §1.2) — the
+    # inline l2_norm(q) was re-evaluated per corpus row; py_l2_norm is
+    # IEEE-identical so the 4dp snap is unchanged
+    nq = F.lit(A.py_l2_norm([float(x) for x in query_vec]))
     vec = A.as_double_array(F.col("embedding"))
     df = emb
     if exclude_id is not None:
         df = df.filter(F.col("vec_id") != exclude_id)
     return (
         df.select(
-            "vec_id", "label", R.r(A.cosine(vec, q), 4).alias("cosine")
+            "vec_id",
+            "label",
+            R.r(A.cosine_pre(vec, q, A.l2_norm(vec), nq), 4).alias(
+                "cosine"
+            ),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -101,14 +109,20 @@ def cosine_pairs_blocked(
     The block join is an equi-join → shuffle by block key; no cross
     join. Cosine math in double precision to match the oracle.
     """
+    # norms hoisted out of the pair fan-out (r13, guide §1.2): sqrt(Σx²)
+    # is computed once per VECTOR in this projection instead of twice
+    # per PAIR; dot/(na·nb) evaluates the same doubles in the same
+    # order, so the 4dp snap is bit-identical
     sel = emb.select(
         "vec_id",
         F.col(block_col).alias("blk"),
         A.as_double_array(F.col("embedding")).alias("v"),
-    )
+    ).withColumn("nv", A.l2_norm(F.col("v")))
     a = sel.alias("a")
     b = sel.alias("b")
-    cos = A.cosine(F.col("a.v"), F.col("b.v"))
+    cos = A.cosine_pre(
+        F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
+    )
     return (
         a.join(
             b,
@@ -166,9 +180,10 @@ def lsh_tagged_capped(
     planes: int | None = None,
     max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
-    """(vec_id, label, v: array<double>, bucket) with mega-buckets
-    dropped — the candidate-generation input for every hyperplane-LSH
-    pair join.
+    """(vec_id, label, v: array<double>, bucket, nv: double) with
+    mega-buckets dropped — the candidate-generation input for every
+    hyperplane-LSH pair join (``nv`` = l2_norm(v), hoisted for
+    cosine_pre pair scoring).
 
     ``planes=None`` derives the plane count from the corpus size via
     ``lsh_planes_for(emb.count())`` — one bounded count job at plan
@@ -192,11 +207,18 @@ def lsh_tagged_capped(
 
     if planes is None:
         planes = lsh_planes_for(emb.count())
-    tagged = emb.join(lsh_buckets(emb, planes), "vec_id").select(
-        "vec_id",
-        "label",
-        A.as_double_array(F.col("embedding")).alias("v"),
-        "bucket",
+    # nv (r13, guide §1.2): the per-vector l2 norm rides the persisted
+    # projection so every self-join consumer scores pairs via
+    # cosine_pre (norm per VECTOR, not per PAIR) — bit-identical
+    tagged = (
+        emb.join(lsh_buckets(emb, planes), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            A.as_double_array(F.col("embedding")).alias("v"),
+            "bucket",
+        )
+        .withColumn("nv", A.l2_norm(F.col("v")))
     )
     w = Window.partitionBy("bucket")
     return (
@@ -276,9 +298,16 @@ def ivf_topk(
     ~|cells|/nprobe scan reduction.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query norm once driver-side (r13, guide §1.2; IEEE-identical)
+    nq = F.lit(A.py_l2_norm([float(x) for x in query_vec]))
     cents = ivf_centroids(emb)
     probed = (
-        cents.select("cell", A.cosine(F.col("centroid"), q).alias("cq"))
+        cents.select(
+            "cell",
+            A.cosine_pre(
+                F.col("centroid"), q, A.l2_norm(F.col("centroid")), nq
+            ).alias("cq"),
+        )
         .orderBy(F.desc("cq"), F.asc("cell"))
         .limit(nprobe)
         .select("cell")
@@ -291,7 +320,13 @@ def ivf_topk(
         df.join(
             F.broadcast(probed), df.label == F.col("cell"), "left_semi"
         )
-        .select("vec_id", "label", R.r(A.cosine(vec, q), 4).alias("cosine"))
+        .select(
+            "vec_id",
+            "label",
+            R.r(A.cosine_pre(vec, q, A.l2_norm(vec), nq), 4).alias(
+                "cosine"
+            ),
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -361,7 +361,14 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     sel = S.lsh_tagged_capped(emb)  # persisted; self-joined below
     a, b = sel.alias("a"), sel.alias("b")
-    cos = R.r(A.cosine(F.col("a.v"), F.col("b.v")), 4)
+    # cosine_pre: norms ride the persisted tagged projection (r13,
+    # guide §1.2) — bit-identical to the per-pair cosine
+    cos = R.r(
+        A.cosine_pre(
+            F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
+        ),
+        4,
+    )
     return (
         a.join(
             b,

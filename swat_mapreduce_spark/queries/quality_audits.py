@@ -108,12 +108,14 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("av"),
+        F.col("nv").alias("an"),
         "bucket",
     )
     b = tagged.select(
         F.col("vec_id").alias("cand"),
         F.col("label").alias("cand_label"),
         F.col("v").alias("bv"),
+        F.col("nv").alias("bn"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
@@ -121,12 +123,19 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == F.col("bucket_b"))
         & (F.col("anchor") != F.col("cand")),
     )
+    # cosine_pre: norms ride the persisted tagged projection (r13,
+    # guide §1.2) — bit-identical to the per-pair cosine
     scored = pairs.select(
         "anchor",
         "anchor_label",
         "cand",
         "cand_label",
-        R.r(A.cosine(F.col("av"), F.col("bv")), 4).alias("c"),
+        R.r(
+            A.cosine_pre(
+                F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+            ),
+            4,
+        ).alias("c"),
     )
     w = Window.partitionBy("anchor").orderBy(F.desc("c"), F.asc("cand"))
     knn = (

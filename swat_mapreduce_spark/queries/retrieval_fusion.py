@@ -96,16 +96,21 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wl).cast("long").alias("r_lex")
     )
 
+    # query norm hoisted onto the 1-row broadcast side (r13, guide
+    # §1.2) — it was recomputed per corpus row; bit-identical 4dp snap
     qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         A.as_double_array(F.col("embedding")).alias("qv")
-    )
+    ).withColumn("nq", A.l2_norm(F.col("qv")))
+    vec_s = A.as_double_array(F.col("embedding"))
     sem_sc = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qdf))
         .select(
             "vec_id",
             R.r(
-                A.cosine(A.as_double_array(F.col("embedding")), F.col("qv")),
+                A.cosine_pre(
+                    vec_s, F.col("qv"), A.l2_norm(vec_s), F.col("nq")
+                ),
                 4,
             ).alias("cosine"),
         )
@@ -231,17 +236,30 @@ FROM agg
 @register("ranking_rbo_similarity", oracle=_RBO_ORACLE)
 def ranking_rbo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
+    # query norms (full + truncated) hoisted onto the 1-row broadcast
+    # side (r13, guide §1.2) — each was recomputed per corpus row
     qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         A.as_double_array(F.col("embedding")).alias("qv")
     )
     base = emb.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
-        F.broadcast(qdf)
+        F.broadcast(
+            qdf.select(
+                "qv",
+                A.l2_norm(F.col("qv")).alias("nq_full"),
+                A.l2_norm(
+                    F.slice(F.col("qv"), 1, _RBO_TRUNC_DIM)
+                ).alias("nq_trunc"),
+            )
+        )
     )
 
-    def ranked(vec_col, q_col, rank_name):
+    def ranked(vec_col, q_col, rank_name, nq_col):
         sc = base.select(
             "vec_id",
-            R.r(A.cosine(vec_col, q_col), 4).alias("cosine"),
+            R.r(
+                A.cosine_pre(vec_col, q_col, A.l2_norm(vec_col), nq_col),
+                4,
+            ).alias("cosine"),
         )
         cut = sc.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(_RBO_DEPTH)
         w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -250,11 +268,16 @@ def ranking_rbo_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v_full = A.as_double_array(F.col("embedding"))
-    lex = ranked(v_full, F.col("qv"), "ra").withColumnRenamed(
-        "vec_id", "doc_id"
-    )
+    lex = ranked(
+        v_full, F.col("qv"), "ra", F.col("nq_full")
+    ).withColumnRenamed("vec_id", "doc_id")
     v_trunc = F.slice(A.as_double_array(F.col("embedding")), 1, _RBO_TRUNC_DIM)
-    sem = ranked(v_trunc, F.slice(F.col("qv"), 1, _RBO_TRUNC_DIM), "rb")
+    sem = ranked(
+        v_trunc,
+        F.slice(F.col("qv"), 1, _RBO_TRUNC_DIM),
+        "rb",
+        F.col("nq_trunc"),
+    )
     common = lex.join(sem, lex.doc_id == sem.vec_id).select(
         F.greatest("ra", "rb").alias("m")
     )
@@ -723,13 +746,22 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cq = (
-        cent.crossJoin(F.broadcast(qdf))
+        cent.withColumn("ncv", A.l2_norm(F.col("cv")))
+        .crossJoin(F.broadcast(qdf))
         .select(
             "qid",
             F.col("label").alias("cell"),
             # 4dp snap before the rank cut, mirrored in the oracle
-            # (ADVICE r11 #2)
-            R.r(A.cosine(F.col("cv"), F.col("qv")), 4).alias("cqs"),
+            # (ADVICE r11 #2); centroid norm hoisted per cell (r13)
+            R.r(
+                A.cosine_pre(
+                    F.col("cv"),
+                    F.col("qv"),
+                    F.col("ncv"),
+                    A.l2_norm(F.col("qv")),
+                ),
+                4,
+            ).alias("cqs"),
         )
     )
     wp = Window.partitionBy("qid").orderBy(F.desc("cqs"), F.asc("cell"))

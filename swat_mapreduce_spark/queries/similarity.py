@@ -214,14 +214,21 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swat_mapreduce_spark.functions import rounding as R
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # norms hoisted out of the Q×N fan-out (r13, guide §1.2): nq once
+    # per query, nv once per corpus vector — bit-identical 4dp snap
     queries = emb.filter(F.col("vec_id") < _BATCH_Q).select(
         F.col("vec_id").alias("q_id"),
         A.as_double_array(F.col("embedding")).alias("qv"),
-    )
+    ).withColumn("nq", A.l2_norm(F.col("qv")))
     data = emb.filter(F.col("vec_id") >= _BATCH_Q).select(
         "vec_id", A.as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", A.l2_norm(F.col("v")))
+    cos = R.r(
+        A.cosine_pre(
+            F.col("v"), F.col("qv"), F.col("nv"), F.col("nq")
+        ),
+        4,
     )
-    cos = R.r(A.cosine(F.col("v"), F.col("qv")), 4)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         data.crossJoin(F.broadcast(queries))
@@ -456,6 +463,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(NULL AS DOUBLE) AS adc_dist, CAST(NULL AS DOUBLE) AS cosine"
         ).limit(0)
     qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    # query norm once driver-side (r13, guide §1.2; IEEE-identical)
+    nq = F.lit(A.py_l2_norm([float(v) for v in qrow[0]]))
+    vec_r = A.as_double_array(F.col("embedding"))
     exact = emb.join(F.broadcast(top), "vec_id").select(
         "vec_id",
         "label",
@@ -463,9 +473,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the double's decimal expansion and C round(x*1e4)/1e4 disagree
         # exactly on 4dp ties, and the oracle rounds C-style
         R.r(F.col("adc_dist").cast("double"), 4).alias("adc_dist"),
-        R.r(A.cosine(A.as_double_array(F.col("embedding")), qv), 4).alias(
-            "cosine"
-        ),
+        R.r(
+            A.cosine_pre(vec_r, qv, A.l2_norm(vec_r), nq), 4
+        ).alias("cosine"),
     )
     return exact.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
@@ -625,7 +635,12 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = S.ivf_centroids(emb)
+    # centroid norms hoisted onto the |cells|-row table (r13, guide
+    # §1.2): the per-pair cosine recomputed sqrt(Σc²) per MEMBER row;
+    # cosine_pre is bit-identical
+    cents = S.ivf_centroids(emb).withColumn(
+        "ncent", A.l2_norm(F.col("centroid"))
+    )
     vec = A.as_double_array(F.col("embedding"))
     scored = emb.join(
         F.broadcast(cents), emb["label"] == cents["cell"]
@@ -633,7 +648,12 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        R.r(A.cosine(vec, F.col("centroid")), 4).alias("cc"),
+        R.r(
+            A.cosine_pre(
+                vec, F.col("centroid"), A.l2_norm(vec), F.col("ncent")
+            ),
+            4,
+        ).alias("cc"),
     )
     w = Window.partitionBy("label").orderBy(
         F.desc("cc"), F.asc("vec_id")
@@ -643,11 +663,16 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("r_label"),
         F.col("vec_id").alias("rep_id"),
         F.col("embedding").alias("rep_emb"),
+        A.l2_norm(A.as_double_array(F.col("embedding"))).alias("n_rep"),
     )
     members = ranked.filter(F.col("rn") > 1)
-    cr = A.cosine(
-        A.as_double_array(F.col("embedding")),
+    mvec = A.as_double_array(F.col("embedding"))
+    # rep norm hoisted onto the per-label rep row (r13, guide §1.2)
+    cr = A.cosine_pre(
+        mvec,
         A.as_double_array(F.col("rep_emb")),
+        A.l2_norm(mvec),
+        F.col("n_rep"),
     )
     out = members.join(
         F.broadcast(reps), members["label"] == reps["r_label"]
@@ -833,10 +858,13 @@ def crossmodal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("qlabel"),
             A.as_double_array(F.col("embedding")).alias("qv"),
         ],
-    )
+    ).withColumn("nq", A.l2_norm(F.col("qv")))
     vec = A.as_double_array(F.col("embedding"))
+    # norms hoisted out of the 16-way pair fan-out (r13, guide §1.2
+    # — the map_retrieval_eval recipe): bit-identical 4dp snap
     scored = (
         emb.select("vec_id", "label", vec.alias("v"))
+        .withColumn("nv", A.l2_norm(F.col("v")))
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -844,7 +872,12 @@ def crossmodal_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             "label",
-            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c"),
+            R.r(
+                A.cosine_pre(
+                    F.col("v"), F.col("qv"), F.col("nv"), F.col("nq")
+                ),
+                4,
+            ).alias("c"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
@@ -921,12 +954,19 @@ FROM per_cell p CROSS JOIN tot t
 @register("ivf_posting_stats", oracle=_IVF_STATS_ORACLE)
 def ivf_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = S.ivf_centroids(emb)
+    # centroid norm hoisted onto the |cells|-row table (r13, guide
+    # §1.2); cosine_pre is bit-identical
+    cents = S.ivf_centroids(emb).withColumn(
+        "ncent", A.l2_norm(F.col("centroid"))
+    )
     vec = A.as_double_array(F.col("embedding"))
     cc = emb.join(
         F.broadcast(cents), emb["label"] == cents["cell"]
     ).select(
-        "cell", A.cosine(vec, F.col("centroid")).alias("cos_c")
+        "cell",
+        A.cosine_pre(
+            vec, F.col("centroid"), A.l2_norm(vec), F.col("ncent")
+        ).alias("cos_c"),
     )
     per_cell = cc.groupBy("cell").agg(
         F.count(F.lit(1)).alias("posting_size"),
@@ -1003,12 +1043,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("av"),
+        F.col("nv").alias("an"),
         "bucket",
     )
     b = tagged.select(
         F.col("vec_id").alias("cand"),
         F.col("label").alias("cand_label"),
         F.col("v").alias("bv"),
+        F.col("nv").alias("bn"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
@@ -1017,12 +1059,19 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("anchor") != F.col("cand"))
         & (F.col("anchor_label") != F.col("cand_label")),
     )
+    # cosine_pre: norms ride the persisted tagged projection (r13,
+    # guide §1.2) — bit-identical to the per-pair cosine
     scored = pairs.select(
         "anchor",
         "anchor_label",
         "cand",
         "cand_label",
-        R.r(A.cosine(F.col("av"), F.col("bv")), 4).alias("c"),
+        R.r(
+            A.cosine_pre(
+                F.col("av"), F.col("bv"), F.col("an"), F.col("bn")
+            ),
+            4,
+        ).alias("c"),
     )
     w = Window.partitionBy("anchor").orderBy(F.desc("c"), F.asc("cand"))
     return (
@@ -1113,20 +1162,40 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"),
             A.as_double_array(F.col("embedding")).alias("qv"),
         ],
+    ).select(
+        "qid",
+        "qv",
+        A.l2_norm(F.col("qv")).alias("nq"),
+        F.slice(F.col("qv"), 1, _MRL_DIM).alias("qvt"),
+        A.l2_norm(F.slice(F.col("qv"), 1, _MRL_DIM)).alias("nqt"),
     )
     vec = A.as_double_array(F.col("embedding"))
+    # full AND truncated norms hoisted out of the Q-way fan-out (r13,
+    # guide §1.2): each was recomputed per (vector, query) pair;
+    # cosine_pre is bit-identical
     scored = (
         emb.select("vec_id", vec.alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            A.l2_norm(F.col("v")).alias("nv"),
+            F.slice(F.col("v"), 1, _MRL_DIM).alias("vt"),
+            A.l2_norm(F.slice(F.col("v"), 1, _MRL_DIM)).alias("nvt"),
+        )
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c_full"),
             R.r(
-                A.cosine(
-                    F.slice(F.col("v"), 1, _MRL_DIM),
-                    F.slice(F.col("qv"), 1, _MRL_DIM),
+                A.cosine_pre(
+                    F.col("v"), F.col("qv"), F.col("nv"), F.col("nq")
+                ),
+                4,
+            ).alias("c_full"),
+            R.r(
+                A.cosine_pre(
+                    F.col("vt"), F.col("qvt"), F.col("nvt"), F.col("nqt")
                 ),
                 4,
             ).alias("c_trunc"),
@@ -1250,8 +1319,11 @@ def _int8_quantized(emb: DataFrame) -> DataFrame:
 def ann_rerank_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     quant = _int8_quantized(emb)
+    # query norm hoisted onto the 1-row broadcast side (r13, guide §1.2)
     qside = quant.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("e").alias("qe"), F.col("q").alias("qq")
+        F.col("e").alias("qe"),
+        F.col("q").alias("qq"),
+        A.l2_norm(F.col("e")).alias("nqe"),
     )
     coarse_dot = F.aggregate(
         F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a * b),
@@ -1261,7 +1333,10 @@ def ann_rerank_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = (
         quant.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qside))
-        .select("vec_id", "label", "e", "qe", coarse_dot.alias("coarse_dot"))
+        .select(
+            "vec_id", "label", "e", "qe", "nqe",
+            coarse_dot.alias("coarse_dot"),
+        )
         .orderBy(F.desc("coarse_dot"), F.asc("vec_id"))
         .limit(_RERANK_COARSE)
     )
@@ -1270,7 +1345,15 @@ def ann_rerank_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "coarse_dot",
-            R.r(A.cosine(F.col("e"), F.col("qe")), 4).alias("cosine"),
+            R.r(
+                A.cosine_pre(
+                    F.col("e"),
+                    F.col("qe"),
+                    A.l2_norm(F.col("e")),
+                    F.col("nqe"),
+                ),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_RERANK_K)
@@ -1818,13 +1901,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.r(F.col("adc_dist").cast("double"), 4), "vec_id"
     ).limit(_PQ_SHORTLIST)
     qv = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    # query norm once driver-side (r13, guide §1.2; IEEE-identical)
+    nq = F.lit(A.py_l2_norm([float(v) for v in qrow[0]]))
+    vec_x = A.as_double_array(F.col("embedding"))
     exact = emb.join(F.broadcast(top), "vec_id").select(
         "vec_id",
         "label",
         R.r(F.col("adc_dist").cast("double"), 4).alias("adc_dist"),
-        R.r(A.cosine(A.as_double_array(F.col("embedding")), qv), 4).alias(
-            "cosine"
-        ),
+        R.r(
+            A.cosine_pre(vec_x, qv, A.l2_norm(vec_x), nq), 4
+        ).alias("cosine"),
     )
     return exact.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
@@ -2176,20 +2262,39 @@ def ndcg_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"),
             A.as_double_array(F.col("embedding")).alias("qv"),
         ],
+    ).select(
+        "qid",
+        "qv",
+        A.l2_norm(F.col("qv")).alias("nq"),
+        F.slice(F.col("qv"), 1, _MRL_DIM).alias("qvt"),
+        A.l2_norm(F.slice(F.col("qv"), 1, _MRL_DIM)).alias("nqt"),
     )
     vec = A.as_double_array(F.col("embedding"))
+    # full AND truncated norms hoisted out of the Q-way fan-out (r13,
+    # guide §1.2) — bit-identical 4dp snaps
     scored = (
         emb.select("vec_id", vec.alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            A.l2_norm(F.col("v")).alias("nv"),
+            F.slice(F.col("v"), 1, _MRL_DIM).alias("vt"),
+            A.l2_norm(F.slice(F.col("v"), 1, _MRL_DIM)).alias("nvt"),
+        )
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            R.r(A.cosine(F.col("v"), F.col("qv")), 4).alias("c_full"),
             R.r(
-                A.cosine(
-                    F.slice(F.col("v"), 1, _MRL_DIM),
-                    F.slice(F.col("qv"), 1, _MRL_DIM),
+                A.cosine_pre(
+                    F.col("v"), F.col("qv"), F.col("nv"), F.col("nq")
+                ),
+                4,
+            ).alias("c_full"),
+            R.r(
+                A.cosine_pre(
+                    F.col("vt"), F.col("qvt"), F.col("nvt"), F.col("nqt")
                 ),
                 4,
             ).alias("c_trunc"),
