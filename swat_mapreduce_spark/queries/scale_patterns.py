@@ -1029,14 +1029,23 @@ GROUP BY s.abc_class, t.tot
 
 @register("pareto_abc_cumshare", oracle=_ABC_ORACLE)
 def pareto_abc_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     li = read_table(spark, sf_dir, "lineitem")
+    # persist the per-part revenue aggregate (r13, guide §5): three
+    # consumers (the min/max collect, the bucket-totals collect, the
+    # final windowed classification) each re-derived it from a fresh
+    # lineitem scan + hash aggregate; persisted, the fact is scanned
+    # once (interleaved same-session A/B at sf0.1: 1.77-1.93 s vs
+    # 2.56-2.97 s shipped, identical hashes). Cache cleared by the
+    # bench between queries (isotonic precedent).
     pr = li.groupBy("l_partkey").agg(
         R.money_sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         )
         .cast("decimal(20,2)")
         .alias("rev")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     parts = 8
     mn, mx = pr.agg(
         F.min(F.col("rev").cast("double")),

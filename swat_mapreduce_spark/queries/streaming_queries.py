@@ -879,19 +879,20 @@ def stream_probe_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbands = spark.read.parquet(root + "/bands").persist()
 
     def probe_batch(batch_df, _batch_id):
-        # unpersist THIS batch's bsigs right after the collect drains
-        # it — never session-wide clearCache(), which would drop
-        # caches owned by other callers of the shared one-session
-        # driver (gotcha 7, ADVICE r7)
-        tracked: list = []
+        # persist=False (r13): each micro-batch is a small slice whose
+        # sink drains immediately — the per-batch persist+unpersist
+        # round trip cost more than recomputing the tiny shingle
+        # pipeline per consumer (interleaved A/B at sf0.1: warmed
+        # 3.63-4.01 s vs 3.97-4.25 s, identical drained hashes). The
+        # batch probe query (dedup_probe_incremental) keeps
+        # persist=True: its batch is the full 20% slice, reused by
+        # three consumers.
         acc["rows"].extend(
             probe_docs_against_index(
-                spark, batch_df, root, persist=True,
-                index=(csigs, cbands), persisted_out=tracked,
+                spark, batch_df, root, persist=False,
+                index=(csigs, cbands),
             ).collect()
         )
-        for cached in tracked:
-            cached.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(probe_batch)
