@@ -81,6 +81,17 @@ def char_array(text: Column) -> Column:
     )
 
 
+def _require_identifier(cs: str) -> None:
+    """Guard the by-name SQL-interpolation contract (ADVICE r12 #2):
+    these helpers splice ``cs`` into F.expr strings, so anything but a
+    plain column identifier would silently build wrong SQL."""
+    if not cs.isidentifier():
+        raise ValueError(
+            f"column name {cs!r} must be a plain identifier "
+            "(materialize the expression in a projection first)"
+        )
+
+
 def char_bigrams_from(cs: str) -> Column:
     """Adjacent character bigrams from a MATERIALIZED codepoint-array
     column, referenced BY NAME (same per-element re-evaluation caveat
@@ -88,6 +99,7 @@ def char_bigrams_from(cs: str) -> Column:
     first): zip the array against its own 1-shifted slice — one flat
     zip_with, no per-index substring scans. Empty and single-char
     arrays yield no bigrams (slice length ≥ 0 guard)."""
+    _require_identifier(cs)
     return F.expr(
         f"zip_with(slice({cs}, 1, greatest(size({cs}) - 1, 0)), "
         f"slice({cs}, 2, greatest(size({cs}) - 1, 0)), "
@@ -102,6 +114,7 @@ def char_shingles_from_array(cs: str, n: int = 5) -> Column:
     string, O(len²) per doc). Inputs shorter than n yield an EMPTY
     array (gotcha 10: the two-arg sequence descends when the upper
     bound falls below 1, and slice at index 0 throws)."""
+    _require_identifier(cs)
     return F.expr(
         f"CASE WHEN size({cs}) >= {n} THEN "
         f"transform(sequence(1, size({cs}) - {n - 1}), "

@@ -21,10 +21,15 @@ def audit_one(name: str, df) -> dict:
     """Counts of scale-relevant node kinds in the FINAL (adaptive)
     plan section. The formatted explain of an unexecuted AQE plan
     repeats everything under '== Initial Plan ==' — only the first
-    section is counted."""
+    section is counted. The marker is anchored at column 0 (r13): a
+    plan embedding an EXECUTED InMemoryRelation (a construction-time
+    persist, e.g. rfm/pareto) prints the cached child's own
+    '+- == Initial Plan ==' markers INDENTED inside the tree — a bare
+    substring split cut the text there, before any detail block, and
+    censused those queries as all-zero."""
     from swat_mapreduce_spark.plans.explain import formatted_plan
 
-    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    plan = re.split(r"(?m)^== Initial Plan ==", formatted_plan(df))[0]
     # numbered tree nodes: "(12) NodeName [codegen id : 3]"
     nodes = re.findall(r"\(\d+\)\s+([A-Za-z]+)", plan)
     # Exchange kind lives in its Arguments detail line (detail blocks
